@@ -1,0 +1,348 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.9 relational query corpus IQ-01..IQ-24.
+  *
+  * The reference (IGNF/spark-iqmulus) delegates every relational operator to
+  * Spark SQL (SURVEY §2.6); this corpus pins down that delegated surface so
+  * the DuckDB oracle can verify it. Every query is written with the
+  * DataFrame API (declarative → Catalyst optimizes: filter/projection
+  * pushdown to the parquet scan, broadcast for small dims, AQE at runtime),
+  * with a matching ANSI-SQL oracle in [[oracle]]. Column names are aliased
+  * identically on both sides (the driver's compare is name-keyed).
+  *
+  * Determinism: every query ends in a total ORDER BY; floats are ROUNDed.
+  * Scale notes per query inline — each plan must hold at 100 TB, not just
+  * at sf0.01.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // $"name" column interpolator, without needing a SparkSession-bound
+  // implicits import inside every lambda.
+  private implicit class ColInterp(private val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+
+  /** IQ-01 scan + projection. Projection is pruned into the parquet scan
+    * (ReadSchema carries only 4 columns); sort+limit plans as
+    * TakeOrderedAndProject — no global sort at scale. */
+  private val iq01: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .sort($"l_orderkey", $"l_linenumber")
+      .limit(100)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+
+  /** IQ-02 conjunctive/disjunctive filter → pushed to the scan. */
+  private val iq02: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter($"l_quantity" > 30 && ($"l_returnflag" === "R" || $"l_linestatus" === "F"))
+      .sort($"l_orderkey", $"l_linenumber")
+      .limit(100)
+      .select("l_orderkey", "l_linenumber")
+
+  /** IQ-03 hash aggregate with partial (map-side) aggregation; the shuffle
+    * carries only (2 group cols × ~4 groups), trivial at any scale. */
+  private val iq03: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("c"),
+        round(sum($"l_quantity"), 2).as("sq"),
+        round(avg($"l_extendedprice"), 2).as("ap"))
+      .sort($"l_returnflag", $"l_linestatus")
+
+  /** IQ-04 global agg — partial aggregation reduces each partition to one
+    * row before the single-row final agg (mirrors reference A1/A2). */
+  private val iq04: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(count(lit(1)).as("n"), min($"l_quantity").as("mn"), max($"l_quantity").as("mx"))
+
+  /** IQ-05 distinct aggregates (expand + two-phase distinct agg). */
+  private val iq05: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(countDistinct($"l_partkey").as("dp"), countDistinct($"l_suppkey").as("ds"))
+
+  /** IQ-06 rollup. NULLS FIRST explicit — Spark's ASC default, but DuckDB
+    * defaults NULLS LAST, so the oracle says it too. */
+  private val iq06: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("c"))
+      .sort($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first, $"c")
+
+  /** IQ-07 cube. */
+  private val iq07: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 2).as("s"))
+      .sort($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first, $"s")
+
+  /** IQ-08 inner equi-join. customer scales with SF → no forced broadcast;
+    * AQE picks broadcast under threshold, sort-merge above. */
+  private val iq08: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select($"o_orderkey", $"c_name")
+      .sort($"o_orderkey")
+      .limit(100)
+  }
+
+  /** IQ-09 TPC-H Q3 shape: filter both fact-side inputs before the join
+    * (predicate pushdown to scans), aggregate after. */
+  private val iq09: Q = (s, d) => {
+    val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.orders(s, d).filter($"o_orderdate" < lit("1995-03-15").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(l("l_orderkey"), o("o_orderdate"))
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("rev"))
+      .select($"l_orderkey", $"rev", $"o_orderdate")
+      .sort($"rev".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** IQ-10 left outer join + count of non-null right keys. */
+  private val iq10: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n"))
+      .sort($"n".desc, $"c_custkey")
+      .limit(100)
+  }
+
+  /** IQ-11 EXISTS → left semi join; the >45 filter is pushed below the
+    * join so the build side shrinks before the shuffle. */
+  private val iq11: Q = (s, d) => {
+    val p = Tables.part(s, d)
+    val l = Tables.lineitem(s, d).filter($"l_quantity" > 45)
+    p.join(l, p("p_partkey") === l("l_partkey"), "left_semi")
+      .select($"p_partkey", $"p_name")
+      .sort($"p_partkey")
+      .limit(100)
+  }
+
+  /** IQ-12 NOT EXISTS → left anti join. (The o_totalprice filter keeps the
+    * result non-empty on the generated data, where every customer has at
+    * least one order.) */
+  private val iq12: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter($"o_totalprice" > 450000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($"c_custkey")
+      .sort($"c_custkey")
+      .limit(100)
+  }
+
+  /** IQ-13 theta/range self-join on a genuinely tiny dim (nation, 25 rows
+    * at every SF) → explicit broadcast keeps it shuffle-free forever. */
+  private val iq13: Q = (s, d) => {
+    val n1 = Tables.nation(s, d).select($"n_nationkey".as("k1"), $"n_name".as("a"), $"n_regionkey".as("r1"))
+    val n2 = Tables.nation(s, d).select($"n_nationkey".as("k2"), $"n_name".as("b"), $"n_regionkey".as("r2"))
+    n1.join(broadcast(n2), $"r1" === $"r2" && $"k1" < $"k2")
+      .select($"a", $"b")
+      .sort($"a", $"b")
+  }
+
+  /** IQ-14 scalar subquery → broadcast of a 1-row aggregate, then a
+    * map-side filter. No correlated per-row subquery execution. */
+  private val iq14: Q = (s, d) => {
+    val l = Tables.lineitem(s, d)
+    val avgQ = l.agg(avg($"l_quantity").as("avg_q"))
+    l.crossJoin(broadcast(avgQ))
+      .filter($"l_quantity" > $"avg_q")
+      .sort($"l_orderkey", $"l_linenumber")
+      .limit(100)
+      .select("l_orderkey", "l_quantity")
+  }
+
+  /** IQ-15 ranking window; rn<=2 per customer. Single shuffle on
+    * o_custkey; the filter runs inside the window stage. */
+  private val iq15: Q = (s, d) => {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", row_number().over(w).as("rn"))
+      .filter($"rn" <= 2)
+      .sort($"o_custkey", $"rn")
+      .limit(200)
+  }
+
+  /** IQ-16 analytic window with a ROWS frame. */
+  private val iq16: Q = (s, d) => {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, d)
+      .select($"o_orderkey", round(sum($"o_totalprice").over(w), 2).as("mv"))
+      .sort($"o_orderkey")
+      .limit(200)
+  }
+
+  /** IQ-17 lag/lead. */
+  private val iq17: Q = (s, d) => {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", lag($"o_orderkey", 1).over(w).as("prev"))
+      .sort($"o_orderkey")
+      .limit(200)
+  }
+
+  /** IQ-18 top-k: sort+limit → TakeOrderedAndProject (per-partition heap,
+    * driver merges k rows; no global sort shuffle). */
+  private val iq18: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .sort($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      .limit(25)
+      .select("l_orderkey", "l_extendedprice")
+
+  /** IQ-19 INTERSECT (distinct semantics both sides). */
+  private val iq19: Q = (s, d) => {
+    val c = Tables.customer(s, d).select($"c_nationkey".as("k"))
+    val sup = Tables.supplier(s, d).select($"s_nationkey".as("k"))
+    c.intersect(sup).sort($"k")
+  }
+
+  /** IQ-20 string functions. (Adapted from SURVEY §2.9: the generated
+    * customer table has no c_address/c_phone, so c_name stands in.) */
+  private val iq20: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(
+        $"c_custkey",
+        upper(substring($"c_name", 1, 8)).as("u"),
+        length($"c_name").as("l"),
+        concat($"c_mktsegment", lit("-"), $"c_name").as("t"))
+      .sort($"c_custkey")
+      .limit(100)
+
+  /** IQ-21 date functions. year()/month() are cast to INT on the oracle
+    * side too (DuckDB EXTRACT yields BIGINT). */
+  private val iq21: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("y"),
+        month($"o_orderdate").as("m"),
+        ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("due"))
+      .sort($"o_orderkey")
+      .limit(100)
+
+  /** IQ-22 math functions (mirrors the reference's scaled-coordinate
+    * arithmetic, SURVEY §1.2: value = raw*scale + offset as plain columns). */
+  private val iq22: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice" * 0.01 + 1000.0, 2).as("scaled"),
+        round(sqrt($"l_quantity"), 4).as("sq"),
+        (abs($"l_discount" - 0.05) > 0.001).as("far"))
+      .sort($"l_orderkey", $"l_linenumber")
+      .limit(100)
+
+  /** IQ-23 CAST / CASE (mirrors reference's implicit widening casts, P2).
+    * l_quantity is whole-valued so trunc-vs-round cast semantics agree. */
+  private val iq23: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        $"l_orderkey",
+        $"l_quantity".cast("bigint").as("q"),
+        when($"l_returnflag" === "R", "ret").otherwise("ok").as("f"))
+      .sort($"l_orderkey", $"l_linenumber")
+      .limit(100)
+
+  /** IQ-24 CTE + HAVING: filter on the unrounded aggregate, round on
+    * output. */
+  private val iq24: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice").as("s_raw"))
+      .filter($"s_raw" > 100000)
+      .select($"o_custkey", round($"s_raw", 2).as("s"))
+      .sort($"o_custkey")
+      .limit(100)
+
+  val queries: Map[String, Q] = Map(
+    "iq01_scan_project" -> iq01,
+    "iq02_filter" -> iq02,
+    "iq03_hash_agg" -> iq03,
+    "iq04_global_agg" -> iq04,
+    "iq05_distinct_agg" -> iq05,
+    "iq06_rollup" -> iq06,
+    "iq07_cube" -> iq07,
+    "iq08_inner_join" -> iq08,
+    "iq09_multijoin_agg" -> iq09,
+    "iq10_left_join" -> iq10,
+    "iq11_semi_join" -> iq11,
+    "iq12_anti_join" -> iq12,
+    "iq13_theta_join" -> iq13,
+    "iq14_scalar_subquery" -> iq14,
+    "iq15_rank_window" -> iq15,
+    "iq16_frame_window" -> iq16,
+    "iq17_lag_window" -> iq17,
+    "iq18_topk" -> iq18,
+    "iq19_intersect" -> iq19,
+    "iq20_string_fns" -> iq20,
+    "iq21_date_fns" -> iq21,
+    "iq22_math_fns" -> iq22,
+    "iq23_cast_case" -> iq23,
+    "iq24_cte_having" -> iq24,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "iq01_scan_project" ->
+      "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "iq02_filter" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 30 AND (l_returnflag = 'R' OR l_linestatus = 'F') ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "iq03_hash_agg" ->
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS c, ROUND(SUM(l_quantity),2) AS sq, ROUND(AVG(l_extendedprice),2) AS ap FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "iq04_global_agg" ->
+      "SELECT COUNT(*) AS n, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx FROM lineitem",
+    "iq05_distinct_agg" ->
+      "SELECT COUNT(DISTINCT l_partkey) AS dp, COUNT(DISTINCT l_suppkey) AS ds FROM lineitem",
+    "iq06_rollup" ->
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS c FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, c",
+    "iq07_cube" ->
+      "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) AS s FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, s",
+    "iq08_inner_join" ->
+      "SELECT o.o_orderkey, c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey LIMIT 100",
+    "iq09_multijoin_agg" ->
+      "SELECT l.l_orderkey, ROUND(SUM(l.l_extendedprice*(1-l.l_discount)),2) AS rev, o.o_orderdate FROM customer c JOIN orders o ON c.c_custkey=o.o_custkey JOIN lineitem l ON l.l_orderkey=o.o_orderkey WHERE c.c_mktsegment='BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00' GROUP BY l.l_orderkey, o.o_orderdate ORDER BY rev DESC, l.l_orderkey LIMIT 10",
+    "iq10_left_join" ->
+      "SELECT c.c_custkey, COUNT(o.o_orderkey) AS n FROM customer c LEFT JOIN orders o ON c.c_custkey=o.o_custkey GROUP BY c.c_custkey ORDER BY n DESC, c.c_custkey LIMIT 100",
+    "iq11_semi_join" ->
+      "SELECT p_partkey, p_name FROM part WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey=p_partkey AND l_quantity>45) ORDER BY p_partkey LIMIT 100",
+    "iq12_anti_join" ->
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice > 450000) ORDER BY c_custkey LIMIT 100",
+    "iq13_theta_join" ->
+      "SELECT n1.n_name AS a, n2.n_name AS b FROM nation n1 JOIN nation n2 ON n1.n_regionkey=n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey ORDER BY a, b",
+    "iq14_scalar_subquery" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem) ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "iq15_rank_window" ->
+      "SELECT * FROM (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rn LIMIT 200",
+    "iq16_frame_window" ->
+      "SELECT o_orderkey, ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),2) AS mv FROM orders ORDER BY o_orderkey LIMIT 200",
+    "iq17_lag_window" ->
+      "SELECT o_orderkey, o_custkey, LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev FROM orders ORDER BY o_orderkey LIMIT 200",
+    "iq18_topk" ->
+      "SELECT l_orderkey, l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25",
+    "iq19_intersect" ->
+      "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY k",
+    "iq20_string_fns" ->
+      "SELECT c_custkey, UPPER(SUBSTR(c_name,1,8)) AS u, LENGTH(c_name) AS l, CONCAT(c_mktsegment,'-',c_name) AS t FROM customer ORDER BY c_custkey LIMIT 100",
+    "iq21_date_fns" ->
+      "SELECT o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y, CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m, o_orderdate + INTERVAL 30 DAY AS due FROM orders ORDER BY o_orderkey LIMIT 100",
+    "iq22_math_fns" ->
+      "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice*0.01 + 1000.0, 2) AS scaled, ROUND(SQRT(l_quantity),4) AS sq, ABS(l_discount-0.05) > 0.001 AS far FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "iq23_cast_case" ->
+      "SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS q, CASE WHEN l_returnflag='R' THEN 'ret' ELSE 'ok' END AS f FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "iq24_cte_having" ->
+      "WITH t AS (SELECT o_custkey, SUM(o_totalprice) AS s_raw FROM orders GROUP BY o_custkey) SELECT o_custkey, ROUND(s_raw,2) AS s FROM t WHERE s_raw > 100000 ORDER BY o_custkey LIMIT 100",
+  )
+}
