@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftglue.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static helpers referenced from generated (Janino) code — a standalone
+  * Scala object gets Java static forwarders, so `graft.functions.HashUtil
+  * .rollingHash(...)` resolves inside whole-stage codegen.
+  */
+object HashUtil {
+  final val Mod = 1000000007L
+
+  /** Polynomial rolling hash over UTF-16 code units, mod 1e9+7.
+    * Matches `list_reduce(... (acc*31+ascii(c)) % 1000000007)` in the
+    * DuckDB oracle for ASCII/BMP text. */
+  def rollingHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) { h = (h * 31 + str.charAt(i)) % Mod; i += 1 }
+    h
+  }
+
+  /** FNV-1a 64-bit over a string's UTF-8 bytes — the per-token hash
+    * feeding SimHash. Self-contained and stable across releases. */
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over an array of tokens: per bit, sum +1/-1 weighted
+    * by each token's FNV hash bit; result bit = sign of the sum.
+    * Near-duplicate docs differ in few bits (compare via hamming
+    * distance = bit_count(a ^ b)). */
+  def simHash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv1a64(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** rolling_hash(text): LongType. Codegen-friendly (stays inside
+  * whole-stage codegen via a static call — no UDF/serialization cost).
+  * Oracle-equivalent in DuckDB: sequential (acc*31 + ascii) % 1e9+7 fold.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.rollingHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.rollingHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+  override def prettyName: String = "graft_rolling_hash"
+}
+
+/** simhash64(array<string>): LongType document sketch for near-dup
+  * detection (reference has no analogue; this is the training-data
+  * pipeline extension — see SURVEY §7.1 ops/). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName needs ARRAY<STRING>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.simHash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.simHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash64"
+}
+
+/** Column-level entry points for the custom expressions. */
+object exprs {
+  def rolling_hash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
+  def simhash64(tokens: Column): Column = Bridge.column(SimHash64(Bridge.expression(tokens)))
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftglue
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionColumnNode}
+
+/** Glue in the `org.apache.spark.sql` namespace so graft code can cross the
+  * Column ⇄ catalyst-Expression boundary (`private[sql]` in Spark 4's
+  * column-node API). This is the standard extension-library pattern; no
+  * Spark internals are modified.
+  */
+object Bridge {
+  def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+  def column(e: Expression): Column = Column(ExpressionColumnNode(e))
+}

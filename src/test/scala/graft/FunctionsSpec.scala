@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.{exprs, HashUtil}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unit tests for the custom codegen expressions (graft.functions). */
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rolling_hash matches a reference fold, and codegen == interpreted") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c) % HashUtil.Mod)
+    val data = Seq("", "a", "abc", "the quick brown fox", "spark graft 123")
+    val got = data.toDF("s")
+      .select(exprs.rolling_hash(col("s")).as("h"))
+      .as[Long].collect().toSeq
+    assert(got == data.map(ref))
+    // eval path (no codegen) must agree
+    assert(HashUtil.rollingHash(UTF8String.fromString("abc")) == ref("abc"))
+  }
+
+  test("rolling_hash is null-safe") {
+    val got = Seq[Option[String]](Some("x"), None).toDF("s")
+      .select(exprs.rolling_hash(col("s")).as("h"))
+      .collect()
+    assert(!got(0).isNullAt(0) && got(1).isNullAt(0))
+  }
+
+  test("simhash64: identical token arrays hash equal; near arrays are near") {
+    val a = (1 to 50).map(i => s"tok$i")
+    val b = a.updated(0, "DIFFERENT") // 1 of 50 tokens changed
+    val c = (1 to 50).map(i => s"other$i")
+    val df = Seq(a, b, c).toDF("toks")
+      .select(exprs.simhash64(col("toks")).as("h"))
+    val Array(ha, hb, hc) = df.as[Long].collect()
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(ha, ha) == 0)
+    assert(ham(ha, hb) < ham(ha, hc), s"near=${ham(ha, hb)} far=${ham(ha, hc)}")
+  }
+
+  test("simhash64 works on the real documents table") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(exprs.simhash64(split(col("text"), " ")).as("h"))
+    assert(docs.distinct().count() > 1)
+  }
+}
