@@ -1,0 +1,266 @@
+package graft.pointcloud.connector
+
+import java.util
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import graft.pointcloud.{Section, SchemaMerge}
+import graft.pointcloud.las.{LasExtraBytes, LasHeader}
+import graft.pointcloud.ply.PlyHeader
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Which point-cloud format a table speaks. */
+sealed abstract class FormatKind(val name: String, val extension: String)
+object FormatKind {
+  case object Las extends FormatKind("las", ".las")
+  case object Ply extends FormatKind("ply", ".ply")
+  case object Xyz extends FormatKind("xyz", ".xyz")
+}
+
+/** LAS header stats usable for aggregate pushdown (bbox in scaled world
+  * coordinates + the scale/offset needed to unscale back to raw ints). */
+case class LasStats(pMin: Array[Double], pMax: Array[Double],
+    scale: Array[Double], offset: Array[Double]) extends Serializable
+
+/** A section plus the index of its source file in the input path list
+  * (the `fid` virtual-column value, BinarySectionRelation.scala:174-176)
+  * and any header stats for pushdown. */
+case class SectionWithFid(section: Section, fid: Int,
+    lasStats: Option[LasStats] = None) extends Serializable
+
+/** Driver-side resolved view of a point-cloud dataset: expanded file list,
+  * per-file sections, merged data schema. */
+case class ResolvedPointCloud(
+    paths: Seq[String],
+    sections: Seq[SectionWithFid],
+    dataSchema: StructType)
+
+/** Base DSv2 provider for the three formats. Schema inference reads file
+  * headers on the driver only (never data), as in the reference
+  * (las/LasRelation.scala:41-57, ply/PlyRelation.scala:90-118); unreadable
+  * files are skipped with a warning (las/LasRelation.scala:53).
+  */
+abstract class PointCloudProvider extends TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister with Logging {
+  def kind: FormatKind
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  // inferSchema + getTable are called back-to-back on one provider
+  // instance; cache the header reads between them.
+  @volatile private var cached: (String, ResolvedPointCloud) = null
+
+  private def cacheKey(options: CaseInsensitiveStringMap): String =
+    PointCloudUtil.explicitPaths(options).mkString("\u0000") +
+      "\u0001" + options.getOrDefault("element", "vertex")
+
+  protected def resolve(options: CaseInsensitiveStringMap): ResolvedPointCloud = {
+    // write target: the sugar smuggles the query schema through __schema
+    // (a path-based DSv2 write calls inferSchema on a possibly-empty dir);
+    // no file listing needed, and the table schema must equal it exactly
+    // for AppendData.byName resolution.
+    PointCloudUtil.writeSchema(options) match {
+      case Some(s) => return ResolvedPointCloud(Nil, Nil, s)
+      case None =>
+    }
+    val key = cacheKey(options)
+    val c = cached
+    if (c != null && c._1 == key) return c._2
+    val conf = new Configuration()
+    val files = PointCloudUtil.expandPaths(PointCloudUtil.explicitPaths(options), kind, conf)
+    val secs = mutable.ArrayBuffer.empty[SectionWithFid]
+    files.zipWithIndex.foreach { case (p, fid) =>
+      try secs ++= readSections(p, options, conf).map {
+        case (sec, stats) => SectionWithFid(sec, fid, stats)
+      }
+      catch {
+        case e: Exception =>
+          logWarning(s"Skipping unreadable ${kind.name} file $p: ${e.getMessage}")
+      }
+    }
+    val dataSchema =
+      if (secs.nonEmpty) SchemaMerge.mergeAll(secs.map(_.section.schema).toSeq)
+      else throw new IllegalArgumentException(
+        s"No readable ${kind.name} files at ${PointCloudUtil.explicitPaths(options)} " +
+          "and no schema supplied")
+    val r = ResolvedPointCloud(files, secs.toSeq, dataSchema)
+    cached = (key, r)
+    r
+  }
+
+  /** Per-file header parse → sections (one for LAS, one per chosen element
+    * for PLY; XYZ overrides with a pseudo-section). */
+  protected def readSections(path: String, options: CaseInsensitiveStringMap,
+      conf: Configuration): Seq[(Section, Option[LasStats])]
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PointCloudUtil.writeSchema(options).getOrElse {
+      val r = resolve(options)
+      PointCloudUtil.withIdColumns(r.dataSchema, r.paths)
+    }
+
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
+    Array.empty
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val r = resolve(options)
+    new PointCloudTable(kind, r, schema, options)
+  }
+}
+
+class LasProvider extends PointCloudProvider {
+  override def kind: FormatKind = FormatKind.Las
+  override def shortName(): String = "las"
+
+  override protected def readSections(path: String, options: CaseInsensitiveStringMap,
+      conf: Configuration): Seq[(Section, Option[LasStats])] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val header = LasHeader.read(path, in)
+      val readAt: LasExtraBytes.ReadAt = (off, len) => {
+        in.seek(off)
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        b
+      }
+      val extras = LasExtraBytes.extraFields(header, readAt)
+      val h = header.copy(extraFields = extras)
+      Seq((h.toSection, Some(LasStats(h.pMin, h.pMax, h.scale, h.offset))))
+    } finally in.close()
+  }
+}
+
+class PlyProvider extends PointCloudProvider {
+  override def kind: FormatKind = FormatKind.Ply
+  override def shortName(): String = "ply"
+
+  override protected def readSections(path: String, options: CaseInsensitiveStringMap,
+      conf: Configuration): Seq[(Section, Option[LasStats])] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val header = try PlyHeader.read(path, in) finally in.close()
+    val element = options.getOrDefault("element", "vertex")
+    header.sections.get(element).map((_, None)).toSeq
+  }
+}
+
+class XyzProvider extends PointCloudProvider {
+  override def kind: FormatKind = FormatKind.Xyz
+  override def shortName(): String = "xyz"
+
+  /** XYZ files have no header: fixed default schema x,y,z float + r,g,b
+    * byte (xyz/XyzRelation.scala:28-42), all nullable because text lines
+    * may omit trailing fields. Record count is unknown until scan. */
+  override protected def readSections(path: String, options: CaseInsensitiveStringMap,
+      conf: Configuration): Seq[(Section, Option[LasStats])] = {
+    val schema = PointCloudUtil.writeSchema(options)
+      .map(s => StructType(s.fields.filterNot(f =>
+        f.name == PointCloudUtil.FidCol || f.name == PointCloudUtil.PidCol)))
+      .getOrElse(XyzProvider.defaultSchema)
+    Seq((Section(path, 0, -1, littleEndian = true, schema), None))
+  }
+}
+
+object XyzProvider {
+  val defaultSchema: StructType = StructType(Seq(
+    StructField("x", FloatType, nullable = true),
+    StructField("y", FloatType, nullable = true),
+    StructField("z", FloatType, nullable = true),
+    StructField("r", ByteType, nullable = true),
+    StructField("g", ByteType, nullable = true),
+    StructField("b", ByteType, nullable = true)))
+}
+
+/** DSv2 table over one resolved point-cloud dataset. */
+class PointCloudTable(
+    val kind: FormatKind,
+    val resolved: ResolvedPointCloud,
+    tableSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String =
+    s"graft-${kind.name}:${resolved.paths.take(3).mkString(",")}${if (resolved.paths.size > 3) ",…" else ""}"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new PointCloudScanBuilder(kind, resolved, tableSchema,
+      new CaseInsensitiveStringMap(
+        (options.asScala ++ scanOptions.asScala).toMap.asJava))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new PointCloudWriteBuilder(kind, options, info)
+}
+
+/** Path handling + id-column helpers shared by the providers. */
+object PointCloudUtil {
+  val FidCol = "fid"
+  val PidCol = "pid"
+
+  /** The paths the user supplied: `paths` JSON array (multi-path load) or
+    * single `path`. */
+  def explicitPaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).map { json =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readValue(json, classOf[Array[String]]).toSeq
+    }.getOrElse(Nil)
+    val single = Option(options.get("path")).toSeq
+    (multi ++ single).distinct
+  }
+
+  /** Expand globs and directories to a deterministic file list; directory
+    * listings keep only this format's extension and skip hidden files. */
+  def expandPaths(paths: Seq[String], kind: FormatKind, conf: Configuration): Seq[String] = {
+    paths.flatMap { s =>
+      val p = new Path(s)
+      val fs = p.getFileSystem(conf)
+      val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      matches.flatMap { st =>
+        if (st.isDirectory) {
+          fs.listStatus(st.getPath).toSeq
+            .filter(f => f.isFile && {
+              val n = f.getPath.getName
+              !n.startsWith("_") && !n.startsWith(".") &&
+                n.toLowerCase.endsWith(kind.extension)
+            })
+            .map(_.getPath.toString).sorted
+        } else Seq(st.getPath.toString)
+      }
+    }.distinct
+  }
+
+  /** Prefix the generated id columns, with the full path list stamped on
+    * fid's metadata (used to name outputs after their source file, as the
+    * reference does — BinarySectionRelation.scala:138-143). */
+  def withIdColumns(dataSchema: StructType, paths: Seq[String]): StructType = {
+    val fidMeta = new MetadataBuilder().putStringArray("paths", paths.toArray).build()
+    StructType(
+      StructField(FidCol, IntegerType, nullable = false, fidMeta) +:
+      StructField(PidCol, LongType, nullable = false) +:
+      dataSchema.fields)
+  }
+
+  /** Schema smuggled through options by the write/read sugar (DSv2's
+    * path-based write calls inferSchema on a possibly-empty target). */
+  def writeSchema(options: CaseInsensitiveStringMap): Option[StructType] =
+    Option(options.get("__schema")).map(DataType.fromJson(_).asInstanceOf[StructType])
+}

@@ -1,0 +1,377 @@
+package graft.pointcloud.connector
+
+import java.io.{BufferedOutputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets
+
+import graft.pointcloud.RecordEncoder
+import graft.pointcloud.las.{LasExtraBytes, LasHeader}
+import graft.pointcloud.ply.{PlyElement, PlyHeader}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 write path for the three formats (reference K1–K6, SURVEY §2.2).
+  *
+  * Every task writes its own output file(s) under the target directory —
+  * there is no driver-side data movement except PLY's optional
+  * single-file merge (`option("merge","true")`, mirroring the reference's
+  * commit-time merge, ply/PlyRelation.scala:31-88). Task temp files are
+  * finalized in `DataWriter.commit()`, which Spark's commit coordinator
+  * guards against speculative duplicates.
+  */
+class PointCloudWriteBuilder(
+    kind: FormatKind,
+    options: CaseInsensitiveStringMap,
+    info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val path = Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException(s"${kind.name} write requires a path"))
+      import scala.jdk.CollectionConverters._
+      new PointCloudBatchWrite(kind, path, info.schema(), options.asScala.toMap,
+        info.queryId(), doTruncate)
+    }
+  }
+}
+
+class PointCloudBatchWrite(
+    kind: FormatKind,
+    path: String,
+    schema: StructType,
+    options: Map[String, String],
+    queryId: String,
+    truncate: Boolean)
+  extends BatchWrite {
+
+  private def fs(): FileSystem = new Path(path).getFileSystem(new Configuration())
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val f = fs()
+    val dir = new Path(path)
+    f.mkdirs(dir)
+    if (truncate) {
+      // overwrite semantics: clear previous outputs of this format
+      Option(f.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
+        val n = st.getPath.getName
+        if (n.toLowerCase.endsWith(kind.extension) || n.startsWith(".graft-tmp-")) {
+          f.delete(st.getPath, true)
+        }
+      }
+    }
+    PointCloudWriterFactory(kind, path, schema.json, options, queryId)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (kind == FormatKind.Ply && options.get("merge").contains("true")) {
+      mergePlyParts(messages)
+    }
+    // clean the task-temp dir
+    fs().delete(new Path(path, s".graft-tmp-$queryId"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    fs().delete(new Path(path, s".graft-tmp-$queryId"), true)
+  }
+
+  /** Single-file PLY commit: merged header (counts summed) + concatenated
+    * task bodies → `<dir>/points.ply` (reference ply/PlyRelation.scala:45-59
+    * + package.scala:219-245). Driver-side IO — only for small outputs. */
+  private def mergePlyParts(messages: Array[WriterCommitMessage]): Unit = {
+    val parts = messages.collect { case m: PlyPartMessage if m.count > 0 => m }.sortBy(_.bodyPath)
+    if (parts.isEmpty) return
+    val f = fs()
+    val element = options.getOrElse("element", "vertex")
+    val littleEndian = !options.get("bigEndian").contains("true")
+    val elemSchema = DataType.fromJson(parts.head.schemaJson).asInstanceOf[StructType]
+    val header = PlyHeader("", littleEndian, 0,
+      Seq(PlyElement(element, parts.map(_.count).sum, elemSchema)))
+    val out = f.create(new Path(path, "points.ply"), true)
+    try {
+      out.write(header.headerText.getBytes(StandardCharsets.US_ASCII))
+      parts.foreach { m =>
+        val in = f.open(new Path(m.bodyPath))
+        try {
+          val buf = new Array[Byte](1 << 20)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      }
+    } finally out.close()
+  }
+}
+
+case class PointCloudWriterFactory(
+    kind: FormatKind,
+    path: String,
+    schemaJson: String,
+    options: Map[String, String],
+    queryId: String)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    kind match {
+      case FormatKind.Las => new LasDataWriter(path, schema, options, queryId, partitionId, taskId)
+      case FormatKind.Ply => new PlyDataWriter(path, schema, options, queryId, partitionId, taskId)
+      case FormatKind.Xyz => new XyzDataWriter(path, schema, options, partitionId, taskId)
+    }
+  }
+}
+
+case class LasPartMessage(path: String, count: Long) extends WriterCommitMessage
+case class PlyPartMessage(bodyPath: String, count: Long, schemaJson: String)
+  extends WriterCommitMessage
+case class XyzPartMessage(path: String, count: Long) extends WriterCommitMessage
+
+private[connector] object WriterUtil {
+  /** The on-disk fields: input schema minus the generated id columns
+    * (the reference's writers drop fid/pid too, ply/PlyOutputWriter.scala:49). */
+  def dataFields(schema: StructType): StructType =
+    StructType(schema.fields.filterNot(f =>
+      f.name == PointCloudUtil.FidCol || f.name == PointCloudUtil.PidCol))
+}
+
+/** Streams records to a temp body file while accumulating header stats in
+  * one pass (pmin/pmax per axis from scaled x/y/z, count-by-return), then
+  * finalizes `<dir>/part-<pid>-<tid>.las` = header [+ ExtraBytes VLR] +
+  * body on task commit. Mirrors las/LasOutputWriter.scala:31-103 with
+  * streaming stats (SURVEY O10). */
+class LasDataWriter(
+    dir: String,
+    inputSchema: StructType,
+    options: Map[String, String],
+    queryId: String,
+    partitionId: Int,
+    taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val dataSchema = WriterUtil.dataFields(inputSchema)
+
+  private val format: Byte = options.get("lasformat").map(_.toByte)
+    .getOrElse(LasHeader.formatFromSchema(StructType(dataSchema.fields.filter(f =>
+      LasHeader.schema.exists(_.fields.exists(g =>
+        g.name == f.name && g.dataType == f.dataType))))))
+
+  private val baseSchema = LasHeader.schema(format.toInt)
+  private val extraFields: Array[StructField] = dataSchema.fields.filterNot(f =>
+    baseSchema.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
+  private val fileSchema = StructType(baseSchema.fields ++ extraFields)
+
+  private def parse3(key: String, default: Double): Array[Double] =
+    options.get(key) match {
+      case Some(s) =>
+        val parts = s.split(',').map(_.trim.toDouble)
+        if (parts.length == 1) Array.fill(3)(parts(0)) else parts.take(3).padTo(3, default)
+      case None => Array.fill(3)(default)
+    }
+  private val scale = parse3("scale", 1.0)
+  private val offset = parse3("offset", 0.0)
+  private val minorOpt: Byte =
+    options.get("minor").orElse(options.get("version").map(_.split('.').last)).map(_.toByte)
+      .getOrElse(if (extraFields.nonEmpty) 4.toByte else 2.toByte)
+
+  private val conf = new Configuration()
+  private val finalPath = new Path(dir, f"part-$partitionId%05d-$taskId.las")
+  private val tmpPath = new Path(dir, s".graft-tmp-$queryId/part-$partitionId-$taskId.pdr")
+  private val fs = finalPath.getFileSystem(conf)
+  private val body = new DataOutputStream(new BufferedOutputStream(fs.create(tmpPath, true), 1 << 16))
+
+  private val encoder = new RecordEncoder(fileSchema, inputSchema, littleEndian = true)
+
+  // streaming stats
+  private var count = 0L
+  private val minRaw = Array.fill(3)(Long.MaxValue)
+  private val maxRaw = Array.fill(3)(Long.MinValue)
+  private val returnCounts = new Array[Long](15)
+  private val xyzOrd: Array[Int] = Array("x", "y", "z").map(n =>
+    inputSchema.fields.indexWhere(f => f.name == n && f.dataType == IntegerType))
+  // return number: formats 0-5 carry it in flags bits 0-2; 6-10 in the
+  // dedicated `return` byte, bits 0-3 (public LAS spec)
+  private val returnOrd: Int =
+    if (format <= 5) inputSchema.fields.indexWhere(f => f.name == "flags" && f.dataType == ByteType)
+    else inputSchema.fields.indexWhere(f => f.name == "return" && f.dataType == ByteType)
+  private val returnMask: Int = if (format <= 5) 0x7 else 0xf
+
+  override def write(row: InternalRow): Unit = {
+    body.write(encoder.encode(row))
+    var a = 0
+    while (a < 3) {
+      val o = xyzOrd(a)
+      if (o >= 0 && !row.isNullAt(o)) {
+        val v = row.getInt(o).toLong
+        if (v < minRaw(a)) minRaw(a) = v
+        if (v > maxRaw(a)) maxRaw(a) = v
+      }
+      a += 1
+    }
+    if (returnOrd >= 0 && !row.isNullAt(returnOrd)) {
+      val r = row.getByte(returnOrd) & returnMask
+      if (r >= 1 && r <= 15) returnCounts(r - 1) += 1
+    }
+    count += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    body.close()
+    val vlrBytes: Array[Byte] =
+      if (extraFields.nonEmpty) LasExtraBytes.writeVlr(extraFields) else Array.empty
+    val minor: Byte = if (count > Int.MaxValue) 4 else minorOpt
+    val headerSize = LasHeader.headerSize(minor).toInt
+    val header = LasHeader(
+      location = finalPath.toString,
+      pdrFormat = format,
+      pdrCount = count,
+      pMin = Array.tabulate(3)(a =>
+        if (count == 0 || minRaw(a) == Long.MaxValue) 0.0 else minRaw(a) * scale(a) + offset(a)),
+      pMax = Array.tabulate(3)(a =>
+        if (count == 0 || maxRaw(a) == Long.MinValue) 0.0 else maxRaw(a) * scale(a) + offset(a)),
+      scale = scale,
+      offset = offset,
+      returnCounts = returnCounts,
+      pdrOffsetRaw = headerSize + vlrBytes.length,
+      versionMinor = minor,
+      vlrCount = if (vlrBytes.nonEmpty) 1 else 0,
+      pdrLengthRaw = encoder.recordLength.toShort,
+      extraFields = extraFields)
+
+    val out = new DataOutputStream(new BufferedOutputStream(fs.create(finalPath, true), 1 << 16))
+    try {
+      header.write(out)
+      if (vlrBytes.nonEmpty) out.write(vlrBytes)
+      val in = fs.open(tmpPath)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    } finally out.close()
+    fs.delete(tmpPath, false)
+    LasPartMessage(finalPath.toString, count)
+  }
+
+  override def abort(): Unit = {
+    try body.close() catch { case _: Exception => }
+    fs.delete(tmpPath, false)
+    fs.delete(finalPath, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** PLY task writer. Default: a self-contained `part-<pid>-<tid>.ply` per
+  * task (reference K4, ply/package.scala:40-69). With `merge=true` the
+  * body stays in the temp dir and the driver concatenates at job commit
+  * (reference K3). */
+class PlyDataWriter(
+    dir: String,
+    inputSchema: StructType,
+    options: Map[String, String],
+    queryId: String,
+    partitionId: Int,
+    taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val dataSchema = WriterUtil.dataFields(inputSchema)
+  private val element = options.getOrElse("element", "vertex")
+  private val littleEndian = !options.get("bigEndian").contains("true")
+  private val merge = options.get("merge").contains("true")
+
+  private val conf = new Configuration()
+  private val bodyPath = new Path(dir, s".graft-tmp-$queryId/part-$partitionId-$taskId.$element.body")
+  private val finalPath = new Path(dir, f"part-$partitionId%05d-$taskId.ply")
+  private val fs = bodyPath.getFileSystem(conf)
+  private val body = new DataOutputStream(new BufferedOutputStream(fs.create(bodyPath, true), 1 << 16))
+  private val encoder = new RecordEncoder(dataSchema, inputSchema, littleEndian)
+  private var count = 0L
+
+  override def write(row: InternalRow): Unit = {
+    body.write(encoder.encode(row))
+    count += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    body.close()
+    if (merge) {
+      PlyPartMessage(bodyPath.toString, count, dataSchema.json)
+    } else {
+      val header = PlyHeader("", littleEndian, 0, Seq(PlyElement(element, count, dataSchema)))
+      val out = new DataOutputStream(new BufferedOutputStream(fs.create(finalPath, true), 1 << 16))
+      try {
+        out.write(header.headerText.getBytes(StandardCharsets.US_ASCII))
+        val in = fs.open(bodyPath)
+        try {
+          val buf = new Array[Byte](1 << 20)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      } finally out.close()
+      fs.delete(bodyPath, false)
+      PlyPartMessage(finalPath.toString, count, dataSchema.json)
+    }
+  }
+
+  override def abort(): Unit = {
+    try body.close() catch { case _: Exception => }
+    fs.delete(bodyPath, false)
+    fs.delete(finalPath, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Tab-separated text writer, one file per task (reference K5,
+  * xyz/package.scala:40-61). Null values become empty tokens, which the
+  * reader parses back to null. */
+class XyzDataWriter(
+    dir: String,
+    inputSchema: StructType,
+    options: Map[String, String],
+    partitionId: Int,
+    taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val dataSchema = WriterUtil.dataFields(inputSchema)
+  private val ords: Array[(Int, DataType)] = dataSchema.fields.map { f =>
+    (inputSchema.fieldNames.indexOf(f.name), f.dataType)
+  }
+  private val finalPath = new Path(dir, f"part-$partitionId%05d-$taskId.xyz")
+  private val fs = finalPath.getFileSystem(new Configuration())
+  private val out = new DataOutputStream(new BufferedOutputStream(fs.create(finalPath, true), 1 << 16))
+  private var count = 0L
+  private val sb = new StringBuilder
+
+  override def write(row: InternalRow): Unit = {
+    sb.setLength(0)
+    var i = 0
+    while (i < ords.length) {
+      if (i > 0) sb.append('\t')
+      val (o, dt) = ords(i)
+      if (o >= 0 && !row.isNullAt(o)) sb.append(row.get(o, dt))
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.result().getBytes(StandardCharsets.UTF_8))
+    count += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    XyzPartMessage(finalPath.toString, count)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => }
+    fs.delete(finalPath, false)
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,49 @@
+package graft.pointcloud
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, DataFrameWriter}
+
+/** Reader/writer sugar matching the reference's public API surface
+  * (`sqlContext.read.las(path)` / `df.write.ply(path)` — ply/package
+  * .scala:28-38, las/package.scala:29-43, xyz/package.scala:28-38).
+  *
+  * Writes default to overwrite-in-place of the target directory (the
+  * DSv2 path-based write contract requires Append or Overwrite; fresh
+  * output directories make Overwrite the natural default) and smuggle the
+  * query schema through the `__schema` option so schema resolution works
+  * on empty target paths.
+  */
+object syntax {
+
+  implicit class PointCloudDataFrameReader(private val r: DataFrameReader) extends AnyVal {
+    def las(paths: String*): DataFrame = r.format("las").load(paths: _*)
+    def ply(paths: String*): DataFrame = r.format("ply").load(paths: _*)
+    def xyz(paths: String*): DataFrame = r.format("xyz").load(paths: _*)
+  }
+
+  implicit class PointCloudDataFrameWriter[T](private val w: DataFrameWriter[T]) extends AnyVal {
+    private def write(format: String, path: String, schemaJson: String): Unit =
+      w.format(format).option("__schema", schemaJson).mode("overwrite").save(path)
+
+    def las(df: DataFrame, path: String): Unit = write("las", path, df.schema.json)
+    def ply(df: DataFrame, path: String): Unit = write("ply", path, df.schema.json)
+    def xyz(df: DataFrame, path: String): Unit = write("xyz", path, df.schema.json)
+  }
+
+  /** Dataset-side sugar so callers don't have to repeat the frame:
+    * `df.writeLas(path)` etc. */
+  implicit class PointCloudDataFrame(private val df: DataFrame) extends AnyVal {
+    private def write(format: String, path: String,
+        options: Map[String, String]): Unit = {
+      var w = df.write.format(format).option("__schema", df.schema.json).mode("overwrite")
+      options.foreach { case (k, v) => w = w.option(k, v) }
+      w.save(path)
+    }
+
+    def writeLas(path: String, options: Map[String, String] = Map.empty): Unit =
+      write("las", path, options)
+    def writePly(path: String, options: Map[String, String] = Map.empty): Unit =
+      write("ply", path, options)
+    def writeXyz(path: String, options: Map[String, String] = Map.empty): Unit =
+      write("xyz", path, options)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.Tables
+import graft.pointcloud.syntax._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked point-cloud queries: parquet → LAS/PLY/XYZ → read back →
+  * aggregate. The DuckDB oracle computes the same aggregate directly from
+  * the parquet table, so a hash match proves the full encode/decode cycle
+  * (header codec, record codec, fid/pid synthesis, schema handling) is
+  * lossless — the driver-runnable equivalent of the reference's golden
+  * header tests (LasSuite.scala:33-45).
+  *
+  * Aggregates stick to exact arithmetic (COUNT/MIN/MAX, SUM over integers
+  * cast to BIGINT) so Spark/DuckDB float summation order can't differ.
+  */
+object PointCloudQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private implicit class ColInterp(private val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+
+  private def tmpDir(name: String, sfDir: String): String =
+    s"/tmp/graft_pc/${name}_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /** lineitem → LAS (format 0 schema) → read → exact aggregates. */
+  private val pc01: Q = (s, d) => {
+    val pts = Tables.lineitem(s, d).select(
+      ($"l_orderkey" % 1000000).cast("int").as("x"),
+      ($"l_partkey" % 1000000).cast("int").as("y"),
+      ($"l_suppkey" % 1000000).cast("int").as("z"),
+      ($"l_linenumber" % 32000).cast("short").as("intensity"),
+      (($"l_linenumber" % 7) + 1).cast("byte").as("flags"),
+      lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"),
+      lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    val dir = tmpDir("pc01", d)
+    pts.writeLas(dir, Map("scale" -> "0.001"))
+    s.read.las(dir).agg(
+      count(lit(1)).as("n"),
+      sum($"x".cast("bigint")).as("sx"),
+      min($"x").as("mnx"), max($"x").as("mxx"),
+      sum($"y".cast("bigint")).as("sy"),
+      sum($"intensity".cast("bigint")).as("si"))
+  }
+
+  /** orders → PLY vertex element → read → exact aggregates (doubles only
+    * under MIN/MAX, which binary round-trip bit-exactly). */
+  private val pc02: Q = (s, d) => {
+    val pts = Tables.orders(s, d).select(
+      ($"o_orderkey" % 1000000).cast("int").as("x"),
+      ($"o_custkey" % 1000000).cast("int").as("y"),
+      $"o_totalprice".cast("double").as("price"))
+    val dir = tmpDir("pc02", d)
+    pts.writePly(dir)
+    s.read.ply(dir).agg(
+      count(lit(1)).as("n"),
+      sum($"x".cast("bigint")).as("sx"),
+      min($"price").as("mnp"), max($"price").as("mxp"))
+  }
+
+  /** part → XYZ text → read → exact aggregates (int-valued floats stay
+    * exact through the text round trip). */
+  private val pc03: Q = (s, d) => {
+    val pts = Tables.part(s, d).select(
+      $"p_partkey".cast("float").as("x"),
+      ($"p_partkey" % 1000).cast("float").as("y"),
+      ($"p_size").cast("float").as("z"),
+      ($"p_size" % 100).cast("byte").as("r"),
+      lit(1).cast("byte").as("g"),
+      lit(2).cast("byte").as("b"))
+    val dir = tmpDir("pc03", d)
+    pts.writeXyz(dir)
+    s.read.xyz(dir).agg(
+      count(lit(1)).as("n"),
+      sum($"x".cast("double")).as("sx"),
+      min($"z").as("mnz"), max($"z").as("mxz"),
+      sum($"r".cast("bigint")).as("sr"))
+  }
+
+  /** COUNT/MIN/MAX answered purely from LAS headers (DSv2 aggregate
+    * pushdown, zero data IO — reference A1/A2 semantics) — values still
+    * hash-checked against DuckDB computing them from the source rows. */
+  private val pc04: Q = (s, d) => {
+    val pts = Tables.lineitem(s, d).select(
+      ($"l_orderkey" % 1000000).cast("int").as("x"),
+      ($"l_partkey" % 1000000).cast("int").as("y"),
+      ($"l_suppkey" % 1000000).cast("int").as("z"),
+      lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"),
+      lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"),
+      lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    val dir = tmpDir("pc04", d)
+    pts.writeLas(dir, Map("scale" -> "0.01", "offset" -> "1000"))
+    s.read.las(dir).agg(
+      count(lit(1)).as("n"),
+      min($"x").as("mnx"), max($"x").as("mxx"),
+      min($"y").as("mny"), max($"y").as("mxy"),
+      min($"z").as("mnz"), max($"z").as("mxz"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pc01_las_roundtrip" -> pc01,
+    "pc02_ply_roundtrip" -> pc02,
+    "pc03_xyz_roundtrip" -> pc03,
+    "pc04_las_header_agg" -> pc04,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "pc01_las_roundtrip" ->
+      """SELECT COUNT(*) AS n,
+        | SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS sx,
+        | MIN(CAST(l_orderkey % 1000000 AS INT)) AS mnx,
+        | MAX(CAST(l_orderkey % 1000000 AS INT)) AS mxx,
+        | SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS sy,
+        | SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS si
+        |FROM lineitem""".stripMargin,
+    "pc02_ply_roundtrip" ->
+      """SELECT COUNT(*) AS n,
+        | SUM(CAST(o_orderkey % 1000000 AS BIGINT)) AS sx,
+        | MIN(CAST(o_totalprice AS DOUBLE)) AS mnp,
+        | MAX(CAST(o_totalprice AS DOUBLE)) AS mxp
+        |FROM orders""".stripMargin,
+    "pc03_xyz_roundtrip" ->
+      """SELECT COUNT(*) AS n,
+        | SUM(CAST(CAST(p_partkey AS REAL) AS DOUBLE)) AS sx,
+        | MIN(CAST(p_size AS REAL)) AS mnz,
+        | MAX(CAST(p_size AS REAL)) AS mxz,
+        | SUM(CAST(p_size % 100 AS BIGINT)) AS sr
+        |FROM part""".stripMargin,
+    "pc04_las_header_agg" ->
+      """SELECT COUNT(*) AS n,
+        | MIN(CAST(l_orderkey % 1000000 AS INT)) AS mnx,
+        | MAX(CAST(l_orderkey % 1000000 AS INT)) AS mxx,
+        | MIN(CAST(l_partkey % 1000000 AS INT)) AS mny,
+        | MAX(CAST(l_partkey % 1000000 AS INT)) AS mxy,
+        | MIN(CAST(l_suppkey % 1000000 AS INT)) AS mnz,
+        | MAX(CAST(l_suppkey % 1000000 AS INT)) AS mxz
+        |FROM lineitem""".stripMargin,
+  )
+}

@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.pointcloud.SchemaMerge
+import graft.pointcloud.syntax._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end round-trip + pushdown tests for the LAS/PLY/XYZ connectors. */
+class PointCloudSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  private def samplePoints = {
+    val n = 10000
+    spark.range(n).select(
+      (col("id") * 3 % 1000).cast("int").as("x"),
+      (col("id") * 7 % 1000).cast("int").as("y"),
+      (col("id") % 100).cast("int").as("z"),
+      (col("id") % 32767).cast("short").as("intensity"),
+      (col("id") % 7 + 1).cast("byte").as("flags"),
+      (col("id") % 256 - 128).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"),
+      lit(0).cast("byte").as("user"),
+      (col("id") % 100).cast("short").as("source"))
+  }
+
+  test("PLY round trip: write per-task files, read back identical") {
+    val dir = tmpDir("ply")
+    val df = samplePoints
+    df.writePly(dir)
+    val back = spark.read.ply(dir)
+    assert(back.columns.take(2).toSeq == Seq("fid", "pid"))
+    assert(back.count() == 10000)
+    val a = df.select("x", "y", "z", "intensity").orderBy("x", "y", "z", "intensity")
+      .collect().toSeq
+    val b = back.select("x", "y", "z", "intensity").orderBy("x", "y", "z", "intensity")
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("PLY merge mode produces a single file") {
+    val dir = tmpDir("plymerge")
+    samplePoints.writePly(dir, Map("merge" -> "true"))
+    val files = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".ply"))
+    assert(files.toSeq == Seq("points.ply"))
+    assert(spark.read.ply(dir).count() == 10000)
+  }
+
+  test("PLY big-endian round trip") {
+    val dir = tmpDir("plybe")
+    samplePoints.writePly(dir, Map("bigEndian" -> "true"))
+    val back = spark.read.ply(dir)
+    assert(back.agg(sum("x")).as[Long].head() ==
+      samplePoints.agg(sum("x")).as[Long].head())
+  }
+
+  test("LAS round trip with header stats and count/min/max pushdown") {
+    val dir = tmpDir("las")
+    val df = samplePoints
+    df.writeLas(dir, Map("scale" -> "0.01", "offset" -> "100"))
+    val back = spark.read.las(dir)
+
+    // count + min/max answered from headers: plan is the header-agg scan
+    val agg = back.agg(count(lit(1)).as("n"), min("x").as("mnx"), max("x").as("mxx"),
+      min("z").as("mnz"), max("z").as("mxz"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("header-aggregate"), plan)
+    val row = agg.collect().head
+    assert(row.getLong(0) == 10000)
+    assert(row.getInt(1) == 0 && row.getInt(2) == 999)
+    assert(row.getInt(3) == 0 && row.getInt(4) == 99)
+
+    // full data equality on a sample of columns
+    val a = df.select("x", "intensity", "flags").orderBy("x", "intensity", "flags").collect().toSeq
+    val b = back.select("x", "intensity", "flags").orderBy("x", "intensity", "flags").collect().toSeq
+    assert(a == b)
+  }
+
+  test("LAS pushdown does not fire under a filter") {
+    val dir = tmpDir("lasfilter")
+    samplePoints.writeLas(dir)
+    val back = spark.read.las(dir)
+    val agg = back.filter($"x" > 500).agg(min("x"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("header-aggregate"), plan)
+    assert(agg.collect().head.getInt(0) == 501)
+  }
+
+  test("LAS format inference picks format 1 when time is present") {
+    val dir = tmpDir("lasfmt1")
+    val df = samplePoints.withColumn("time", (col("x") * 0.5).cast("double"))
+    df.writeLas(dir)
+    val back = spark.read.las(dir)
+    assert(back.schema("time").dataType == DoubleType)
+    assert(back.agg(sum($"time")).as[Double].head() ==
+      df.agg(sum($"time")).as[Double].head())
+  }
+
+  test("LAS extra-bytes columns survive a round trip") {
+    val dir = tmpDir("lasextra")
+    val df = samplePoints.withColumn("reflectance", (col("x") % 50).cast("float"))
+    df.writeLas(dir)
+    val back = spark.read.las(dir)
+    assert(back.schema.fieldNames.contains("reflectance"))
+    assert(back.schema("reflectance").dataType == FloatType)
+    assert(back.agg(sum($"reflectance")).as[Double].head() ==
+      df.agg(sum($"reflectance")).as[Double].head())
+  }
+
+  test("XYZ round trip with nulls and default schema") {
+    val dir = tmpDir("xyz")
+    val df = Seq(
+      (1.0f, 2.0f, 3.0f, Some(10.toByte)),
+      (4.5f, 5.5f, 6.5f, None)
+    ).toDF("x", "y", "z", "r")
+    df.writeXyz(dir)
+    val back = spark.read.xyz(dir)
+    assert(back.columns.toSeq == Seq("fid", "pid", "x", "y", "z", "r", "g", "b"))
+    val rows = back.orderBy("x").select("x", "y", "z", "r").collect()
+    assert(rows(0).getFloat(0) == 1.0f && rows(0).getByte(3) == 10)
+    assert(rows(1).getFloat(0) == 4.5f && rows(1).isNullAt(3))
+    assert(back.where($"g".isNull).count() == 2)
+  }
+
+  test("multi-file read merges schemas with widening and nullable-on-missing") {
+    val dir1 = tmpDir("m1")
+    val dir2 = tmpDir("m2")
+    samplePoints.writePly(dir1)
+    samplePoints
+      .withColumn("x", $"x".cast("long")) // widen x
+      .drop("source")                      // missing on one side
+      .writePly(dir2)
+    val back = spark.read.ply(dir1, dir2)
+    assert(back.schema("x").dataType == LongType)
+    assert(back.schema("source").nullable)
+    assert(back.count() == 20000)
+    assert(back.where($"source".isNull).count() == 10000)
+    // fid distinguishes the input files
+    val nFiles = (new java.io.File(dir1).listFiles() ++ new java.io.File(dir2).listFiles())
+      .count(_.getName.endsWith(".ply"))
+    assert(back.select("fid").distinct().count() == nFiles)
+  }
+
+  test("column pruning reaches the scan") {
+    val dir = tmpDir("prune")
+    samplePoints.writePly(dir)
+    val df = spark.read.ply(dir).select("x")
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("columns [x]"), scanDesc)
+  }
+
+  test("SchemaMerge widening rules") {
+    import SchemaMerge._
+    assert(mergeType(IntegerType, LongType) == LongType)
+    assert(mergeType(ByteType, ShortType) == ShortType)
+    assert(mergeType(FloatType, DoubleType) == DoubleType)
+    assert(mergeType(IntegerType, DoubleType) == DoubleType)
+    assert(mergeType(ShortType, FloatType) == FloatType)
+    intercept[IllegalArgumentException](mergeType(LongType, FloatType))
+    intercept[IllegalArgumentException](mergeType(IntegerType, FloatType))
+  }
+}
