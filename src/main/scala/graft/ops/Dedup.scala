@@ -1,0 +1,204 @@
+package graft.ops
+
+import graft.functions.exprs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora — the
+  * training-data-pipeline extension beyond the reference's surface
+  * (SURVEY §7.1 ops/). Everything is expressed with declarative columns
+  * (codegen-friendly, no UDFs) and single-shuffle plans that hold at
+  * 100 TB: signatures are computed row-locally; only the band-bucket
+  * join and the group-by-key dedup shuffle.
+  */
+object Dedup {
+
+  /** MinHash parameters shared by the Spark plan and the DuckDB oracle
+    * (both sides derive from these constants, so they can never drift).
+    * numHashes = bands * rowsPerBand; LSH threshold ≈ (1/bands)^(1/rows).
+    */
+  final val Prime = 1000000007L
+  final val ShingleSize = 3
+  final val NumHashes = 16
+  final val Bands = 4
+  final val RowsPerBand = 4
+  def hashA(i: Int): Long = 2L * i + 1
+  def hashB(i: Int): Long = 7L * i + 13
+
+  /** Word tokens (single-space split, matching the oracle's string_split). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles of `text`; empty for docs shorter than
+    * the shingle size. */
+  def shingles(text: Column, n: Int = ShingleSize): Column = {
+    val w = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(w) - lit(n - 1), lit(0))),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+  }
+
+  /** Polynomial rolling hash of each shingle (graft_rolling_hash — a
+    * native codegen expression, oracle-reproducible in SQL). */
+  def shingleHashes(text: Column, n: Int = ShingleSize): Column =
+    transform(shingles(text, n), s => exprs.rolling_hash(s))
+
+  /** MinHash signature: for permutation i, min over shingle hashes h of
+    * (a_i*h + b_i) mod P — row-local form for small signature counts.
+    * The pairs pipeline uses the explode + partial-aggregate form instead
+    * (see [[minhashSignatures]]): array expressions inline under project
+    * collapse, and recomputing the shingle pipeline once per permutation
+    * is a 60× slowdown at scale. */
+  def minhashSignature(shingleHashes: Column, numHashes: Int = NumHashes): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleHashes,
+        h => (lit(hashA(i)) * h + lit(hashB(i))) % lit(Prime)))
+    }: _*)
+
+  /** MinHash signatures via explode + hash aggregate: each shingle hash is
+    * computed exactly once; map-side partial aggregation reduces every
+    * map partition to (id, 16 mins) before the shuffle, so the exchange
+    * carries one short row per doc — the plan that holds at 100 TB. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = NumHashes): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingleHashes(col(textCol))).as("h"))
+      .groupBy(col("id"))
+      .agg(
+        min((lit(hashA(0)) * col("h") + lit(hashB(0))) % lit(Prime)).as("s0"),
+        (1 until numHashes).map(i =>
+          min((lit(hashA(i)) * col("h") + lit(hashB(i))) % lit(Prime)).as(s"s$i")): _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"s$i")): _*).as("sig"))
+
+  /** LSH band keys: the signature is cut into `bands` runs of
+    * `rowsPerBand` values, each folded to one key with the same
+    * polynomial fold as the rolling hash. */
+  def bandKeys(signature: Column, bands: Int = Bands, rows: Int = RowsPerBand): Column =
+    array((0 until bands).map { j =>
+      aggregate(slice(signature, j * rows + 1, rows), lit(0L),
+        (acc, x) => (acc * lit(31L) + x) % lit(Prime))
+    }: _*)
+
+  /** Exact Jaccard similarity of two distinct-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Exact dedup: one surviving row (minimal id) per distinct key, with
+    * the group size. Single hash-aggregate shuffle on the key — the
+    * canonical 100 TB exact-dedup plan (group on a hash of the content,
+    * not the content itself, when keys are long).
+    */
+  def exactDedup(df: DataFrame, idCol: String, keyCols: Column*): DataFrame =
+    df.groupBy(keyCols: _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
+
+  /** MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
+    *
+    * Plan shape (scales linearly in corpus size + candidate count):
+    *  1. row-local: shingles → hashes → signature → band keys (no shuffle)
+    *  2. explode band keys (×bands rows) and self-join on (band, key) —
+    *     the only quadratic-ish step, bounded per bucket
+    *  3. distinct candidate pairs, then one join back per side to fetch
+    *     shingles for the exact-Jaccard verification
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val withBands = minhashSignatures(df, idCol, textCol)
+      .select(col("id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+
+    val candidates = withBands.as("a")
+      .join(withBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    // exact-Jaccard verification over the *hashed* shingle arrays: long
+    // comparisons instead of string comparisons, same value on both
+    // engines (identical hash function on both sides of the oracle)
+    val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    candidates
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sa.sh"), col("sb.sh")).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs with length-bucket blocking:
+    * only docs whose `floor(length/64)` buckets match are compared —
+    * the deterministic, oracle-reproducible stand-in for a full
+    * quadratic scan (the LSH variant is the at-scale path). */
+  def blockedJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    // per-row once: distinct sorted hash array + its size; per-pair: a
+    // size-ratio prune (jaccard ≥ t ⟹ min·1/t ≥ max, exact integer
+    // arithmetic) and one allocation-free sorted merge-count
+    val pct = math.round(threshold * 10).toInt // threshold as tenths
+    val base = df
+      .select(col(idCol).as("id"), (length(col(textCol)) / 64).cast("int").as("blk"),
+        array_sort(array_distinct(shingleHashes(col(textCol)))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("cnt", size(col("sh")))
+    val inter = graft.functions.exprs.sorted_intersect_count(col("a.sh"), col("b.sh"))
+    base.as("a")
+      .join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+          col("a.cnt") * 10 >= col("b.cnt") * pct &&
+          col("b.cnt") * 10 >= col("a.cnt") * pct)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (inter.cast("double") / (col("a.cnt") + col("b.cnt") - inter)).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash per doc (native expression),
+    * LSH over 4 16-bit chunks (any pair within Hamming distance 3 shares
+    * at least one chunk by pigeonhole; larger distances are found with
+    * high probability), verified by exact Hamming distance.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sim = df.select(col(idCol).as("id"),
+      exprs.simhash64(tokens(col(textCol))).as("sh"))
+    val chunks = sim.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("sh"), 16 * k).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk", "ck")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs by cosine similarity. Brute-force
+    * (all-pairs) — use [[Similarity.lshBucket]] blocking at scale. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    // norms precomputed once per row; per-pair work is a single
+    // allocation-free dot product (codegen ArrayDotProduct)
+    val base = df.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("n", sqrt(Similarity.dot(col("v"), col("v"))))
+    base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (Similarity.dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("c"))
+      .filter(col("c") >= threshold)
+  }
+}

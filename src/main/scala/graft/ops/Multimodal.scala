@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with a
+  * typed metadata struct, processed in partition-local batches.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB ([[stubDecodeFeatures]]) — but the
+  * Spark-side contract is real and tested: schema shape, payload packing,
+  * batch partitioning, and the feature-extraction column pipeline are
+  * exactly what a real decoder (a Pandas-UDF `mapInPandas` or a JNI
+  * batch decoder) would slot into.
+  */
+object Multimodal {
+
+  /** Schema contract: payload binary + (kind, source, byte_len) metadata. */
+  def packPayload(df: DataFrame, contentCol: String, kind: String,
+      sourceCol: String): DataFrame =
+    df.withColumn("payload", col(contentCol).cast("binary"))
+      .withColumn("media_meta", struct(
+        lit(kind).as("kind"),
+        col(sourceCol).as("source"),
+        octet_length(col("payload")).as("byte_len")))
+
+  /** STUB decoder ??? — stands in for the real image/audio decode, which
+    * is not available in this environment. Deterministic features from
+    * the raw bytes so the plumbing is end-to-end testable:
+    *   byte_len, head_sum (sum of the first 16 byte values), and a
+    *   4-bin byte histogram of the first 64 bytes.
+    * A real deployment replaces this single function with the actual
+    * decoder (same signature: binary column → feature columns).
+    */
+  def stubDecodeFeatures(payload: Column): Column = {
+    val head = (n: Int) =>
+      transform(sequence(lit(1), least(octet_length(payload), lit(n))),
+        i => ascii(payload.cast("string").substr(i, lit(1))))
+    val headSum = aggregate(head(16), lit(0L), (acc, x) => acc + x)
+    val hist = (0 until 4).map { b =>
+      size(filter(head(64), x => shiftright(x, 6) === b)).as(s"hist$b")
+    }
+    struct(
+      octet_length(payload).as("byte_len") +:
+      headSum.as("head_sum") +:
+      hist: _*)
+  }
+
+  /** Frame/sample selection stub: pick every `stride`-th unit — the shape
+    * of video frame-sampling, expressed on the row axis. */
+  def sampleEvery(df: DataFrame, idCol: String, stride: Int): DataFrame =
+    df.filter(col(idCol) % stride === 0)
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline; the scale path is
+  * random-hyperplane LSH bucketing: each vector gets a small integer
+  * bucket from the sign pattern of dot products with fixed deterministic
+  * hyperplanes, searches touch only the query's bucket. Every formula is
+  * plain column arithmetic (codegen-friendly, oracle-reproducible).
+  */
+object Similarity {
+
+  /** Deterministic hyperplane component r_i[j] — integer-valued so the
+    * DuckDB oracle reproduces it exactly. */
+  final val NumPlanes = 8
+  def plane(i: Int, j: Int): Int = (i * 97 + j * 31) % 19 - 9
+
+  /** Sequential-fold dot product (same evaluation order as the oracle's
+    * list_reduce, so double results agree bitwise) — a native codegen
+    * expression with no per-call array allocation. */
+  def dot(a: Column, b: Column): Column = graft.functions.exprs.array_dot(a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** LSH bucket id: bit i = [dot(v, plane_i) > 0], for `dim`-dimensional
+    * vectors. Row-local, no shuffle. */
+  def lshBucket(v: Column, dim: Int, numPlanes: Int = NumPlanes): Column =
+    (0 until numPlanes).map { i =>
+      val d = aggregate(
+        zip_with(v, array((0 until dim).map(j => lit(plane(i, j).toDouble)): _*),
+          (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+      when(d > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Exact top-k neighbors of one query vector by cosine. The per-row
+    * score is map-side; the global top-k is a TakeOrdered (per-partition
+    * heaps + driver merge of k rows — no global sort shuffle). */
+  def bruteForceTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], k: Int): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    df.select(col(idCol).as("id"),
+        cosine(transform(col(vecCol), _.cast("double")), q).as("sim"))
+      .sort(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
+  /** ANN top-k: restrict the search to the query's LSH bucket, then rank
+    * by exact cosine. At scale the bucket column is precomputed and the
+    * table bucketed/partitioned by it, so a query touches one partition.
+    */
+  def annTopK(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      queryVec: Seq[Double], k: Int): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    val qBucketDf = df.sparkSession.range(1)
+      .select(lshBucket(q, dim).as("qb"))
+    val withBucket = df.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"),
+      lshBucket(transform(col(vecCol), _.cast("double")), dim).as("bucket"))
+    withBucket.join(broadcast(qBucketDf), col("bucket") === col("qb"))
+      .select(col("id"), cosine(col("v"), q).as("sim"))
+      .sort(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Bucket histogram — the data-engineer's view of LSH balance. */
+  def bucketHistogram(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    df.select(lshBucket(transform(col(vecCol), _.cast("double")), dim).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.functions.exprs
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: token counting, quality
+  * scoring, language identification, document fingerprinting. All plain
+  * column arithmetic over the tokens array — runs inside whole-stage
+  * codegen, no UDFs, and each formula has an exact DuckDB equivalent for
+  * the oracle.
+  */
+object TextAnalysis {
+
+  /** Stopword list shared with the oracle (kept tiny and fixed —
+    * the scoring contract, not a linguistic claim). */
+  final val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Language marker words for the n-gram/marker langid heuristic.
+    * Priority order breaks ties deterministically. */
+  final val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "les", "et"))
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count (the fast path; a BPE-ish subword estimate is
+    * `bpeTokenEstimate`). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: words are roughly ceil(len/4) subword units
+    * — the standard chars/4 heuristic, summed per word so whitespace
+    * never counts. */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords: _*)))
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text)
+
+  /** Mean word length — short-word soup and run-on garbage both drift
+    * away from natural-text values. */
+  def meanWordLength(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]:
+    * 0.5·min(tokens/100,1) + 0.3·min(stopword_ratio·5,1) + 0.2·lenScore
+    * where lenScore = 1 if mean word length in [3,8], else 0.
+    */
+  def qualityScore(text: Column): Column = {
+    val lengthScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val mwl = meanWordLength(text)
+    val wordShape = when(mwl >= 3.0 && mwl <= 8.0, 1.0).otherwise(0.0)
+    round(lit(0.5) * lengthScore + lit(0.3) * stopScore + lit(0.2) * wordShape, 4)
+  }
+
+  /** Marker-word language id: argmax of per-language marker counts, ties
+    * broken by LangMarkers order, 'und' when no marker hits. */
+  def langId(text: Column): Column = {
+    val counts = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(tokens(text), t => t.isin(markers: _*)))
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und"): Column) { case ((lang, c), acc) =>
+      when(c === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** 64-bit-ish document fingerprint: polynomial rolling hash of the full
+    * text (native codegen expression; oracle = list_reduce char fold). */
+  def fingerprint(text: Column): Column = exprs.rolling_hash(text)
+}

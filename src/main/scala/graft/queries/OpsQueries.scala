@@ -1,0 +1,407 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operator queries (dedup, similarity search,
+  * text analysis, multimodal plumbing) over the `documents` and
+  * `embeddings` tables, with DuckDB oracle SQL generated from the SAME
+  * constants the Spark plans use (Dedup / Similarity / TextAnalysis
+  * objects), so the two sides cannot drift.
+  *
+  * dd05 (SimHash) has no oracle: its 64-bit FNV-1a arithmetic is not
+  * expressible in DuckDB SQL — the driver records a rows-only check and
+  * OpsSpec pins the semantics instead.
+  */
+object OpsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private implicit class ColInterp(private val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  /** dd01: exact dedup on full text. Single hash-agg shuffle. */
+  private val dd01: Q = (s, d) =>
+    Dedup.exactDedup(Tables.documents(s, d), "doc_id", $"text")
+      .select($"keep_id", $"dups")
+      .sort($"keep_id")
+      .limit(200)
+
+  /** dd02: exact dedup on a 2-token prefix key (real duplicate groups in
+    * the synthetic corpus). */
+  private val dd02: Q = (s, d) =>
+    Dedup.exactDedup(Tables.documents(s, d), "doc_id",
+        concat_ws(" ", slice(Dedup.tokens($"text"), 1, 2)).as("k"))
+      .select($"k", $"keep_id", $"dups")
+      .sort($"keep_id")
+      .limit(200)
+
+  /** dd03: MinHash+LSH near-dup pairs (shingle → minhash → band →
+    * bucket-join), verified with exact Jaccard ≥ 0.8. */
+  private val dd03: Q = (s, d) =>
+    Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 0.8)
+      .select($"id_a", $"id_b", round($"j", 4).as("j"))
+      .sort($"id_a", $"id_b")
+
+  /** dd04: exact n-gram-Jaccard pairs ≥ 0.9 with length-bucket blocking. */
+  private val dd04: Q = (s, d) =>
+    Dedup.blockedJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.9)
+      .select($"id_a", $"id_b", round($"j", 4).as("j"))
+      .sort($"id_a", $"id_b")
+
+  /** dd05: SimHash near-dup pairs (Hamming ≤ 8 over 64-bit sketches,
+    * 4×16-bit chunk LSH). Rows-only check (no SQL-expressible oracle). */
+  private val dd05: Q = (s, d) =>
+    Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 8)
+      .sort($"id_a", $"id_b")
+
+  /** dd06: embedding near-dup pairs by cosine ≥ 0.45. */
+  private val dd06: Q = (s, d) =>
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+      .select($"id_a", $"id_b", round($"c", 4).as("c"))
+      .sort($"id_a", $"id_b")
+
+  // ----------------------------------------------------- similarity search
+
+  /** ss01: brute-force cosine top-10 neighbors of vec 0 (declarative:
+    * broadcast the query row, map-side score, TakeOrdered top-k). */
+  private val ss01: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")).as("qv"))
+    e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id",
+        Similarity.cosine(transform($"embedding", _.cast("double")), $"qv").as("sim"))
+      .sort($"sim".desc, $"vec_id")
+      .limit(10)
+      .select($"vec_id", round($"sim", 4).as("sim"))
+  }
+
+  /** ss02: random-hyperplane LSH bucket histogram (the ANN index's
+    * balance view; bucketing is row-local, one tiny shuffle to count). */
+  private val ss02: Q = (s, d) =>
+    Similarity.bucketHistogram(Tables.embeddings(s, d), "embedding", 64)
+      .sort($"bucket")
+
+  /** ss03: ANN top-5 — search restricted to the query vector's LSH
+    * bucket, ranked by exact cosine. */
+  private val ss03: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select(
+      transform($"embedding", _.cast("double")).as("qv"),
+      Similarity.lshBucket(transform($"embedding", _.cast("double")), 64).as("qb"))
+    e.filter($"vec_id" =!= 0)
+      .select($"vec_id",
+        transform($"embedding", _.cast("double")).as("v"),
+        Similarity.lshBucket(transform($"embedding", _.cast("double")), 64).as("bucket"))
+      .join(broadcast(q), $"bucket" === $"qb")
+      .select($"vec_id", Similarity.cosine($"v", $"qv").as("sim"))
+      .sort($"sim".desc, $"vec_id")
+      .limit(5)
+      .select($"vec_id", round($"sim", 4).as("sim"))
+  }
+
+  // --------------------------------------------------------- text analysis
+
+  /** tx01: per-language token statistics (whitespace + BPE-ish counts). */
+  private val tx01: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(TextAnalysis.tokenCount($"text")).as("tokens"),
+        sum(TextAnalysis.bpeTokenEstimate($"text")).as("bpe_tokens"),
+        round(avg(TextAnalysis.tokenCount($"text")), 2).as("avg_tokens"))
+      .sort($"lang")
+
+  /** tx02: per-document quality scores, top 100. */
+  private val tx02: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select($"doc_id", TextAnalysis.qualityScore($"text").as("score"))
+      .sort($"score".desc, $"doc_id")
+      .limit(100)
+
+  /** tx03: marker-word language id vs. the labeled lang column. */
+  private val tx03: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select($"lang", TextAnalysis.langId($"text").as("predicted"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .sort($"lang", $"predicted")
+
+  /** tx04: rolling-hash document fingerprints (oracle-checks the custom
+    * codegen expression against a SQL char fold). */
+  private val tx04: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .sort($"doc_id")
+      .limit(100)
+
+  // ------------------------------------------------------------ multimodal
+
+  /** mm01: binary-payload plumbing — pack text bytes as an opaque payload
+    * with typed metadata, run the stubbed decode, surface features. */
+  private val mm01: Q = (s, d) => {
+    val packed = Multimodal.packPayload(
+      Tables.documents(s, d).filter(length($"text") >= 64), "text", "image", "source")
+    packed
+      .select($"doc_id", $"media_meta.byte_len".as("byte_len"),
+        Multimodal.stubDecodeFeatures($"payload").as("f"))
+      .select($"doc_id", $"byte_len", $"f.head_sum".as("head_sum"),
+        $"f.hist0", $"f.hist1")
+      .sort($"doc_id")
+      .limit(100)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dd01_exact_dedup" -> dd01,
+    "dd02_prefix_dedup" -> dd02,
+    "dd03_minhash_lsh" -> dd03,
+    "dd04_blocked_jaccard" -> dd04,
+    "dd05_simhash" -> dd05,
+    "dd06_embedding_cosine" -> dd06,
+    "ss01_cosine_topk" -> ss01,
+    "ss02_lsh_histogram" -> ss02,
+    "ss03_ann_topk" -> ss03,
+    "tx01_token_stats" -> tx01,
+    "tx02_quality_score" -> tx02,
+    "tx03_langid" -> tx03,
+    "tx04_fingerprint" -> tx04,
+    "mm01_multimodal_stub" -> mm01,
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** Rolling hash of a string expression as a DuckDB char fold — the SQL
+    * twin of graft.functions.HashUtil.rollingHash. */
+  private def sqlRollingHash(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(ascii(c) AS BIGINT) FOR c IN string_split($expr, '')]), " +
+      s"(acc, x) -> (acc * 31 + x) % ${Dedup.Prime})"
+
+  /** Distinct word-n-gram shingles CTE over documents. */
+  private def sqlDocsShingles: String = {
+    val n = Dedup.ShingleSize
+    s"""docs AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct([array_to_string(w[i:i+${n - 1}], ' ')
+       |                   FOR i IN generate_series(1, len(w) - ${n - 1})]) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |  WHERE len(w) >= $n
+       |)""".stripMargin
+  }
+
+  private def sqlJaccard(a: String, b: String): String =
+    s"len(list_intersect($a, $b)) * 1.0 / len(list_distinct($a || $b))"
+
+  private val dd03Oracle: String = {
+    val sigExprs = (0 until Dedup.NumHashes).map { i =>
+      s"list_min(list_transform(hh, h -> (${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % ${Dedup.Prime}))"
+    }.mkString(",\n      ")
+    val bandExprs = (0 until Dedup.Bands).map { j =>
+      val lo = j * Dedup.RowsPerBand + 1
+      val hi = (j + 1) * Dedup.RowsPerBand
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), sig[$lo:$hi]), (acc, x) -> (acc * 31 + x) % ${Dedup.Prime})"
+    }.mkString(",\n      ")
+    s"""WITH $sqlDocsShingles,
+       |hashed AS (
+       |  SELECT id, list_transform(sh, s -> ${sqlRollingHash("s")}) AS hh FROM docs
+       |),
+       |sigs AS (
+       |  SELECT id, hh, [
+       |      $sigExprs] AS sig
+       |  FROM hashed
+       |),
+       |bands AS (
+       |  SELECT id, [
+       |      $bandExprs] AS bk
+       |  FROM sigs
+       |),
+       |exploded AS (
+       |  SELECT id, unnest(generate_series(0, ${Dedup.Bands - 1})) AS band, unnest(bk) AS key
+       |  FROM bands
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM exploded a JOIN exploded b
+       |    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+       |)
+       |SELECT c.id_a, c.id_b, ROUND(${sqlJaccard("x.hh", "y.hh")}, 4) AS j
+       |FROM cand c JOIN hashed x ON c.id_a = x.id JOIN hashed y ON c.id_b = y.id
+       |WHERE ${sqlJaccard("x.hh", "y.hh")} >= 0.8
+       |ORDER BY c.id_a, c.id_b""".stripMargin
+  }
+
+  private val dd04Oracle: String = {
+    // mirrors blockedJaccardPairs: distinct hash sets, integer size-ratio
+    // prune, jaccard = inter / (cnt_a + cnt_b - inter)
+    val inter = "len(list_intersect(a.hh, b.hh))"
+    val j = s"$inter * 1.0 / (a.cnt + b.cnt - $inter)"
+    s"""WITH $sqlDocsShingles,
+       |blocked AS (
+       |  SELECT d.id, CAST(length(t.text) // 64 AS INT) AS blk,
+       |         list_distinct(list_transform(d.sh, s -> ${sqlRollingHash("s")})) AS hh,
+       |         len(list_distinct(list_transform(d.sh, s -> ${sqlRollingHash("s")}))) AS cnt
+       |  FROM docs d JOIN documents t ON d.id = t.doc_id
+       |)
+       |SELECT a.id AS id_a, b.id AS id_b, ROUND($j, 4) AS j
+       |FROM blocked a JOIN blocked b
+       |  ON a.blk = b.blk AND a.id < b.id
+       | AND a.cnt * 10 >= b.cnt * 9 AND b.cnt * 10 >= a.cnt * 9
+       |WHERE $j >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Sequential-fold dot product of two DOUBLE list expressions. */
+  private def sqlDot(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"[CAST(($a)[k] AS DOUBLE) * CAST(($b)[k] AS DOUBLE) FOR k IN generate_series(1, $dim)]), " +
+      s"(acc, x) -> acc + x)"
+
+  private def sqlCosine(a: String, b: String, dim: Int): String =
+    s"(${sqlDot(a, b, dim)}) / (sqrt(${sqlDot(a, a, dim)}) * sqrt(${sqlDot(b, b, dim)}))"
+
+  private val ss01Oracle: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, ROUND(${sqlCosine("e.embedding", "q.qv", 64)}, 4) AS sim
+       |FROM embeddings e CROSS JOIN q
+       |WHERE vec_id <> 0
+       |ORDER BY ${sqlCosine("e.embedding", "q.qv", 64)} DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  /** LSH bucket of an embedding list expression (integer hyperplanes
+    * generated from Similarity.plane). */
+  private def sqlBucket(v: String): String =
+    (0 until Similarity.NumPlanes).map { i =>
+      val planes = (0 until 64).map(j => s"${Similarity.plane(i, j)}.0").mkString("[", ", ", "]")
+      val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"[CAST(($v)[k] AS DOUBLE) * ($planes)[k] FOR k IN generate_series(1, 64)]), " +
+        s"(acc, x) -> acc + x)"
+      s"CASE WHEN $dot > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private val ss02Oracle: String =
+    s"""SELECT ${sqlBucket("embedding")} AS bucket, COUNT(*) AS n
+       |FROM embeddings
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  private val ss03Oracle: String =
+    s"""WITH q AS (
+       |  SELECT embedding AS qv, ${sqlBucket("embedding")} AS qb
+       |  FROM embeddings WHERE vec_id = 0
+       |)
+       |SELECT vec_id, ROUND(${sqlCosine("e.embedding", "q.qv", 64)}, 4) AS sim
+       |FROM embeddings e CROSS JOIN q
+       |WHERE vec_id <> 0 AND ${sqlBucket("e.embedding")} = q.qb
+       |ORDER BY ${sqlCosine("e.embedding", "q.qv", 64)} DESC, vec_id
+       |LIMIT 5""".stripMargin
+
+  private val dd06Oracle: String = {
+    val cos = sqlCosine("a.embedding", "b.embedding", 64)
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND($cos, 4) AS c
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE $cos >= 0.45
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private def sqlStopwordCount(w: String): String =
+    s"len(list_filter($w, t -> t IN (${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(", ")})))"
+
+  private val tx01Oracle: String =
+    s"""SELECT lang, COUNT(*) AS docs,
+       |  SUM(len(string_split(text, ' '))) AS tokens,
+       |  SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))),
+       |      (acc, x) -> acc + x)) AS bpe_tokens,
+       |  ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_tokens
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val tx02Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    len(w) AS tc,
+       |    ${sqlStopwordCount("w")} AS sc,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(w, x -> CAST(length(x) AS BIGINT))), (acc, x) -> acc + x) AS cl
+       |  FROM t
+       |)
+       |SELECT doc_id, ROUND(
+       |    0.5 * least(tc / 100.0, 1.0)
+       |  + 0.3 * least((sc * 1.0 / tc) * 5.0, 1.0)
+       |  + 0.2 * (CASE WHEN cl * 1.0 / tc >= 3.0 AND cl * 1.0 / tc <= 8.0 THEN 1.0 ELSE 0.0 END)
+       |  , 4) AS score
+       |FROM m
+       |ORDER BY score DESC, doc_id
+       |LIMIT 100""".stripMargin
+
+  private val tx03Oracle: String = {
+    val counts = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+      s"len(list_filter(w, t -> t IN (${markers.map("'" + _ + "'").mkString(", ")}))) AS c_$lang"
+    }.mkString(",\n    ")
+    val best = TextAnalysis.LangMarkers.map(m => s"c_${m._1}").mkString("greatest(", ", ", ")")
+    val cases = TextAnalysis.LangMarkers.map { case (lang, _) =>
+      s"WHEN c_$lang = best AND best > 0 THEN '$lang'"
+    }.mkString("\n      ")
+    s"""WITH t AS (
+       |  SELECT lang, string_split(text, ' ') AS w FROM documents
+       |), c AS (
+       |  SELECT lang,
+       |    $counts
+       |  FROM t
+       |), p AS (
+       |  SELECT lang, $best AS best, * FROM c
+       |)
+       |SELECT lang, CASE
+       |      $cases
+       |      ELSE 'und' END AS predicted, COUNT(*) AS n
+       |FROM p GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
+
+  private val tx04Oracle: String =
+    s"""SELECT doc_id, ${sqlRollingHash("text")} AS fp
+       |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin
+
+  private val mm01Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, length(text) AS byte_len, text FROM documents WHERE length(text) >= 64
+       |), h AS (
+       |  SELECT doc_id, byte_len,
+       |    [ascii(c) FOR c IN string_split(substring(text, 1, 16), '')] AS h16,
+       |    [ascii(c) FOR c IN string_split(substring(text, 1, 64), '')] AS h64
+       |  FROM t
+       |)
+       |SELECT doc_id, byte_len,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(h16, x -> CAST(x AS BIGINT))),
+       |    (acc, x) -> acc + x) AS head_sum,
+       |  len(list_filter(h64, x -> x // 64 = 0)) AS hist0,
+       |  len(list_filter(h64, x -> x // 64 = 1)) AS hist1
+       |FROM h ORDER BY doc_id LIMIT 100""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dd01_exact_dedup" ->
+      "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dups FROM documents GROUP BY text ORDER BY keep_id LIMIT 200",
+    "dd02_prefix_dedup" ->
+      ("SELECT array_to_string(string_split(text, ' ')[1:2], ' ') AS k, MIN(doc_id) AS keep_id, COUNT(*) AS dups " +
+        "FROM documents GROUP BY 1 ORDER BY keep_id LIMIT 200"),
+    "dd03_minhash_lsh" -> dd03Oracle,
+    "dd04_blocked_jaccard" -> dd04Oracle,
+    // dd05_simhash: intentionally no oracle (rows-only check)
+    "dd06_embedding_cosine" -> dd06Oracle,
+    "ss01_cosine_topk" -> ss01Oracle,
+    "ss02_lsh_histogram" -> ss02Oracle,
+    "ss03_ann_topk" -> ss03Oracle,
+    "tx01_token_stats" -> tx01Oracle,
+    "tx02_quality_score" -> tx02Oracle,
+    "tx03_langid" -> tx03Oracle,
+    "tx04_fingerprint" -> tx04Oracle,
+    "mm01_multimodal_stub" -> mm01Oracle,
+  )
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the training-data ops (dedup, similarity, text,
+  * multimodal). The DuckDB oracle covers value correctness for the
+  * oracle-checked queries; these tests pin behavior (recall of planted
+  * near-dups, LSH vs brute-force agreement, stub decode shape) and the
+  * oracle-less SimHash path.
+  */
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val embs = Tables.embeddings(spark, sfDir)
+
+  test("minhash-LSH finds every very-near duplicate the exact scan finds") {
+    // exact (unblocked) pairs with jaccard >= 0.9
+    val base = docs.select($"doc_id".as("id"), Dedup.shingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val exact = base.as("a").join(base.as("b"), $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        Dedup.jaccard($"a.sh", $"b.sh").as("j"))
+      .filter($"j" >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(lsh == exact, s"missed=${exact -- lsh} spurious=${lsh -- exact}")
+  }
+
+  test("simhash near-dup pairs overlap heavily with jaccard near-dups") {
+    val sim = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val jac = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(jac.nonEmpty)
+    // every 0.95-jaccard pair should be within small hamming distance
+    val recall = jac.count(sim.contains).toDouble / jac.size
+    assert(recall >= 0.8, s"simhash recall $recall over ${jac.size} pairs")
+  }
+
+  test("simhash is stable and order-sensitive only in tokens, not rows") {
+    val a = Dedup.simhashNearDupPairs(docs.orderBy(rand(42)), "doc_id", "text", 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val b = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("ANN bucket search returns a subset of brute-force ranking order") {
+    val qv = embs.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")))
+      .as[Seq[Double]].head()
+    val brute = Similarity.bruteForceTopK(embs.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", qv, 50).select("id").as[Long].collect()
+    val ann = Similarity.annTopK(embs.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", 64, qv, 5).select("id").as[Long].collect()
+    assert(ann.nonEmpty)
+    // ANN results must be ranked consistently with brute force: every ANN
+    // hit that brute force also saw appears in the same relative order
+    val pos = brute.zipWithIndex.toMap
+    val annInBrute = ann.filter(pos.contains)
+    assert(annInBrute.map(pos) sameElements annInBrute.map(pos).sorted)
+  }
+
+  test("exact dedup keeps the minimal id and counts group sizes") {
+    val out = Dedup.exactDedup(
+      Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t"), "id", $"t")
+      .select("keep_id", "dups")
+      .orderBy("keep_id")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("quality score is bounded and favors stopword-bearing longer docs") {
+    val scored = Seq(
+      ("the a of and to in the a of and " * 10).trim, // long, stopword-rich
+      "zzz qqq"                                        // short, no stopwords
+    ).toDF("text").select(TextAnalysis.qualityScore($"text").as("s")).as[Double].collect()
+    assert(scored.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scored(0) > scored(1))
+  }
+
+  test("langid picks the marked language deterministically") {
+    val out = Seq(
+      "el la de something", "the a of thing", "der die das ding", "xxxx yyyy"
+    ).toDF("text").select(TextAnalysis.langId($"text").as("l")).as[String].collect()
+    assert(out.toSeq == Seq("es", "en", "de", "und"))
+  }
+
+  test("multimodal stub decode produces the contracted feature shape") {
+    val packed = Multimodal.packPayload(docs.limit(10), "text", "image", "source")
+    assert(packed.schema("payload").dataType.typeName == "binary")
+    val f = packed.select(Multimodal.stubDecodeFeatures($"payload").as("f"))
+      .select("f.byte_len", "f.head_sum", "f.hist0", "f.hist1", "f.hist2", "f.hist3")
+      .collect()
+    assert(f.length == 10)
+    assert(f.forall(r => r.getLong(1) > 0))
+    // ascii text → all bytes < 128 → hist2/hist3 empty
+    assert(f.forall(r => r.getInt(4) == 0 && r.getInt(5) == 0))
+  }
+
+  test("frame sampling stub keeps every Nth row") {
+    assert(Multimodal.sampleEvery(spark.range(100).toDF, "id", 10).count() == 10)
+  }
+}
