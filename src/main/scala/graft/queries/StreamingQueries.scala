@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming queries, run to completion (Trigger.AvailableNow + memory
+  * sink) so the result is a deterministic DataFrame the DuckDB oracle can
+  * check: st01 tumbling-window aggregation, st02 stateful sessionization
+  * (oracle = gaps-and-islands SQL, excluding each user's final —
+  * still-open — session).
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def runToCompletion(df: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+
+  /** st01: tumbling 1-hour windows per event type (complete mode). */
+  private val st01: Q = (s, d) => {
+    val stream = EventStreams.readEventStream(s, d)
+    val out = runToCompletion(
+      EventStreams.windowedCounts(stream, "1 hour"), "graft_st01", "complete")
+    out.select(col("window.start").as("ws"), col("event_type"), col("n"), col("sv"))
+      .sort("ws", "event_type")
+  }
+
+  /** st02: 30-minute-gap sessions via flatMapGroupsWithState. */
+  private val st02: Q = (s, d) => {
+    val stream = EventStreams.toTypedEvents(EventStreams.readEventStream(s, d))
+    val sessions = EventStreams.sessionize(stream, 30)
+    val out = runToCompletion(sessions.toDF(), "graft_st02", "update")
+    out.select(
+        col("user_id"),
+        col("start_us"),
+        col("end_us"),
+        col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+      .sort("user_id", "start_us")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "st01_windowed_stream" -> st01,
+    "st02_sessionization" -> st02,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st01_windowed_stream" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "st02_sessionization" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, grp, epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+        |    COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        |  FROM g GROUP BY user_id, grp
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY grp DESC) AS rn
+        |  FROM s
+        |)
+        |SELECT user_id, start_us, end_us, n_events, total_value
+        |FROM r WHERE rn > 1
+        |ORDER BY user_id, start_us""".stripMargin,
+  )
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events stream.
+  *
+  * The reference has no streaming surface (SURVEY §2.6); this module is
+  * the Spark-native extension: file-source micro-batches → windowed
+  * aggregation, and custom session state via flatMapGroupsWithState.
+  * Event times are handled as integer epoch-microseconds end-to-end so
+  * gap comparisons are exact (java.sql.Timestamp.getTime would truncate
+  * to milliseconds).
+  */
+object EventStreams {
+
+  /** The driver's parquet stores ts as TIMESTAMP(NANOS); Spark has no
+    * nanosecond timestamp, so the stream reads the raw int64 nanos and
+    * converts (or keeps exact integers for session arithmetic). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // epoch nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Event with microsecond event time (exact arithmetic). */
+  case class Event(event_id: Long, ts_us: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  case class Session(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, total_value: Double)
+
+  /** State carried between micro-batches (must be public for the state
+    * encoder's generated code). */
+  case class OpenSession(start_us: Long, end_us: Long,
+      n_events: Long, total_value: Double)
+
+  /** File-source stream over the driver-generated events parquet (the
+    * file-source path must be a directory, so glob-filter to the one
+    * table file). */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+
+  /** Tumbling-window counts/sums per event type. With `watermark` set the
+    * query can run in append mode at scale (state eviction); complete
+    * mode gives the deterministic full answer for the verification run. */
+  def windowedCounts(events: DataFrame, windowDuration: String): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+
+  def withWatermark(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Gap-based sessionization with explicit state
+    * (flatMapGroupsWithState): events are merged into the user's open
+    * session; a gap larger than `gapMinutes` closes it. Closed sessions
+    * are emitted; the open session stays in state (so the final session
+    * of each user is intentionally never emitted — it has not ended).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000L
+
+    def fn(userId: Long, it: Iterator[Event],
+        state: GroupState[OpenSession]): Iterator[Session] = {
+      val sorted = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      var open = state.getOption.orNull
+      val closed = Vector.newBuilder[Session]
+      sorted.foreach { e =>
+        if (open == null) {
+          open = OpenSession(e.ts_us, e.ts_us, 1, e.value)
+        } else if (e.ts_us - open.end_us > gapUs) {
+          closed += Session(userId, open.start_us, open.end_us,
+            open.n_events, open.total_value)
+          open = OpenSession(e.ts_us, e.ts_us, 1, e.value)
+        } else {
+          open = OpenSession(open.start_us, e.ts_us,
+            open.n_events + 1, open.total_value + e.value)
+        }
+      }
+      state.update(open)
+      closed.result().iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Events DataFrame → typed stream with exact microsecond times (the
+    * parquet carries nanos, truncated here so DuckDB — which reads
+    * parquet TIMESTAMP(NANOS) at microsecond precision — sees the same
+    * instants as the oracle). */
+  def toTypedEvents(events: DataFrame): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events.select(
+      col("event_id"), expr("ts div 1000").as("ts_us"),
+      col("user_id"), col("event_type"), col("value")).as[Event]
+  }
+}

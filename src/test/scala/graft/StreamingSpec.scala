@@ -1,0 +1,58 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming semantics: sessionization state must carry
+  * across micro-batches (the oracle check only exercises a single
+  * batch), and windowed aggregation must be exact in complete mode.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val Min = 60L * 1000000 // one minute in micros
+
+  test("sessionize carries open sessions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_test").outputMode("update").start()
+    try {
+      // batch 1: user 1 events at t=0,10min (one open session)
+      input.addData(Event(1, 0, 1, "a", 1.0), Event(2, 10 * Min, 1, "a", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_test").count() == 0) // still open
+
+      // batch 2: t=20min extends the session; t=120min closes it
+      input.addData(Event(3, 20 * Min, 1, "a", 3.0), Event(4, 120 * Min, 1, "a", 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_test").as[Session].collect()
+      assert(closed.toSeq == Seq(Session(1, 0, 20 * Min, 3, 6.0)))
+
+      // batch 3: another gap closes the 120min session
+      input.addData(Event(5, 240 * Min, 1, "a", 5.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_test").count() == 2)
+    } finally q.stop()
+  }
+
+  test("windowed stream over events matches a batch group-by") {
+    val stream = EventStreams.windowedCounts(
+      EventStreams.readEventStream(spark, sfDir), "1 hour")
+    val q = stream.writeStream.format("memory")
+      .queryName("win_test").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("win_test").count()
+
+    val batch = spark.read.schema(EventStreams.eventsSchema)
+      .parquet(s"$sfDir/events.parquet")
+      .selectExpr("timestamp_micros(ts div 1000) AS t", "event_type")
+      .groupBy(org.apache.spark.sql.functions.window($"t", "1 hour"), $"event_type")
+      .count().count()
+    assert(got == batch && got > 0)
+  }
+}
