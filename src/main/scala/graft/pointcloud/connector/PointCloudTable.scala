@@ -138,7 +138,18 @@ class LasProvider extends PointCloudProvider {
       }
       val extras = LasExtraBytes.extraFields(header, readAt)
       val h = header.copy(extraFields = extras)
-      Seq((h.toSection, Some(LasStats(h.pMin, h.pMax, h.scale, h.offset))))
+      val sec = h.toSection
+      // stamp the header's coordinate scale/offset on x/y/z so
+      // withCoordinates can reconstruct world coordinates as plain
+      // column arithmetic (SURVEY §1.5: metadata instead of UDTs)
+      val stamped = sec.schema.fields.map { f =>
+        val axis = f.name match { case "x" => 0; case "y" => 1; case "z" => 2; case _ => -1 }
+        if (axis < 0) f
+        else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putDouble("scale", h.scale(axis)).putDouble("offset", h.offset(axis)).build())
+      }
+      Seq((sec.copy(schema = StructType(stamped)),
+        Some(LasStats(h.pMin, h.pMax, h.scale, h.offset))))
     } finally in.close()
   }
 }

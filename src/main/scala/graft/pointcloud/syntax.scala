@@ -29,6 +29,22 @@ object syntax {
     def xyz(df: DataFrame, path: String): Unit = write("xyz", path, df.schema.json)
   }
 
+  /** Scaled-coordinate reconstruction: for every column carrying
+    * `scale`/`offset` metadata (stamped from the LAS header), append a
+    * `<name>_d` double column with `value*scale + offset` — the
+    * metadata-plus-arithmetic replacement for the reference's
+    * ScaledInteger UDTs (ScaledIntegerType.scala:27-111, SURVEY §1.5). */
+  def withCoordinates(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.metadata.contains("scale") && f.metadata.contains("offset"))
+        acc.withColumn(s"${f.name}_d",
+          col(f.name) * lit(f.metadata.getDouble("scale")) +
+            lit(f.metadata.getDouble("offset")))
+      else acc
+    }
+  }
+
   /** Dataset-side sugar so callers don't have to repeat the frame:
     * `df.writeLas(path)` etc. */
   implicit class PointCloudDataFrame(private val df: DataFrame) extends AnyVal {
