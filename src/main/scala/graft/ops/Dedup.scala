@@ -148,14 +148,18 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("cnt", size(col("sh")))
     val inter = graft.functions.exprs.sorted_intersect_count(col("a.sh"), col("b.sh"))
+    val j = inter.cast("double") / (col("a.cnt") + col("b.cnt") - inter)
+    // the jaccard threshold rides INSIDE the join condition as the LAST
+    // conjunct: a trailing .filter would be pushed into the condition
+    // ahead of the cheap prunes, making the merge-count run for every
+    // same-block pair instead of only ratio-compatible ones
     base.as("a")
       .join(base.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
           col("a.cnt") * 10 >= col("b.cnt") * pct &&
-          col("b.cnt") * 10 >= col("a.cnt") * pct)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (inter.cast("double") / (col("a.cnt") + col("b.cnt") - inter)).as("j"))
-      .filter(col("j") >= threshold)
+          col("b.cnt") * 10 >= col("a.cnt") * pct &&
+          j >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), j.as("j"))
   }
 
   /** SimHash near-dup pairs: 64-bit simhash per doc (native expression),

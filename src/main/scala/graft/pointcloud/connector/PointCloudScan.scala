@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.{And => FAnd, EqualTo => FEq, Filter => SourceFilter, GreaterThan => FGt, GreaterThanOrEqual => FGe, LessThan => FLt, LessThanOrEqual => FLe, Or => FOr}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,13 +30,62 @@ class PointCloudScanBuilder(
     options: CaseInsensitiveStringMap)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters
   with SupportsPushDownAggregates {
 
   private var readSchema: StructType = tableSchema
   private var pushedAggRow: Option[(StructType, Array[Any])] = None
+  private var skipFilters: Array[SourceFilter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     readSchema = requiredSchema
+
+  /** Bbox file-skip (reference O3 upgrade, SURVEY §2.3 P4): x/y/z range
+    * predicates prune whole sections against LAS header pmin/pmax at
+    * planning time. Every filter is ALSO kept post-scan (we return the
+    * full list as residual and report none as pushed), so this is purely
+    * a partition-pruning optimization — never a correctness dependency.
+    */
+  override def pushFilters(filters: Array[SourceFilter]): Array[SourceFilter] = {
+    skipFilters = filters
+    filters
+  }
+  override def pushedFilters(): Array[SourceFilter] = Array.empty
+
+  /** Conservative can-this-section-match check in the raw-int domain. */
+  private def sectionMayMatch(sf: SectionWithFid, filters: Array[SourceFilter]): Boolean =
+    sf.lasStats match {
+      case Some(st) if sf.section.count > 0 =>
+        def axisRange(col: String): Option[(Double, Double)] = {
+          val a = col match { case "x" => 0; case "y" => 1; case "z" => 2; case _ => -1 }
+          if (a < 0) None
+          else Some((
+            Math.round((st.pMin(a) - st.offset(a)) / st.scale(a)).toDouble,
+            Math.round((st.pMax(a) - st.offset(a)) / st.scale(a)).toDouble))
+        }
+        def num(v: Any): Option[Double] = v match {
+          case n: Number => Some(n.doubleValue())
+          case _ => None
+        }
+        // returns false only when provably empty
+        def mayMatch(f: SourceFilter): Boolean = f match {
+          case FGt(c, v)  => (axisRange(c), num(v)) match {
+            case (Some((_, hi)), Some(x)) => hi > x;  case _ => true }
+          case FGe(c, v)  => (axisRange(c), num(v)) match {
+            case (Some((_, hi)), Some(x)) => hi >= x; case _ => true }
+          case FLt(c, v)  => (axisRange(c), num(v)) match {
+            case (Some((lo, _)), Some(x)) => lo < x;  case _ => true }
+          case FLe(c, v)  => (axisRange(c), num(v)) match {
+            case (Some((lo, _)), Some(x)) => lo <= x; case _ => true }
+          case FEq(c, v)  => (axisRange(c), num(v)) match {
+            case (Some((lo, hi)), Some(x)) => lo <= x && x <= hi; case _ => true }
+          case FAnd(l, r) => mayMatch(l) && mayMatch(r)
+          case FOr(l, r)  => mayMatch(l) || mayMatch(r)
+          case _ => true
+        }
+        filters.forall(mayMatch)
+      case _ => true
+    }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     computeAggregation(aggregation).isDefined
@@ -110,7 +160,12 @@ class PointCloudScanBuilder(
 
   override def build(): Scan = pushedAggRow match {
     case Some((schema, values)) => new HeaderAggScan(schema, values)
-    case None => new PointCloudScan(kind, resolved, readSchema, tableSchema, options)
+    case None =>
+      val pruned =
+        if (skipFilters.isEmpty) resolved
+        else resolved.copy(sections =
+          resolved.sections.filter(sectionMayMatch(_, skipFilters)))
+      new PointCloudScan(kind, pruned, readSchema, tableSchema, options)
   }
 }
 

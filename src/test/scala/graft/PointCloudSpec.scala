@@ -153,6 +153,27 @@ class PointCloudSpec extends SparkTestBase {
     assert(scanDesc.contains("columns [x]"), scanDesc)
   }
 
+  test("bbox file-skip prunes sections on x/y/z range predicates") {
+    val dir1 = tmpDir("bbox1")
+    val dir2 = tmpDir("bbox2")
+    def pts(lo: Int) = spark.range(1000).select(
+      (col("id") + lo).cast("int").as("x"), lit(0).cast("int").as("y"),
+      lit(0).cast("int").as("z"), lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"), lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"), lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    pts(0).coalesce(1).writeLas(dir1)      // x in [0, 999]
+    pts(10000).coalesce(1).writeLas(dir2)  // x in [10000, 10999]
+    val both = spark.read.las(dir1, dir2)
+    val all = both.rdd.getNumPartitions
+    val filtered = both.filter($"x" > 5000)
+    // only the second file's section survives planning
+    assert(filtered.rdd.getNumPartitions < all, s"$all not pruned")
+    assert(filtered.count() == 1000)
+    // filters stay post-scan: a predicate inside the surviving range
+    assert(both.filter($"x" > 10500).count() == 499)
+  }
+
   test("SchemaMerge widening rules") {
     import SchemaMerge._
     assert(mergeType(IntegerType, LongType) == LongType)
