@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join-shape utilities for skewed keys at scale. */
+object Joins {
+
+  /** Skew-resistant inner equi-join: every left row gets a deterministic
+    * salt in [0, buckets) derived from its content hash, and the
+    * (smaller) right side is replicated once per bucket, so one hot key
+    * fans out over `buckets` reducers instead of one. Result equals the
+    * plain inner join (the replicated side covers every salt).
+    *
+    * Use when AQE's skew-join split is not available (e.g. forced
+    * sort-merge, or skew inside a single key). The right side's size
+    * cost is ×buckets — keep it the dimension side.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      buckets: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(buckets)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    saltedLeft
+      .join(saltedRight,
+        saltedLeft(leftKey) === saltedRight(rightKey) &&
+          saltedLeft("__salt") === saltedRight("__salt"))
+      .drop("__salt")
+  }
+
+  /** Approximate distinct count (HyperLogLog++) next to the exact one —
+    * the constant-memory path for 100 TB cardinality questions. */
+  def approxDistinct(df: DataFrame, colName: String, rsd: Double = 0.05): DataFrame =
+    df.agg(
+      approx_count_distinct(col(colName), rsd).as("approx"),
+      countDistinct(col(colName)).as("exact"))
+}

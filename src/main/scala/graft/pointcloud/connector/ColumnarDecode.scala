@@ -1,0 +1,133 @@
+package graft.pointcloud.connector
+
+import java.nio.ByteBuffer
+
+import graft.pointcloud.Section
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** Vectorized decode for fixed-stride binary sections (SURVEY O7/§7.8):
+  * records are read in ~4 MiB chunks and decoded column-at-a-time into
+  * reused OnHeapColumnVectors — per-column tight loops over the strided
+  * buffer instead of per-row virtual dispatch, and the scan feeds
+  * Spark's ColumnarToRow/whole-stage codegen path.
+  */
+class BinarySectionColumnarReader(p: BinaryPartition, readSchema: StructType)
+  extends PartitionReader[ColumnarBatch] {
+
+  private val sectionSchema = DataType.fromJson(p.sectionSchemaJson).asInstanceOf[StructType]
+  private val section = Section(p.location, p.sectionOffset, p.numRecords,
+    p.littleEndian, sectionSchema, p.stride)
+
+  private val path = new Path(p.location)
+  private val in = path.getFileSystem(new Configuration()).open(path)
+  in.seek(p.sectionOffset + p.startRecord * p.stride)
+
+  private val batchSize: Int =
+    math.max(1, math.min(p.numRecords, (4 << 20) / math.max(1, p.stride)).toInt)
+  private val chunk = new Array[Byte](batchSize * p.stride)
+  private val buf = ByteBuffer.wrap(chunk).order(section.order)
+
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(batchSize, readSchema)
+  private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+
+  // per output column: (kind, src offset, srcTag, dstTag, nodata info)
+  // kind: 0=absent, 1=fid, 2=pid, 3=primitive
+  private case class ColPlan(kind: Int, off: Int, srcTag: Int, dstTag: Int,
+      hasNodata: Boolean, ndL: Long, ndD: Double)
+
+  private val plans: Array[ColPlan] = readSchema.fields.map { f =>
+    import graft.pointcloud.FieldDecoder.Tag
+    if (f.name == PointCloudUtil.FidCol) ColPlan(1, 0, 0, 0, false, 0, 0)
+    else if (f.name == PointCloudUtil.PidCol) ColPlan(2, 0, 0, 0, false, 0, 0)
+    else {
+      val i = section.fieldIndex(f.name)
+      if (i < 0) ColPlan(0, 0, 0, 0, false, 0, 0)
+      else {
+        val md = sectionSchema.fields(i).metadata
+        val srcTag = Tag.of(sectionSchema.fields(i).dataType)
+        val hasNd = f.nullable && md.contains("nodata")
+        val (ndL, ndD) =
+          if (!hasNd) (0L, 0.0)
+          else if (srcTag <= Tag.Long) (md.getLong("nodata"), 0.0)
+          else (0L, md.getDouble("nodata"))
+        ColPlan(3, section.fieldOffsets(i), srcTag, Tag.of(f.dataType), hasNd, ndL, ndD)
+      }
+    }
+  }
+
+  private var nextIdx = 0L // next record index within the partition
+
+  override def next(): Boolean = {
+    if (nextIdx >= p.numRecords) return false
+    val n = math.min(batchSize.toLong, p.numRecords - nextIdx).toInt
+    in.readFully(chunk, 0, n * p.stride)
+    var c = 0
+    while (c < plans.length) {
+      fillColumn(vectors(c), plans(c), n, nextIdx)
+      c += 1
+    }
+    batch.setNumRows(n)
+    nextIdx += n
+    true
+  }
+
+  private def fillColumn(v: OnHeapColumnVector, pl: ColPlan, n: Int, base: Long): Unit = {
+    import graft.pointcloud.FieldDecoder.Tag
+    v.reset()
+    pl.kind match {
+      case 0 => v.putNulls(0, n)
+      case 1 => v.putInts(0, n, p.fid)
+      case 2 =>
+        var i = 0
+        while (i < n) { v.putLong(i, p.startRecord + base + i); i += 1 }
+      case 3 =>
+        val stride = p.stride
+        val off = pl.off
+        var i = 0
+        if (pl.srcTag <= Tag.Long) {
+          while (i < n) {
+            val pos = i * stride + off
+            val raw: Long = pl.srcTag match {
+              case Tag.Byte  => buf.get(pos).toLong
+              case Tag.Short => buf.getShort(pos).toLong
+              case Tag.Int   => buf.getInt(pos).toLong
+              case _         => buf.getLong(pos)
+            }
+            if (pl.hasNodata && raw == pl.ndL) v.putNull(i)
+            else pl.dstTag match {
+              case Tag.Byte   => v.putByte(i, raw.toByte)
+              case Tag.Short  => v.putShort(i, raw.toShort)
+              case Tag.Int    => v.putInt(i, raw.toInt)
+              case Tag.Long   => v.putLong(i, raw)
+              case Tag.Float  => v.putFloat(i, raw.toFloat)
+              case Tag.Double => v.putDouble(i, raw.toDouble)
+            }
+            i += 1
+          }
+        } else {
+          while (i < n) {
+            val pos = i * stride + off
+            val raw: Double =
+              if (pl.srcTag == Tag.Float) buf.getFloat(pos).toDouble else buf.getDouble(pos)
+            if (pl.hasNodata && raw == pl.ndD) v.putNull(i)
+            else if (pl.dstTag == Tag.Float) v.putFloat(i, raw.toFloat)
+            else v.putDouble(i, raw)
+            i += 1
+          }
+        }
+    }
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    in.close()
+    batch.close()
+  }
+}

@@ -269,6 +269,17 @@ class PointCloudReaderFactory(readSchemaJson: String) extends PartitionReaderFac
       case p: XyzPartition => new XyzReader(p, readSchema)
     }
   }
+
+  /** Fixed-stride binary sections decode vectorized (ColumnarBatch);
+    * XYZ text stays row-oriented. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.isInstanceOf[BinaryPartition]
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val readSchema = DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
+    new BinarySectionColumnarReader(partition.asInstanceOf[BinaryPartition], readSchema)
+  }
 }
 
 /** Streams one partition's records through a reused chunk buffer and

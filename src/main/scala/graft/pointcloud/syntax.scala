@@ -45,6 +45,31 @@ object syntax {
     }
   }
 
+  /** One output per source file, named after the source's basename —
+    * the reference's commit-time `fid=<k>` → basename renaming (D3,
+    * ply/PlyRelation.scala:60-80), rebuilt on the `paths` list stamped
+    * in the fid column's metadata. Driver-loops one distributed write
+    * per source file; suited to moderate file counts (the reference's
+    * rename loop was driver-side too). Returns the written directories. */
+  def writePerSource(df: DataFrame, outDir: String,
+      format: String = "ply"): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val meta = df.schema("fid").metadata
+    require(meta.contains("paths"), "fid column carries no source paths metadata")
+    val paths = meta.getStringArray("paths")
+    paths.zipWithIndex.map { case (src, fid) =>
+      val base = new java.io.File(src).getName.replaceAll("\\.[^.]+$", "")
+      val target = s"$outDir/$base"
+      val part = df.filter(col("fid") === fid)
+      format match {
+        case "ply" => PointCloudDataFrame(part).writePly(target, Map("merge" -> "true"))
+        case "las" => PointCloudDataFrame(part).writeLas(target)
+        case "xyz" => PointCloudDataFrame(part).writeXyz(target)
+      }
+      target
+    }.toSeq
+  }
+
   /** Dataset-side sugar so callers don't have to repeat the frame:
     * `df.writeLas(path)` etc. */
   implicit class PointCloudDataFrame(private val df: DataFrame) extends AnyVal {

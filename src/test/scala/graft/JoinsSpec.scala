@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.Joins
+import graft.pointcloud.syntax
+import graft.pointcloud.syntax._
+import org.apache.spark.sql.functions._
+
+/** Skew-join, approx-distinct, and per-source write helpers. */
+class JoinsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted join equals the plain join on skewed keys") {
+    // 90% of fact rows share one key — the classic skew shape
+    val fact = spark.range(20000).select(
+      when($"id" % 10 =!= 0, lit(7)).otherwise($"id" % 100).as("k"),
+      $"id".as("v"))
+    val dim = spark.range(100).select($"id".as("k"), concat(lit("d"), $"id").as("name"))
+
+    val plain = fact.join(dim, "k").agg(count(lit(1)), sum("v")).collect().head
+    val salted = Joins.saltedJoin(fact, dim, "k", "k", 8)
+      .agg(count(lit(1)), sum("v")).collect().head
+    assert(plain == salted)
+  }
+
+  test("approx distinct is within the requested error of exact") {
+    val docs = Tables.documents(spark, sfDir)
+    val row = Joins.approxDistinct(docs, "text", 0.05).collect().head
+    val (approx, exact) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.15)
+  }
+
+  test("writePerSource names outputs after their source files") {
+    val a = Files.createTempDirectory("graft-srcA").toString
+    val b = Files.createTempDirectory("graft-srcB").toString
+    val out = Files.createTempDirectory("graft-persrc").toString
+    def pts(n: Int) = spark.range(n).select(
+      $"id".cast("int").as("x"), $"id".cast("int").as("y"),
+      $"id".cast("int").as("z"), lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"), lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"), lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    pts(100).coalesce(1).writePly(a)
+    pts(200).coalesce(1).writePly(b)
+    val df = spark.read.ply(a, b)
+    val dirs = syntax.writePerSource(df, out, "ply")
+    assert(dirs.size == 2)
+    // outputs are named after source basenames and carry the right rows
+    val counts = dirs.map(d => spark.read.ply(d).count()).sorted
+    assert(counts == Seq(100L, 200L))
+    val names = new java.io.File(out).listFiles().map(_.getName).sorted.toSeq
+    assert(names.forall(_.startsWith("part-")), names.toString)
+  }
+}

@@ -174,6 +174,16 @@ class PointCloudSpec extends SparkTestBase {
     assert(both.filter($"x" > 10500).count() == 499)
   }
 
+  test("binary scans are vectorized (ColumnarToRow above the scan)") {
+    val dir = tmpDir("columnar")
+    samplePoints.writeLas(dir)
+    val df = spark.read.las(dir).select("x", "intensity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    assert(df.agg(sum("x")).as[Long].head() ==
+      samplePoints.agg(sum("x")).as[Long].head())
+  }
+
   test("SchemaMerge widening rules") {
     import SchemaMerge._
     assert(mergeType(IntegerType, LongType) == LongType)
