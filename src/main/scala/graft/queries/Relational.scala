@@ -268,6 +268,47 @@ object Relational {
       .sort($"o_custkey")
       .limit(100)
 
+  /** IQ-25 exact interpolated percentiles (Spark percentile ==
+    * DuckDB quantile_cont, both linear interpolation). */
+  private val iq25: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("med_q"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"))
+      .sort($"l_returnflag")
+
+  /** IQ-26 explode/unnest: token frequencies over documents. */
+  private val iq26: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .sort($"n".desc, $"token")
+      .limit(50)
+
+  /** IQ-27 pivot (explicit value list for determinism). Spark pivot
+    * yields null for absent combinations; the oracle mirrors with
+    * NULLIF(COUNT FILTER, 0). */
+  private val iq27: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy($"source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .sort($"source")
+      .limit(100)
+
+  /** IQ-28 JSON extraction from the events props column. (The events
+    * parquet stores TIMESTAMP(NANOS), which Spark cannot infer — the
+    * explicit schema reads ts as raw int64 nanos.) */
+  private val iq28: Q = (s, d) =>
+    s.read.schema(graft.streaming.EventStreams.eventsSchema)
+      .parquet(s"$d/events.parquet")
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sk"))
+      .sort($"event_type")
+
   val queries: Map[String, Q] = Map(
     "iq01_scan_project" -> iq01,
     "iq02_filter" -> iq02,
@@ -293,6 +334,10 @@ object Relational {
     "iq22_math_fns" -> iq22,
     "iq23_cast_case" -> iq23,
     "iq24_cte_having" -> iq24,
+    "iq25_percentile" -> iq25,
+    "iq26_explode" -> iq26,
+    "iq27_pivot" -> iq27,
+    "iq28_json" -> iq28,
   )
 
   val oracle: Map[String, String] = Map(
@@ -344,5 +389,16 @@ object Relational {
       "SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS q, CASE WHEN l_returnflag='R' THEN 'ret' ELSE 'ok' END AS f FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
     "iq24_cte_having" ->
       "WITH t AS (SELECT o_custkey, SUM(o_totalprice) AS s_raw FROM orders GROUP BY o_custkey) SELECT o_custkey, ROUND(s_raw,2) AS s FROM t WHERE s_raw > 100000 ORDER BY o_custkey LIMIT 100",
+    "iq25_percentile" ->
+      "SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5), 2) AS med_q, ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "iq26_explode" ->
+      "SELECT token, COUNT(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY n DESC, token LIMIT 50",
+    "iq27_pivot" ->
+      ("SELECT source, " +
+        Seq("de", "en", "es", "fr", "zh").map(l =>
+          s"NULLIF(COUNT(*) FILTER (WHERE lang = '$l'), 0) AS $l").mkString(", ") +
+        " FROM documents GROUP BY source ORDER BY source LIMIT 100"),
+    "iq28_json" ->
+      "SELECT event_type, COUNT(*) AS n, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sk FROM events GROUP BY event_type ORDER BY event_type",
   )
 }
