@@ -188,6 +188,39 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected pair graph (id_a, id_b) —
+    * the dedup decision step: every document in a near-dup cluster maps
+    * to the cluster's minimal id as representative.
+    *
+    * Iterative min-label propagation: each round joins current labels
+    * across edges and keeps the minimum (one shuffle per round,
+    * converges in O(log diameter) rounds for typical near-dup clusters,
+    * which are tiny). The driver loop stops at fixpoint — the standard
+    * scalable CC without any graph library.
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    import pairs.sparkSession.implicits._
+    // undirected edge list + initial label = own id
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val viaEdges = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.union(viaEdges)
+        .groupBy("id").agg(min("label").as("label"))
+      val changed = next.as("n").join(labels.as("o"), $"n.id" === $"o.id")
+        .filter($"n.label" =!= $"o.label").limit(1).count()
+      labels = next.localCheckpoint(eager = true) // cut the growing lineage
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("label").as("rep"), col("id").as("member"))
+  }
+
   /** Embedding near-dup pairs by cosine similarity. Brute-force
     * (all-pairs) — use [[Similarity.lshBucket]] blocking at scale. */
   def embeddingNearDupPairs(

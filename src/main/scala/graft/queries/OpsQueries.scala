@@ -66,6 +66,15 @@ object OpsQueries {
       .select($"id_a", $"id_b", round($"c", 4).as("c"))
       .sort($"id_a", $"id_b")
 
+  /** dd07: end-to-end dedup decision — MinHash-LSH pairs (Jaccard ≥ 0.8)
+    * clustered by connected components; every clustered doc maps to its
+    * cluster's minimal id. */
+  private val dd07: Q = (s, d) => {
+    val pairs = Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 0.8)
+    Dedup.connectedComponents(pairs)
+      .sort($"rep", $"member")
+  }
+
   // ----------------------------------------------------- similarity search
 
   /** ss01: brute-force cosine top-10 neighbors of vec 0 (declarative:
@@ -166,6 +175,7 @@ object OpsQueries {
     "dd04_blocked_jaccard" -> dd04,
     "dd05_simhash" -> dd05,
     "dd06_embedding_cosine" -> dd06,
+    "dd07_dedup_clusters" -> dd07,
     "ss01_cosine_topk" -> ss01,
     "ss02_lsh_histogram" -> ss02,
     "ss03_ann_topk" -> ss03,
@@ -200,7 +210,9 @@ object OpsQueries {
   private def sqlJaccard(a: String, b: String): String =
     s"len(list_intersect($a, $b)) * 1.0 / len(list_distinct($a || $b))"
 
-  private val dd03Oracle: String = {
+  /** Shared CTE chain reproducing the MinHash-LSH candidate pipeline;
+    * ends with `verified(id_a, id_b, j)` at the given threshold. */
+  private def minhashCtes(threshold: Double): String = {
     val sigExprs = (0 until Dedup.NumHashes).map { i =>
       s"list_min(list_transform(hh, h -> (${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % ${Dedup.Prime}))"
     }.mkString(",\n      ")
@@ -209,7 +221,7 @@ object OpsQueries {
       val hi = (j + 1) * Dedup.RowsPerBand
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), sig[$lo:$hi]), (acc, x) -> (acc * 31 + x) % ${Dedup.Prime})"
     }.mkString(",\n      ")
-    s"""WITH $sqlDocsShingles,
+    s"""$sqlDocsShingles,
        |hashed AS (
        |  SELECT id, list_transform(sh, s -> ${sqlRollingHash("s")}) AS hh FROM docs
        |),
@@ -231,12 +243,35 @@ object OpsQueries {
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM exploded a JOIN exploded b
        |    ON a.band = b.band AND a.key = b.key AND a.id < b.id
-       |)
-       |SELECT c.id_a, c.id_b, ROUND(${sqlJaccard("x.hh", "y.hh")}, 4) AS j
-       |FROM cand c JOIN hashed x ON c.id_a = x.id JOIN hashed y ON c.id_b = y.id
-       |WHERE ${sqlJaccard("x.hh", "y.hh")} >= 0.8
-       |ORDER BY c.id_a, c.id_b""".stripMargin
+       |),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b, ${sqlJaccard("x.hh", "y.hh")} AS j
+       |  FROM cand c JOIN hashed x ON c.id_a = x.id JOIN hashed y ON c.id_b = y.id
+       |  WHERE ${sqlJaccard("x.hh", "y.hh")} >= $threshold
+       |)""".stripMargin
   }
+
+  private val dd03Oracle: String =
+    s"""WITH ${minhashCtes(0.8)}
+       |SELECT id_a, id_b, ROUND(j, 4) AS j FROM verified
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** dd07: connected components over the verified pair graph via a
+    * recursive transitive-closure CTE; rep = min reachable id. */
+  private val dd07Oracle: String =
+    s"""WITH RECURSIVE ${minhashCtes(0.8)},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM verified
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM verified
+       |),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.label FROM reach r JOIN edges e ON e.dst = r.id
+       |)
+       |SELECT MIN(label) AS rep, id AS member FROM reach
+       |GROUP BY id ORDER BY rep, member""".stripMargin
 
   private val dd04Oracle: String = {
     // mirrors blockedJaccardPairs: distinct hash sets, integer size-ratio
@@ -395,6 +430,7 @@ object OpsQueries {
     "dd04_blocked_jaccard" -> dd04Oracle,
     // dd05_simhash: intentionally no oracle (rows-only check)
     "dd06_embedding_cosine" -> dd06Oracle,
+    "dd07_dedup_clusters" -> dd07Oracle,
     "ss01_cosine_topk" -> ss01Oracle,
     "ss02_lsh_histogram" -> ss02Oracle,
     "ss03_ann_topk" -> ss03Oracle,

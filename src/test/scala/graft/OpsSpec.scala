@@ -67,6 +67,16 @@ class OpsSpec extends SparkTestBase {
     assert(annInBrute.map(pos) sameElements annInBrute.map(pos).sorted)
   }
 
+  test("connected components collapse transitive near-dup chains") {
+    // two chains (1-2-3-4) and (10-11), plus an isolated pair (20,21)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(cc == Set((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (10L, 10L), (10L, 11L), (20L, 20L), (20L, 21L)))
+  }
+
   test("exact dedup keeps the minimal id and counts group sizes") {
     val out = Dedup.exactDedup(
       Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t"), "id", $"t")
