@@ -200,9 +200,12 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     import pairs.sparkSession.implicits._
-    // undirected edge list + initial label = own id
+    // undirected edge list, materialized once — every iteration joins
+    // against it, and without the checkpoint each round would re-execute
+    // the whole upstream pair-generation pipeline
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     var converged = false

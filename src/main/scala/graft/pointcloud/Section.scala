@@ -71,18 +71,20 @@ private[pointcloud] object FieldDecoder {
     */
   final class PrimitiveField(
       srcTag: Int, dstTag: Int, off: Int, ord: Int,
-      hasNodata: Boolean, nodataLong: Long, nodataDouble: Double)
+      hasNodata: Boolean, nodataLong: Long, nodataDouble: Double,
+      zeroExtend: Boolean = false)
     extends FieldDecoder {
 
     def decode(buf: ByteBuffer, base: Int, pid: Long, row: InternalRow): Unit = {
       val p = base + off
       if (srcTag <= Tag.Long) { // integral source
-        val v: Long = srcTag match {
+        var v: Long = srcTag match {
           case Tag.Byte  => buf.get(p).toLong
           case Tag.Short => buf.getShort(p).toLong
           case Tag.Int   => buf.getInt(p).toLong
           case _         => buf.getLong(p)
         }
+        if (zeroExtend) v &= Tag.unsignedMask(srcTag)
         if (hasNodata && v == nodataLong) { row.setNullAt(ord); return }
         dstTag match {
           case Tag.Byte   => row.setByte(ord, v.toByte)
@@ -107,6 +109,10 @@ private[pointcloud] object FieldDecoder {
   object Tag {
     final val Byte = 0; final val Short = 1; final val Int = 2; final val Long = 3
     final val Float = 4; final val Double = 5
+    def unsignedMask(tag: Int): Long = tag match {
+      case Byte => 0xffL; case Short => 0xffffL; case Int => 0xffffffffL
+      case _ => -1L
+    }
     def of(dt: DataType): Int = dt match {
       case ByteType => Byte
       case ShortType => Short
@@ -153,8 +159,13 @@ final class RecordDecoder(
             if (srcTag <= Tag.Long) ndL = md.getLong("nodata")
             else ndD = md.getDouble("nodata")
           }
-          new PrimitiveField(srcTag, Tag.of(f.dataType), section.fieldOffsets(i),
-            ord, hasNodata, ndL, ndD)
+          val dstTag = Tag.of(f.dataType)
+          // unsigned on-disk fields zero-extend when the target widened
+          // (widenUnsigned option, or a multi-file merge that widened)
+          val zeroExtend = srcTag < dstTag && dstTag <= Tag.Long &&
+            md.contains("unsigned") && md.getBoolean("unsigned")
+          new PrimitiveField(srcTag, dstTag, section.fieldOffsets(i),
+            ord, hasNodata, ndL, ndD, zeroExtend)
         }
       }
     }

@@ -39,7 +39,7 @@ class BinarySectionColumnarReader(p: BinaryPartition, readSchema: StructType)
   // per output column: (kind, src offset, srcTag, dstTag, nodata info)
   // kind: 0=absent, 1=fid, 2=pid, 3=primitive
   private case class ColPlan(kind: Int, off: Int, srcTag: Int, dstTag: Int,
-      hasNodata: Boolean, ndL: Long, ndD: Double)
+      hasNodata: Boolean, ndL: Long, ndD: Double, zeroExtend: Boolean = false)
 
   private val plans: Array[ColPlan] = readSchema.fields.map { f =>
     import graft.pointcloud.FieldDecoder.Tag
@@ -56,7 +56,10 @@ class BinarySectionColumnarReader(p: BinaryPartition, readSchema: StructType)
           if (!hasNd) (0L, 0.0)
           else if (srcTag <= Tag.Long) (md.getLong("nodata"), 0.0)
           else (0L, md.getDouble("nodata"))
-        ColPlan(3, section.fieldOffsets(i), srcTag, Tag.of(f.dataType), hasNd, ndL, ndD)
+        val dstTag = Tag.of(f.dataType)
+        val zeroExtend = srcTag < dstTag && dstTag <= Tag.Long &&
+          md.contains("unsigned") && md.getBoolean("unsigned")
+        ColPlan(3, section.fieldOffsets(i), srcTag, dstTag, hasNd, ndL, ndD, zeroExtend)
       }
     }
   }
@@ -93,12 +96,13 @@ class BinarySectionColumnarReader(p: BinaryPartition, readSchema: StructType)
         if (pl.srcTag <= Tag.Long) {
           while (i < n) {
             val pos = i * stride + off
-            val raw: Long = pl.srcTag match {
+            var raw: Long = pl.srcTag match {
               case Tag.Byte  => buf.get(pos).toLong
               case Tag.Short => buf.getShort(pos).toLong
               case Tag.Int   => buf.getInt(pos).toLong
               case _         => buf.getLong(pos)
             }
+            if (pl.zeroExtend) raw &= Tag.unsignedMask(pl.srcTag)
             if (pl.hasNodata && raw == pl.ndL) v.putNull(i)
             else pl.dstTag match {
               case Tag.Byte   => v.putByte(i, raw.toByte)

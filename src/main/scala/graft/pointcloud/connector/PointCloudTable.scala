@@ -105,7 +105,11 @@ abstract class PointCloudProvider extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PointCloudUtil.writeSchema(options).getOrElse {
       val r = resolve(options)
-      PointCloudUtil.withIdColumns(r.dataSchema, r.paths)
+      val data =
+        if (options.getBoolean("widenUnsigned", false))
+          PointCloudUtil.widenUnsigned(r.dataSchema)
+        else r.dataSchema
+      PointCloudUtil.withIdColumns(data, r.paths)
     }
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
@@ -274,4 +278,20 @@ object PointCloudUtil {
     * path-based write calls inferSchema on a possibly-empty target). */
   def writeSchema(options: CaseInsensitiveStringMap): Option[StructType] =
     Option(options.get("__schema")).map(DataType.fromJson(_).asInstanceOf[StructType])
+
+  /** `option("widenUnsigned","true")`: fields the format stores unsigned
+    * (marked with `unsigned` metadata by the header codecs) widen one
+    * step and decode zero-extended, so u8 0xFF reads as 255 instead of
+    * wrapping to -1 (SURVEY §7.5). u64 stays long (no wider primitive). */
+  def widenUnsigned(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (f.metadata.contains("unsigned") && f.metadata.getBoolean("unsigned"))
+        f.copy(dataType = f.dataType match {
+          case ByteType => ShortType
+          case ShortType => IntegerType
+          case IntegerType => LongType
+          case other => other
+        })
+      else f
+    })
 }

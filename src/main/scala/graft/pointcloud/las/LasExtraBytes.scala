@@ -107,9 +107,11 @@ object LasExtraBytes {
     val hasScale = (options & 8) != 0
     val hasOffset = (options & 16) != 0
 
+    val unsignedCode = typ >= 1 && typ <= 8 && typ % 2 == 1 // 1,3,5,7 = u8,u16,u32,u64
     (0 until dim).map { i =>
       val fieldName = if (dim == 1) name else s"$name$i"
       val md = new MetadataBuilder()
+      if (unsignedCode) md.putBoolean("unsigned", true)
       if (typ != 0) {
         if (integral) {
           if (hasNodata) md.putLong("nodata", buf.getLong(40 + 8 * i))

@@ -106,6 +106,14 @@ object LasHeader {
     case _         => 375
   }
 
+  /** Fields that the LAS spec stores unsigned (mapped to signed Spark
+    * types of the same width by default; `option("widenUnsigned","true")`
+    * widens and zero-extends them instead — SURVEY §7.5). x/y/z and the
+    * scan angles are signed in the spec; GPS time is f64. */
+  private val unsignedFields: Set[String] = Set(
+    "intensity", "return", "flags", "classification", "user", "source",
+    "red", "green", "blue", "nir", "index", "size")
+
   /** Per-point base schemas for point-data-record formats 0–10 (public LAS
     * spec; field names follow the reference, las/LasHeader.scala:342-398,
     * so queries written against it keep working). */
@@ -133,7 +141,11 @@ object LasHeader {
     f(8) = f(7) ++ st("nir" -> ShortType)
     f(9) = f(6) ++ waveform
     f(10) = f(8) ++ waveform
-    f.map(fields => StructType(fields.map { case (n, t) => StructField(n, t, nullable = false) }))
+    val unsignedMeta = new MetadataBuilder().putBoolean("unsigned", true).build()
+    f.map(fields => StructType(fields.map { case (n, t) =>
+      StructField(n, t, nullable = false,
+        if (unsignedFields(n)) unsignedMeta else Metadata.empty)
+    }))
   }
 
   def recordLength(format: Byte): Int =

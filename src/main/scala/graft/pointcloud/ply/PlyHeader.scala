@@ -141,9 +141,13 @@ object PlyHeader {
         case Seq("property", typename, name) =>
           val dt = PlyTypes.toDataType.getOrElse(typename,
             throw new IllegalArgumentException(s"$location: unsupported PLY property type $typename"))
+          val md =
+            if (typename.startsWith("u"))
+              new MetadataBuilder().putBoolean("unsigned", true).build()
+            else Metadata.empty
           val last = elements.last
           elements = elements.init :+ last.copy(
-            schema = StructType(last.schema.fields :+ StructField(name, dt, nullable = false)))
+            schema = StructType(last.schema.fields :+ StructField(name, dt, nullable = false, md)))
         case _ =>
           throw new IllegalArgumentException(s"$location: ill-formed PLY header line: $line")
       }

@@ -184,6 +184,55 @@ class PointCloudSpec extends SparkTestBase {
       samplePoints.agg(sum("x")).as[Long].head())
   }
 
+  test("widenUnsigned zero-extends unsigned fields; default wraps") {
+    val dir = tmpDir("unsigned")
+    // intensity is u16 in the LAS spec; -1 on disk is 0xFFFF = 65535
+    samplePoints.withColumn("intensity", lit(-1).cast("short"))
+      .writeLas(dir)
+    val wrapped = spark.read.las(dir)
+    assert(wrapped.schema("intensity").dataType == ShortType)
+    assert(wrapped.select("intensity").head().getShort(0) == -1)
+    val widened = spark.read.option("widenUnsigned", "true").las(dir)
+    assert(widened.schema("intensity").dataType == IntegerType)
+    assert(widened.select("intensity").head().getInt(0) == 65535)
+    // signed fields (x) stay untouched
+    assert(widened.schema("x").dataType == IntegerType)
+  }
+
+  test("PLY uchar property: wrap by default, 0..255 with widenUnsigned") {
+    val dir = tmpDir("plyuchar")
+    val header = "ply\nformat binary_little_endian 1.0\nelement vertex 3\n" +
+      "property float x\nproperty uchar intensity\nend_header\n"
+    val body = java.nio.ByteBuffer.allocate(15).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq((1.0f, 0x01), (2.0f, 0x7f), (3.0f, 0xff)).foreach { case (x, i) =>
+      body.putFloat(x); body.put(i.toByte)
+    }
+    val f = java.nio.file.Paths.get(dir, "u.ply")
+    java.nio.file.Files.write(f, header.getBytes("US-ASCII") ++ body.array())
+    val wrapped = spark.read.ply(f.toString)
+    assert(wrapped.select("intensity").as[Byte].collect().toSeq == Seq(1, 127, -1))
+    val widened = spark.read.option("widenUnsigned", "true").ply(f.toString)
+    assert(widened.schema("intensity").dataType == ShortType)
+    assert(widened.select("intensity").as[Short].collect().toSeq == Seq(1, 127, 255))
+  }
+
+  test("multi-element PLY: element option selects vertex or face section") {
+    val dir = tmpDir("plymulti")
+    val header = "ply\nformat binary_little_endian 1.0\n" +
+      "element vertex 2\nproperty float x\nproperty float y\n" +
+      "element face 3\nproperty int a\nend_header\n"
+    val body = java.nio.ByteBuffer.allocate(2 * 8 + 3 * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    body.putFloat(1f).putFloat(2f).putFloat(3f).putFloat(4f)
+    body.putInt(10).putInt(20).putInt(30)
+    val f = java.nio.file.Paths.get(dir, "m.ply")
+    java.nio.file.Files.write(f, header.getBytes("US-ASCII") ++ body.array())
+    val vertices = spark.read.ply(f.toString)
+    assert(vertices.count() == 2 && vertices.columns.contains("x"))
+    val faces = spark.read.option("element", "face").ply(f.toString)
+    assert(faces.count() == 3)
+    assert(faces.select("a").as[Int].collect().toSeq.sorted == Seq(10, 20, 30))
+  }
+
   test("SchemaMerge widening rules") {
     import SchemaMerge._
     assert(mergeType(IntegerType, LongType) == LongType)
