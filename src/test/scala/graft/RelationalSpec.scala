@@ -40,4 +40,25 @@ class RelationalSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"), plan)
   }
+
+  test("iq09 multiway join broadcasts the filtered dimension sides (AQE)") {
+    val df = Relational.queries("iq09_multijoin_agg")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("iq03 aggregation is two-phase (map-side partial before the shuffle)") {
+    val plan = Relational.queries("iq03_hash_agg")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("Partial"), plan)
+  }
+
+  test("projection is pruned into the parquet ReadSchema") {
+    val plan = Relational.queries("iq01_scan_project")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // only the 4 needed columns reach the scan
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && !read.contains("l_comment"), read)
+  }
 }
