@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.{ArrayDotProduct, RollingHash, SimHash64, SortedIntersectCount}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the graft expressions (SURVEY §2.7: a
+  * FunctionRegistry thin wrapper instead of custom UDT/strategy work).
+  *
+  * Two entry points:
+  *  - config: `spark.sql.extensions=graft.GraftExtensions` registers the
+  *    functions at session build (the standard extension mechanism);
+  *  - programmatic: `GraftExtensions.registerAll(spark)` for an already
+  *    running session.
+  *
+  * After either, plain SQL can call `graft_rolling_hash(text)`,
+  * `graft_simhash64(tokens)`, `graft_array_dot(a, b)`,
+  * `graft_sorted_intersect_count(a, b)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private def unary(f: Expression => Expression): Seq[Expression] => Expression =
+    args => { require(args.length == 1, "expected 1 argument"); f(args.head) }
+  private def binary(f: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+    args => { require(args.length == 2, "expected 2 arguments"); f(args(0), args(1)) }
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_rolling_hash",
+      info("graft_rolling_hash", "polynomial rolling hash of a string, mod 1e9+7"),
+      unary(RollingHash)),
+    ("graft_simhash64",
+      info("graft_simhash64", "64-bit SimHash sketch of a token array"),
+      unary(SimHash64)),
+    ("graft_array_dot",
+      info("graft_array_dot", "sequential-fold dot product of two double arrays"),
+      binary(ArrayDotProduct)),
+    ("graft_sorted_intersect_count",
+      info("graft_sorted_intersect_count",
+        "intersection size of two ascending-sorted bigint arrays"),
+      binary(SortedIntersectCount)))
+
+  /** Register into a live session (temp functions, session-scoped). */
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, i, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+}

@@ -39,6 +39,18 @@ class FunctionsSpec extends SparkTestBase {
     assert(ham(ha, hb) < ham(ha, hc), s"near=${ham(ha, hb)} far=${ham(ha, hc)}")
   }
 
+  test("SQL surface: registered functions callable from spark.sql") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_rolling_hash('abc') AS h,
+        |  graft_array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  graft_sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS c,
+        |  graft_simhash64(array('a', 'b')) AS s""".stripMargin).head()
+    assert(r.getLong(0) == 96354L)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getInt(2) == 2)
+  }
+
   test("simhash64 works on the real documents table") {
     val docs = Tables.documents(spark, sfDir)
       .select(exprs.simhash64(split(col("text"), " ")).as("h"))

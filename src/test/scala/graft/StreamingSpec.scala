@@ -39,6 +39,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("append mode with watermark emits only closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("ts", "value")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("e"))
+    val agg = EventStreams.withWatermark(df, "10 minutes")
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"), $"event_type")
+      .count()
+    val q = agg.writeStream.format("memory")
+      .queryName("wm_test").outputMode("append").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      input.addData((t(0, 10), 1.0), (t(0, 20), 2.0))
+      q.processAllAvailable()
+      // watermark still inside hour 0: nothing closed yet
+      assert(spark.table("wm_test").count() == 0)
+      // events far past hour 0 advance the watermark; hour-0 window closes
+      input.addData((t(2, 0), 3.0))
+      q.processAllAvailable()
+      input.addData((t(3, 0), 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("wm_test").collect()
+      assert(closed.exists(_.getLong(2) == 2), closed.mkString(","))
+    } finally q.stop()
+  }
+
   test("windowed stream over events matches a batch group-by") {
     val stream = EventStreams.windowedCounts(
       EventStreams.readEventStream(spark, sfDir), "1 hour")
