@@ -202,7 +202,23 @@ class PointCloudScan(
     schema: StructType,
     tableSchema: StructType,
     options: CaseInsensitiveStringMap)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
+
+  /** Header-derived stats (exact row counts, on-disk bytes) so Catalyst
+    * sizes joins correctly — a small LAS/PLY table becomes broadcastable
+    * instead of defaulting to "unknown = huge". XYZ (no header count)
+    * reports nothing. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val known = kind != FormatKind.Xyz && resolved.sections.nonEmpty
+    override def sizeInBytes(): java.util.OptionalLong =
+      if (known)
+        java.util.OptionalLong.of(resolved.sections.map(_.section.byteSize).sum)
+      else java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong =
+      if (known)
+        java.util.OptionalLong.of(resolved.sections.map(_.section.count).sum)
+      else java.util.OptionalLong.empty()
+  }
 
   /** XYZ token layout = the full (possibly user-supplied) table schema
     * minus the generated id columns — positions in the text line, which

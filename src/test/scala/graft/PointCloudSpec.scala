@@ -233,6 +233,18 @@ class PointCloudSpec extends SparkTestBase {
     assert(faces.select("a").as[Int].collect().toSeq.sorted == Seq(10, 20, 30))
   }
 
+  test("header stats make a small point-cloud table broadcastable") {
+    val dir = tmpDir("stats")
+    samplePoints.limit(500).coalesce(1).writeLas(dir)
+    val pc = spark.read.las(dir)
+    val big = Tables.lineitem(spark, sfDir)
+      .select(($"l_orderkey" % 1000).cast("int").as("x"), $"l_quantity")
+    val joined = big.join(pc.select("x", "intensity"), "x")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("SchemaMerge widening rules") {
     import SchemaMerge._
     assert(mergeType(IntegerType, LongType) == LongType)
