@@ -75,6 +75,20 @@ object OpsQueries {
       .sort($"rep", $"member")
   }
 
+  /** dd08: the curated corpus — documents minus non-representative
+    * near-dup cluster members (anti join against dd07's clusters). This
+    * is the artifact a training-data pipeline actually ships. */
+  private val dd08: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.8)
+    val dropped = Dedup.connectedComponents(pairs)
+      .filter($"member" =!= $"rep")
+      .select($"member")
+    docs.join(dropped, docs("doc_id") === dropped("member"), "left_anti")
+      .select($"doc_id", $"lang", $"source")
+      .sort($"doc_id")
+  }
+
   // ----------------------------------------------------- similarity search
 
   /** ss01: brute-force cosine top-10 neighbors of vec 0 (declarative:
@@ -176,6 +190,7 @@ object OpsQueries {
     "dd05_simhash" -> dd05,
     "dd06_embedding_cosine" -> dd06,
     "dd07_dedup_clusters" -> dd07,
+    "dd08_dedup_filtered" -> dd08,
     "ss01_cosine_topk" -> ss01,
     "ss02_lsh_histogram" -> ss02,
     "ss03_ann_topk" -> ss03,
@@ -272,6 +287,26 @@ object OpsQueries {
        |)
        |SELECT MIN(label) AS rep, id AS member FROM reach
        |GROUP BY id ORDER BY rep, member""".stripMargin
+
+  /** dd08: the kept corpus after dropping non-representative members. */
+  private val dd08Oracle: String =
+    s"""WITH RECURSIVE ${minhashCtes(0.8)},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM verified
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM verified
+       |),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.label FROM reach r JOIN edges e ON e.dst = r.id
+       |),
+       |clusters AS (
+       |  SELECT MIN(label) AS rep, id AS member FROM reach GROUP BY id
+       |)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT member FROM clusters WHERE member <> rep)
+       |ORDER BY doc_id""".stripMargin
 
   private val dd04Oracle: String = {
     // mirrors blockedJaccardPairs: distinct hash sets, integer size-ratio
@@ -431,6 +466,7 @@ object OpsQueries {
     // dd05_simhash: intentionally no oracle (rows-only check)
     "dd06_embedding_cosine" -> dd06Oracle,
     "dd07_dedup_clusters" -> dd07Oracle,
+    "dd08_dedup_filtered" -> dd08Oracle,
     "ss01_cosine_topk" -> ss01Oracle,
     "ss02_lsh_histogram" -> ss02Oracle,
     "ss03_ann_topk" -> ss03Oracle,
