@@ -129,37 +129,53 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
-  /** Exact n-gram-Jaccard near-dup pairs with length-bucket blocking:
-    * only docs whose `floor(length/64)` buckets match are compared —
-    * the deterministic, oracle-reproducible stand-in for a full
-    * quadratic scan (the LSH variant is the at-scale path). */
-  def blockedJaccardPairs(
+  /** EXACT all-pairs n-gram-Jaccard join via prefix filtering (the
+    * AllPairs/PPJoin candidate scheme — public algorithm): with shingle
+    * hashes in a canonical ascending order, any pair with Jaccard ≥ t
+    * must share at least one element of each side's prefix of length
+    * `|X| - ceil(t·|X|) + 1`, so joining on exploded prefixes is a
+    * COMPLETE candidate generator — no blocking recall loss. Candidates
+    * then pass an integer size-ratio prune and one allocation-free
+    * sorted merge-count verification.
+    *
+    * Scales as Σ|prefix| exploded rows (≈ (1-t)·corpus shingles) through
+    * one equi-join shuffle — the exact-dedup counterpart of the MinHash
+    * path, with the same plan shape at 100 TB.
+    */
+  def allPairsJaccard(
       df: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double): DataFrame = {
-    // per-row once: distinct sorted hash array + its size; per-pair: a
-    // size-ratio prune (jaccard ≥ t ⟹ min·1/t ≥ max, exact integer
-    // arithmetic) and one allocation-free sorted merge-count
     val pct = math.round(threshold * 10).toInt // threshold as tenths
     val base = df
-      .select(col(idCol).as("id"), (length(col(textCol)) / 64).cast("int").as("blk"),
+      .select(col(idCol).as("id"),
         array_sort(array_distinct(shingleHashes(col(textCol)))).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("cnt", size(col("sh")))
-    val inter = graft.functions.exprs.sorted_intersect_count(col("a.sh"), col("b.sh"))
-    val j = inter.cast("double") / (col("a.cnt") + col("b.cnt") - inter)
-    // the jaccard threshold rides INSIDE the join condition as the LAST
-    // conjunct: a trailing .filter would be pushed into the condition
-    // ahead of the cheap prunes, making the merge-count run for every
-    // same-block pair instead of only ratio-compatible ones
-    base.as("a")
-      .join(base.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
-          col("a.cnt") * 10 >= col("b.cnt") * pct &&
-          col("b.cnt") * 10 >= col("a.cnt") * pct &&
+
+    // prefix length = cnt - ceil(t*cnt) + 1
+    val prefix = base.select(col("id"), col("cnt"),
+      slice(col("sh"), lit(1),
+        col("cnt") - ceil(col("cnt") * threshold).cast("int") + lit(1)).as("pref"))
+      .select(col("id"), explode(col("pref")).as("tok"))
+
+    val candidates = prefix.as("pa")
+      .join(prefix.as("pb"),
+        col("pa.tok") === col("pb.tok") && col("pa.id") < col("pb.id"))
+      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
+      .distinct()
+
+    val inter = graft.functions.exprs.sorted_intersect_count(col("sa.sh"), col("sb.sh"))
+    val j = inter.cast("double") / (col("sa.cnt") + col("sb.cnt") - inter)
+    candidates
+      .join(base.as("sa"), col("id_a") === col("sa.id"))
+      .join(base.as("sb"),
+        col("id_b") === col("sb.id") &&
+          col("sa.cnt") * 10 >= col("sb.cnt") * pct &&
+          col("sb.cnt") * 10 >= col("sa.cnt") * pct &&
           j >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), j.as("j"))
+      .select(col("id_a"), col("id_b"), j.as("j"))
   }
 
   /** SimHash near-dup pairs: 64-bit simhash per doc (native expression),

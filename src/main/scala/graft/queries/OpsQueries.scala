@@ -48,9 +48,10 @@ object OpsQueries {
       .select($"id_a", $"id_b", round($"j", 4).as("j"))
       .sort($"id_a", $"id_b")
 
-  /** dd04: exact n-gram-Jaccard pairs ≥ 0.9 with length-bucket blocking. */
+  /** dd04: EXACT all-pairs n-gram-Jaccard ≥ 0.9 via prefix filtering
+    * (complete candidates, so the oracle is plain brute force). */
   private val dd04: Q = (s, d) =>
-    Dedup.blockedJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.9)
+    Dedup.allPairsJaccard(Tables.documents(s, d), "doc_id", "text", 0.9)
       .select($"id_a", $"id_b", round($"j", 4).as("j"))
       .sort($"id_a", $"id_b")
 
@@ -186,7 +187,7 @@ object OpsQueries {
     "dd01_exact_dedup" -> dd01,
     "dd02_prefix_dedup" -> dd02,
     "dd03_minhash_lsh" -> dd03,
-    "dd04_blocked_jaccard" -> dd04,
+    "dd04_exact_jaccard" -> dd04,
     "dd05_simhash" -> dd05,
     "dd06_embedding_cosine" -> dd06,
     "dd07_dedup_clusters" -> dd07,
@@ -309,21 +310,18 @@ object OpsQueries {
        |ORDER BY doc_id""".stripMargin
 
   private val dd04Oracle: String = {
-    // mirrors blockedJaccardPairs: distinct hash sets, integer size-ratio
-    // prune, jaccard = inter / (cnt_a + cnt_b - inter)
+    // Spark finds the pairs with a complete prefix-filter candidate
+    // scheme, so brute force over all pairs is the oracle
     val inter = "len(list_intersect(a.hh, b.hh))"
     val j = s"$inter * 1.0 / (a.cnt + b.cnt - $inter)"
     s"""WITH $sqlDocsShingles,
-       |blocked AS (
-       |  SELECT d.id, CAST(length(t.text) // 64 AS INT) AS blk,
-       |         list_distinct(list_transform(d.sh, s -> ${sqlRollingHash("s")})) AS hh,
-       |         len(list_distinct(list_transform(d.sh, s -> ${sqlRollingHash("s")}))) AS cnt
-       |  FROM docs d JOIN documents t ON d.id = t.doc_id
-       |)
+       |hh AS (
+       |  SELECT id, list_distinct(list_transform(sh, s -> ${sqlRollingHash("s")})) AS hh
+       |  FROM docs
+       |),
+       |sized AS (SELECT id, hh, len(hh) AS cnt FROM hh)
        |SELECT a.id AS id_a, b.id AS id_b, ROUND($j, 4) AS j
-       |FROM blocked a JOIN blocked b
-       |  ON a.blk = b.blk AND a.id < b.id
-       | AND a.cnt * 10 >= b.cnt * 9 AND b.cnt * 10 >= a.cnt * 9
+       |FROM sized a JOIN sized b ON a.id < b.id
        |WHERE $j >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
   }
@@ -462,7 +460,7 @@ object OpsQueries {
       ("SELECT array_to_string(string_split(text, ' ')[1:2], ' ') AS k, MIN(doc_id) AS keep_id, COUNT(*) AS dups " +
         "FROM documents GROUP BY 1 ORDER BY keep_id LIMIT 200"),
     "dd03_minhash_lsh" -> dd03Oracle,
-    "dd04_blocked_jaccard" -> dd04Oracle,
+    "dd04_exact_jaccard" -> dd04Oracle,
     // dd05_simhash: intentionally no oracle (rows-only check)
     "dd06_embedding_cosine" -> dd06Oracle,
     "dd07_dedup_clusters" -> dd07Oracle,
