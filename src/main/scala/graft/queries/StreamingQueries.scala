@@ -50,9 +50,29 @@ object StreamingQueries {
       .sort("user_id", "start_us")
   }
 
+  /** st03: Spark's native session_window aggregation (complete mode —
+    * no watermark needed, all sessions emit). A session's end is the
+    * last event time + gap; events merge while strictly inside the
+    * previous window, so the oracle breaks on `ts - prev >= gap`. */
+  private val st03: Q = (s, d) => {
+    val stream = EventStreams.readEventStream(s, d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+    val out = runToCompletion(agg, "graft_st03", "complete")
+    out.select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n"), col("sv"))
+      .sort("user_id", "start_us")
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_windowed_stream" -> st01,
     "st02_sessionization" -> st02,
+    "st03_session_window" -> st03,
   )
 
   val oracle: Map[String, String] = Map(
@@ -82,6 +102,25 @@ object StreamingQueries {
         |)
         |SELECT user_id, start_us, end_us, n_events, total_value
         |FROM r WHERE rn > 1
+        |ORDER BY user_id, start_us""".stripMargin,
+    "st03_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM e
+        |)
+        |SELECT user_id,
+        |  epoch_us(MIN(ts)) AS start_us,
+        |  epoch_us(MAX(ts)) + 1800000000 AS end_us,
+        |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+        |FROM g GROUP BY user_id, grp
         |ORDER BY user_id, start_us""".stripMargin,
   )
 }
