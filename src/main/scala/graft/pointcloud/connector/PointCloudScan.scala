@@ -27,7 +27,8 @@ class PointCloudScanBuilder(
     kind: FormatKind,
     resolved: ResolvedPointCloud,
     tableSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    provider: PointCloudProvider = null)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
@@ -165,7 +166,7 @@ class PointCloudScanBuilder(
         if (skipFilters.isEmpty) resolved
         else resolved.copy(sections =
           resolved.sections.filter(sectionMayMatch(_, skipFilters)))
-      new PointCloudScan(kind, pruned, readSchema, tableSchema, options)
+      new PointCloudScan(kind, pruned, readSchema, tableSchema, options, provider)
   }
 }
 
@@ -201,8 +202,18 @@ class PointCloudScan(
     resolved: ResolvedPointCloud,
     schema: StructType,
     tableSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    provider: PointCloudProvider = null)
   extends Scan with Batch with SupportsReportStatistics {
+
+  /** Streaming ingest: new files in the directory become micro-batches
+    * (SURVEY §7.7). Binary formats only — XYZ text has no header count. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(kind != FormatKind.Xyz, "XYZ streaming is not supported")
+    require(provider != null, "streaming requires the owning provider")
+    new PointCloudMicroBatchStream(kind, provider, schema, options, checkpointLocation)
+  }
 
   /** Header-derived stats (exact row counts, on-disk bytes) so Catalyst
     * sizes joins correctly — a small LAS/PLY table becomes broadcastable

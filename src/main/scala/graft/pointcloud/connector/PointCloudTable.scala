@@ -119,8 +119,13 @@ abstract class PointCloudProvider extends TableProvider
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val r = resolve(options)
-    new PointCloudTable(kind, r, schema, options)
+    new PointCloudTable(kind, r, schema, options, this)
   }
+
+  /** Per-file sections for the streaming source (header read per batch). */
+  private[connector] def streamSections(path: String,
+      options: CaseInsensitiveStringMap): Seq[Section] =
+    readSections(path, options, new Configuration()).map(_._1)
 }
 
 class LasProvider extends PointCloudProvider {
@@ -205,7 +210,8 @@ class PointCloudTable(
     val kind: FormatKind,
     val resolved: ResolvedPointCloud,
     tableSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    provider: PointCloudProvider)
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String =
@@ -214,13 +220,13 @@ class PointCloudTable(
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
     new PointCloudScanBuilder(kind, resolved, tableSchema,
       new CaseInsensitiveStringMap(
-        (options.asScala ++ scanOptions.asScala).toMap.asJava))
+        (options.asScala ++ scanOptions.asScala).toMap.asJava), provider)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PointCloudWriteBuilder(kind, options, info)

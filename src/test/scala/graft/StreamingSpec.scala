@@ -65,6 +65,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("LAS directory streams: new files arrive as new micro-batches") {
+    import graft.pointcloud.syntax._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lasstream").toString
+    def pts(lo: Int) = spark.range(100).select(
+      ($"id" + lo).cast("int").as("x"), lit(0).cast("int").as("y"),
+      lit(0).cast("int").as("z"), lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"), lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"), lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    pts(0).coalesce(1).writeLas(dir)
+
+    val stream = spark.readStream.format("las").load(dir)
+      .select("x", "pid")
+    val q = stream.writeStream.format("memory")
+      .queryName("las_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("las_stream").count() == 100)
+      // a new file arriving in the directory becomes the next micro-batch
+      val dir2 = java.nio.file.Files.createTempDirectory("graft-lasstream2").toString
+      pts(1000).coalesce(1).writeLas(dir2)
+      val newFile = new java.io.File(dir2).listFiles().find(_.getName.endsWith(".las")).get
+      java.nio.file.Files.copy(newFile.toPath,
+        java.nio.file.Paths.get(dir, "zz-" + newFile.getName))
+      q.processAllAvailable()
+      assert(spark.table("las_stream").count() == 200)
+      assert(spark.table("las_stream").agg(max("x")).head().getInt(0) == 1099)
+    } finally q.stop()
+  }
+
   test("windowed stream over events matches a batch group-by") {
     val stream = EventStreams.windowedCounts(
       EventStreams.readEventStream(spark, sfDir), "1 hour")
