@@ -233,6 +233,21 @@ class PointCloudSpec extends SparkTestBase {
     assert(faces.select("a").as[Int].collect().toSeq.sorted == Seq(10, 20, 30))
   }
 
+  test("user-supplied schema overrides inference (widened read)") {
+    val dir = tmpDir("userschema")
+    samplePoints.writePly(dir)
+    // request x as LONG and only a subset of columns
+    val schema = StructType(Seq(
+      StructField("fid", IntegerType, nullable = false),
+      StructField("pid", LongType, nullable = false),
+      StructField("x", LongType, nullable = false),
+      StructField("intensity", ShortType, nullable = false)))
+    val df = spark.read.schema(schema).ply(dir)
+    assert(df.schema("x").dataType == LongType)
+    assert(df.agg(sum("x")).as[Long].head() ==
+      samplePoints.agg(sum($"x".cast("long"))).as[Long].head())
+  }
+
   test("header stats make a small point-cloud table broadcastable") {
     val dir = tmpDir("stats")
     samplePoints.limit(500).coalesce(1).writeLas(dir)
