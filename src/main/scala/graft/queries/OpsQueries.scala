@@ -131,6 +131,20 @@ object OpsQueries {
       .select($"vec_id", round($"sim", 4).as("sim"))
   }
 
+  /** ss04: IVF ANN top-5 — k-means coarse quantizer (seeded,
+    * deterministic), probing the 2 nearest cells. Rows-only check
+    * (k-means is not SQL-expressible); semantics pinned by OpsSpec. */
+  private val ss04: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")))
+      .collect().head.getSeq[Double](0)
+    val model = Similarity.ivfModel(e.filter($"vec_id" =!= 0), "embedding", 8)
+    Similarity.ivfTopK(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        model, qv, 5, nProbe = 2)
+      .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
+  }
+
   // --------------------------------------------------------- text analysis
 
   /** tx01: per-language token statistics (whitespace + BPE-ish counts). */
@@ -195,6 +209,7 @@ object OpsQueries {
     "ss01_cosine_topk" -> ss01,
     "ss02_lsh_histogram" -> ss02,
     "ss03_ann_topk" -> ss03,
+    "ss04_ivf_topk" -> ss04,
     "tx01_token_stats" -> tx01,
     "tx02_quality_score" -> tx02,
     "tx03_langid" -> tx03,

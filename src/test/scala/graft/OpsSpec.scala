@@ -77,6 +77,23 @@ class OpsSpec extends SparkTestBase {
       (10L, 10L), (10L, 11L), (20L, 20L), (20L, 21L)))
   }
 
+  test("IVF ANN: probe cells cover the query's neighborhood consistently") {
+    val qv = embs.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")))
+      .as[Seq[Double]].head()
+    val model = Similarity.ivfModel(embs.filter($"vec_id" =!= 0), "embedding", 8)
+    val ivf = Similarity.ivfTopK(embs.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", model, qv, 5, nProbe = 2)
+      .select("id").as[Long].collect()
+    assert(ivf.nonEmpty)
+    // IVF hits must be ranked consistently with brute force
+    val brute = Similarity.bruteForceTopK(embs.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", qv, 100).select("id").as[Long].collect()
+    val pos = brute.zipWithIndex.toMap
+    val inBrute = ivf.filter(pos.contains)
+    assert(inBrute.map(pos) sameElements inBrute.map(pos).sorted)
+  }
+
   test("exact dedup keeps the minimal id and counts group sizes") {
     val out = Dedup.exactDedup(
       Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t"), "id", $"t")

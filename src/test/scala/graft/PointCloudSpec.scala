@@ -233,6 +233,20 @@ class PointCloudSpec extends SparkTestBase {
     assert(faces.select("a").as[Int].collect().toSeq.sorted == Seq(10, 20, 30))
   }
 
+  test("LAS multi-format read merges fmt0 and fmt1 files") {
+    val dir1 = tmpDir("fmt0")
+    val dir2 = tmpDir("fmt1")
+    samplePoints.coalesce(1).writeLas(dir1)                       // format 0
+    samplePoints.withColumn("time", ($"x" * 0.5).cast("double"))
+      .coalesce(1).writeLas(dir2)                                 // format 1
+    val back = spark.read.las(dir1, dir2)
+    assert(back.count() == 20000)
+    assert(back.schema("time").nullable)
+    // fmt0 rows surface null time; fmt1 rows carry it
+    assert(back.where($"time".isNull).count() == 10000)
+    assert(back.where($"time".isNotNull).count() == 10000)
+  }
+
   test("user-supplied schema overrides inference (widened read)") {
     val dir = tmpDir("userschema")
     samplePoints.writePly(dir)
