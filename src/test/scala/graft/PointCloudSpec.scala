@@ -274,6 +274,19 @@ class PointCloudSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("empty frames round-trip: zero-point files parse and scan") {
+    val lasDir = tmpDir("emptylas")
+    val plyDir = tmpDir("emptyply")
+    val empty = samplePoints.filter(lit(false))
+    empty.coalesce(1).writeLas(lasDir)
+    empty.coalesce(1).writePly(plyDir)
+    assert(spark.read.las(lasDir).count() == 0)
+    assert(spark.read.ply(plyDir).count() == 0)
+    // aggregates over the empty table behave like SQL expects
+    val r = spark.read.las(lasDir).agg(count(lit(1)), min("x")).collect().head
+    assert(r.getLong(0) == 0 && r.isNullAt(1))
+  }
+
   test("SchemaMerge widening rules") {
     import SchemaMerge._
     assert(mergeType(IntegerType, LongType) == LongType)
