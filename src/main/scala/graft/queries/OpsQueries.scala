@@ -197,6 +197,27 @@ object OpsQueries {
       .limit(100)
   }
 
+  /** tx05: character-bigram frequency profile — the n-gram statistics
+    * layer under language/quality heuristics. */
+  private val tx05: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(transform(
+        sequence(lit(1), length($"text") - 1),
+        i => $"text".substr(i, lit(2)))).as("bg"))
+      .groupBy($"bg")
+      .agg(count(lit(1)).as("n"))
+      .sort($"n".desc, $"bg")
+      .limit(20)
+
+  /** mm02: frame-sampling pipeline — every 10th document's payload,
+    * aggregated per language (the video frame-sample shape on rows). */
+  private val mm02: Q = (s, d) =>
+    Multimodal.sampleEvery(Tables.documents(s, d), "doc_id", 10)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum(length($"text").cast("bigint")).as("bytes"))
+      .sort($"lang")
+
   val queries: Map[String, Q] = Map(
     "dd01_exact_dedup" -> dd01,
     "dd02_prefix_dedup" -> dd02,
@@ -214,7 +235,9 @@ object OpsQueries {
     "tx02_quality_score" -> tx02,
     "tx03_langid" -> tx03,
     "tx04_fingerprint" -> tx04,
+    "tx05_char_ngrams" -> tx05,
     "mm01_multimodal_stub" -> mm01,
+    "mm02_frame_sampling" -> mm02,
   )
 
   // ------------------------------------------------------------- oracles
@@ -487,6 +510,13 @@ object OpsQueries {
     "tx02_quality_score" -> tx02Oracle,
     "tx03_langid" -> tx03Oracle,
     "tx04_fingerprint" -> tx04Oracle,
+    "tx05_char_ngrams" ->
+      ("SELECT bg, COUNT(*) AS n FROM (SELECT unnest([substring(text, i, 2) " +
+        "FOR i IN generate_series(1, length(text) - 1)]) AS bg FROM documents) " +
+        "GROUP BY bg ORDER BY n DESC, bg LIMIT 20"),
     "mm01_multimodal_stub" -> mm01Oracle,
+    "mm02_frame_sampling" ->
+      ("SELECT lang, COUNT(*) AS n, SUM(CAST(length(text) AS BIGINT)) AS bytes " +
+        "FROM documents WHERE doc_id % 10 = 0 GROUP BY lang ORDER BY lang"),
   )
 }
