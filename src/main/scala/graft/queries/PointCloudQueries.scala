@@ -105,11 +105,41 @@ object PointCloudQueries {
       min($"z").as("mnz"), max($"z").as("mxz"))
   }
 
+  /** Cross-format interop: parquet → LAS (scaled ints) → read →
+    * reconstruct world coordinates from header metadata → PLY → read →
+    * aggregate. Every hop is a different codec; the oracle computes the
+    * same numbers straight from the parquet source, so a hash match
+    * proves the whole chain is lossless. */
+  private val pc05: Q = (s, d) => {
+    import graft.pointcloud.syntax
+    val pts = Tables.lineitem(s, d).select(
+      ($"l_orderkey" % 1000000).cast("int").as("x"),
+      ($"l_partkey" % 1000000).cast("int").as("y"),
+      ($"l_suppkey" % 1000000).cast("int").as("z"),
+      lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"),
+      lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"),
+      lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    val lasDir = tmpDir("pc05las", d)
+    val plyDir = tmpDir("pc05ply", d)
+    pts.writeLas(lasDir, Map("scale" -> "0.01", "offset" -> "100"))
+    val world = syntax.withCoordinates(s.read.las(lasDir))
+      .select($"x_d".as("xd"), $"y")
+    world.writePly(plyDir)
+    s.read.ply(plyDir).agg(
+      count(lit(1)).as("n"),
+      min($"xd").as("mnd"), max($"xd").as("mxd"),
+      sum($"y".cast("bigint")).as("sy"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pc01_las_roundtrip" -> pc01,
     "pc02_ply_roundtrip" -> pc02,
     "pc03_xyz_roundtrip" -> pc03,
     "pc04_las_header_agg" -> pc04,
+    "pc05_format_interop" -> pc05,
   )
 
   val oracle: Map[String, String] = Map(
@@ -142,6 +172,12 @@ object PointCloudQueries {
         | MAX(CAST(l_partkey % 1000000 AS INT)) AS mxy,
         | MIN(CAST(l_suppkey % 1000000 AS INT)) AS mnz,
         | MAX(CAST(l_suppkey % 1000000 AS INT)) AS mxz
+        |FROM lineitem""".stripMargin,
+    "pc05_format_interop" ->
+      """SELECT COUNT(*) AS n,
+        | MIN(CAST(l_orderkey % 1000000 AS INT)) * 0.01 + 100 AS mnd,
+        | MAX(CAST(l_orderkey % 1000000 AS INT)) * 0.01 + 100 AS mxd,
+        | SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS sy
         |FROM lineitem""".stripMargin,
   )
 }
