@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftglue.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,6 +26,80 @@ object HashUtil {
     val n = str.length
     while (i < n) { h = (h * 31 + str.charAt(i)) % Mod; i += 1 }
     h
+  }
+
+  /** Sorted distinct rolling hashes of all word n-gram shingles, fused:
+    * h(t1 ⧺ ' ' ⧺ t2 ⧺ …) composes from per-token hashes via
+    * h(a ⧺ b) = h(a)·31^|b| + h(b) (mod M), so the whole document costs
+    * O(chars + shingles·n) with zero intermediate shingle strings —
+    * versus the interpreted transform/concat_ws/array_distinct chain
+    * which allocates every shingle. Values are IDENTICAL to hashing the
+    * materialized "t1 t2 t3" strings, so the DuckDB oracle's
+    * char-fold reproduces them exactly. */
+  def shingleHashSet(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    val cnt = m - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Long])
+    // per-token hash and 31^length (mod M)
+    val th = new Array[Long](m)
+    val tp = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val t = tokens.getUTF8String(i)
+      val s = if (t == null) "" else t.toString
+      var h = 0L; var p = 1L
+      var k = 0
+      while (k < s.length) { h = (h * 31 + s.charAt(k)) % Mod; p = (p * 31) % Mod; k += 1 }
+      th(i) = h; tp(i) = p
+      i += 1
+    }
+    val hs = new Array[Long](cnt)
+    i = 0
+    while (i < cnt) {
+      var h = th(i)
+      var j = 1
+      while (j < n) {
+        h = (h * 31 + ' ') % Mod          // separator
+        h = (h * tp(i + j) + th(i + j)) % Mod
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place unique
+    var w = 0
+    i = 0
+    while (i < cnt) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** All character n-grams of a string, 1-based substring semantics
+    * identical to `substring(s, i, n)` — fused replacement for the
+    * interpreted transform(sequence(...), substr) chain. */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    val cnt = len - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cnt)
+    var i = 0
+    while (i < cnt) { out(i) = s.substringSQL(i + 1, n); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Count of tokens contained in a fixed set — single codegen pass
+    * instead of an interpreted filter lambda per marker list. */
+  def countInSet(tokens: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = tokens.numElements()
+    var i = 0; var c = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i) && set.contains(tokens.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
   }
 
   /** FNV-1a 64-bit over a string's UTF-8 bytes — the per-token hash
@@ -152,6 +226,63 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_array_dot"
 }
 
+/** shingle_hash_set(array<string>, n): sorted distinct rolling hashes of
+  * the word n-gram shingles (see HashUtil.shingleHashSet). The fused
+  * kernel behind every shingle-based dedup operator. */
+case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName needs ARRAY<STRING>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.shingleHashSet(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.shingleHashSet($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hash_set"
+}
+
+/** char_ngrams(string, n): ArrayType(StringType) — all character n-grams. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.charNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.charNgrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_ngrams"
+}
+
+/** count_in_set(array<string>; fixed set): IntegerType — marker-word /
+  * stopword counting without an interpreted filter lambda. */
+case class CountInSet(child: Expression, values: Seq[String]) extends UnaryExpression {
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    values.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName needs ARRAY<STRING>, got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.countInSet(input.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markerSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.countInSet($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
+    copy(child = newChild)
+  override def prettyName: String = "graft_count_in_set"
+}
+
 /** sorted_intersect_count(array<long>, array<long>): IntegerType.
   * Merge-count of the intersection of two ASCENDING-SORTED long arrays —
   * the zero-allocation kernel for set-similarity joins (Jaccard
@@ -185,4 +316,10 @@ object exprs {
     Bridge.column(ArrayDotProduct(Bridge.expression(a), Bridge.expression(b)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+  def shingle_hash_set(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleHashSet(Bridge.expression(tokens), n))
+  def char_ngrams(s: Column, n: Int): Column =
+    Bridge.column(CharNgrams(Bridge.expression(s), n))
+  def count_in_set(tokens: Column, values: Seq[String]): Column =
+    Bridge.column(CountInSet(Bridge.expression(tokens), values))
 }

@@ -38,10 +38,12 @@ object Dedup {
         i => concat_ws(" ", slice(w, i, lit(n)))))
   }
 
-  /** Polynomial rolling hash of each shingle (graft_rolling_hash — a
-    * native codegen expression, oracle-reproducible in SQL). */
+  /** Sorted distinct polynomial rolling hashes of the text's shingles —
+    * one fused codegen kernel (graft_shingle_hash_set) instead of the
+    * interpreted transform/concat/distinct chain, values identical to
+    * hashing the materialized shingle strings (oracle-reproducible). */
   def shingleHashes(text: Column, n: Int = ShingleSize): Column =
-    transform(shingles(text, n), s => exprs.rolling_hash(s))
+    exprs.shingle_hash_set(tokens(text), n)
 
   /** MinHash signature: for permutation i, min over shingle hashes h of
     * (a_i*h + b_i) mod P — row-local form for small signature counts.
@@ -148,9 +150,9 @@ object Dedup {
       textCol: String,
       threshold: Double): DataFrame = {
     val pct = math.round(threshold * 10).toInt // threshold as tenths
+    // shingleHashes already yields a sorted distinct set
     val base = df
-      .select(col(idCol).as("id"),
-        array_sort(array_distinct(shingleHashes(col(textCol)))).as("sh"))
+      .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("cnt", size(col("sh")))
 

@@ -38,7 +38,7 @@ object TextAnalysis {
       (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
 
   def stopwordCount(text: Column): Column =
-    size(filter(tokens(text), t => t.isin(Stopwords: _*)))
+    exprs.count_in_set(tokens(text), Stopwords)
 
   def stopwordRatio(text: Column): Column =
     stopwordCount(text).cast("double") / tokenCount(text)
@@ -65,7 +65,7 @@ object TextAnalysis {
     * broken by LangMarkers order, 'und' when no marker hits. */
   def langId(text: Column): Column = {
     val counts = LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(tokens(text), t => t.isin(markers: _*)))
+      lang -> exprs.count_in_set(tokens(text), markers)
     }
     val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
     counts.foldRight(lit("und"): Column) { case ((lang, c), acc) =>

@@ -201,9 +201,7 @@ object OpsQueries {
     * layer under language/quality heuristics. */
   private val tx05: Q = (s, d) =>
     Tables.documents(s, d)
-      .select(explode(transform(
-        sequence(lit(1), length($"text") - 1),
-        i => $"text".substr(i, lit(2)))).as("bg"))
+      .select(explode(graft.functions.exprs.char_ngrams($"text", 2)).as("bg"))
       .groupBy($"bg")
       .agg(count(lit(1)).as("n"))
       .sort($"n".desc, $"bg")
