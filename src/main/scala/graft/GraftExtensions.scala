@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{ArrayDotProduct, RollingHash, SimHash64, SortedIntersectCount}
+import graft.functions.{ArrayDotProduct, CharNgrams, RollingHash, ShingleHashSet, SimHash64, SortedIntersectCount}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -48,7 +49,25 @@ object GraftExtensions {
     ("graft_sorted_intersect_count",
       info("graft_sorted_intersect_count",
         "intersection size of two ascending-sorted bigint arrays"),
-      binary(SortedIntersectCount)))
+      binary(SortedIntersectCount)),
+    ("graft_shingle_hash_set",
+      info("graft_shingle_hash_set",
+        "sorted distinct rolling hashes of word n-gram shingles (n literal)"),
+      args => {
+        require(args.length == 2, "expected (tokens, n)")
+        ShingleHashSet(args.head, litInt(args(1)))
+      }),
+    ("graft_char_ngrams",
+      info("graft_char_ngrams", "all character n-grams of a string (n literal)"),
+      args => {
+        require(args.length == 2, "expected (string, n)")
+        CharNgrams(args.head, litInt(args(1)))
+      }))
+
+  private def litInt(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
+  }
 
   /** Register into a live session (temp functions, session-scoped). */
   def registerAll(spark: SparkSession): Unit = {

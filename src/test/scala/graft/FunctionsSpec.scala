@@ -49,6 +49,11 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.getLong(0) == 96354L)
     assert(r.getDouble(1) == 11.0)
     assert(r.getInt(2) == 2)
+    val r2 = spark.sql(
+      "SELECT graft_char_ngrams('abcd', 2) AS ng, " +
+        "graft_shingle_hash_set(array('a','b','c'), 2) AS sh").head()
+    assert(r2.getSeq[String](0) == Seq("ab", "bc", "cd"))
+    assert(r2.getSeq[Long](1).size == 2) // "a b", "b c"
   }
 
   test("simhash64 works on the real documents table") {
