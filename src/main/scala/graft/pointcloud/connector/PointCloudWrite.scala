@@ -79,7 +79,16 @@ class PointCloudBatchWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    fs().delete(new Path(path, s".graft-tmp-$queryId"), true)
+    val f = fs()
+    // tasks that already committed produced final files — a job-level
+    // abort must remove them too, or a failed job leaves partial output
+    messages.foreach {
+      case LasPartMessage(p, _) => f.delete(new Path(p), false)
+      case PlyPartMessage(p, _, _) => f.delete(new Path(p), false)
+      case XyzPartMessage(p, _) => f.delete(new Path(p), false)
+      case _ => // uncommitted tasks surface as nulls
+    }
+    f.delete(new Path(path, s".graft-tmp-$queryId"), true)
   }
 
   /** Single-file PLY commit: merged header (counts summed) + concatenated
