@@ -309,6 +309,16 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum($"k").as("sk"))
       .sort($"event_type")
 
+  /** IQ-29 collect_list aggregation (sorted for determinism, joined to a
+    * string so the oracle compare is scalar). */
+  private val iq29: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(concat_ws(",", sort_array(collect_list($"o_orderkey"))).as("keys"),
+        count(lit(1)).as("n"))
+      .sort($"o_custkey")
+      .limit(100)
+
   val queries: Map[String, Q] = Map(
     "iq01_scan_project" -> iq01,
     "iq02_filter" -> iq02,
@@ -338,6 +348,7 @@ object Relational {
     "iq26_explode" -> iq26,
     "iq27_pivot" -> iq27,
     "iq28_json" -> iq28,
+    "iq29_collect_list" -> iq29,
   )
 
   val oracle: Map[String, String] = Map(
@@ -400,5 +411,7 @@ object Relational {
         " FROM documents GROUP BY source ORDER BY source LIMIT 100"),
     "iq28_json" ->
       "SELECT event_type, COUNT(*) AS n, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sk FROM events GROUP BY event_type ORDER BY event_type",
+    "iq29_collect_list" ->
+      "SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS keys, COUNT(*) AS n FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 100",
   )
 }
