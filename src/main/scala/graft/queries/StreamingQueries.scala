@@ -69,10 +69,35 @@ object StreamingQueries {
       .sort("user_id", "start_us")
   }
 
+  /** st04: stream-stream interval join — purchases correlated to the
+    * same user's signup within 12 hours (watermarks bound the join
+    * state; inner matches emit as found, so a run-to-completion pass
+    * yields exactly the batch join's rows). */
+  private val st04: Q = (s, d) => {
+    val ev = EventStreams.readEventStream(s, d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("ts").as("sts"))
+      .withWatermark("sts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("value"))
+      .withWatermark("pts", "1 hour")
+    val joined = signups.join(purchases,
+      expr("su = pu AND pts >= sts AND pts <= sts + INTERVAL 12 HOURS"))
+    val out = runToCompletion(joined, "graft_st04", "append")
+    out.select(col("su").as("user_id"),
+        unix_micros(col("sts")).as("signup_us"),
+        unix_micros(col("pts")).as("purchase_us"),
+        round(col("value"), 2).as("value"))
+      .sort("user_id", "signup_us", "purchase_us")
+      .limit(500)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_windowed_stream" -> st01,
     "st02_sessionization" -> st02,
     "st03_session_window" -> st03,
+    "st04_stream_join" -> st04,
   )
 
   val oracle: Map[String, String] = Map(
@@ -122,5 +147,14 @@ object StreamingQueries {
         |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
         |FROM g GROUP BY user_id, grp
         |ORDER BY user_id, start_us""".stripMargin,
+    "st04_stream_join" ->
+      """SELECT s.user_id, epoch_us(s.ts) AS signup_us, epoch_us(p.ts) AS purchase_us,
+        |  ROUND(p.value, 2) AS value
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 12 HOUR
+        |ORDER BY s.user_id, signup_us, purchase_us
+        |LIMIT 500""".stripMargin,
   )
 }
