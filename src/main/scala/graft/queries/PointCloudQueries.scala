@@ -134,12 +134,51 @@ object PointCloudQueries {
       sum($"y".cast("bigint")).as("sy"))
   }
 
+  /** Voxel-grid downsampling over a real LAS read: one row per occupied
+    * 1000-unit voxel with count + centroid. */
+  private val pc06: Q = (s, d) => {
+    import graft.pointcloud.PointCloudOps
+    val pts = Tables.lineitem(s, d).select(
+      ($"l_orderkey" % 1000000).cast("int").as("x"),
+      ($"l_partkey" % 1000000).cast("int").as("y"),
+      ($"l_suppkey" % 1000000).cast("int").as("z"),
+      lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"),
+      lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"),
+      lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    val dir = tmpDir("pc06", d)
+    pts.writeLas(dir)
+    PointCloudOps.voxelDownsample(s.read.las(dir), "x", "y", "z", 1000.0)
+      .select($"vx", $"vy", $"vz", $"n",
+        round($"cx", 2).as("cx"), round($"cy", 2).as("cy"), round($"cz", 2).as("cz"))
+      .sort($"vx", $"vy", $"vz")
+      .limit(500)
+  }
+
+  /** Grid-cell radius neighbor join (complete 3×3-cell candidates +
+    * exact distance filter) — oracle is the brute-force quadratic scan. */
+  private val pc07: Q = (s, d) => {
+    import graft.pointcloud.PointCloudOps
+    val pts = Tables.part(s, d).select(
+      $"p_partkey".as("id"),
+      ($"p_partkey" % 97).cast("double").as("px"),
+      ($"p_partkey" % 89).cast("double").as("py"))
+    PointCloudOps.radiusJoin(pts, "id", "px", "py", 1.5)
+      .select($"id_a", $"id_b", round($"dist", 4).as("dist"))
+      .sort($"id_a", $"id_b")
+      .limit(1000)
+  }
+
   val queries: Map[String, Q] = Map(
     "pc01_las_roundtrip" -> pc01,
     "pc02_ply_roundtrip" -> pc02,
     "pc03_xyz_roundtrip" -> pc03,
     "pc04_las_header_agg" -> pc04,
     "pc05_format_interop" -> pc05,
+    "pc06_voxel_downsample" -> pc06,
+    "pc07_radius_join" -> pc07,
   )
 
   val oracle: Map[String, String] = Map(
@@ -179,5 +218,27 @@ object PointCloudQueries {
         | MAX(CAST(l_orderkey % 1000000 AS INT)) * 0.01 + 100 AS mxd,
         | SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS sy
         |FROM lineitem""".stripMargin,
+    "pc06_voxel_downsample" ->
+      """SELECT CAST(floor(CAST(l_orderkey % 1000000 AS DOUBLE) / 1000.0) AS BIGINT) AS vx,
+        |  CAST(floor(CAST(l_partkey % 1000000 AS DOUBLE) / 1000.0) AS BIGINT) AS vy,
+        |  CAST(floor(CAST(l_suppkey % 1000000 AS DOUBLE) / 1000.0) AS BIGINT) AS vz,
+        |  COUNT(*) AS n,
+        |  ROUND(AVG(CAST(l_orderkey % 1000000 AS DOUBLE)), 2) AS cx,
+        |  ROUND(AVG(CAST(l_partkey % 1000000 AS DOUBLE)), 2) AS cy,
+        |  ROUND(AVG(CAST(l_suppkey % 1000000 AS DOUBLE)), 2) AS cz
+        |FROM lineitem
+        |GROUP BY vx, vy, vz ORDER BY vx, vy, vz LIMIT 500""".stripMargin,
+    "pc07_radius_join" ->
+      """WITH pts AS (
+        |  SELECT p_partkey AS id,
+        |    CAST(p_partkey % 97 AS DOUBLE) AS px,
+        |    CAST(p_partkey % 89 AS DOUBLE) AS py
+        |  FROM part
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  ROUND(sqrt((a.px-b.px)*(a.px-b.px) + (a.py-b.py)*(a.py-b.py)), 4) AS dist
+        |FROM pts a JOIN pts b ON a.id < b.id
+        |WHERE (a.px-b.px)*(a.px-b.px) + (a.py-b.py)*(a.py-b.py) <= 2.25
+        |ORDER BY id_a, id_b LIMIT 1000""".stripMargin,
   )
 }
