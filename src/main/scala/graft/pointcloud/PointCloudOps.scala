@@ -30,6 +30,35 @@ object PointCloudOps {
         avg(col(yCol).cast("double")).as("cy"),
         avg(col(zCol).cast("double")).as("cz"))
 
+  /** Per-voxel covariance statistics — the local-structure foundation of
+    * dimensionality-based point-cloud features (linearity / planarity /
+    * scatter come from this matrix's eigenvalues; cf. the rendering
+    * pipeline the reference cites, README.md:62-67). One hash-aggregate
+    * shuffle; cov(a,b) = (Σab − Σa·Σb/n)/n computed from exact integer
+    * sums. */
+  def voxelCovariance(df: DataFrame, xCol: String, yCol: String, zCol: String,
+      voxelSize: Double): DataFrame = {
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val z = col(zCol).cast("double")
+    def cov(sab: Column, sa: Column, sb: Column, n: Column): Column =
+      (sab - sa * sb / n) / n
+    df.groupBy(
+        voxelKey(col(xCol), voxelSize).as("vx"),
+        voxelKey(col(yCol), voxelSize).as("vy"),
+        voxelKey(col(zCol), voxelSize).as("vz"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(z).as("sz"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(z * z).as("szz"),
+        sum(x * y).as("sxy"), sum(x * z).as("sxz"), sum(y * z).as("syz"))
+      .select(col("vx"), col("vy"), col("vz"), col("n"),
+        cov(col("sxx"), col("sx"), col("sx"), col("n")).as("cxx"),
+        cov(col("syy"), col("sy"), col("sy"), col("n")).as("cyy"),
+        cov(col("szz"), col("sz"), col("sz"), col("n")).as("czz"),
+        cov(col("sxy"), col("sx"), col("sy"), col("n")).as("cxy"),
+        cov(col("sxz"), col("sx"), col("sz"), col("n")).as("cxz"),
+        cov(col("syz"), col("sy"), col("sz"), col("n")).as("cyz"))
+  }
+
   /** Radius neighbor join in the XY plane: pairs of points within
     * `radius`, found by joining on 3×3 adjacent grid cells of edge
     * `radius` (complete: two points within r always fall in the same or

@@ -171,6 +171,24 @@ object PointCloudQueries {
       .limit(1000)
   }
 
+  /** Per-voxel covariance (local-structure features). Sums of integer
+    * products stay exact in doubles (< 2^53), so values hash-match the
+    * oracle bit-for-bit modulo the final division + round. */
+  private val pc08: Q = (s, d) => {
+    import graft.pointcloud.PointCloudOps
+    val pts = Tables.lineitem(s, d).select(
+      ($"l_orderkey" % 1000).cast("int").as("x"),
+      ($"l_partkey" % 1000).cast("int").as("y"),
+      ($"l_suppkey" % 100).cast("int").as("z"))
+    PointCloudOps.voxelCovariance(pts, "x", "y", "z", 250.0)
+      .select($"vx", $"vy", $"vz", $"n",
+        round($"cxx", 2).as("cxx"), round($"cyy", 2).as("cyy"),
+        round($"czz", 2).as("czz"), round($"cxy", 2).as("cxy"),
+        round($"cxz", 2).as("cxz"), round($"cyz", 2).as("cyz"))
+      .sort($"vx", $"vy", $"vz")
+      .limit(200)
+  }
+
   val queries: Map[String, Q] = Map(
     "pc01_las_roundtrip" -> pc01,
     "pc02_ply_roundtrip" -> pc02,
@@ -179,6 +197,7 @@ object PointCloudQueries {
     "pc05_format_interop" -> pc05,
     "pc06_voxel_downsample" -> pc06,
     "pc07_radius_join" -> pc07,
+    "pc08_voxel_covariance" -> pc08,
   )
 
   val oracle: Map[String, String] = Map(
@@ -240,5 +259,24 @@ object PointCloudQueries {
         |FROM pts a JOIN pts b ON a.id < b.id
         |WHERE (a.px-b.px)*(a.px-b.px) + (a.py-b.py)*(a.py-b.py) <= 2.25
         |ORDER BY id_a, id_b LIMIT 1000""".stripMargin,
+    "pc08_voxel_covariance" -> {
+      val ax = "CAST(l_orderkey % 1000 AS DOUBLE)"
+      val ay = "CAST(l_partkey % 1000 AS DOUBLE)"
+      val az = "CAST(l_suppkey % 100 AS DOUBLE)"
+      def cov(ab: String, a: String, b: String) =
+        s"ROUND((SUM($ab) - SUM($a) * SUM($b) / COUNT(*)) / COUNT(*), 2)"
+      s"""SELECT CAST(floor($ax / 250.0) AS BIGINT) AS vx,
+         |  CAST(floor($ay / 250.0) AS BIGINT) AS vy,
+         |  CAST(floor($az / 250.0) AS BIGINT) AS vz,
+         |  COUNT(*) AS n,
+         |  ${cov(s"$ax * $ax", ax, ax)} AS cxx,
+         |  ${cov(s"$ay * $ay", ay, ay)} AS cyy,
+         |  ${cov(s"$az * $az", az, az)} AS czz,
+         |  ${cov(s"$ax * $ay", ax, ay)} AS cxy,
+         |  ${cov(s"$ax * $az", ax, az)} AS cxz,
+         |  ${cov(s"$ay * $az", ay, az)} AS cyz
+         |FROM lineitem
+         |GROUP BY vx, vy, vz ORDER BY vx, vy, vz LIMIT 200""".stripMargin
+    },
   )
 }
