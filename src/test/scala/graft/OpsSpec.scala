@@ -94,6 +94,22 @@ class OpsSpec extends SparkTestBase {
     assert(inBrute.map(pos) sameElements inBrute.map(pos).sorted)
   }
 
+  test("grid radius join finds exactly the brute-force pairs") {
+    import graft.pointcloud.PointCloudOps
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 400).map(i =>
+      (i.toLong, rnd.nextDouble() * 50, rnd.nextDouble() * 50))
+      .toDF("id", "px", "py")
+    val grid = PointCloudOps.radiusJoin(pts, "id", "px", "py", 2.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = pts.as("a").join(pts.as("b"), $"a.id" < $"b.id")
+      .where(($"a.px" - $"b.px") * ($"a.px" - $"b.px") +
+        ($"a.py" - $"b.py") * ($"a.py" - $"b.py") <= 4.0)
+      .select($"a.id", $"b.id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(grid == brute, s"missing=${brute -- grid} spurious=${grid -- brute}")
+  }
+
   test("exact dedup keeps the minimal id and counts group sizes") {
     val out = Dedup.exactDedup(
       Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t"), "id", $"t")
