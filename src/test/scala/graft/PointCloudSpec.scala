@@ -287,6 +287,18 @@ class PointCloudSpec extends SparkTestBase {
     assert(r.getLong(0) == 0 && r.isNullAt(1))
   }
 
+  test("unreadable files are skipped with a warning, valid ones read") {
+    val dir = tmpDir("badfile")
+    samplePoints.coalesce(1).writeLas(dir)
+    // a corrupt .las (wrong signature) and a truncated one
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "corrupt.las"),
+      "NOTALASFILE-JUNKJUNKJUNK".getBytes ++ new Array[Byte](300))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "truncated.las"),
+      "LASF".getBytes ++ new Array[Byte](10))
+    val back = spark.read.las(dir)
+    assert(back.count() == 10000) // only the valid file's points
+  }
+
   test("SchemaMerge widening rules") {
     import SchemaMerge._
     assert(mergeType(IntegerType, LongType) == LongType)
