@@ -299,6 +299,34 @@ class PointCloudSpec extends SparkTestBase {
     assert(back.count() == 10000) // only the valid file's points
   }
 
+  test("writer options: explicit lasformat, 1.4 header, ply element name") {
+    // explicit format 2 adds zero-filled rgb columns
+    val dir1 = tmpDir("optfmt")
+    samplePoints.coalesce(1).writeLas(dir1, Map("lasformat" -> "2"))
+    val f2 = spark.read.las(dir1)
+    assert(f2.columns.contains("red"))
+    assert(f2.where($"red" =!= 0).count() == 0)
+    assert(f2.count() == 10000)
+
+    // minor=4 → 375-byte header, still a clean round trip
+    val dir2 = tmpDir("opt14")
+    samplePoints.coalesce(1).writeLas(dir2, Map("minor" -> "4"))
+    val h = {
+      val f = new java.io.File(dir2).listFiles().find(_.getName.endsWith(".las")).get
+      val in = new java.io.FileInputStream(f)
+      try graft.pointcloud.las.LasHeader.read(f.getName, in) finally in.close()
+    }
+    assert(h.versionMinor == 4 && h.headerSize == 375 && h.pdrCount == 10000)
+    assert(spark.read.las(dir2).count() == 10000)
+
+    // ply element name override flows into header + read
+    val dir3 = tmpDir("optelem")
+    samplePoints.coalesce(1).writePly(dir3, Map("element" -> "points"))
+    assert(spark.read.option("element", "points").ply(dir3).count() == 10000)
+    // default 'vertex' element absent → the read refuses with a clear error
+    intercept[IllegalArgumentException](spark.read.ply(dir3))
+  }
+
   test("SchemaMerge widening rules") {
     import SchemaMerge._
     assert(mergeType(IntegerType, LongType) == LongType)
