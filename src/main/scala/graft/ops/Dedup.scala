@@ -206,6 +206,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Incremental near-dup screening: MinHash-LSH pairs of NEW documents
+    * against an EXISTING corpus only (no old×old or new×new pairs) —
+    * the production ingestion shape at scale, where the old corpus'
+    * signatures are precomputed and only the new slice hashes fresh.
+    * Same band-bucket join as [[minhashNearDupPairs]] with a side
+    * predicate instead of id ordering.
+    */
+  def incrementalNearDupPairs(
+      newDf: DataFrame,
+      oldDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    def bands(df: DataFrame) = minhashSignatures(df, idCol, textCol)
+      .select(col("id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+    val candidates = bands(newDf).as("a")
+      .join(bands(oldDf).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("new_id"), col("b.id").as("old_id"))
+      .distinct()
+    def sh(df: DataFrame) = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    candidates
+      .join(sh(newDf).as("sa"), col("new_id") === col("sa.id"))
+      .join(sh(oldDf).as("sb"), col("old_id") === col("sb.id"))
+      .select(col("new_id"), col("old_id"),
+        jaccard(col("sa.sh"), col("sb.sh")).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
   /** Connected components over an undirected pair graph (id_a, id_b) —
     * the dedup decision step: every document in a near-dup cluster maps
     * to the cluster's minimal id as representative.

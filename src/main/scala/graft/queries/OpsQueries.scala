@@ -90,6 +90,17 @@ object OpsQueries {
       .sort($"doc_id")
   }
 
+  /** dd09: incremental dedup — documents with doc_id ≥ 250 screened as
+    * "new" against the existing corpus (doc_id < 250). */
+  private val dd09: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalNearDupPairs(
+        docs.filter($"doc_id" >= 250), docs.filter($"doc_id" < 250),
+        "doc_id", "text", 0.8)
+      .select($"new_id", $"old_id", round($"j", 4).as("j"))
+      .sort($"new_id", $"old_id")
+  }
+
   // ----------------------------------------------------- similarity search
 
   /** ss01: brute-force cosine top-10 neighbors of vec 0 (declarative:
@@ -225,6 +236,7 @@ object OpsQueries {
     "dd06_embedding_cosine" -> dd06,
     "dd07_dedup_clusters" -> dd07,
     "dd08_dedup_filtered" -> dd08,
+    "dd09_incremental_dedup" -> dd09,
     "ss01_cosine_topk" -> ss01,
     "ss02_lsh_histogram" -> ss02,
     "ss03_ann_topk" -> ss03,
@@ -264,7 +276,8 @@ object OpsQueries {
 
   /** Shared CTE chain reproducing the MinHash-LSH candidate pipeline;
     * ends with `verified(id_a, id_b, j)` at the given threshold. */
-  private def minhashCtes(threshold: Double): String = {
+  private def minhashCtes(threshold: Double,
+      pairPred: String = "a.id < b.id"): String = {
     val sigExprs = (0 until Dedup.NumHashes).map { i =>
       s"list_min(list_transform(hh, h -> (${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % ${Dedup.Prime}))"
     }.mkString(",\n      ")
@@ -294,7 +307,7 @@ object OpsQueries {
        |cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM exploded a JOIN exploded b
-       |    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+       |    ON a.band = b.band AND a.key = b.key AND $pairPred
        |),
        |verified AS (
        |  SELECT c.id_a, c.id_b, ${sqlJaccard("x.hh", "y.hh")} AS j
@@ -310,6 +323,12 @@ object OpsQueries {
 
   /** dd07: connected components over the verified pair graph via a
     * recursive transitive-closure CTE; rep = min reachable id. */
+  /** dd09: cross-set (new ≥ 250 vs old < 250) LSH screening. */
+  private val dd09Oracle: String =
+    s"""WITH ${minhashCtes(0.8, "a.id >= 250 AND b.id < 250")}
+       |SELECT id_a AS new_id, id_b AS old_id, ROUND(j, 4) AS j FROM verified
+       |ORDER BY new_id, old_id""".stripMargin
+
   private val dd07Oracle: String =
     s"""WITH RECURSIVE ${minhashCtes(0.8)},
        |edges AS (
@@ -501,6 +520,7 @@ object OpsQueries {
     "dd06_embedding_cosine" -> dd06Oracle,
     "dd07_dedup_clusters" -> dd07Oracle,
     "dd08_dedup_filtered" -> dd08Oracle,
+    "dd09_incremental_dedup" -> dd09Oracle,
     "ss01_cosine_topk" -> ss01Oracle,
     "ss02_lsh_histogram" -> ss02Oracle,
     "ss03_ann_topk" -> ss03Oracle,
