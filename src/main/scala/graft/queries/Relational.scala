@@ -319,6 +319,20 @@ object Relational {
       .sort($"o_custkey")
       .limit(100)
 
+  /** IQ-30 ntile + percent_rank + cume_dist windows (rank-family
+    * completeness; percent_rank/cume_dist are exact rationals so the
+    * cross-engine compare is safe after rounding). */
+  private val iq30: Q = (s, d) => {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey",
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"))
+      .sort($"o_orderkey")
+      .limit(200)
+  }
+
   val queries: Map[String, Q] = Map(
     "iq01_scan_project" -> iq01,
     "iq02_filter" -> iq02,
@@ -349,6 +363,7 @@ object Relational {
     "iq27_pivot" -> iq27,
     "iq28_json" -> iq28,
     "iq29_collect_list" -> iq29,
+    "iq30_rank_family" -> iq30,
   )
 
   val oracle: Map[String, String] = Map(
@@ -413,5 +428,10 @@ object Relational {
       "SELECT event_type, COUNT(*) AS n, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sk FROM events GROUP BY event_type ORDER BY event_type",
     "iq29_collect_list" ->
       "SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS keys, COUNT(*) AS n FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 100",
+    "iq30_rank_family" ->
+      ("SELECT o_orderkey, o_custkey, NTILE(4) OVER w AS quartile, " +
+        "ROUND(PERCENT_RANK() OVER w, 4) AS pr, ROUND(CUME_DIST() OVER w, 4) AS cd " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) " +
+        "ORDER BY o_orderkey LIMIT 200"),
   )
 }
