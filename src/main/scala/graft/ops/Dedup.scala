@@ -149,7 +149,6 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double): DataFrame = {
-    val pct = math.round(threshold * 10).toInt // threshold as tenths
     // shingleHashes already yields a sorted distinct set
     val base = df
       .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
@@ -174,8 +173,11 @@ object Dedup {
       .join(base.as("sa"), col("id_a") === col("sa.id"))
       .join(base.as("sb"),
         col("id_b") === col("sb.id") &&
-          col("sa.cnt") * 10 >= col("sb.cnt") * pct &&
-          col("sb.cnt") * 10 >= col("sa.cnt") * pct &&
+          // exact size-ratio prune: J >= t requires min|X| >= ceil(t * max|X|);
+          // an approximate (rounded) bound here would break completeness for
+          // thresholds that are not a multiple of the rounding grain
+          col("sa.cnt") >= ceil(col("sb.cnt") * threshold) &&
+          col("sb.cnt") >= ceil(col("sa.cnt") * threshold) &&
           j >= threshold)
       .select(col("id_a"), col("id_b"), j.as("j"))
   }
@@ -241,11 +243,13 @@ object Dedup {
     * the dedup decision step: every document in a near-dup cluster maps
     * to the cluster's minimal id as representative.
     *
-    * Iterative min-label propagation: each round joins current labels
-    * across edges and keeps the minimum (one shuffle per round,
-    * converges in O(log diameter) rounds for typical near-dup clusters,
-    * which are tiny). The driver loop stops at fixpoint — the standard
-    * scalable CC without any graph library.
+    * Iterative min-label propagation with pointer jumping: each round
+    * pulls labels across edges AND through the current label table
+    * (label(id) := label(label(id))), so path lengths halve per round and
+    * convergence is O(log n) even for chain-shaped clusters — a 2^20-long
+    * path converges within the default 20 rounds. One edge join + one
+    * label self-join + one hash-agg shuffle per round; throws instead of
+    * returning silently-split components if the cap is ever hit.
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     import pairs.sparkSession.implicits._
@@ -262,14 +266,24 @@ object Dedup {
     while (!converged && i < maxIterations) {
       val viaEdges = edges.join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("label"))
-      val next = labels.union(viaEdges)
+      val hop = labels.union(viaEdges)
         .groupBy("id").agg(min("label").as("label"))
+      // pointer jumping: follow one more level through the label table so
+      // chains collapse in O(log n) rounds, not O(diameter); renamed copy
+      // avoids self-join attribute ambiguity
+      val lut = hop.select(col("id").as("lut_id"), col("label").as("lut_label"))
+      val next = hop.join(lut, col("label") === col("lut_id"))
+        .select(col("id"), least(col("label"), col("lut_label")).as("label"))
       val changed = next.as("n").join(labels.as("o"), $"n.id" === $"o.id")
         .filter($"n.label" =!= $"o.label").limit(1).count()
       labels = next.localCheckpoint(eager = true) // cut the growing lineage
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations rounds; " +
+          "results would be silently split — raise maxIterations")
     labels.select(col("label").as("rep"), col("id").as("member"))
   }
 

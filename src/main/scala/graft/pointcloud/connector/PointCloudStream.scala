@@ -9,11 +9,16 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Streaming ingest of point-cloud directories (SURVEY §7.7): the file is
-  * the unit of progress — an offset is "how many files of the sorted
-  * directory listing have been processed", so each micro-batch scans only
-  * newly arrived files. Headers are read per batch on the driver (exactly
-  * like the batch path), partitions are the same record-aligned binary
-  * partitions, and fid numbering stays consistent with the sorted listing.
+  * the unit of progress — an offset is the lexicographic high-watermark of
+  * processed file names, so each micro-batch scans exactly the files whose
+  * name sorts after the watermark. Unlike a positional (count) offset, a
+  * watermark is stable when the listing shifts: a late file that sorts
+  * before already-processed names can never cause re-emission of old files
+  * (it is skipped with a warning — name files monotonically, e.g. by
+  * timestamp, for complete ingest). Headers are read per batch on the
+  * driver (exactly like the batch path), partitions are the same
+  * record-aligned binary partitions, and fid numbering stays consistent
+  * with the sorted listing.
   */
 class PointCloudMicroBatchStream(
     kind: FormatKind,
@@ -23,32 +28,38 @@ class PointCloudMicroBatchStream(
     checkpointLocation: String)
   extends MicroBatchStream with Logging {
 
-  private case class FileCountOffset(count: Long) extends Offset {
-    override def json(): String = count.toString
+  /** Lexicographic high-watermark of processed file names ("" = none). */
+  private case class FileNameOffset(lastFile: String) extends Offset {
+    override def json(): String = lastFile
   }
 
   private def listFiles(): Seq[String] =
     PointCloudUtil.expandPaths(
       PointCloudUtil.explicitPaths(options), kind, new Configuration()).sorted
 
-  override def initialOffset(): Offset = FileCountOffset(0)
+  override def initialOffset(): Offset = FileNameOffset("")
 
-  override def latestOffset(): Offset = FileCountOffset(listFiles().size.toLong)
+  override def latestOffset(): Offset = {
+    val files = listFiles()
+    FileNameOffset(if (files.isEmpty) "" else files.last)
+  }
 
-  override def deserializeOffset(json: String): Offset = FileCountOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = FileNameOffset(json)
 
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[FileCountOffset].count.toInt
-    val to = end.asInstanceOf[FileCountOffset].count.toInt
+    val from = start.asInstanceOf[FileNameOffset].lastFile
+    val to = end.asInstanceOf[FileNameOffset].lastFile
     val files = listFiles()
-    val newFiles = files.slice(from, math.min(to, files.size))
     val maxBytes = SQLConf.get.filesMaxPartitionBytes
-    newFiles.zipWithIndex.flatMap { case (path, i) =>
-      val fid = from + i // position in the sorted listing
+    files.zipWithIndex.flatMap { case (path, fid) =>
+      // fid = position in the current sorted listing
+      if (path <= from || path > to) {
+        Nil // already processed (or beyond this batch's end watermark)
+      } else
       try {
         provider.streamSections(path, options).flatMap { section =>
           val perPartition = math.max(1L, maxBytes / math.max(1, section.stride))

@@ -173,6 +173,17 @@ class LasDataWriter(
   private val baseSchema = LasHeader.schema(format.toInt)
   private val extraFields: Array[StructField] = dataSchema.fields.filterNot(f =>
     baseSchema.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
+  // a field whose name matches a base-format field but whose type doesn't
+  // (e.g. intensity widened to int by widenUnsigned) would silently zero-fill
+  // the base field and re-emit the column as a same-named ExtraBytes field —
+  // fail fast instead, with the cast the caller needs
+  extraFields.find(f => baseSchema.fields.exists(_.name == f.name)).foreach { f =>
+    val base = baseSchema.fields.find(_.name == f.name).get
+    throw new IllegalArgumentException(
+      s"column '${f.name}' has type ${f.dataType.simpleString} but LAS format $format " +
+        s"stores it as ${base.dataType.simpleString}; cast it back " +
+        s"(e.g. col(\"${f.name}\").cast(\"${base.dataType.simpleString}\")) before writing")
+  }
   private val fileSchema = StructType(baseSchema.fields ++ extraFields)
 
   private def parse3(key: String, default: Double): Array[Double] =

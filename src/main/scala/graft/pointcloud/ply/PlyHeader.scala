@@ -105,6 +105,10 @@ object PlyHeader {
     def readLine(): String = {
       val sb = new StringBuilder
       var c = in.read()
+      // a truncated header (EOF before end_header) must fail, not spin: an
+      // empty EOF read is indistinguishable from a blank line otherwise
+      if (c == -1)
+        throw new java.io.EOFException(s"$location: PLY header truncated (no end_header)")
       while (c != -1 && c != '\n') {
         sb.append(c.toChar)
         c = in.read()

@@ -436,12 +436,14 @@ object OpsQueries {
   private def sqlStopwordCount(w: String): String =
     s"len(list_filter($w, t -> t IN (${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(", ")})))"
 
+  // CAST wraps the SUMs: DuckDB SUM(BIGINT) yields HUGEINT, which the driver's
+  // pandas bridge floats — values equal but the format-sensitive hash differs.
   private val tx01Oracle: String =
     s"""SELECT lang, COUNT(*) AS docs,
-       |  SUM(len(string_split(text, ' '))) AS tokens,
-       |  SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+       |  CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))),
-       |      (acc, x) -> acc + x)) AS bpe_tokens,
+       |      (acc, x) -> acc + x)) AS BIGINT) AS bpe_tokens,
        |  ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_tokens
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -534,7 +536,7 @@ object OpsQueries {
         "GROUP BY bg ORDER BY n DESC, bg LIMIT 20"),
     "mm01_multimodal_stub" -> mm01Oracle,
     "mm02_frame_sampling" ->
-      ("SELECT lang, COUNT(*) AS n, SUM(CAST(length(text) AS BIGINT)) AS bytes " +
+      ("SELECT lang, COUNT(*) AS n, CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS bytes " +
         "FROM documents WHERE doc_id % 10 = 0 GROUP BY lang ORDER BY lang"),
   )
 }

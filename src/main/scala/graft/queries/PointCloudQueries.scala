@@ -201,17 +201,19 @@ object PointCloudQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // CAST wraps the aggregate itself: DuckDB SUM(BIGINT) yields HUGEINT, which the
+    // driver's pandas bridge floats — values equal but hash differs without the cast.
     "pc01_las_roundtrip" ->
       """SELECT COUNT(*) AS n,
-        | SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS sx,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
         | MIN(CAST(l_orderkey % 1000000 AS INT)) AS mnx,
         | MAX(CAST(l_orderkey % 1000000 AS INT)) AS mxx,
-        | SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS sy,
-        | SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS si
+        | CAST(SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS BIGINT) AS sy,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si
         |FROM lineitem""".stripMargin,
     "pc02_ply_roundtrip" ->
       """SELECT COUNT(*) AS n,
-        | SUM(CAST(o_orderkey % 1000000 AS BIGINT)) AS sx,
+        | CAST(SUM(CAST(o_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
         | MIN(CAST(o_totalprice AS DOUBLE)) AS mnp,
         | MAX(CAST(o_totalprice AS DOUBLE)) AS mxp
         |FROM orders""".stripMargin,
@@ -220,7 +222,7 @@ object PointCloudQueries {
         | SUM(CAST(CAST(p_partkey AS REAL) AS DOUBLE)) AS sx,
         | MIN(CAST(p_size AS REAL)) AS mnz,
         | MAX(CAST(p_size AS REAL)) AS mxz,
-        | SUM(CAST(p_size % 100 AS BIGINT)) AS sr
+        | CAST(SUM(CAST(p_size % 100 AS BIGINT)) AS BIGINT) AS sr
         |FROM part""".stripMargin,
     "pc04_las_header_agg" ->
       """SELECT COUNT(*) AS n,
@@ -233,9 +235,9 @@ object PointCloudQueries {
         |FROM lineitem""".stripMargin,
     "pc05_format_interop" ->
       """SELECT COUNT(*) AS n,
-        | MIN(CAST(l_orderkey % 1000000 AS INT)) * 0.01 + 100 AS mnd,
-        | MAX(CAST(l_orderkey % 1000000 AS INT)) * 0.01 + 100 AS mxd,
-        | SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS sy
+        | CAST(MIN(CAST(l_orderkey % 1000000 AS INT)) * 0.01 + 100 AS DOUBLE) AS mnd,
+        | CAST(MAX(CAST(l_orderkey % 1000000 AS INT)) * 0.01 + 100 AS DOUBLE) AS mxd,
+        | CAST(SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS BIGINT) AS sy
         |FROM lineitem""".stripMargin,
     "pc06_voxel_downsample" ->
       """SELECT CAST(floor(CAST(l_orderkey % 1000000 AS DOUBLE) / 1000.0) AS BIGINT) AS vx,

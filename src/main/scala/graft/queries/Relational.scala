@@ -424,8 +424,9 @@ object Relational {
         Seq("de", "en", "es", "fr", "zh").map(l =>
           s"NULLIF(COUNT(*) FILTER (WHERE lang = '$l'), 0) AS $l").mkString(", ") +
         " FROM documents GROUP BY source ORDER BY source LIMIT 100"),
+    // CAST wraps the SUM: DuckDB SUM(BIGINT) yields HUGEINT (floats through pandas).
     "iq28_json" ->
-      "SELECT event_type, COUNT(*) AS n, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sk FROM events GROUP BY event_type ORDER BY event_type",
+      "SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sk FROM events GROUP BY event_type ORDER BY event_type",
     "iq29_collect_list" ->
       "SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS keys, COUNT(*) AS n FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 100",
     "iq30_rank_family" ->
