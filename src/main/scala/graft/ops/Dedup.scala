@@ -287,8 +287,46 @@ object Dedup {
     labels.select(col("label").as("rep"), col("id").as("member"))
   }
 
+  /** Embedding near-dup pairs via banded-LSH blocking — the plan that
+    * ships at 100 TB: band keys are row-local, candidates come from one
+    * equi-join on (band, key) (bucket-bounded, never all-pairs), and each
+    * candidate pays exactly one codegen dot product to verify. Recall is
+    * the standard banded-LSH curve (1 - (1-p^rows)^bands for per-plane
+    * collision probability p = 1 - θ/π). Tune (bands, rows) to the
+    * threshold: high-cosine near-dups (≥0.9) block well at few wide
+    * tables (2×8); weak-similarity thresholds need more, narrower tables
+    * (e.g. 6×4) to keep recall. Contrast [[embeddingNearDupPairs]], the
+    * exact O(n²) baseline. */
+  def blockedEmbeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      bands: Int = Similarity.NumBands,
+      rows: Int = Similarity.RowsPerBand): DataFrame = {
+    val v = transform(col(vecCol), _.cast("double"))
+    val withBands = df.select(col(idCol).as("id"),
+      posexplode(Similarity.lshBandKeys(v, dim, bands, rows)).as(Seq("band", "key")))
+    val candidates = withBands.as("a")
+      .join(withBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = df.select(col(idCol).as("id"), v.as("v"))
+      .withColumn("n", sqrt(Similarity.dot(col("v"), col("v"))))
+    candidates
+      .join(vecs.as("sa"), col("id_a") === col("sa.id"))
+      .join(vecs.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("sa.v"), col("sb.v")) / (col("sa.n") * col("sb.n"))).as("c"))
+      .filter(col("c") >= threshold)
+  }
+
   /** Embedding near-dup pairs by cosine similarity. Brute-force
-    * (all-pairs) — use [[Similarity.lshBucket]] blocking at scale. */
+    * (all-pairs) — the exact baseline and oracle shape;
+    * [[blockedEmbeddingNearDupPairs]] is the scale path. */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,

@@ -28,15 +28,32 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** LSH bucket id: bit i = [dot(v, plane_i) > 0], for `dim`-dimensional
-    * vectors. Row-local, no shuffle. */
+    * vectors. Row-local, no shuffle; the fused array_dot kernel evaluates
+    * each plane product in one codegen pass (the interpreted
+    * zip_with+aggregate form costs 8 higher-order folds per row). */
   def lshBucket(v: Column, dim: Int, numPlanes: Int = NumPlanes): Column =
     (0 until numPlanes).map { i =>
-      val d = aggregate(
-        zip_with(v, array((0 until dim).map(j => lit(plane(i, j).toDouble)): _*),
-          (x, y) => x * y),
-        lit(0.0d), (acc, x) => acc + x)
+      val d = dot(v, array((0 until dim).map(j => lit(plane(i, j).toDouble)): _*))
       when(d > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Banded LSH keys for near-dup blocking: `bands` independent hash
+    * tables of `rows` sign bits each (table t uses planes t*rows ..
+    * t*rows+rows-1), returned as an array indexed by table. Two vectors
+    * are candidates if ANY table key matches — recall improves
+    * geometrically with `bands` while each table's buckets stay
+    * 2^rows-grained. Row-local, no shuffle. */
+  final val NumBands = 2
+  final val RowsPerBand = 8
+  def lshBandKeys(v: Column, dim: Int,
+      bands: Int = NumBands, rows: Int = RowsPerBand): Column =
+    array((0 until bands).map { t =>
+      (0 until rows).map { r =>
+        val d = dot(v, array((0 until dim).map(j =>
+          lit(plane(t * rows + r, j).toDouble)): _*))
+        when(d > 0, lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
 
   /** Exact top-k neighbors of one query vector by cosine. The per-row
     * score is map-side; the global top-k is a TakeOrdered (per-partition

@@ -67,6 +67,21 @@ object OpsQueries {
       .select($"id_a", $"id_b", round($"c", 4).as("c"))
       .sort($"id_a", $"id_b")
 
+  /** dd10: embedding near-dup pairs at scale — banded-LSH blocking
+    * (candidates from a bucket equi-join, never all-pairs) + exact-cosine
+    * verify ≥ 0.45. The 100 TB replacement for dd06's exact baseline.
+    * 6 narrow tables because the corpus' near-dups sit at weak cosine
+    * (~0.45–0.51 ⇒ p≈0.65/plane): recall = 1-(1-p^4)^6 ≈ 0.70; both the
+    * Spark plan and the oracle derive from these constants. */
+  private final val Dd10Bands = 6
+  private final val Dd10Rows = 4
+  private val dd10: Q = (s, d) =>
+    Dedup.blockedEmbeddingNearDupPairs(
+        Tables.embeddings(s, d), "vec_id", "embedding", 64, 0.45,
+        bands = Dd10Bands, rows = Dd10Rows)
+      .select($"id_a", $"id_b", round($"c", 4).as("c"))
+      .sort($"id_a", $"id_b")
+
   /** dd07: end-to-end dedup decision — MinHash-LSH pairs (Jaccard ≥ 0.8)
     * clustered by connected components; every clustered doc maps to its
     * cluster's minimal id. */
@@ -237,6 +252,7 @@ object OpsQueries {
     "dd07_dedup_clusters" -> dd07,
     "dd08_dedup_filtered" -> dd08,
     "dd09_incremental_dedup" -> dd09,
+    "dd10_blocked_embedding" -> dd10,
     "ss01_cosine_topk" -> ss01,
     "ss02_lsh_histogram" -> ss02,
     "ss03_ann_topk" -> ss03,
@@ -409,6 +425,42 @@ object OpsQueries {
       s"CASE WHEN $dot > 0 THEN ${1 << i} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** Banded LSH key of table `t` (`rows` sign bits over planes
+    * t*rows .. t*rows+rows-1) — the SQL twin of Similarity.lshBandKeys. */
+  private def sqlBandKey(v: String, t: Int, rows: Int): String =
+    (0 until rows).map { r =>
+      val planes = (0 until 64).map(j =>
+        s"${Similarity.plane(t * rows + r, j)}.0").mkString("[", ", ", "]")
+      val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"[CAST(($v)[k] AS DOUBLE) * ($planes)[k] FOR k IN generate_series(1, 64)]), " +
+        s"(acc, x) -> acc + x)"
+      s"CASE WHEN $dot > 0 THEN ${1 << r} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private val dd10Oracle: String = {
+    val keys = (0 until Dd10Bands)
+      .map(t => sqlBandKey("embedding", t, Dd10Rows)).mkString("[", ",\n      ", "]")
+    val cos = sqlCosine("x.embedding", "y.embedding", 64)
+    s"""WITH keyed AS (
+       |  SELECT vec_id AS id, $keys AS bk FROM embeddings
+       |),
+       |exploded AS (
+       |  SELECT id, unnest(generate_series(0, ${Dd10Bands - 1})) AS band,
+       |    unnest(bk) AS key
+       |  FROM keyed
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM exploded a JOIN exploded b
+       |    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+       |)
+       |SELECT cd.id_a, cd.id_b, ROUND($cos, 4) AS c
+       |FROM cand cd JOIN embeddings x ON cd.id_a = x.vec_id
+       |  JOIN embeddings y ON cd.id_b = y.vec_id
+       |WHERE $cos >= 0.45
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val ss02Oracle: String =
     s"""SELECT ${sqlBucket("embedding")} AS bucket, COUNT(*) AS n
        |FROM embeddings
@@ -523,6 +575,7 @@ object OpsQueries {
     "dd07_dedup_clusters" -> dd07Oracle,
     "dd08_dedup_filtered" -> dd08Oracle,
     "dd09_incremental_dedup" -> dd09Oracle,
+    "dd10_blocked_embedding" -> dd10Oracle,
     "ss01_cosine_topk" -> ss01Oracle,
     "ss02_lsh_histogram" -> ss02Oracle,
     "ss03_ann_topk" -> ss03Oracle,

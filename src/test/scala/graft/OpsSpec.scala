@@ -67,6 +67,24 @@ class OpsSpec extends SparkTestBase {
     assert(annInBrute.map(pos) sameElements annInBrute.map(pos).sorted)
   }
 
+  test("blocked embedding near-dups: subset of exact pairs, no quadratic join") {
+    val exact = Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // narrow tables (6×4) because this corpus' near-dups sit at weak
+    // cosine (~0.45); see dd10 in OpsQueries
+    val blockedDf = Dedup.blockedEmbeddingNearDupPairs(
+      embs, "vec_id", "embedding", 64, 0.45, bands = 6, rows = 4)
+    val blocked = blockedDf.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data should contain embedding near-dups")
+    // blocking can miss pairs (recall < 1) but must never invent them
+    assert(blocked.subsetOf(exact), s"spurious=${blocked -- exact}")
+    assert(blocked.nonEmpty, "banded LSH should recover at least one planted pair")
+    // the whole point of blocking: the physical plan has no O(n²) join
+    val plan = blockedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocked plan must not contain an all-pairs join:\n$plan")
+  }
+
   test("connected components collapse transitive near-dup chains") {
     // two chains (1-2-3-4) and (10-11), plus an isolated pair (20,21)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
