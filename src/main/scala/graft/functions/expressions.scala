@@ -15,6 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashUtil {
   final val Mod = 1000000007L
+  /** FNV-1a 64-bit parameters (public constants); the DuckDB oracle
+    * reproduces the fold with HUGEINT arithmetic mod 2^64. */
+  final val FnvBasis = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
 
   /** Polynomial rolling hash over UTF-16 code units, mod 1e9+7.
     * Matches `list_reduce(... (acc*31+ascii(c)) % 1000000007)` in the
@@ -106,9 +110,9 @@ object HashUtil {
     * feeding SimHash. Self-contained and stable across releases. */
   def fnv1a64(s: UTF8String): Long = {
     val bytes = s.getBytes
-    var h = 0xcbf29ce484222325L
+    var h = FnvBasis
     var i = 0
-    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * FnvPrime; i += 1 }
     h
   }
 

@@ -11,9 +11,8 @@ import org.apache.spark.sql.functions._
   * constants the Spark plans use (Dedup / Similarity / TextAnalysis
   * objects), so the two sides cannot drift.
   *
-  * dd05 (SimHash) has no oracle: its 64-bit FNV-1a arithmetic is not
-  * expressible in DuckDB SQL — the driver records a rows-only check and
-  * OpsSpec pins the semantics instead.
+  * Every query here is oracle-checked except ss04 (k-means is not
+  * SQL-expressible; a recall-vs-exact scalatest pins it instead).
   */
 object OpsQueries {
 
@@ -56,7 +55,8 @@ object OpsQueries {
       .sort($"id_a", $"id_b")
 
   /** dd05: SimHash near-dup pairs (Hamming ≤ 8 over 64-bit sketches,
-    * 4×16-bit chunk LSH). Rows-only check (no SQL-expressible oracle). */
+    * 4×16-bit chunk LSH). Oracle reproduces FNV-1a + bit votes in
+    * DuckDB HUGEINT arithmetic mod 2^64. */
   private val dd05: Q = (s, d) =>
     Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 8)
       .sort($"id_a", $"id_b")
@@ -437,6 +437,61 @@ object OpsQueries {
       s"CASE WHEN $dot > 0 THEN ${1 << r} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** dd05's oracle: SimHash reproduced in DuckDB. FNV-1a 64-bit runs in
+    * HUGEINT arithmetic mod 2^64 over each token's UTF-8 bytes (via
+    * hex(encode(t)); XOR only ever touches the low byte, so it is lifted
+    * to BIGINT); the 64 bit-votes aggregate per document; the 4 16-bit
+    * LSH chunks and the Hamming verify mirror Dedup.simhashNearDupPairs.
+    * All constants come from HashUtil/the query (maxHamming = 8). */
+  private val dd05Oracle: String = {
+    import graft.functions.HashUtil
+    val basis = java.lang.Long.toUnsignedString(HashUtil.FnvBasis)
+    val prime = java.lang.Long.toUnsignedString(HashUtil.FnvPrime)
+    val fnv =
+      s"""list_reduce(list_prepend(CAST($basis AS HUGEINT),
+         |      [CAST(16*(strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1))-1)
+         |          + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1))-1) AS BIGINT)
+         |       FOR i IN generate_series(1, length(hx)//2)]),
+         |      (h, b) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), b)) * $prime)
+         |                % 18446744073709551616)""".stripMargin
+    val votes = (0 until 64).map(b =>
+      s"SUM(CASE WHEN (uh // ${java.lang.Long.toUnsignedString(1L << b)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val chunks = (0 until 4).map { k =>
+      (0 until 16).map(r => s"CASE WHEN v${16 * k + r} > 0 THEN ${1 << r} ELSE 0 END")
+        .mkString("(", " + ", s") AS c$k")
+    }.mkString(",\n    ")
+    val ham = (0 until 4).map(k => s"bit_count(xor(a.c$k, b.c$k))").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM documents
+       |),
+       |fnv AS (
+       |  SELECT id, $fnv AS uh
+       |  FROM (SELECT id, hex(encode(t)) AS hx FROM tok)
+       |),
+       |votes AS (
+       |  SELECT id,
+       |    $votes
+       |  FROM fnv GROUP BY id
+       |),
+       |sk AS (
+       |  SELECT id,
+       |    $chunks
+       |  FROM votes
+       |),
+       |exploded AS (
+       |  SELECT id, unnest(generate_series(0, 3)) AS k, unnest([c0, c1, c2, c3]) AS ck,
+       |    c0, c1, c2, c3
+       |  FROM sk
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, CAST($ham AS INT) AS hamming
+       |  FROM exploded a JOIN exploded b ON a.k = b.k AND a.ck = b.ck AND a.id < b.id
+       |)
+       |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 8
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val dd10Oracle: String = {
     val keys = (0 until Dd10Bands)
       .map(t => sqlBandKey("embedding", t, Dd10Rows)).mkString("[", ",\n      ", "]")
@@ -570,7 +625,7 @@ object OpsQueries {
         "FROM documents GROUP BY 1 ORDER BY keep_id LIMIT 200"),
     "dd03_minhash_lsh" -> dd03Oracle,
     "dd04_exact_jaccard" -> dd04Oracle,
-    // dd05_simhash: intentionally no oracle (rows-only check)
+    "dd05_simhash" -> dd05Oracle,
     "dd06_embedding_cosine" -> dd06Oracle,
     "dd07_dedup_clusters" -> dd07Oracle,
     "dd08_dedup_filtered" -> dd08Oracle,
