@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDotProduct, CharNgrams, RollingHash, ShingleHashSet, SimHash64, SortedIntersectCount}
+import graft.functions.{ArrayDotProduct, CharNgrams, RollingHash, ShingleHashSet, SimHash64, SortedIntersectCount, TokenStats}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -62,7 +62,11 @@ object GraftExtensions {
       args => {
         require(args.length == 2, "expected (string, n)")
         CharNgrams(args.head, litInt(args(1)))
-      }))
+      }),
+    ("graft_token_stats",
+      info("graft_token_stats",
+        "fused token statistics struct(tc, sc, cl, bpe) with the standard stopword set"),
+      unary(e => TokenStats(e, graft.ops.TextAnalysis.Stopwords))))
 
   private def litInt(e: Expression): Int = e match {
     case Literal(v: Int, _) => v

@@ -4,6 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftglue.Bridge
 import org.apache.spark.sql.types._
@@ -114,6 +116,41 @@ object HashUtil {
     var i = 0
     while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * FnvPrime; i += 1 }
     h
+  }
+
+  /** Fused single-pass token statistics over the raw UTF-8 bytes: token
+    * count, stopword count, summed code-point length, and the chars/4
+    * BPE-ish subword estimate — exactly the values of the unfused
+    * `split(text,' ')`-based formulas (single-space split keeping empty
+    * tokens, Spark split semantics), without materializing the token
+    * array or re-splitting once per metric. Space (0x20) never occurs
+    * inside a UTF-8 multi-byte sequence, so byte scanning is safe; code
+    * points are counted as non-continuation bytes. Only tokens no longer
+    * than `maxStopBytes` allocate a lookup key. */
+  def tokenStats(s: UTF8String,
+      stopwords: java.util.HashSet[UTF8String], maxStopBytes: Int): InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var tc = 0; var sc = 0; var cl = 0L; var bpe = 0L
+    var start = 0
+    var tokChars = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == 0x20) {
+        tc += 1
+        cl += tokChars
+        bpe += (tokChars + 3) / 4
+        val blen = i - start
+        if (blen > 0 && blen <= maxStopBytes &&
+            stopwords.contains(UTF8String.fromBytes(bytes, start, blen))) sc += 1
+        tokChars = 0
+        start = i + 1
+      } else if ((bytes(i) & 0xc0) != 0x80) {
+        tokChars += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](tc, sc, cl, bpe))
   }
 
   /** 64-bit SimHash over an array of tokens: per bit, sum +1/-1 weighted
@@ -287,6 +324,41 @@ case class CountInSet(child: Expression, values: Seq[String]) extends UnaryExpre
   override def prettyName: String = "graft_count_in_set"
 }
 
+/** token_stats(string; fixed stopword set): STRUCT<tc INT, sc INT,
+  * cl BIGINT, bpe BIGINT> — token count, stopword count, summed token
+  * code-point length, and the chars/4 BPE-ish estimate, in ONE pass over
+  * the raw bytes. The fused kernel behind tx01/tx02: the unfused form
+  * re-splits the text once per metric and pays interpreted higher-order
+  * folds. Deterministic, so whole-stage codegen's subexpression
+  * elimination evaluates it once however many fields are read. */
+case class TokenStats(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    stopwords.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+  private val maxStopBytes: Int =
+    if (stopwords.isEmpty) 0
+    else stopwords.map(_.getBytes("UTF-8").length).max
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("tc", IntegerType, nullable = false),
+    StructField("sc", IntegerType, nullable = false),
+    StructField("cl", LongType, nullable = false),
+    StructField("bpe", LongType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.tokenStats(input.asInstanceOf[UTF8String], set, maxStopBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwordSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.tokenStats($c, $ref, $maxStopBytes)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_stats"
+}
+
 /** sorted_intersect_count(array<long>, array<long>): IntegerType.
   * Merge-count of the intersection of two ASCENDING-SORTED long arrays —
   * the zero-allocation kernel for set-similarity joins (Jaccard
@@ -326,4 +398,6 @@ object exprs {
     Bridge.column(CharNgrams(Bridge.expression(s), n))
   def count_in_set(tokens: Column, values: Seq[String]): Column =
     Bridge.column(CountInSet(Bridge.expression(tokens), values))
+  def token_stats(text: Column, stopwords: Seq[String]): Column =
+    Bridge.column(TokenStats(Bridge.expression(text), stopwords))
 }

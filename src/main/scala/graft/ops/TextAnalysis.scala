@@ -26,6 +26,13 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Fused per-document token statistics — struct(tc, sc, cl, bpe) =
+    * (token count, stopword count, summed token length, BPE-ish subword
+    * estimate) in one pass over the text (graft_token_stats kernel).
+    * Every multi-metric consumer (tx01, qualityScore) reads fields off
+    * this struct instead of re-splitting the text per metric. */
+  def tokenStats(text: Column): Column = exprs.token_stats(text, Stopwords)
+
   /** Whitespace token count (the fast path; a BPE-ish subword estimate is
     * `bpeTokenEstimate`). */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -52,11 +59,16 @@ object TextAnalysis {
   /** Composite quality score in [0,1]:
     * 0.5·min(tokens/100,1) + 0.3·min(stopword_ratio·5,1) + 0.2·lenScore
     * where lenScore = 1 if mean word length in [3,8], else 0.
+    * All three metrics read off one fused tokenStats evaluation.
     */
-  def qualityScore(text: Column): Column = {
-    val lengthScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    val mwl = meanWordLength(text)
+  def qualityScore(text: Column): Column = qualityScoreFromStats(tokenStats(text))
+
+  /** Quality score from an already-computed [[tokenStats]] struct. */
+  def qualityScoreFromStats(ts: Column): Column = {
+    val tc = ts.getField("tc").cast("double")
+    val lengthScore = least(tc / 100.0, lit(1.0))
+    val stopScore = least(ts.getField("sc").cast("double") / tc * 5.0, lit(1.0))
+    val mwl = ts.getField("cl").cast("double") / tc
     val wordShape = when(mwl >= 3.0 && mwl <= 8.0, 1.0).otherwise(0.0)
     round(lit(0.5) * lengthScore + lit(0.3) * stopScore + lit(0.2) * wordShape, 4)
   }

@@ -173,15 +173,17 @@ object OpsQueries {
 
   // --------------------------------------------------------- text analysis
 
-  /** tx01: per-language token statistics (whitespace + BPE-ish counts). */
+  /** tx01: per-language token statistics (whitespace + BPE-ish counts) —
+    * one fused token_stats pass per document, metrics off the struct. */
   private val tx01: Q = (s, d) =>
     Tables.documents(s, d)
+      .select($"lang", TextAnalysis.tokenStats($"text").as("ts"))
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("docs"),
-        sum(TextAnalysis.tokenCount($"text")).as("tokens"),
-        sum(TextAnalysis.bpeTokenEstimate($"text")).as("bpe_tokens"),
-        round(avg(TextAnalysis.tokenCount($"text")), 2).as("avg_tokens"))
+        sum($"ts.tc").as("tokens"),
+        sum($"ts.bpe").as("bpe_tokens"),
+        round(avg($"ts.tc"), 2).as("avg_tokens"))
       .sort($"lang")
 
   /** tx02: per-document quality scores, top 100. */

@@ -56,6 +56,31 @@ class FunctionsSpec extends SparkTestBase {
     assert(r2.getSeq[Long](1).size == 2) // "a b", "b c"
   }
 
+  test("token_stats matches the unfused split-based formulas exactly") {
+    import graft.ops.TextAnalysis
+    val rnd = new scala.util.Random(11)
+    val words = Seq("the", "a", "of", "and", "to", "in", "zz", "wordy", "émile", "中文字")
+    val texts = Seq("", " ", "  ", "the", "a  b", "trailing space ") ++
+      (1 to 50).map(_ => (1 to rnd.nextInt(30)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    val df = texts.toDF("text")
+    val fused = df.select(
+      TextAnalysis.tokenStats($"text").as("ts"),
+      TextAnalysis.qualityScore($"text").as("q"))
+      .select($"ts.tc", $"ts.sc", $"ts.cl", $"ts.bpe", $"q")
+      .collect()
+    val unfused = df.select(
+      size(TextAnalysis.tokens($"text")).as("tc"),
+      exprs.count_in_set(TextAnalysis.tokens($"text"), TextAnalysis.Stopwords).as("sc"),
+      aggregate(TextAnalysis.tokens($"text"), lit(0L), (acc, w) => acc + length(w)).as("cl"),
+      TextAnalysis.bpeTokenEstimate($"text").as("bpe"))
+      .collect()
+    fused.zip(unfused).zip(texts).foreach { case ((f, u), t) =>
+      assert((f.getInt(0), f.getInt(1), f.getLong(2), f.getLong(3)) ==
+        (u.getInt(0), u.getInt(1), u.getLong(2), u.getLong(3)), s"text='$t'")
+      assert(f.getDouble(4) >= 0.0 && f.getDouble(4) <= 1.0)
+    }
+  }
+
   test("simhash64 works on the real documents table") {
     val docs = Tables.documents(spark, sfDir)
       .select(exprs.simhash64(split(col("text"), " ")).as("h"))
