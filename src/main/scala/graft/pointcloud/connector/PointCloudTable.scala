@@ -18,6 +18,13 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
+object PointCloudProvider {
+  /** Driver threads for parallel header reads during resolve. */
+  final val HeaderReadParallelism = 16
+  /** Per-path header memo bound (entries, not bytes; headers are tiny). */
+  final val HeaderCacheMaxEntries = 100000
+}
+
 /** Which point-cloud format a table speaks. */
 sealed abstract class FormatKind(val name: String, val extension: String)
 object FormatKind {
@@ -77,15 +84,42 @@ abstract class PointCloudProvider extends TableProvider
     if (c != null && c._1 == key) return c._2
     val conf = new Configuration()
     val files = PointCloudUtil.expandPaths(PointCloudUtil.explicitPaths(options), kind, conf)
+    // Header reads are tiny metadata IO, but a 100 TB dataset is ~1e5
+    // files and a serial driver loop is 1e5 sequential storage round
+    // trips (SURVEY O9). Parse headers on a bounded pool — path order
+    // (and so fid numbering) is preserved by indexing the futures — and
+    // memoize per (path, element), so an incremental re-resolve (new
+    // files arriving in a watched directory) only reads the new headers.
+    val element = options.getOrDefault("element", "vertex")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(PointCloudProvider.HeaderReadParallelism, files.size)))
+    val perFile: Seq[Seq[(Section, Option[LasStats])]] =
+      try {
+        files.map { p =>
+          pool.submit(new java.util.concurrent.Callable[Seq[(Section, Option[LasStats])]] {
+            override def call(): Seq[(Section, Option[LasStats])] = {
+              val ck = p + "\u0001" + element
+              val hit = headerCache.get(ck)
+              if (hit != null) hit
+              else {
+                try {
+                  val r = readSections(p, options, conf)
+                  if (headerCache.size() < PointCloudProvider.HeaderCacheMaxEntries)
+                    headerCache.put(ck, r)
+                  r
+                } catch {
+                  case e: Exception =>
+                    logWarning(s"Skipping unreadable ${kind.name} file $p: ${e.getMessage}")
+                    Nil
+                }
+              }
+            }
+          })
+        }.map(_.get())
+      } finally pool.shutdown()
     val secs = mutable.ArrayBuffer.empty[SectionWithFid]
-    files.zipWithIndex.foreach { case (p, fid) =>
-      try secs ++= readSections(p, options, conf).map {
-        case (sec, stats) => SectionWithFid(sec, fid, stats)
-      }
-      catch {
-        case e: Exception =>
-          logWarning(s"Skipping unreadable ${kind.name} file $p: ${e.getMessage}")
-      }
+    perFile.zipWithIndex.foreach { case (sections, fid) =>
+      secs ++= sections.map { case (sec, stats) => SectionWithFid(sec, fid, stats) }
     }
     val dataSchema =
       if (secs.nonEmpty) SchemaMerge.mergeAll(secs.map(_.section.schema).toSeq)
@@ -96,6 +130,12 @@ abstract class PointCloudProvider extends TableProvider
     cached = (key, r)
     r
   }
+
+  /** Per-(path, element) header memo. Stale only if a file is rewritten
+    * in place under the same path — the same contract as the resolve
+    * cache above (use a fresh provider/session to re-read). */
+  private val headerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Section, Option[LasStats])]]()
 
   /** Per-file header parse → sections (one for LAS, one per chosen element
     * for PLY; XYZ overrides with a pseudo-section). */

@@ -287,6 +287,49 @@ class PointCloudSpec extends SparkTestBase {
     assert(r.getLong(0) == 0 && r.isNullAt(1))
   }
 
+  test("resolve over many files: parallel header reads keep fid = path order") {
+    val dir = tmpDir("manyfiles")
+    // 200 single-file LAS writes with known per-file content: file k holds
+    // points with x == k, under names whose sorted order is the write order
+    (0 until 200).foreach { k =>
+      spark.range(5).select(
+        lit(k).cast("int").as("x"), lit(0).cast("int").as("y"),
+        lit(0).cast("int").as("z"))
+        .coalesce(1).writeLas(f"$dir/part$k%03d")
+    }
+    // plus one corrupt file that must be skipped without failing resolve
+    Files.write(java.nio.file.Paths.get(dir, "zzz-corrupt"),
+      "not a las file".getBytes)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, "zzz-corrupt"),
+      java.nio.file.Paths.get(dir, "zzz-corrupt.las"))
+
+    def allLas(d: String): Seq[String] = {
+      val f = new java.io.File(d)
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(c => allLas(c.getPath))
+      else if (f.getName.endsWith(".las")) Seq(f.getPath)
+      else Nil
+    }
+    val paths = allLas(dir)
+    assert(paths.size == 201)
+
+    val t0 = System.nanoTime()
+    val back = spark.read.las(paths: _*)
+    val coldMs = (System.nanoTime() - t0) / 1e6
+    // fid must equal the position of the source file in the given path
+    // order regardless of which pool thread parsed its header
+    val fidToX = back.select("fid", "x").distinct()
+      .as[(Int, Int)].collect().toMap
+    assert(back.count() == 200 * 5)
+    (0 until 200).foreach { k =>
+      val pathIdx = paths.indexWhere(_.contains(f"part$k%03d"))
+      assert(fidToX(pathIdx) == k, s"fid $pathIdx should hold x=$k")
+    }
+    // warm resolve hits the per-path header memo (same provider instance
+    // is not guaranteed across reads, so only sanity-bound the cold time)
+    assert(coldMs < 60000)
+  }
+
   test("unreadable files are skipped with a warning, valid ones read") {
     val dir = tmpDir("badfile")
     samplePoints.coalesce(1).writeLas(dir)
