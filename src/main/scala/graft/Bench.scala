@@ -2,15 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{name:sec,...}}.
-  * A short untimed warmup (one scan-shaped query) absorbs session /
-  * codegen startup so per-query numbers reflect engine speed; queries
-  * run in name order so round-over-round comparisons are stable.
+  * prints ONE JSON line {"metric":...,"queries":{name:sec,...}}, also
+  * written to ./bench.json so a truncated stdout tail can't lose the
+  * structured result. Per-query time is the median of
+  * SPARK_GRAFT_BENCH_RUNS passes (default 3, BASELINE.md protocol),
+  * rounded to 1 ms to keep the line short. A short untimed warmup (one
+  * scan-shaped query) absorbs session/codegen startup; queries run in
+  * name order so round-over-round comparisons are stable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,15 +23,31 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.queries("iq01_scan_project")(spark, sfDir).count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    val results = names.map(n =>
+      n -> ms(median(samples.map(_.toMap.apply(n)))))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ms(results.map(_._2).sum)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      line.getBytes("UTF-8"))
+    catch { case _: Exception => } // stdout line is the primary channel
     spark.stop()
   }
 }
