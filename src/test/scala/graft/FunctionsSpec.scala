@@ -39,7 +39,18 @@ class FunctionsSpec extends SparkTestBase {
     assert(ham(ha, hb) < ham(ha, hc), s"near=${ham(ha, hb)} far=${ham(ha, hc)}")
   }
 
-  test("SQL surface: registered functions callable from spark.sql") {
+  test("SQL surface: registerAll registers functions on a live session") {
+    // isolate registerAll from the extensions-injected copies: on a fresh
+    // session, drop one injected function, prove it is gone, then
+    // registerAll must bring it back as a temp function
+    val s = spark.newSession()
+    s.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_hash"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT graft_rolling_hash('abc')").head()
+    }
+    GraftExtensions.registerAll(s)
+    assert(s.sql("SELECT graft_rolling_hash('abc') AS h").head().getLong(0) == 96354L)
     GraftExtensions.registerAll(spark)
     val r = spark.sql(
       """SELECT graft_rolling_hash('abc') AS h,
@@ -79,6 +90,29 @@ class FunctionsSpec extends SparkTestBase {
         (u.getInt(0), u.getInt(1), u.getLong(2), u.getLong(3)), s"text='$t'")
       assert(f.getDouble(4) >= 0.0 && f.getDouble(4) <= 1.0)
     }
+  }
+
+  test("spark.sql.extensions config path injects every function") {
+    // SparkTestBase builds the JVM's session with
+    // spark.sql.extensions=graft.GraftExtensions (static conf, consumed
+    // at SparkContext creation). newSession() has NO temp functions —
+    // only extension-injected ones — so resolution here proves the
+    // config path, independent of any registerAll call.
+    val s2 = spark.newSession()
+    val r = s2.sql(
+      """SELECT graft_rolling_hash('abc') AS h,
+        |  graft_simhash64(array('a', 'b')) AS s,
+        |  graft_array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  graft_sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS c,
+        |  graft_shingle_hash_set(array('a','b','c'), 2) AS sh,
+        |  graft_char_ngrams('abcd', 2) AS ng,
+        |  graft_token_stats('the quick fox').tc AS tc""".stripMargin).head()
+    assert(r.getLong(0) == 96354L)
+    assert(r.getDouble(2) == 11.0)
+    assert(r.getInt(3) == 2)
+    assert(r.getSeq[Long](4).size == 2)
+    assert(r.getSeq[String](5) == Seq("ab", "bc", "cd"))
+    assert(r.getInt(6) == 3)
   }
 
   test("simhash64 works on the real documents table") {

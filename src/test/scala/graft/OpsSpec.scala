@@ -112,6 +112,27 @@ class OpsSpec extends SparkTestBase {
     assert(inBrute.map(pos) sameElements inBrute.map(pos).sorted)
   }
 
+  test("IVF ANN recall@5 vs exact top-k stays pinned (ss04's oracle substitute)") {
+    // ss04 has no SQL oracle (k-means is not SQL-expressible); this pins
+    // its quality instead: the probed cells must recover most of the true
+    // top-5 for a set of query vectors
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    val model = Similarity.ivfModel(embs, "embedding", 8)
+    val recalls = ids.map { q =>
+      val qv = embs.filter($"vec_id" === q)
+        .select(transform($"embedding", _.cast("double")))
+        .as[Seq[Double]].head()
+      val rest = embs.filter($"vec_id" =!= q)
+      val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding", qv, 5)
+        .select("id").as[Long].collect().toSet
+      val ivf = Similarity.ivfTopK(rest, "vec_id", "embedding", model, qv, 5, nProbe = 2)
+        .select("id").as[Long].collect().toSet
+      exact.intersect(ivf).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean IVF recall@5 over ${ids.size} queries = $mean ($recalls)")
+  }
+
   test("grid radius join finds exactly the brute-force pairs") {
     import graft.pointcloud.PointCloudOps
     val rnd = new scala.util.Random(7)
