@@ -149,7 +149,12 @@ abstract class PointCloudProvider extends TableProvider
         if (options.getBoolean("widenUnsigned", false))
           PointCloudUtil.widenUnsigned(r.dataSchema)
         else r.dataSchema
-      PointCloudUtil.withIdColumns(data, r.paths)
+      // option("idColumns","false") suppresses the synthesized fid/pid
+      // leading columns entirely (the decoder already tolerates their
+      // absence from the read schema) for callers that never use them
+      if (options.getBoolean("idColumns", true))
+        PointCloudUtil.withIdColumns(data, r.paths)
+      else data
     }
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =

@@ -37,6 +37,8 @@ class PointCloudWriteBuilder(
       val path = Option(options.get("path")).getOrElse(
         throw new IllegalArgumentException(s"${kind.name} write requires a path"))
       import scala.jdk.CollectionConverters._
+      // CaseInsensitiveStringMap stores keys lowercased — every downstream
+      // lookup on this map must use lowercase keys
       new PointCloudBatchWrite(kind, path, info.schema(), options.asScala.toMap,
         info.queryId(), doTruncate)
     }
@@ -82,12 +84,7 @@ class PointCloudBatchWrite(
     val f = fs()
     // tasks that already committed produced final files — a job-level
     // abort must remove them too, or a failed job leaves partial output
-    messages.foreach {
-      case LasPartMessage(p, _) => f.delete(new Path(p), false)
-      case PlyPartMessage(p, _, _) => f.delete(new Path(p), false)
-      case XyzPartMessage(p, _) => f.delete(new Path(p), false)
-      case _ => // uncommitted tasks surface as nulls
-    }
+    messages.foreach(m => if (m != null) WriterUtil.deleteOutputs(f, m))
     f.delete(new Path(path, s".graft-tmp-$queryId"), true)
   }
 
@@ -99,7 +96,7 @@ class PointCloudBatchWrite(
     if (parts.isEmpty) return
     val f = fs()
     val element = options.getOrElse("element", "vertex")
-    val littleEndian = !options.get("bigEndian").contains("true")
+    val littleEndian = !options.get("bigendian").contains("true")
     val elemSchema = DataType.fromJson(parts.head.schemaJson).asInstanceOf[StructType]
     val header = PlyHeader("", littleEndian, 0,
       Seq(PlyElement(element, parts.map(_.count).sum, elemSchema)))
@@ -128,10 +125,20 @@ case class PointCloudWriterFactory(
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    kind match {
-      case FormatKind.Las => new LasDataWriter(path, schema, options, queryId, partitionId, taskId)
-      case FormatKind.Ply => new PlyDataWriter(path, schema, options, queryId, partitionId, taskId)
-      case FormatKind.Xyz => new XyzDataWriter(path, schema, options, partitionId, taskId)
+    def plain(base: Option[String]): DataWriter[InternalRow] = kind match {
+      case FormatKind.Las =>
+        new LasDataWriter(path, schema, options, queryId, partitionId, taskId, base)
+      case FormatKind.Ply =>
+        new PlyDataWriter(path, schema, options, queryId, partitionId, taskId, base)
+      case FormatKind.Xyz =>
+        new XyzDataWriter(path, schema, options, partitionId, taskId, base)
+    }
+    options.get("keycolumn") match {
+      case Some(kc) =>
+        require(!options.get("merge").contains("true"),
+          "keyColumn and merge are mutually exclusive (keyed writes are per-key files)")
+        new KeyedDataWriter(path, schema, kc, b => plain(Some(b)))
+      case None => plain(None)
     }
   }
 }
@@ -140,13 +147,84 @@ case class LasPartMessage(path: String, count: Long) extends WriterCommitMessage
 case class PlyPartMessage(bodyPath: String, count: Long, schemaJson: String)
   extends WriterCommitMessage
 case class XyzPartMessage(path: String, count: Long) extends WriterCommitMessage
+/** All per-key files a single keyed task produced. */
+case class KeyedPartsMessage(parts: Seq[WriterCommitMessage]) extends WriterCommitMessage
 
 private[connector] object WriterUtil {
   /** The on-disk fields: input schema minus the generated id columns
-    * (the reference's writers drop fid/pid too, ply/PlyOutputWriter.scala:49). */
-  def dataFields(schema: StructType): StructType =
-    StructType(schema.fields.filterNot(f =>
-      f.name == PointCloudUtil.FidCol || f.name == PointCloudUtil.PidCol))
+    * (the reference's writers drop fid/pid too, ply/PlyOutputWriter.scala:49)
+    * and, for keyed writes, minus the naming key column (it is encoded in
+    * the file name, and may be a string, which no binary record carries). */
+  def dataFields(schema: StructType, options: Map[String, String]): StructType = {
+    val drop = Set(PointCloudUtil.FidCol, PointCloudUtil.PidCol) ++ options.get("keycolumn")
+    StructType(schema.fields.filterNot(f => drop.contains(f.name)))
+  }
+
+  /** Delete the final output(s) a commit message points at (job-abort and
+    * keyed-task-abort share this). */
+  def deleteOutputs(fs: FileSystem, m: WriterCommitMessage): Unit = m match {
+    case LasPartMessage(p, _) => fs.delete(new Path(p), false)
+    case PlyPartMessage(p, _, _) => fs.delete(new Path(p), false)
+    case XyzPartMessage(p, _) => fs.delete(new Path(p), false)
+    case KeyedPartsMessage(parts) => parts.foreach(deleteOutputs(fs, _))
+    case _ => // uncommitted tasks surface as nulls
+  }
+}
+
+/** One self-contained output file per distinct key value, written in a
+  * single pass: rows arrive clustered and sorted by the key column (the
+  * `writeKeyed` sugar guarantees it), and the writer rolls to a fresh
+  * delegate named `<key>.<ext>` whenever the key changes — the
+  * reference's `$key.las` per-partition naming (K2, las/package
+  * .scala:45-98) without its driver-side rename loop or per-key job. A
+  * key that reappears after its run closed means the input was not
+  * clustered — fail fast rather than silently overwrite. */
+class KeyedDataWriter(
+    dir: String,
+    inputSchema: StructType,
+    keyColumn: String,
+    mkDelegate: String => DataWriter[InternalRow])
+  extends DataWriter[InternalRow] {
+
+  private val keyOrd = inputSchema.fieldNames.indexOf(keyColumn)
+  require(keyOrd >= 0, s"keyColumn '$keyColumn' is not in the input schema")
+  private val keyType = inputSchema.fields(keyOrd).dataType
+
+  private var currentKey: String = null
+  private var current: DataWriter[InternalRow] = null
+  private val seen = scala.collection.mutable.HashSet.empty[String]
+  private val done = scala.collection.mutable.ArrayBuffer.empty[WriterCommitMessage]
+
+  private def fileBase(key: String): String =
+    key.replaceAll("[^A-Za-z0-9._=@-]", "_")
+
+  override def write(row: InternalRow): Unit = {
+    val k = if (row.isNullAt(keyOrd)) "null" else row.get(keyOrd, keyType).toString
+    if (currentKey == null || k != currentKey) {
+      if (current != null) { done += current.commit(); current.close() }
+      require(seen.add(k),
+        s"key '$k' reappeared after its run closed — keyed writes need input " +
+          s"clustered and sorted by '$keyColumn' (use the writeKeyed sugar)")
+      currentKey = k
+      current = mkDelegate(fileBase(k))
+    }
+    current.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (current != null) { done += current.commit(); current.close(); current = null }
+    KeyedPartsMessage(done.toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (current != null) { current.abort(); current = null }
+    // per-key files already finalized by this task must not survive a
+    // task abort — they never reach the job-level abort's message list
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    done.foreach(WriterUtil.deleteOutputs(fs, _))
+  }
+
+  override def close(): Unit = { if (current != null) current.close() }
 }
 
 /** Streams records to a temp body file while accumulating header stats in
@@ -160,10 +238,11 @@ class LasDataWriter(
     options: Map[String, String],
     queryId: String,
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    baseName: Option[String] = None)
   extends DataWriter[InternalRow] {
 
-  private val dataSchema = WriterUtil.dataFields(inputSchema)
+  private val dataSchema = WriterUtil.dataFields(inputSchema, options)
 
   private val format: Byte = options.get("lasformat").map(_.toByte)
     .getOrElse(LasHeader.formatFromSchema(StructType(dataSchema.fields.filter(f =>
@@ -195,13 +274,24 @@ class LasDataWriter(
     }
   private val scale = parse3("scale", 1.0)
   private val offset = parse3("offset", 0.0)
+  // `major` (or the prefix of a dotted `version`) is accepted and
+  // validated — every published LAS release is major 1, so anything else
+  // is a caller error, not a new file flavor (the reference reads the
+  // option too, las/package.scala:31-33, but swaps it into minor)
+  options.get("major")
+    .orElse(options.get("version").filter(_.contains('.')).map(_.split('.').head))
+    .foreach { m =>
+      require(m.trim.toByte == 1,
+        s"LAS major version must be 1 (got '$m'); only minor is selectable")
+    }
   private val minorOpt: Byte =
     options.get("minor").orElse(options.get("version").map(_.split('.').last)).map(_.toByte)
       .getOrElse(if (extraFields.nonEmpty) 4.toByte else 2.toByte)
 
   private val conf = new Configuration()
-  private val finalPath = new Path(dir, f"part-$partitionId%05d-$taskId.las")
-  private val tmpPath = new Path(dir, s".graft-tmp-$queryId/part-$partitionId-$taskId.pdr")
+  private val base = baseName.getOrElse(f"part-$partitionId%05d-$taskId")
+  private val finalPath = new Path(dir, s"$base.las")
+  private val tmpPath = new Path(dir, s".graft-tmp-$queryId/$base-$partitionId-$taskId.pdr")
   private val fs = finalPath.getFileSystem(conf)
   private val body = new DataOutputStream(new BufferedOutputStream(fs.create(tmpPath, true), 1 << 16))
 
@@ -297,17 +387,19 @@ class PlyDataWriter(
     options: Map[String, String],
     queryId: String,
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    baseName: Option[String] = None)
   extends DataWriter[InternalRow] {
 
-  private val dataSchema = WriterUtil.dataFields(inputSchema)
+  private val dataSchema = WriterUtil.dataFields(inputSchema, options)
   private val element = options.getOrElse("element", "vertex")
-  private val littleEndian = !options.get("bigEndian").contains("true")
+  private val littleEndian = !options.get("bigendian").contains("true")
   private val merge = options.get("merge").contains("true")
 
   private val conf = new Configuration()
-  private val bodyPath = new Path(dir, s".graft-tmp-$queryId/part-$partitionId-$taskId.$element.body")
-  private val finalPath = new Path(dir, f"part-$partitionId%05d-$taskId.ply")
+  private val base = baseName.getOrElse(f"part-$partitionId%05d-$taskId")
+  private val bodyPath = new Path(dir, s".graft-tmp-$queryId/$base-$partitionId-$taskId.$element.body")
+  private val finalPath = new Path(dir, s"$base.ply")
   private val fs = bodyPath.getFileSystem(conf)
   private val body = new DataOutputStream(new BufferedOutputStream(fs.create(bodyPath, true), 1 << 16))
   private val encoder = new RecordEncoder(dataSchema, inputSchema, littleEndian)
@@ -356,14 +448,16 @@ class XyzDataWriter(
     inputSchema: StructType,
     options: Map[String, String],
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    baseName: Option[String] = None)
   extends DataWriter[InternalRow] {
 
-  private val dataSchema = WriterUtil.dataFields(inputSchema)
+  private val dataSchema = WriterUtil.dataFields(inputSchema, options)
   private val ords: Array[(Int, DataType)] = dataSchema.fields.map { f =>
     (inputSchema.fieldNames.indexOf(f.name), f.dataType)
   }
-  private val finalPath = new Path(dir, f"part-$partitionId%05d-$taskId.xyz")
+  private val finalPath = new Path(dir,
+    s"${baseName.getOrElse(f"part-$partitionId%05d-$taskId")}.xyz")
   private val fs = finalPath.getFileSystem(new Configuration())
   private val out = new DataOutputStream(new BufferedOutputStream(fs.create(finalPath, true), 1 << 16))
   private var count = 0L

@@ -86,5 +86,29 @@ object syntax {
       write("ply", path, options)
     def writeXyz(path: String, options: Map[String, String] = Map.empty): Unit =
       write("xyz", path, options)
+
+    /** Single-pass partition-keyed save: ONE distributed write that emits
+      * one self-contained `<key>.<ext>` file per distinct value of
+      * `keyCol` — the reference's `$key.las` naming sugar (K2,
+      * las/package.scala:45-98) without a driver loop of per-key jobs.
+      * Repartitioning by the key clusters each key into exactly one task;
+      * the within-partition sort lets the task writer stream one file at
+      * a time. The key column itself is encoded in the file name, not the
+      * records (duplicate it under another name to also store it). */
+    def writeKeyed(format: String, path: String, keyCol: String,
+        options: Map[String, String] = Map.empty): Unit = {
+      import org.apache.spark.sql.functions.col
+      val keyed = df.repartition(col(keyCol)).sortWithinPartitions(keyCol)
+      var w = keyed.write.format(format).option("__schema", keyed.schema.json)
+        .option("keyColumn", keyCol).mode("overwrite")
+      options.foreach { case (k, v) => w = w.option(k, v) }
+      w.save(path)
+    }
+    def writeLasKeyed(path: String, keyCol: String,
+        options: Map[String, String] = Map.empty): Unit = writeKeyed("las", path, keyCol, options)
+    def writePlyKeyed(path: String, keyCol: String,
+        options: Map[String, String] = Map.empty): Unit = writeKeyed("ply", path, keyCol, options)
+    def writeXyzKeyed(path: String, keyCol: String,
+        options: Map[String, String] = Map.empty): Unit = writeKeyed("xyz", path, keyCol, options)
   }
 }

@@ -53,6 +53,11 @@ class PointCloudSpec extends SparkTestBase {
   test("PLY big-endian round trip") {
     val dir = tmpDir("plybe")
     samplePoints.writePly(dir, Map("bigEndian" -> "true"))
+    // the option must actually reach the writer: header declares big-endian
+    val ply = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".ply")).head
+    val head = new String(java.nio.file.Files.readAllBytes(ply.toPath).take(200),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    assert(head.contains("format binary_big_endian"), head)
     val back = spark.read.ply(dir)
     assert(back.agg(sum("x")).as[Long].head() ==
       samplePoints.agg(sum("x")).as[Long].head())
@@ -368,6 +373,57 @@ class PointCloudSpec extends SparkTestBase {
     assert(spark.read.option("element", "points").ply(dir3).count() == 10000)
     // default 'vertex' element absent → the read refuses with a clear error
     intercept[IllegalArgumentException](spark.read.ply(dir3))
+  }
+
+  test("major writer option: 1 accepted, anything else refused") {
+    val dir = tmpDir("optmajor")
+    samplePoints.coalesce(1).writeLas(dir, Map("major" -> "1", "minor" -> "3"))
+    assert(spark.read.las(dir).count() == 10000)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      samplePoints.coalesce(1).writeLas(tmpDir("optmajor2"), Map("major" -> "2"))
+    }
+    assert(e1.getMessage.contains("major") || e1.getCause.getMessage.contains("major"))
+    // a dotted version carries the major in its prefix
+    val e2 = intercept[org.apache.spark.SparkException] {
+      samplePoints.coalesce(1).writeLas(tmpDir("optmajor3"), Map("version" -> "2.4"))
+    }
+    assert(e2.getMessage.contains("major") || e2.getCause.getMessage.contains("major"))
+  }
+
+  test("idColumns=false suppresses fid/pid synthesis") {
+    val dir = tmpDir("noids")
+    samplePoints.writeLas(dir)
+    val back = spark.read.option("idColumns", "false").las(dir)
+    assert(!back.columns.contains("fid") && !back.columns.contains("pid"))
+    assert(back.count() == 10000)
+    assert(back.agg(sum("x")).as[Long].head() ==
+      samplePoints.agg(sum("x")).as[Long].head())
+  }
+
+  test("writeKeyed: one pass, one self-contained file per key") {
+    val df = samplePoints.withColumn("tile", ($"z" % 4).cast("int"))
+    val dir = tmpDir("keyedlas")
+    df.writeLasKeyed(dir, "tile")
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".las")).sorted
+    assert(files.toSeq == Seq("0.las", "1.las", "2.las", "3.las"))
+    // each file is self-contained and holds exactly its key's rows
+    (0 to 3).foreach { k =>
+      assert(spark.read.las(s"$dir/$k.las").count() ==
+        df.filter($"tile" === k).count())
+    }
+    // the key column names the file; it is not stored in the records
+    assert(!spark.read.las(s"$dir/0.las").columns.contains("tile"))
+
+    // string keys work too (PLY), with filename sanitization
+    val dir2 = tmpDir("keyedply")
+    val named = samplePoints.withColumn("sensor",
+      concat(lit("scan/"), ($"z" % 2).cast("string")))
+    named.writePlyKeyed(dir2, "sensor")
+    val plys = new java.io.File(dir2).listFiles().map(_.getName)
+      .filter(_.endsWith(".ply")).sorted
+    assert(plys.toSeq == Seq("scan_0.ply", "scan_1.ply"))
+    assert(spark.read.ply(dir2).count() == 10000)
   }
 
   test("SchemaMerge widening rules") {
