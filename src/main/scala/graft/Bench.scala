@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BENCH_RUNS passes (default 3, BASELINE.md protocol),
   * rounded to 1 ms to keep the line short. A short untimed warmup (one
   * scan-shaped query) absorbs session/codegen startup; queries run in
-  * name order so round-over-round comparisons are stable.
+  * name order so round-over-round comparisons are stable. A query that
+  * throws is reported in an "errors" object rather than silently timed —
+  * breakage must never read as a fast run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,11 +26,16 @@ object Bench {
     try SparkEntry.queries("iq01_scan_project")(spark, sfDir).count()
     catch { case _: Throwable => }
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
     val samples: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
+        catch { case t: Throwable => // recorded, never a fast "success" time
+          errs.getOrElseUpdate(name,
+            t.getClass.getSimpleName + ": " +
+              Option(t.getMessage).getOrElse("").takeWhile(_ != '\n').take(120))
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
@@ -42,8 +49,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = ms(results.map(_._2).sum)
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => " "; case c => c.toString
+    } + "\""
+    val errJson =
+      if (errs.isEmpty) ""
+      else errs.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString(""","errors":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs$errJson,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       line.getBytes("UTF-8"))

@@ -252,7 +252,6 @@ object Dedup {
     * returning silently-split components if the cap is ever hit.
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    import pairs.sparkSession.implicits._
     // undirected edge list, materialized once — every iteration joins
     // against it, and without the checkpoint each round would re-execute
     // the whole upstream pair-generation pipeline
@@ -263,6 +262,11 @@ object Dedup {
       .select(col("id"), col("id").as("label"))
     var converged = false
     var i = 0
+    // per-id labels are monotone non-increasing (each round takes a min
+    // that includes the old label), so the label sum strictly decreases
+    // iff any label changed — convergence needs no old-vs-new join, just
+    // one cheap aggregate over the already-materialized checkpoint
+    var prevSum: java.math.BigDecimal = null
     while (!converged && i < maxIterations) {
       val viaEdges = edges.join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("label"))
@@ -274,10 +278,13 @@ object Dedup {
       val lut = hop.select(col("id").as("lut_id"), col("label").as("lut_label"))
       val next = hop.join(lut, col("label") === col("lut_id"))
         .select(col("id"), least(col("label"), col("lut_label")).as("label"))
-      val changed = next.as("n").join(labels.as("o"), $"n.id" === $"o.id")
-        .filter($"n.label" =!= $"o.label").limit(1).count()
       labels = next.localCheckpoint(eager = true) // cut the growing lineage
-      converged = changed == 0
+      val sum = labels
+        .agg(coalesce(org.apache.spark.sql.functions.sum(col("label").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+      converged = prevSum != null && sum.compareTo(prevSum) == 0
+      prevSum = sum
       i += 1
     }
     if (!converged)

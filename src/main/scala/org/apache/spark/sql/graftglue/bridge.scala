@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, Expression
 object Bridge {
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
   def column(e: Expression): Column = Column(ExpressionColumnNode(e))
+
+  /** Unload every loaded state-store provider now (normally the 60 s
+    * maintenance tick does this lazily after a streaming query stops).
+    * Run-to-completion verification/bench sessions start many short
+    * stateful queries back-to-back; without this each stopped query's
+    * in-memory version maps linger and accumulate. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }

@@ -79,6 +79,11 @@ class FixturesSpec extends SparkTestBase {
     intercept[IllegalArgumentException](parse(
       "ply\nformat binary_little_endian 1.0\nelement face 1\nproperty list uchar int vertex_index\nend_header\n"))
     intercept[IllegalArgumentException](parse("notaply\nend_header\n"))
+    // truncated header (EOF before end_header) must throw, not spin
+    intercept[java.io.EOFException](parse(
+      "ply\nformat binary_little_endian 1.0\nelement vertex 3\n"))
+    intercept[java.io.EOFException](parse(
+      "ply\nformat binary_little_endian 1.0\nelement vertex 3"))
   }
 
   test("PLY golden header text matches the reference shape") {

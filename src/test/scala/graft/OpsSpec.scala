@@ -149,6 +149,23 @@ class OpsSpec extends SparkTestBase {
     assert(grid == brute, s"missing=${brute -- grid} spurious=${grid -- brute}")
   }
 
+  test("allPairsJaccard is exact at a non-tenth threshold (0.75)") {
+    // an approximate (rounded-to-tenths) size-ratio prune would drop pairs
+    // with count ratio in [0.75, 0.8) — compare against brute force
+    val t = 0.75
+    val base = docs.select($"doc_id".as("id"), Dedup.shingleHashes($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val brute = base.as("a").join(base.as("b"), $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        Dedup.jaccard($"a.sh", $"b.sh").as("j"))
+      .filter($"j" >= t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.allPairsJaccard(docs, "doc_id", "text", t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "test data should contain pairs at J >= 0.75")
+    assert(exact == brute, s"missed=${brute -- exact} spurious=${exact -- brute}")
+  }
+
   test("exact dedup keeps the minimal id and counts group sizes") {
     val out = Dedup.exactDedup(
       Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t"), "id", $"t")

@@ -202,6 +202,12 @@ class PointCloudSpec extends SparkTestBase {
     assert(widened.select("intensity").head().getInt(0) == 65535)
     // signed fields (x) stay untouched
     assert(widened.schema("x").dataType == IntegerType)
+    // writing the widened frame back must fail fast with the needed cast,
+    // not zero-fill the base field and emit a duplicate ExtraBytes column
+    val e = intercept[Exception] { widened.writeLas(tmpDir("unsigned-back")) }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("cast it back")), messages(e).mkString(" | "))
   }
 
   test("PLY uchar property: wrap by default, 0..255 with widenUnsigned") {
