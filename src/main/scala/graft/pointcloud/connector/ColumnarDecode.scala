@@ -16,7 +16,8 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * buffer instead of per-row virtual dispatch, and the scan feeds
   * Spark's ColumnarToRow/whole-stage codegen path.
   */
-class BinarySectionColumnarReader(p: BinaryPartition, readSchema: StructType)
+class BinarySectionColumnarReader(p: BinaryPartition, readSchema: StructType,
+    predicate: RecordPredicate = null)
   extends PartitionReader[ColumnarBatch] {
 
   private val sectionSchema = DataType.fromJson(p.sectionSchemaJson).asInstanceOf[StructType]
@@ -66,18 +67,101 @@ class BinarySectionColumnarReader(p: BinaryPartition, readSchema: StructType)
 
   private var nextIdx = 0L // next record index within the partition
 
+  // pushed-filter selection: indices of matching records within the chunk
+  private val sel: Array[Int] = if (predicate == null) null else new Array[Int](batchSize)
+
   override def next(): Boolean = {
-    if (nextIdx >= p.numRecords) return false
-    val n = math.min(batchSize.toLong, p.numRecords - nextIdx).toInt
-    in.readFully(chunk, 0, n * p.stride)
-    var c = 0
-    while (c < plans.length) {
-      fillColumn(vectors(c), plans(c), n, nextIdx)
-      c += 1
+    while (true) {
+      if (nextIdx >= p.numRecords) return false
+      val n = math.min(batchSize.toLong, p.numRecords - nextIdx).toInt
+      in.readFully(chunk, 0, n * p.stride)
+      if (predicate == null) {
+        var c = 0
+        while (c < plans.length) {
+          fillColumn(vectors(c), plans(c), n, nextIdx)
+          c += 1
+        }
+        batch.setNumRows(n)
+        nextIdx += n
+        return true
+      } else {
+        // evaluate on the raw bytes first, then decode only the survivors
+        // (ColumnarBatch has no selection vector, so compact while filling)
+        var m = 0
+        var i = 0
+        while (i < n) {
+          if (predicate.matches(buf, i * p.stride, p.startRecord + nextIdx + i)) {
+            sel(m) = i; m += 1
+          }
+          i += 1
+        }
+        val base = nextIdx
+        nextIdx += n
+        if (m > 0) {
+          var c = 0
+          while (c < plans.length) {
+            fillColumnSelected(vectors(c), plans(c), m, base)
+            c += 1
+          }
+          batch.setNumRows(m)
+          return true
+        }
+        // whole chunk filtered out — read the next one instead of
+        // surfacing an empty batch
+      }
     }
-    batch.setNumRows(n)
-    nextIdx += n
-    true
+    false // unreachable
+  }
+
+  /** [[fillColumn]] over the `sel` selection (first `m` entries): decode
+    * only the records the pushed filters kept. */
+  private def fillColumnSelected(v: OnHeapColumnVector, pl: ColPlan, m: Int,
+      base: Long): Unit = {
+    import graft.pointcloud.FieldDecoder.Tag
+    v.reset()
+    pl.kind match {
+      case 0 => v.putNulls(0, m)
+      case 1 => v.putInts(0, m, p.fid)
+      case 2 =>
+        var j = 0
+        while (j < m) { v.putLong(j, p.startRecord + base + sel(j)); j += 1 }
+      case 3 =>
+        val stride = p.stride
+        val off = pl.off
+        var j = 0
+        if (pl.srcTag <= Tag.Long) {
+          while (j < m) {
+            val pos = sel(j) * stride + off
+            var raw: Long = pl.srcTag match {
+              case Tag.Byte  => buf.get(pos).toLong
+              case Tag.Short => buf.getShort(pos).toLong
+              case Tag.Int   => buf.getInt(pos).toLong
+              case _         => buf.getLong(pos)
+            }
+            if (pl.zeroExtend) raw &= Tag.unsignedMask(pl.srcTag)
+            if (pl.hasNodata && raw == pl.ndL) v.putNull(j)
+            else pl.dstTag match {
+              case Tag.Byte   => v.putByte(j, raw.toByte)
+              case Tag.Short  => v.putShort(j, raw.toShort)
+              case Tag.Int    => v.putInt(j, raw.toInt)
+              case Tag.Long   => v.putLong(j, raw)
+              case Tag.Float  => v.putFloat(j, raw.toFloat)
+              case Tag.Double => v.putDouble(j, raw.toDouble)
+            }
+            j += 1
+          }
+        } else {
+          while (j < m) {
+            val pos = sel(j) * stride + off
+            val raw: Double =
+              if (pl.srcTag == Tag.Float) buf.getFloat(pos).toDouble else buf.getDouble(pos)
+            if (pl.hasNodata && raw == pl.ndD) v.putNull(j)
+            else if (pl.dstTag == Tag.Float) v.putFloat(j, raw.toFloat)
+            else v.putDouble(j, raw)
+            j += 1
+          }
+        }
+    }
   }
 
   private def fillColumn(v: OnHeapColumnVector, pl: ColPlan, n: Int, base: Long): Unit = {

@@ -32,26 +32,47 @@ class PointCloudScanBuilder(
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
+  with SupportsPushDownLimit
   with SupportsPushDownAggregates {
 
   private var readSchema: StructType = tableSchema
   private var pushedAggRow: Option[(StructType, Array[Any])] = None
   private var skipFilters: Array[SourceFilter] = Array.empty
+  private var recordFilters: Array[SourceFilter] = Array.empty
+  private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     readSchema = requiredSchema
 
-  /** Bbox file-skip (reference O3 upgrade, SURVEY §2.3 P4): x/y/z range
-    * predicates prune whole sections against LAS header pmin/pmax at
-    * planning time. Every filter is ALSO kept post-scan (we return the
-    * full list as residual and report none as pushed), so this is purely
-    * a partition-pruning optimization — never a correctness dependency.
+  /** Two pushdown layers (reference: none — SURVEY §2.3 P4):
+    *  - file skip: ALL filters prune whole sections against LAS header
+    *    pmin/pmax at planning time (conservative, never a correctness
+    *    dependency);
+    *  - record skip: filters the binary readers can evaluate exactly
+    *    (numeric comparisons in the exposed-schema domain, null-aware)
+    *    are claimed as pushed and dropped from Spark's residual — a
+    *    selective range scan never materializes non-matching rows.
+    * XYZ text reads keep everything residual (values only exist after
+    * per-line parsing, where Spark's own codegen filter is as good).
     */
   override def pushFilters(filters: Array[SourceFilter]): Array[SourceFilter] = {
     skipFilters = filters
-    filters
+    val (push, residual) =
+      if (kind == FormatKind.Xyz) (Array.empty[SourceFilter], filters)
+      else filters.partition(RecordPredicate.pushable(_, tableSchema))
+    recordFilters = push
+    residual
   }
-  override def pushedFilters(): Array[SourceFilter] = Array.empty
+  override def pushedFilters(): Array[SourceFilter] = recordFilters
+
+  /** Header counts make limit-aware planning exact when no record-level
+    * filter is pushed: plan only the leading partitions covering `limit`
+    * records. (With pushed filters the per-file match count is unknown;
+    * with XYZ there is no header count.) */
+  override def pushLimit(l: Int): Boolean = {
+    if (kind == FormatKind.Xyz || recordFilters.nonEmpty) false
+    else { limit = l; true }
+  }
 
   /** Conservative can-this-section-match check in the raw-int domain. */
   private def sectionMayMatch(sf: SectionWithFid, filters: Array[SourceFilter]): Boolean =
@@ -105,6 +126,9 @@ class PointCloudScanBuilder(
     */
   private def computeAggregation(agg: Aggregation): Option[(StructType, Array[Any])] = {
     if (agg.groupByExpressions.nonEmpty) return None
+    // header totals answer the UNFILTERED table only; once a record-level
+    // filter is pushed the counts no longer describe the scan's output
+    if (recordFilters.nonEmpty) return None
     if (kind == FormatKind.Xyz) return None // no header to answer from
     val sections = resolved.sections
     if (sections.isEmpty) return None
@@ -166,7 +190,8 @@ class PointCloudScanBuilder(
         if (skipFilters.isEmpty) resolved
         else resolved.copy(sections =
           resolved.sections.filter(sectionMayMatch(_, skipFilters)))
-      new PointCloudScan(kind, pruned, readSchema, tableSchema, options, provider)
+      new PointCloudScan(kind, pruned, readSchema, tableSchema, options, provider,
+        recordFilters, limit)
   }
 }
 
@@ -203,7 +228,9 @@ class PointCloudScan(
     schema: StructType,
     tableSchema: StructType,
     options: CaseInsensitiveStringMap,
-    provider: PointCloudProvider = null)
+    provider: PointCloudProvider = null,
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    limit: Int = -1)
   extends Scan with Batch with SupportsReportStatistics {
 
   /** Streaming ingest: new files in the directory become micro-batches
@@ -221,13 +248,19 @@ class PointCloudScan(
     * reports nothing. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val known = kind != FormatKind.Xyz && resolved.sections.nonEmpty
+    private val totalRows = resolved.sections.map(_.section.count).sum
+    private val rows =
+      if (limit >= 0) math.min(limit.toLong, totalRows) else totalRows
     override def sizeInBytes(): java.util.OptionalLong =
-      if (known)
-        java.util.OptionalLong.of(resolved.sections.map(_.section.byteSize).sum)
-      else java.util.OptionalLong.empty()
+      if (known) {
+        val bytes = resolved.sections.map(_.section.byteSize).sum
+        // a pushed limit caps the scan output proportionally
+        val capped = if (totalRows > 0 && rows < totalRows)
+          math.max(1L, bytes / totalRows * rows) else bytes
+        java.util.OptionalLong.of(capped)
+      } else java.util.OptionalLong.empty()
     override def numRows(): java.util.OptionalLong =
-      if (known)
-        java.util.OptionalLong.of(resolved.sections.map(_.section.count).sum)
+      if (known) java.util.OptionalLong.of(rows)
       else java.util.OptionalLong.empty()
   }
 
@@ -242,7 +275,9 @@ class PointCloudScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"graft ${kind.name} scan, ${resolved.sections.size} section(s), " +
-      s"columns [${schema.fieldNames.mkString(",")}]"
+      s"columns [${schema.fieldNames.mkString(",")}]" +
+      (if (pushedFilters.nonEmpty) s", PushedFilters: [${pushedFilters.mkString(", ")}]" else "") +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
 
   /** Split each section into runs of whole records sized by
     * `spark.sql.files.maxPartitionBytes` (replaces the reference's
@@ -251,7 +286,7 @@ class PointCloudScan(
     * partition per file. */
   override def planInputPartitions(): Array[InputPartition] = {
     val maxBytes = SQLConf.get.filesMaxPartitionBytes
-    resolved.sections.flatMap { sf =>
+    val all: Array[InputPartition] = resolved.sections.flatMap { sf =>
       val s = sf.section
       if (kind == FormatKind.Xyz) {
         Seq(XyzPartition(s.location, sf.fid, xyzTokenSchema.json))
@@ -264,10 +299,24 @@ class PointCloudScan(
         }
       }
     }.toArray
+    if (limit < 0) all
+    else {
+      // pushed limit (only without pushed filters): keep the leading
+      // partitions covering exactly `limit` records — LIMIT 10 over a
+      // thousand files plans one partition of 10 records, not a scan
+      var remaining = limit.toLong
+      all.iterator.takeWhile(_ => remaining > 0).map {
+        case b: BinaryPartition =>
+          val take = math.min(b.numRecords, remaining)
+          remaining -= take
+          b.copy(numRecords = take)
+        case other => other
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PointCloudReaderFactory(schema.json)
+    new PointCloudReaderFactory(schema.json, tableSchema.json, pushedFilters)
 }
 
 /** A run of whole records inside one section. The section schema rides
@@ -288,11 +337,16 @@ case class BinaryPartition(
 case class XyzPartition(location: String, fid: Int, schemaJson: String)
   extends InputPartition
 
-class PointCloudReaderFactory(readSchemaJson: String) extends PartitionReaderFactory {
+class PointCloudReaderFactory(
+    readSchemaJson: String,
+    tableSchemaJson: String = null,
+    pushedFilters: Array[SourceFilter] = Array.empty)
+  extends PartitionReaderFactory {
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val readSchema = DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
     partition match {
-      case p: BinaryPartition => new BinarySectionReader(p, readSchema)
+      case p: BinaryPartition => new BinarySectionReader(p, readSchema, predicate(p))
       case p: XyzPartition => new XyzReader(p, readSchema)
     }
   }
@@ -305,13 +359,28 @@ class PointCloudReaderFactory(readSchemaJson: String) extends PartitionReaderFac
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val readSchema = DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
-    new BinarySectionColumnarReader(partition.asInstanceOf[BinaryPartition], readSchema)
+    val p = partition.asInstanceOf[BinaryPartition]
+    new BinarySectionColumnarReader(p, readSchema, predicate(p))
   }
+
+  /** Pushed-filter evaluator compiled against this partition's section
+    * schema (sections differ across merged files); null when nothing was
+    * pushed. */
+  private def predicate(p: BinaryPartition): RecordPredicate =
+    if (pushedFilters.isEmpty) null
+    else new RecordPredicate(pushedFilters,
+      DataType.fromJson(tableSchemaJson).asInstanceOf[StructType],
+      Section(p.location, p.sectionOffset, p.numRecords, p.littleEndian,
+        DataType.fromJson(p.sectionSchemaJson).asInstanceOf[StructType], p.stride),
+      p.fid)
 }
 
 /** Streams one partition's records through a reused chunk buffer and
-  * decodes them into a reused row — no per-record allocation. */
-class BinarySectionReader(p: BinaryPartition, readSchema: StructType)
+  * decodes them into a reused row — no per-record allocation. Pushed
+  * filters are evaluated on the raw record bytes; non-matching records
+  * are skipped before any decode. */
+class BinarySectionReader(p: BinaryPartition, readSchema: StructType,
+    predicate: RecordPredicate = null)
   extends PartitionReader[InternalRow] {
 
   private val sectionSchema = DataType.fromJson(p.sectionSchemaJson).asInstanceOf[StructType]
@@ -335,17 +404,23 @@ class BinarySectionReader(p: BinaryPartition, readSchema: StructType)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    if (nextIdx >= p.numRecords) return false
-    if (nextIdx - chunkStart >= chunkLen) {
-      val n = math.min(recordsPerChunk.toLong, p.numRecords - nextIdx).toInt
-      in.readFully(chunk, 0, n * p.stride)
-      chunkStart = nextIdx
-      chunkLen = n
+    while (true) {
+      if (nextIdx >= p.numRecords) return false
+      if (nextIdx - chunkStart >= chunkLen) {
+        val n = math.min(recordsPerChunk.toLong, p.numRecords - nextIdx).toInt
+        in.readFully(chunk, 0, n * p.stride)
+        chunkStart = nextIdx
+        chunkLen = n
+      }
+      val base = ((nextIdx - chunkStart) * p.stride).toInt
+      val pid = p.startRecord + nextIdx
+      nextIdx += 1
+      if (predicate == null || predicate.matches(buf, base, pid)) {
+        current = decoder.decode(buf, base, pid)
+        return true
+      }
     }
-    val base = ((nextIdx - chunkStart) * p.stride).toInt
-    current = decoder.decode(buf, base, p.startRecord + nextIdx)
-    nextIdx += 1
-    true
+    false // unreachable
   }
 
   override def get(): InternalRow = current

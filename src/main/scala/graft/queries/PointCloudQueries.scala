@@ -189,6 +189,33 @@ object PointCloudQueries {
       .limit(200)
   }
 
+  /** Selective LAS range scan — exercises record-level filter pushdown
+    * end-to-end (the filters are claimed pushed, evaluated on raw record
+    * bytes before decode; plan carries no residual Filter). The oracle
+    * applies the same predicate in SQL, so a hash match proves the pushed
+    * evaluation is exact. */
+  private val pc09: Q = (s, d) => {
+    val pts = Tables.lineitem(s, d).select(
+      ($"l_orderkey" % 1000000).cast("int").as("x"),
+      ($"l_partkey" % 1000000).cast("int").as("y"),
+      ($"l_suppkey" % 1000000).cast("int").as("z"),
+      ($"l_linenumber" % 32000).cast("short").as("intensity"),
+      (($"l_linenumber" % 7) + 1).cast("byte").as("flags"),
+      lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"),
+      lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    val dir = tmpDir("pc09", d)
+    pts.writeLas(dir, Map("scale" -> "0.001"))
+    s.read.las(dir)
+      .filter($"x" >= 250000 && $"x" < 500000 && $"intensity" > 2)
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        min($"x").as("mnx"), max($"x").as("mxx"),
+        sum($"intensity".cast("bigint")).as("si"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pc01_las_roundtrip" -> pc01,
     "pc02_ply_roundtrip" -> pc02,
@@ -198,6 +225,7 @@ object PointCloudQueries {
     "pc06_voxel_downsample" -> pc06,
     "pc07_radius_join" -> pc07,
     "pc08_voxel_covariance" -> pc08,
+    "pc09_filtered_scan" -> pc09,
   )
 
   val oracle: Map[String, String] = Map(
@@ -280,5 +308,15 @@ object PointCloudQueries {
          |FROM lineitem
          |GROUP BY vx, vy, vz ORDER BY vx, vy, vz LIMIT 200""".stripMargin
     },
+    "pc09_filtered_scan" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | MIN(CAST(l_orderkey % 1000000 AS INT)) AS mnx,
+        | MAX(CAST(l_orderkey % 1000000 AS INT)) AS mxx,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si
+        |FROM lineitem
+        |WHERE (l_orderkey % 1000000) >= 250000
+        |  AND (l_orderkey % 1000000) < 500000
+        |  AND (l_linenumber % 32000) > 2""".stripMargin,
   )
 }

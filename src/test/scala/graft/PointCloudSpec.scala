@@ -179,6 +179,60 @@ class PointCloudSpec extends SparkTestBase {
     assert(both.filter($"x" > 10500).count() == 499)
   }
 
+  test("record-level filter pushdown: filters leave the plan, results exact") {
+    val dir = tmpDir("recfilter")
+    samplePoints.writeLas(dir)
+    val base = spark.read.las(dir)
+    val df = base.filter($"x" > 500 && $"intensity" <= 3000).select("x", "y", "intensity")
+    val plan = df.queryExecution.executedPlan
+    // fully pushed: Catalyst keeps no residual Filter node at all
+    assert(plan.collect { case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty,
+      plan.toString)
+    assert(plan.toString.contains("PushedFilters"), plan.toString)
+    val expected = samplePoints.filter($"x" > 500 && $"intensity" <= 3000)
+      .select("x", "y", "intensity").orderBy("x", "y", "intensity").collect().toSeq
+    assert(expected.nonEmpty)
+    assert(df.orderBy("x", "y", "intensity").collect().toSeq == expected)
+    // COUNT over a pushed filter must NOT be answered from headers
+    assert(df.count() == expected.size)
+    // a pushed filter on a column pruned from the output still applies
+    val pruned = base.filter($"flags" === 1).select("x")
+    assert(pruned.queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty)
+    assert(pruned.count() == samplePoints.filter($"flags" === 1).count())
+    // pid (per-file record index) predicates are evaluated per record
+    val nFiles = base.select("fid").distinct().count()
+    assert(base.filter($"pid" < 7).count() == 7 * nFiles)
+  }
+
+  test("record-level pushdown compares in the exposed (widened) domain") {
+    val dir = tmpDir("recfilter-unsigned")
+    samplePoints.withColumn("intensity", lit(-1).cast("short")).writeLas(dir)
+    val widened = spark.read.option("widenUnsigned", "true").las(dir)
+    val hit = widened.filter($"intensity" === 65535)
+    assert(hit.queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty)
+    assert(hit.count() == 10000)
+    assert(widened.filter($"intensity" === -1).count() == 0)
+  }
+
+  test("pushed limit plans only the partitions its row count needs") {
+    val dir1 = tmpDir("lim1")
+    val dir2 = tmpDir("lim2")
+    samplePoints.coalesce(1).writeLas(dir1)
+    samplePoints.coalesce(1).writeLas(dir2)
+    val df = spark.read.las(dir1, dir2).limit(10)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.inputPartitions.size == 1, scans.head.inputPartitions)
+    assert(df.count() == 10)
+    // rows are real records, not padding
+    val xs = df.select("x").as[Int].collect()
+    assert(xs.forall(x => x >= 0 && x < 1000))
+  }
+
   test("binary scans are vectorized (ColumnarToRow above the scan)") {
     val dir = tmpDir("columnar")
     samplePoints.writeLas(dir)
