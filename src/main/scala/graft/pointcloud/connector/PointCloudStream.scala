@@ -9,16 +9,21 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Streaming ingest of point-cloud directories (SURVEY §7.7): the file is
-  * the unit of progress — an offset is the lexicographic high-watermark of
-  * processed file names, so each micro-batch scans exactly the files whose
-  * name sorts after the watermark. Unlike a positional (count) offset, a
-  * watermark is stable when the listing shifts: a late file that sorts
-  * before already-processed names can never cause re-emission of old files
-  * (it is skipped with a warning — name files monotonically, e.g. by
-  * timestamp, for complete ingest). Headers are read per batch on the
-  * driver (exactly like the batch path), partitions are the same
-  * record-aligned binary partitions, and fid numbering stays consistent
-  * with the sorted listing.
+  * the unit of progress. An offset is the APPEND-ONLY list of known file
+  * names in first-seen order (the same seen-files idea as Spark's
+  * FileStreamSource, carried in the offset so a restart replays
+  * identically from the offset log alone). Consequences:
+  *  - a file's fid is its index in that list — first-seen order — and can
+  *    never change once assigned, no matter what arrives later;
+  *  - a late file whose name sorts before already-processed names is
+  *    still ingested (it simply gets the next fid), so ingest is complete
+  *    without any naming-convention requirement;
+  *  - each micro-batch processes exactly end.files minus start.files.
+  * The offset grows with the file count; at ~100 bytes per path an
+  * offset log entry stays manageable well past 10^5 files, and file
+  * streams of that size should compact/rotate source directories anyway.
+  * Headers are read per batch on the driver (exactly like the batch
+  * path); partitions are the same record-aligned binary partitions.
   */
 class PointCloudMicroBatchStream(
     kind: FormatKind,
@@ -28,39 +33,44 @@ class PointCloudMicroBatchStream(
     checkpointLocation: String)
   extends MicroBatchStream with Logging {
 
-  /** Lexicographic high-watermark of processed file names ("" = none). */
-  private case class FileNameOffset(lastFile: String) extends Offset {
-    override def json(): String = lastFile
-  }
+  import PointCloudMicroBatchStream.FileListOffset
+
+  /** Known files in first-seen order; extended by latestOffset, seeded by
+    * deserializeOffset after a restart (the longer list wins — offsets
+    * are append-only, so length orders them). */
+  @volatile private var known: Vector[String] = Vector.empty
 
   private def listFiles(): Seq[String] =
     PointCloudUtil.expandPaths(
       PointCloudUtil.explicitPaths(options), kind, new Configuration()).sorted
 
-  override def initialOffset(): Offset = FileNameOffset("")
+  override def initialOffset(): Offset = FileListOffset(Vector.empty)
 
-  override def latestOffset(): Offset = {
-    val files = listFiles()
-    FileNameOffset(if (files.isEmpty) "" else files.last)
+  override def latestOffset(): Offset = synchronized {
+    val seen = known.toSet
+    val fresh = listFiles().filterNot(seen)
+    if (fresh.nonEmpty) known = known ++ fresh
+    FileListOffset(known)
   }
 
-  override def deserializeOffset(json: String): Offset = FileNameOffset(json)
+  override def deserializeOffset(json: String): Offset = {
+    val off = FileListOffset.fromJson(json)
+    synchronized { if (off.files.size > known.size) known = off.files }
+    off
+  }
 
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[FileNameOffset].lastFile
-    val to = end.asInstanceOf[FileNameOffset].lastFile
-    val files = listFiles()
+    val done = start.asInstanceOf[FileListOffset].files.toSet
+    val all = end.asInstanceOf[FileListOffset].files
     val maxBytes = SQLConf.get.filesMaxPartitionBytes
-    files.zipWithIndex.flatMap { case (path, fid) =>
-      // fid = position in the current sorted listing
-      if (path <= from || path > to) {
-        Nil // already processed (or beyond this batch's end watermark)
-      } else
-      try {
+    all.zipWithIndex.flatMap { case (path, fid) =>
+      // fid = index in the append-only offset list: stable across batches
+      if (done.contains(path)) Nil
+      else try {
         provider.streamSections(path, options).flatMap { section =>
           val perPartition = math.max(1L, maxBytes / math.max(1, section.stride))
           (0L until section.count by perPartition).map { startRec =>
@@ -79,4 +89,26 @@ class PointCloudMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PointCloudReaderFactory(tableSchema.json)
+}
+
+object PointCloudMicroBatchStream {
+  import org.json4s.JsonDSL._
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  /** Append-only known-file list; JSON array in the offset log. */
+  private[connector] case class FileListOffset(files: Vector[String]) extends Offset {
+    override def json(): String = JsonMethods.compact(JsonMethods.render(files))
+  }
+
+  private[connector] object FileListOffset {
+    def fromJson(json: String): FileListOffset =
+      JsonMethods.parse(json) match {
+        case JArray(vs) => FileListOffset(vs.map {
+          case JString(s) => s
+          case other => throw new IllegalArgumentException(s"bad offset element $other")
+        }.toVector)
+        case other => throw new IllegalArgumentException(s"bad offset json $other")
+      }
+  }
 }

@@ -96,6 +96,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("late file sorting before processed names: stable fids, still ingested") {
+    import graft.pointcloud.syntax._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-latestream").toString
+    def pts(lo: Int) = spark.range(100).select(
+      ($"id" + lo).cast("int").as("x"), lit(0).cast("int").as("y"),
+      lit(0).cast("int").as("z"), lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"), lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"), lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    def addFile(lo: Int, name: String): Unit = {
+      val d = java.nio.file.Files.createTempDirectory("graft-late").toString
+      pts(lo).coalesce(1).writeLas(d)
+      val f = new java.io.File(d).listFiles().find(_.getName.endsWith(".las")).get
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(dir, name))
+    }
+    addFile(0, "mm.las")
+    val stream = spark.readStream.format("las").load(dir).select("x", "fid")
+    val q = stream.writeStream.format("memory")
+      .queryName("late_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("late_stream").where($"x" < 1000).agg(max("fid"))
+        .head().getInt(0) == 0)
+      // "aa.las" sorts lexicographically BEFORE the processed "mm.las":
+      // it must still be ingested, with a NEW fid, and mm's rows keep fid 0
+      addFile(1000, "aa.las")
+      q.processAllAvailable()
+      val got = spark.table("late_stream")
+      assert(got.count() == 200)
+      assert(got.where($"x" >= 1000).select("fid").distinct().head().getInt(0) == 1)
+      assert(got.where($"x" < 1000).select("fid").distinct().head().getInt(0) == 0)
+    } finally q.stop()
+  }
+
   test("windowed stream over events matches a batch group-by") {
     val stream = EventStreams.windowedCounts(
       EventStreams.readEventStream(spark, sfDir), "1 hour")
