@@ -92,6 +92,30 @@ object Similarity {
     df.select(lshBucket(transform(col(vecCol), _.cast("double")), dim).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
 
+  /** Multi-probe ANN top-k — the deterministic IVF-family variant
+    * (ss05): the coarse quantizer is a `planes`-bit hyperplane code
+    * (2^planes cells) instead of k-means, and a query probes its own
+    * cell plus every Hamming-1 neighbor (`planes`+1 probes) before the
+    * exact-cosine re-rank. Same partition-by-cell scale story as
+    * [[ivfTopK]], but reproducible in plain SQL — no trained model, so
+    * the DuckDB oracle checks it end-to-end. */
+  def multiProbeTopK(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      queryVec: Seq[Double], k: Int, planes: Int = 4): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    val qb = lshBucket(q, dim, planes)
+    val probes = qb +: (0 until planes).map(i => qb.bitwiseXOR(lit(1 << i)))
+    val probeDf = df.sparkSession.range(1)
+      .select(explode(array(probes: _*)).as("pb"))
+    df.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"),
+        lshBucket(transform(col(vecCol), _.cast("double")), dim, planes).as("bucket"))
+      .join(broadcast(probeDf), col("bucket") === col("pb"))
+      .select(col("id"), cosine(col("v"), q).as("sim"))
+      .sort(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** IVF coarse quantizer: k-means centroids over the embedding column
     * (seeded, deterministic for fixed data). At scale the assignment
     * column is precomputed and the table partitioned by it; a query

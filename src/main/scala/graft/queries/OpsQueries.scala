@@ -171,6 +171,20 @@ object OpsQueries {
       .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
   }
 
+  /** ss05: multi-probe ANN top-5 — deterministic 4-bit hyperplane coarse
+    * quantizer, probing the query's cell + all Hamming-1 cells, exact
+    * cosine re-rank. The oracle-checkable IVF-family variant (ss04's
+    * k-means quantizer is rows-only by nature). */
+  private val ss05: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")))
+      .collect().head.getSeq[Double](0)
+    Similarity.multiProbeTopK(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        64, qv, 5, planes = 4)
+      .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
+  }
+
   // --------------------------------------------------------- text analysis
 
   /** tx01: per-language token statistics (whitespace + BPE-ish counts) —
@@ -259,6 +273,7 @@ object OpsQueries {
     "ss02_lsh_histogram" -> ss02,
     "ss03_ann_topk" -> ss03,
     "ss04_ivf_topk" -> ss04,
+    "ss05_multiprobe_topk" -> ss05,
     "tx01_token_stats" -> tx01,
     "tx02_quality_score" -> tx02,
     "tx03_langid" -> tx03,
@@ -418,8 +433,8 @@ object OpsQueries {
 
   /** LSH bucket of an embedding list expression (integer hyperplanes
     * generated from Similarity.plane). */
-  private def sqlBucket(v: String): String =
-    (0 until Similarity.NumPlanes).map { i =>
+  private def sqlBucket(v: String, nPlanes: Int = Similarity.NumPlanes): String =
+    (0 until nPlanes).map { i =>
       val planes = (0 until 64).map(j => s"${Similarity.plane(i, j)}.0").mkString("[", ", ", "]")
       val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         s"[CAST(($v)[k] AS DOUBLE) * ($planes)[k] FOR k IN generate_series(1, 64)]), " +
@@ -534,6 +549,24 @@ object OpsQueries {
        |ORDER BY ${sqlCosine("e.embedding", "q.qv", 64)} DESC, vec_id
        |LIMIT 5""".stripMargin
 
+  private val ss05Oracle: String =
+    s"""WITH q AS (
+       |  SELECT embedding AS qv, ${sqlBucket("embedding", 4)} AS qb
+       |  FROM embeddings WHERE vec_id = 0
+       |), p AS (
+       |  SELECT qb AS pb FROM q
+       |  UNION ALL SELECT xor(qb, 1) FROM q
+       |  UNION ALL SELECT xor(qb, 2) FROM q
+       |  UNION ALL SELECT xor(qb, 4) FROM q
+       |  UNION ALL SELECT xor(qb, 8) FROM q
+       |)
+       |SELECT vec_id, ROUND(${sqlCosine("e.embedding", "q.qv", 64)}, 4) AS sim
+       |FROM embeddings e CROSS JOIN q
+       |WHERE vec_id <> 0
+       |  AND ${sqlBucket("e.embedding", 4)} IN (SELECT pb FROM p)
+       |ORDER BY ${sqlCosine("e.embedding", "q.qv", 64)} DESC, vec_id
+       |LIMIT 5""".stripMargin
+
   private val dd06Oracle: String = {
     val cos = sqlCosine("a.embedding", "b.embedding", 64)
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND($cos, 4) AS c
@@ -636,6 +669,7 @@ object OpsQueries {
     "ss01_cosine_topk" -> ss01Oracle,
     "ss02_lsh_histogram" -> ss02Oracle,
     "ss03_ann_topk" -> ss03Oracle,
+    "ss05_multiprobe_topk" -> ss05Oracle,
     "tx01_token_stats" -> tx01Oracle,
     "tx02_quality_score" -> tx02Oracle,
     "tx03_langid" -> tx03Oracle,
