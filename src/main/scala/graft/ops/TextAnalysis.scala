@@ -88,4 +88,50 @@ object TextAnalysis {
   /** 64-bit-ish document fingerprint: polynomial rolling hash of the full
     * text (native codegen expression; oracle = list_reduce char fold). */
   def fingerprint(text: Column): Column = exprs.rolling_hash(text)
+
+  /** Word bigrams of `text` in order (with repeats — repetition metrics
+    * need the multiset, unlike [[graft.ops.Dedup.shingles]]). */
+  def wordBigrams(text: Column): Column = {
+    val w = tokens(text)
+    transform(sequence(lit(1), greatest(size(w) - 1, lit(0))),
+      i => concat_ws(" ", slice(w, i, lit(2))))
+  }
+
+  /** Gopher-style repetition metrics per document:
+    * `dup2f` = fraction of bigram occurrences that are repeats
+    * (1 − distinct/total), `top2f` = most frequent bigram's share.
+    * Heavily repetitive (boilerplate / generated) text scores high on
+    * both and gets filtered before training.
+    *
+    * Plan: explode bigrams → (doc, bigram) hash agg → per-doc hash agg —
+    * two shuffles with map-side partials, linear in corpus size; the
+    * per-row alternative (array_distinct + per-element frequency scan)
+    * is O(len²) per document and was rejected.
+    */
+  def repetitionMetrics(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(wordBigrams(col(textCol))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("total"), count(lit(1)).as("dist"), max("cnt").as("top"))
+      .select(col("doc_id"),
+        round(lit(1.0) - col("dist").cast("double") / col("total"), 4).as("dup2f"),
+        round(col("top").cast("double") / col("total"), 4).as("top2f"))
+
+  /** Corpus-level document frequency: for each word, in how many
+    * documents it appears (`df`) and the fraction of the corpus
+    * (`df_frac`) — the data-driven stopword/boilerplate discovery pass
+    * of a curation pipeline. Per-doc distinct words are row-local
+    * (array_distinct before the explode keeps the exchange at one row
+    * per (doc, word), not per occurrence); one hash agg on the word. */
+  def documentFrequency(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("word"), col("df"),
+        (col("df").cast("double") / col("n_docs")).as("df_frac"))
+  }
 }

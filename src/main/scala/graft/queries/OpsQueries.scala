@@ -249,6 +249,22 @@ object OpsQueries {
       .sort($"n".desc, $"bg")
       .limit(20)
 
+  /** tx06: Gopher-style repetition metrics — per-doc duplicate-bigram
+    * fraction and top-bigram share; a repetition filter drops docs
+    * above threshold before training. */
+  private val tx06: Q = (s, d) =>
+    TextAnalysis.repetitionMetrics(Tables.documents(s, d), "doc_id", "text")
+      .sort($"doc_id")
+      .limit(200)
+
+  /** tx07: corpus document-frequency — words present in ≥ 40% of all
+    * documents (data-driven stopword/boilerplate discovery). */
+  private val tx07: Q = (s, d) =>
+    TextAnalysis.documentFrequency(Tables.documents(s, d), "doc_id", "text")
+      .filter($"df_frac" >= 0.4) // unrounded, same predicate as the oracle
+      .select($"word", $"df", round($"df_frac", 4).as("df_frac"))
+      .sort($"df".desc, $"word")
+
   /** mm02: frame-sampling pipeline — every 10th document's payload,
     * aggregated per language (the video frame-sample shape on rows). */
   private val mm02: Q = (s, d) =>
@@ -279,6 +295,8 @@ object OpsQueries {
     "tx03_langid" -> tx03,
     "tx04_fingerprint" -> tx04,
     "tx05_char_ngrams" -> tx05,
+    "tx06_repetition" -> tx06,
+    "tx07_doc_frequency" -> tx07,
     "mm01_multimodal_stub" -> mm01,
     "mm02_frame_sampling" -> mm02,
   )
@@ -678,6 +696,29 @@ object OpsQueries {
       ("SELECT bg, COUNT(*) AS n FROM (SELECT unnest([substring(text, i, 2) " +
         "FOR i IN generate_series(1, length(text) - 1)]) AS bg FROM documents) " +
         "GROUP BY bg ORDER BY n DESC, bg LIMIT 20"),
+    "tx06_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id, unnest([ws[k] || ' ' || ws[k+1]
+        |    FOR k IN generate_series(1, len(ws) - 1)]) AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |), c AS (
+        |  SELECT doc_id, bg, COUNT(*) AS cnt FROM b GROUP BY doc_id, bg
+        |)
+        |SELECT doc_id,
+        |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 4) AS dup2f,
+        |  ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top2f
+        |FROM c GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin,
+    "tx07_doc_frequency" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+        |  FROM documents
+        |), f AS (
+        |  SELECT word, COUNT(*) AS df FROM w GROUP BY word
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT word, df, ROUND(CAST(df AS DOUBLE) / n_docs, 4) AS df_frac
+        |FROM f, n
+        |WHERE CAST(df AS DOUBLE) / n_docs >= 0.4
+        |ORDER BY df DESC, word""".stripMargin,
     "mm01_multimodal_stub" -> mm01Oracle,
     "mm02_frame_sampling" ->
       ("SELECT lang, COUNT(*) AS n, CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS bytes " +

@@ -175,6 +175,27 @@ class OpsSpec extends SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("repetition metrics rank a repetitive doc above a diverse one") {
+    val df = Seq((1L, "a b a b a b a b"), (2L, "q w e r t y u i"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(m(0).getDouble(1) > m(1).getDouble(1)) // dup2f
+    assert(m(0).getDouble(2) > m(1).getDouble(2)) // top2f
+    assert(m(1).getDouble(1) == 0.0)              // all-distinct doc: no repeats
+  }
+
+  test("document frequency finds corpus-wide words with exact fractions") {
+    val df = Seq((1L, "x shared"), (2L, "y shared"), (3L, "z shared z"), (4L, "x q"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.documentFrequency(df, "doc_id", "text")
+      .orderBy(desc("df"), $"word").collect()
+    assert(out.head.getString(0) == "shared" && out.head.getLong(1) == 3)
+    assert(out.head.getDouble(2) == 0.75)
+    // per-doc distinct: the repeated "z" inside doc 3 counts once
+    assert(out.find(_.getString(0) == "z").get.getLong(1) == 1)
+  }
+
   test("quality score is bounded and favors stopword-bearing longer docs") {
     val scored = Seq(
       ("the a of and to in the a of and " * 10).trim, // long, stopword-rich
