@@ -216,6 +216,23 @@ class PointCloudSpec extends SparkTestBase {
     assert(widened.filter($"intensity" === -1).count() == 0)
   }
 
+  test("pushed filters over a merged schema treat absent columns as null") {
+    val dir1 = tmpDir("absent1")
+    val dir2 = tmpDir("absent2")
+    samplePoints.writePly(dir1)
+    samplePoints.drop("source").writePly(dir2) // no 'source' column in file 2
+    val both = spark.read.ply(dir1, dir2)
+    // SQL semantics: null comparisons are unknown -> dropped
+    val ge = both.filter($"source" >= 0)
+    assert(ge.queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty)
+    assert(ge.count() == 10000)
+    // IsNull keeps exactly the file lacking the column
+    assert(both.filter($"source".isNull).count() == 10000)
+    assert(both.filter($"source".isNotNull && $"source" < 50).count() ==
+      samplePoints.filter($"source" < 50).count())
+  }
+
   test("pushed limit plans only the partitions its row count needs") {
     val dir1 = tmpDir("lim1")
     val dir2 = tmpDir("lim2")
