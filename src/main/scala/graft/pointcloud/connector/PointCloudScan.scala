@@ -239,7 +239,10 @@ class PointCloudScan(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(kind != FormatKind.Xyz, "XYZ streaming is not supported")
     require(provider != null, "streaming requires the owning provider")
-    new PointCloudMicroBatchStream(kind, provider, schema, options, checkpointLocation)
+    // filters claimed as pushed MUST be applied by the streaming readers
+    // too — this scan (with its pushedFilters) is what Spark plans from
+    new PointCloudMicroBatchStream(kind, provider, schema, tableSchema, options,
+      checkpointLocation, pushedFilters)
   }
 
   /** Header-derived stats (exact row counts, on-disk bytes) so Catalyst

@@ -28,9 +28,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class PointCloudMicroBatchStream(
     kind: FormatKind,
     provider: PointCloudProvider,
+    readSchema: StructType,
     tableSchema: StructType,
     options: CaseInsensitiveStringMap,
-    checkpointLocation: String)
+    checkpointLocation: String,
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends MicroBatchStream with Logging {
 
   import PointCloudMicroBatchStream.FileListOffset
@@ -88,7 +90,7 @@ class PointCloudMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PointCloudReaderFactory(tableSchema.json)
+    new PointCloudReaderFactory(readSchema.json, tableSchema.json, pushedFilters)
 }
 
 object PointCloudMicroBatchStream {

@@ -96,6 +96,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming LAS read applies pushed record filters") {
+    import graft.pointcloud.syntax._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-streamfilter").toString
+    spark.range(1000).select(
+      col("id").cast("int").as("x"), lit(0).cast("int").as("y"),
+      lit(0).cast("int").as("z"), lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"), lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"), lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+      .coalesce(1).writeLas(dir)
+    val stream = spark.readStream.format("las").load(dir)
+      .filter(col("x") >= 990).select("x")
+    val q = stream.writeStream.format("memory")
+      .queryName("filtered_las_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("filtered_las_stream").as[Int].collect().sorted
+      assert(got.toSeq == (990 until 1000).toSeq, got.mkString(","))
+    } finally q.stop()
+  }
+
   test("late file sorting before processed names: stable fids, still ingested") {
     import graft.pointcloud.syntax._
     import org.apache.spark.sql.functions._
