@@ -74,40 +74,42 @@ class PointCloudScanBuilder(
     else { limit = l; true }
   }
 
-  /** Conservative can-this-section-match check in the raw-int domain. */
-  private def sectionMayMatch(sf: SectionWithFid, filters: Array[SourceFilter]): Boolean =
-    sf.lasStats match {
-      case Some(st) if sf.section.count > 0 =>
-        def axisRange(col: String): Option[(Double, Double)] = {
-          val a = col match { case "x" => 0; case "y" => 1; case "z" => 2; case _ => -1 }
-          if (a < 0) None
-          else Some((
-            Math.round((st.pMin(a) - st.offset(a)) / st.scale(a)).toDouble,
-            Math.round((st.pMax(a) - st.offset(a)) / st.scale(a)).toDouble))
-        }
-        def num(v: Any): Option[Double] = v match {
-          case n: Number => Some(n.doubleValue())
-          case _ => None
-        }
-        // returns false only when provably empty
-        def mayMatch(f: SourceFilter): Boolean = f match {
-          case FGt(c, v)  => (axisRange(c), num(v)) match {
-            case (Some((_, hi)), Some(x)) => hi > x;  case _ => true }
-          case FGe(c, v)  => (axisRange(c), num(v)) match {
-            case (Some((_, hi)), Some(x)) => hi >= x; case _ => true }
-          case FLt(c, v)  => (axisRange(c), num(v)) match {
-            case (Some((lo, _)), Some(x)) => lo < x;  case _ => true }
-          case FLe(c, v)  => (axisRange(c), num(v)) match {
-            case (Some((lo, _)), Some(x)) => lo <= x; case _ => true }
-          case FEq(c, v)  => (axisRange(c), num(v)) match {
-            case (Some((lo, hi)), Some(x)) => lo <= x && x <= hi; case _ => true }
-          case FAnd(l, r) => mayMatch(l) && mayMatch(r)
-          case FOr(l, r)  => mayMatch(l) || mayMatch(r)
-          case _ => true
-        }
-        filters.forall(mayMatch)
+  /** Conservative can-this-section-match check in the raw-int domain:
+    * LAS header bbox bounds x/y/z; fid is a per-section constant; pid
+    * spans [0, count). Returns false only when provably empty. */
+  private def sectionMayMatch(sf: SectionWithFid, filters: Array[SourceFilter]): Boolean = {
+    if (sf.section.count == 0) return true // degenerate; keep (costs nothing)
+    def axisRange(col: String): Option[(Double, Double)] = col match {
+      case PointCloudUtil.FidCol => Some((sf.fid.toDouble, sf.fid.toDouble))
+      case PointCloudUtil.PidCol => Some((0.0, (sf.section.count - 1).toDouble))
+      case "x" | "y" | "z" => sf.lasStats.map { st =>
+        val a = col match { case "x" => 0; case "y" => 1; case _ => 2 }
+        (Math.round((st.pMin(a) - st.offset(a)) / st.scale(a)).toDouble,
+          Math.round((st.pMax(a) - st.offset(a)) / st.scale(a)).toDouble)
+      }
+      case _ => None
+    }
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    def mayMatch(f: SourceFilter): Boolean = f match {
+      case FGt(c, v)  => (axisRange(c), num(v)) match {
+        case (Some((_, hi)), Some(x)) => hi > x;  case _ => true }
+      case FGe(c, v)  => (axisRange(c), num(v)) match {
+        case (Some((_, hi)), Some(x)) => hi >= x; case _ => true }
+      case FLt(c, v)  => (axisRange(c), num(v)) match {
+        case (Some((lo, _)), Some(x)) => lo < x;  case _ => true }
+      case FLe(c, v)  => (axisRange(c), num(v)) match {
+        case (Some((lo, _)), Some(x)) => lo <= x; case _ => true }
+      case FEq(c, v)  => (axisRange(c), num(v)) match {
+        case (Some((lo, hi)), Some(x)) => lo <= x && x <= hi; case _ => true }
+      case FAnd(l, r) => mayMatch(l) && mayMatch(r)
+      case FOr(l, r)  => mayMatch(l) || mayMatch(r)
       case _ => true
     }
+    filters.forall(mayMatch)
+  }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     computeAggregation(aggregation).isDefined

@@ -233,6 +233,23 @@ class PointCloudSpec extends SparkTestBase {
       samplePoints.filter($"source" < 50).count())
   }
 
+  test("fid equality prunes to one file's sections at planning time") {
+    val dir1 = tmpDir("fid1")
+    val dir2 = tmpDir("fid2")
+    samplePoints.coalesce(1).writeLas(dir1)
+    samplePoints.coalesce(1).writeLas(dir2)
+    val both = spark.read.las(dir1, dir2)
+    val one = both.filter($"fid" === 1)
+    val scans = one.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.head.inputPartitions.size <
+      both.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head.inputPartitions.size)
+    assert(one.count() == 10000)
+  }
+
   test("pushed limit plans only the partitions its row count needs") {
     val dir1 = tmpDir("lim1")
     val dir2 = tmpDir("lim2")
