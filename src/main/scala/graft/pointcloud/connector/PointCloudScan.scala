@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.sources.{And => FAnd, EqualTo => FEq, Filter => SourceFilter, GreaterThan => FGt, GreaterThanOrEqual => FGe, LessThan => FLt, LessThanOrEqual => FLe, Or => FOr}
+import org.apache.spark.sql.sources.{And => FAnd, EqualTo => FEq, Filter => SourceFilter, GreaterThan => FGt, GreaterThanOrEqual => FGe, In => FIn, LessThan => FLt, LessThanOrEqual => FLe, Or => FOr}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -74,42 +74,8 @@ class PointCloudScanBuilder(
     else { limit = l; true }
   }
 
-  /** Conservative can-this-section-match check in the raw-int domain:
-    * LAS header bbox bounds x/y/z; fid is a per-section constant; pid
-    * spans [0, count). Returns false only when provably empty. */
-  private def sectionMayMatch(sf: SectionWithFid, filters: Array[SourceFilter]): Boolean = {
-    if (sf.section.count == 0) return true // degenerate; keep (costs nothing)
-    def axisRange(col: String): Option[(Double, Double)] = col match {
-      case PointCloudUtil.FidCol => Some((sf.fid.toDouble, sf.fid.toDouble))
-      case PointCloudUtil.PidCol => Some((0.0, (sf.section.count - 1).toDouble))
-      case "x" | "y" | "z" => sf.lasStats.map { st =>
-        val a = col match { case "x" => 0; case "y" => 1; case _ => 2 }
-        (Math.round((st.pMin(a) - st.offset(a)) / st.scale(a)).toDouble,
-          Math.round((st.pMax(a) - st.offset(a)) / st.scale(a)).toDouble)
-      }
-      case _ => None
-    }
-    def num(v: Any): Option[Double] = v match {
-      case n: Number => Some(n.doubleValue())
-      case _ => None
-    }
-    def mayMatch(f: SourceFilter): Boolean = f match {
-      case FGt(c, v)  => (axisRange(c), num(v)) match {
-        case (Some((_, hi)), Some(x)) => hi > x;  case _ => true }
-      case FGe(c, v)  => (axisRange(c), num(v)) match {
-        case (Some((_, hi)), Some(x)) => hi >= x; case _ => true }
-      case FLt(c, v)  => (axisRange(c), num(v)) match {
-        case (Some((lo, _)), Some(x)) => lo < x;  case _ => true }
-      case FLe(c, v)  => (axisRange(c), num(v)) match {
-        case (Some((lo, _)), Some(x)) => lo <= x; case _ => true }
-      case FEq(c, v)  => (axisRange(c), num(v)) match {
-        case (Some((lo, hi)), Some(x)) => lo <= x && x <= hi; case _ => true }
-      case FAnd(l, r) => mayMatch(l) && mayMatch(r)
-      case FOr(l, r)  => mayMatch(l) || mayMatch(r)
-      case _ => true
-    }
-    filters.forall(mayMatch)
-  }
+  private def sectionMayMatch(sf: SectionWithFid, filters: Array[SourceFilter]): Boolean =
+    SectionSkip.mayMatch(sf, filters)
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     computeAggregation(aggregation).isDefined
@@ -197,6 +163,52 @@ class PointCloudScanBuilder(
   }
 }
 
+/** Conservative can-this-section-match check in the raw-int domain:
+  * LAS header bbox bounds x/y/z; fid is a per-section constant; pid
+  * spans [0, count). Returns false only when provably empty — shared by
+  * the builder's planning-time skip and the scan's runtime (join-driven)
+  * skip. */
+private[connector] object SectionSkip {
+  def mayMatch(sf: SectionWithFid, filters: Array[SourceFilter]): Boolean = {
+    if (sf.section.count == 0) return true // degenerate; keep (costs nothing)
+    def axisRange(col: String): Option[(Double, Double)] = col match {
+      case PointCloudUtil.FidCol => Some((sf.fid.toDouble, sf.fid.toDouble))
+      case PointCloudUtil.PidCol => Some((0.0, (sf.section.count - 1).toDouble))
+      case "x" | "y" | "z" => sf.lasStats.map { st =>
+        val a = col match { case "x" => 0; case "y" => 1; case _ => 2 }
+        (Math.round((st.pMin(a) - st.offset(a)) / st.scale(a)).toDouble,
+          Math.round((st.pMax(a) - st.offset(a)) / st.scale(a)).toDouble)
+      }
+      case _ => None
+    }
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    def one(f: SourceFilter): Boolean = f match {
+      case FGt(c, v)  => (axisRange(c), num(v)) match {
+        case (Some((_, hi)), Some(x)) => hi > x;  case _ => true }
+      case FGe(c, v)  => (axisRange(c), num(v)) match {
+        case (Some((_, hi)), Some(x)) => hi >= x; case _ => true }
+      case FLt(c, v)  => (axisRange(c), num(v)) match {
+        case (Some((lo, _)), Some(x)) => lo < x;  case _ => true }
+      case FLe(c, v)  => (axisRange(c), num(v)) match {
+        case (Some((lo, _)), Some(x)) => lo <= x; case _ => true }
+      case FEq(c, v)  => (axisRange(c), num(v)) match {
+        case (Some((lo, hi)), Some(x)) => lo <= x && x <= hi; case _ => true }
+      case FIn(c, vs) => axisRange(c) match {
+        // runtime join filters arrive as In(fid, matched values)
+        case Some((lo, hi)) =>
+          vs.exists(v => num(v).forall(x => lo <= x && x <= hi))
+        case None => true }
+      case FAnd(l, r) => one(l) && one(r)
+      case FOr(l, r)  => one(l) || one(r)
+      case _ => true
+    }
+    filters.forall(one)
+  }
+}
+
 /** Leaf scan returning one precomputed row — the pushed-aggregate result.
   * Zero executor IO, mirroring the reference's driver-local CountPlan /
   * AggregatePlan (ExtraStrategies.scala:35-76). */
@@ -233,7 +245,27 @@ class PointCloudScan(
     provider: PointCloudProvider = null,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     limit: Int = -1)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** Sections surviving runtime (join-driven) filtering; starts as the
+    * planning-time set. */
+  @volatile private var sections: Seq[SectionWithFid] = resolved.sections
+
+  /** Runtime file skip: when this scan sits under a join on `fid`,
+    * Spark's dynamic pruning sends the matched build-side values as an
+    * In-filter and only the named files' sections are read — the DSv2
+    * analogue of dynamic partition pruning, with the file as the
+    * partition. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only declarable when fid survives column pruning — Spark resolves
+    // these against the scan output and fails on a pruned column
+    if (kind != FormatKind.Xyz && schema.fieldNames.contains(PointCloudUtil.FidCol))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(PointCloudUtil.FidCol))
+    else Array.empty
+
+  override def filter(filters: Array[SourceFilter]): Unit = {
+    sections = sections.filter(SectionSkip.mayMatch(_, filters))
+  }
 
   /** Streaming ingest: new files in the directory become micro-batches
     * (SURVEY §7.7). Binary formats only — XYZ text has no header count. */
@@ -291,7 +323,7 @@ class PointCloudScan(
     * partition per file. */
   override def planInputPartitions(): Array[InputPartition] = {
     val maxBytes = SQLConf.get.filesMaxPartitionBytes
-    val all: Array[InputPartition] = resolved.sections.flatMap { sf =>
+    val all: Array[InputPartition] = sections.flatMap { sf =>
       val s = sf.section
       if (kind == FormatKind.Xyz) {
         Seq(XyzPartition(s.location, sf.fid, xyzTokenSchema.json))

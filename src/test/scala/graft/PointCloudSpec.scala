@@ -250,6 +250,28 @@ class PointCloudSpec extends SparkTestBase {
     assert(one.count() == 10000)
   }
 
+  test("runtime fid In-filter prunes sections (dynamic file skip under joins)") {
+    val dir1 = tmpDir("rt1")
+    val dir2 = tmpDir("rt2")
+    samplePoints.coalesce(1).writeLas(dir1)
+    samplePoints.coalesce(1).writeLas(dir2)
+    val both = spark.read.las(dir1, dir2)
+    val scan = both.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.asInstanceOf[graft.pointcloud.connector.PointCloudScan]
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("fid"))
+    val before = scan.planInputPartitions().length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("fid", Array(0))))
+    val after = scan.planInputPartitions().length
+    assert(after > 0 && after < before, s"$after vs $before")
+    // e2e: joining against a one-file manifest stays correct
+    val manifest = Seq(0).toDF("f")
+    val joined = spark.read.las(dir1, dir2)
+      .join(broadcast(manifest), $"fid" === $"f")
+    assert(joined.count() == 10000)
+  }
+
   test("pushed limit plans only the partitions its row count needs") {
     val dir1 = tmpDir("lim1")
     val dir2 = tmpDir("lim2")
