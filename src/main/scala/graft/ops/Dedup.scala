@@ -108,8 +108,14 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double): DataFrame = {
+    // signatures are materialized once (eager local checkpoint): both
+    // sides of the self-join and Spark's exchange-reuse cannot otherwise
+    // see through the aliased subplans, so the whole shingle+minhash
+    // pipeline would run twice. At cluster scale this materialization is
+    // the standard persisted signature table.
     val withBands = minhashSignatures(df, idCol, textCol)
       .select(col("id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+      .localCheckpoint(eager = true)
 
     val candidates = withBands.as("a")
       .join(withBands.as("b"),
@@ -120,9 +126,11 @@ object Dedup {
 
     // exact-Jaccard verification over the *hashed* shingle arrays: long
     // comparisons instead of string comparisons, same value on both
-    // engines (identical hash function on both sides of the oracle)
+    // engines (identical hash function on both sides of the oracle);
+    // materialized once, read by both join sides
     val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(eager = true)
     candidates
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
       .join(sh.as("sb"), col("id_b") === col("sb.id"))
@@ -149,11 +157,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double): DataFrame = {
-    // shingleHashes already yields a sorted distinct set
+    // shingleHashes already yields a sorted distinct set; materialized
+    // once — the prefix explode and both verification sides read it
     val base = df
       .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("cnt", size(col("sh")))
+      .localCheckpoint(eager = true)
 
     // prefix length = cnt - ceil(t*cnt) + 1
     val prefix = base.select(col("id"), col("cnt"),
@@ -198,6 +208,7 @@ object Dedup {
       posexplode(array((0 until 4).map(k =>
         shiftright(col("sh"), 16 * k).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk", "ck")))
+      .localCheckpoint(eager = true) // one simhash pass for both join sides
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
@@ -313,8 +324,11 @@ object Dedup {
       bands: Int = Similarity.NumBands,
       rows: Int = Similarity.RowsPerBand): DataFrame = {
     val v = transform(col(vecCol), _.cast("double"))
+    // band keys cost bands*rows 64-dim dot products per vector — pay it
+    // once (the self-join would otherwise evaluate it on both sides)
     val withBands = df.select(col(idCol).as("id"),
       posexplode(Similarity.lshBandKeys(v, dim, bands, rows)).as(Seq("band", "key")))
+      .localCheckpoint(eager = true)
     val candidates = withBands.as("a")
       .join(withBands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -323,6 +337,7 @@ object Dedup {
       .distinct()
     val vecs = df.select(col(idCol).as("id"), v.as("v"))
       .withColumn("n", sqrt(Similarity.dot(col("v"), col("v"))))
+      .localCheckpoint(eager = true)
     candidates
       .join(vecs.as("sa"), col("id_a") === col("sa.id"))
       .join(vecs.as("sb"), col("id_b") === col("sb.id"))
