@@ -114,11 +114,30 @@ object StreamingQueries {
       .limit(500)
   }
 
+  /** st05: streaming ingest dedup — dropDuplicatesWithinWatermark on
+    * event_id (the exactly-once ingestion shape: retried/replayed events
+    * collapse to one, and the watermark bounds the dedup state instead
+    * of letting it grow forever). The events table has unique event_ids,
+    * so the oracle is the full per-type census — what matters is that
+    * the stateful dedup emits each id exactly once. */
+  private val st05: Q = (s, d) => {
+    val ev = EventStreams.readEventStream(s, d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val agg = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+    // complete-mode aggregate above the dedup so every group emits
+    val out = runToCompletion(agg, "graft_st05", "complete")
+    out.select(col("event_type"), col("n"), col("sv")).sort("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_windowed_stream" -> st01,
     "st02_sessionization" -> st02,
     "st03_session_window" -> st03,
     "st04_stream_join" -> st04,
+    "st05_stream_dedup" -> st05,
   )
 
   val oracle: Map[String, String] = Map(
@@ -177,5 +196,10 @@ object StreamingQueries {
         | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 12 HOUR
         |ORDER BY s.user_id, signup_us, purchase_us
         |LIMIT 500""".stripMargin,
+    "st05_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+        |FROM (SELECT DISTINCT ON (event_id) event_type, value FROM events
+        |      ORDER BY event_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -250,6 +250,30 @@ class PointCloudSpec extends SparkTestBase {
     assert(one.count() == 10000)
   }
 
+  test("pushed predicates agree with in-memory evaluation on random filters") {
+    val dir = tmpDir("proppush")
+    samplePoints.writeLas(dir)
+    val las = spark.read.las(dir)
+    val rnd = new scala.util.Random(42)
+    val cols = Seq("x", "y", "z", "intensity", "flags")
+    def leaf(): org.apache.spark.sql.Column = {
+      val c = col(cols(rnd.nextInt(cols.size)))
+      val v = rnd.nextInt(1100) - 50
+      rnd.nextInt(5) match {
+        case 0 => c > v; case 1 => c >= v; case 2 => c < v
+        case 3 => c <= v; case 4 => c === v
+      }
+    }
+    (1 to 15).foreach { i =>
+      val p =
+        if (rnd.nextBoolean()) leaf() && leaf()
+        else leaf() || (leaf() && leaf())
+      val got = las.filter(p).count()
+      val expected = samplePoints.filter(p).count()
+      assert(got == expected, s"iteration $i: predicate $p got $got want $expected")
+    }
+  }
+
   test("GROUP BY fid aggregates are answered from headers, zero data IO") {
     val dir1 = tmpDir("gb1")
     val dir2 = tmpDir("gb2")
