@@ -50,4 +50,35 @@ object Multimodal {
     * of video frame-sampling, expressed on the row axis. */
   def sampleEvery(df: DataFrame, idCol: String, stride: Int): DataFrame =
     df.filter(col(idCol) % stride === 0)
+
+  case class DecodedFeatures(id: Long, byte_len: Int, head_sum: Long)
+
+  /** The real decoder seam: payloads stream through partition-local
+    * batches of `batchSize`, and the whole batch is handed to the decode
+    * function at once — exactly where a vectorized image/audio decoder
+    * (ONNX/JNI, or Python's mapInPandas on the PySpark side) amortizes
+    * its per-call cost. The default decoder is the same deterministic
+    * STUB as [[stubDecodeFeatures]] (this container has no codecs), so
+    * batch boundaries provably never change values — pinned by test.
+    */
+  def decodeInBatches(
+      df: DataFrame, idCol: String, payloadCol: String, batchSize: Int,
+      decode: Seq[(Long, Array[Byte])] => Seq[DecodedFeatures] = stubBatchDecode)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(batchSize > 0, "batchSize must be positive")
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(decode))
+      .toDF()
+  }
+
+  /** STUB batch decoder ??? — per-item features identical to
+    * [[stubDecodeFeatures]]'s byte_len/head_sum, computed batch-at-a-time. */
+  def stubBatchDecode(batch: Seq[(Long, Array[Byte])]): Seq[DecodedFeatures] =
+    batch.map { case (id, bytes) =>
+      val head = bytes.take(16).map(b => (b & 0xff).toLong).sum
+      DecodedFeatures(id, bytes.length, head)
+    }
 }

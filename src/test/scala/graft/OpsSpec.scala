@@ -175,6 +175,19 @@ class OpsSpec extends SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("near-dup plans never degrade to all-pairs joins") {
+    // dd06 is the exact all-pairs baseline by design; every other
+    // near-dup path must stay a bucket/prefix equi-join at any scale
+    val guarded = Seq("dd03_minhash_lsh", "dd04_exact_jaccard", "dd05_simhash",
+      "dd09_incremental_dedup", "dd10_blocked_embedding")
+    guarded.foreach { name =>
+      val plan = graft.queries.OpsQueries.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$name plans an all-pairs join:\n$plan")
+    }
+  }
+
   test("repetition metrics rank a repetitive doc above a diverse one") {
     val df = Seq((1L, "a b a b a b a b"), (2L, "q w e r t y u i"))
       .toDF("doc_id", "text")
@@ -210,6 +223,25 @@ class OpsSpec extends SparkTestBase {
       "el la de something", "the a of thing", "der die das ding", "xxxx yyyy"
     ).toDF("text").select(TextAnalysis.langId($"text").as("l")).as[String].collect()
     assert(out.toSeq == Seq("es", "en", "de", "und"))
+  }
+
+  test("batched decode: batch boundaries never change values, batching is real") {
+    val packed = Multimodal.packPayload(docs, "text", "text", "source")
+    val viaExpr = packed
+      .select($"doc_id", Multimodal.stubDecodeFeatures($"payload").as("f"))
+      .select($"doc_id", $"f.byte_len".as("byte_len"), $"f.head_sum".as("head_sum"))
+      .orderBy("doc_id").collect().toSeq
+    val sizes = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
+    def decode(b: Seq[(Long, Array[Byte])]) = { sizes.add(b.size); Multimodal.stubBatchDecode(b) }
+    for (bs <- Seq(7, 32, 100000)) {
+      val viaBatch = Multimodal.decodeInBatches(packed, "doc_id", "payload", bs, decode)
+        .select($"id".as("doc_id"), $"byte_len", $"head_sum")
+        .orderBy("doc_id").collect().toSeq
+      assert(viaBatch == viaExpr, s"batchSize=$bs")
+    }
+    import scala.jdk.CollectionConverters._
+    val observed = sizes.value.asScala.toSeq
+    assert(observed.nonEmpty && observed.max <= 100000 && observed.contains(7))
   }
 
   test("multimodal stub decode produces the contracted feature shape") {
