@@ -216,6 +216,37 @@ object PointCloudQueries {
         sum($"intensity".cast("bigint")).as("si"))
   }
 
+  /** Morton-clustered layout + selective 3D box query: the write side
+    * range-partitions by Z-order code so every LAS file covers a compact
+    * region (tight header bbox), and the read side then file-skips most
+    * of the corpus before the pushed record filter touches the rest —
+    * layout and pushdown composing, which is what makes a 1%-selective
+    * query cheap at 100 TB. Oracle applies the same box on the parquet
+    * source (layout cannot change values). */
+  private val pc10: Q = (s, d) => {
+    import graft.pointcloud.PointCloudOps
+    val pts = Tables.lineitem(s, d).select(
+      ($"l_orderkey" % 1000000).cast("int").as("x"),
+      ($"l_partkey" % 1000000).cast("int").as("y"),
+      ($"l_suppkey" % 1000000).cast("int").as("z"),
+      ($"l_linenumber" % 32000).cast("short").as("intensity"),
+      (($"l_linenumber" % 7) + 1).cast("byte").as("flags"),
+      lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"),
+      lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    val dir = tmpDir("pc10", d)
+    PointCloudOps.clusterSpatially(pts, "x", "y", "z", 8)
+      .writeLas(dir, Map("scale" -> "0.001"))
+    s.read.las(dir)
+      .filter($"x" < 100000 && $"y" < 100000)
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        sum($"y".cast("bigint")).as("sy"),
+        max($"z").as("mxz"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pc01_las_roundtrip" -> pc01,
     "pc02_ply_roundtrip" -> pc02,
@@ -226,6 +257,7 @@ object PointCloudQueries {
     "pc07_radius_join" -> pc07,
     "pc08_voxel_covariance" -> pc08,
     "pc09_filtered_scan" -> pc09,
+    "pc10_clustered_scan" -> pc10,
   )
 
   val oracle: Map[String, String] = Map(
@@ -318,5 +350,13 @@ object PointCloudQueries {
         |WHERE (l_orderkey % 1000000) >= 250000
         |  AND (l_orderkey % 1000000) < 500000
         |  AND (l_linenumber % 32000) > 2""".stripMargin,
+    "pc10_clustered_scan" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | CAST(SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS BIGINT) AS sy,
+        | MAX(CAST(l_suppkey % 1000000 AS INT)) AS mxz
+        |FROM lineitem
+        |WHERE (l_orderkey % 1000000) < 100000
+        |  AND (l_partkey % 1000000) < 100000""".stripMargin,
   )
 }

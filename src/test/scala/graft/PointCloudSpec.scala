@@ -250,6 +250,33 @@ class PointCloudSpec extends SparkTestBase {
     assert(one.count() == 10000)
   }
 
+  test("spatial clustering tightens file bboxes so range queries skip files") {
+    import graft.pointcloud.PointCloudOps
+    // pseudo-random spread: every unclustered file spans the full cube
+    val pts = spark.range(100000).select(
+      (col("id") * 2654435761L % 1000).cast("int").as("x"),
+      (col("id") * 40503 % 1000).cast("int").as("y"),
+      (col("id") * 69069 % 1000).cast("int").as("z"),
+      lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"), lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"), lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    val plain = tmpDir("cluster-plain")
+    val clustered = tmpDir("cluster-z")
+    pts.repartition(8).writeLas(plain)
+    PointCloudOps.clusterSpatially(pts, "x", "y", "z", 8).writeLas(clustered)
+    val box = (d: String) => spark.read.las(d)
+      .filter($"x" < 250 && $"y" < 250 && $"z" < 250)
+    def parts(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head.inputPartitions.size
+    assert(parts(box(clustered)) < parts(box(plain)),
+      s"clustered=${parts(box(clustered))} plain=${parts(box(plain))}")
+    assert(box(clustered).count() == box(plain).count())
+    assert(box(clustered).count() == pts.filter($"x" < 250 && $"y" < 250 && $"z" < 250).count())
+  }
+
   test("pushed predicates agree with in-memory evaluation on random filters") {
     val dir = tmpDir("proppush")
     samplePoints.writeLas(dir)
