@@ -250,6 +250,19 @@ class PointCloudSpec extends SparkTestBase {
     assert(one.count() == 10000)
   }
 
+  test("SQL DDL surface: CREATE TABLE USING las queries with pushdown") {
+    val dir = tmpDir("sqlddl")
+    samplePoints.coalesce(1).writeLas(dir)
+    spark.sql(s"CREATE TABLE graft_las_sql USING las OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM graft_las_sql").head().getLong(0) == 10000)
+      val sel = spark.sql("SELECT x FROM graft_las_sql WHERE x > 990")
+      assert(sel.queryExecution.executedPlan
+        .collect { case f: org.apache.spark.sql.execution.FilterExec => f }.isEmpty)
+      assert(sel.count() == samplePoints.filter($"x" > 990).count())
+    } finally spark.sql("DROP TABLE graft_las_sql")
+  }
+
   test("spatial clustering tightens file bboxes so range queries skip files") {
     import graft.pointcloud.PointCloudOps
     // pseudo-random spread: every unclustered file spans the full cube
