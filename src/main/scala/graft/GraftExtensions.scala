@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDotProduct, CharNgrams, RollingHash, ShingleHashSet, SimHash64, SortedIntersectCount, TokenStats}
+import graft.functions.{ArrayDotProduct, CharNgrams, RollingHash, ShingleHashSet, SimHash64, SortedIntersectCount, TokenStats, WordNgrams}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -62,6 +62,12 @@ object GraftExtensions {
       args => {
         require(args.length == 2, "expected (string, n)")
         CharNgrams(args.head, litInt(args(1)))
+      }),
+    ("graft_word_ngrams",
+      info("graft_word_ngrams", "word n-grams of a string, with repeats (n literal)"),
+      args => {
+        require(args.length == 2, "expected (string, n)")
+        WordNgrams(args.head, litInt(args(1)))
       }),
     ("graft_token_stats",
       info("graft_token_stats",

@@ -96,6 +96,33 @@ object HashUtil {
     new GenericArrayData(out)
   }
 
+  /** All word n-grams of a single-space-tokenized string, WITH repeats
+    * (the repetition-metric multiset — contrast shingleHashSet's sorted
+    * distinct set). Split semantics match Spark's `split(text, " ")`
+    * (limit -1: empty tokens kept); grams join with one space, matching
+    * the oracle's `ws[k] || ' ' || ws[k+1]`. One pass, no interpreted
+    * transform/sequence/slice chain. */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val cnt = toks.length - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cnt)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < cnt) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of tokens contained in a fixed set — single codegen pass
     * instead of an interpreted filter lambda per marker list. */
   def countInSet(tokens: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
@@ -300,6 +327,22 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "graft_char_ngrams"
 }
 
+/** word_ngrams(string, n): ArrayType(StringType) — word n-grams with
+  * repeats (tx06's repetition multiset). */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.wordNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.wordNgrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+  override def prettyName: String = "graft_word_ngrams"
+}
+
 /** count_in_set(array<string>; fixed set): IntegerType — marker-word /
   * stopword counting without an interpreted filter lambda. */
 case class CountInSet(child: Expression, values: Seq[String]) extends UnaryExpression {
@@ -396,6 +439,8 @@ object exprs {
     Bridge.column(ShingleHashSet(Bridge.expression(tokens), n))
   def char_ngrams(s: Column, n: Int): Column =
     Bridge.column(CharNgrams(Bridge.expression(s), n))
+  def word_ngrams(s: Column, n: Int): Column =
+    Bridge.column(WordNgrams(Bridge.expression(s), n))
   def count_in_set(tokens: Column, values: Seq[String]): Column =
     Bridge.column(CountInSet(Bridge.expression(tokens), values))
   def token_stats(text: Column, stopwords: Seq[String]): Column =

@@ -90,12 +90,10 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = exprs.rolling_hash(text)
 
   /** Word bigrams of `text` in order (with repeats — repetition metrics
-    * need the multiset, unlike [[graft.ops.Dedup.shingles]]). */
-  def wordBigrams(text: Column): Column = {
-    val w = tokens(text)
-    transform(sequence(lit(1), greatest(size(w) - 1, lit(0))),
-      i => concat_ws(" ", slice(w, i, lit(2))))
-  }
+    * need the multiset, unlike [[graft.ops.Dedup.shingles]]). Fused
+    * codegen kernel; one pass over the text instead of the interpreted
+    * transform/sequence/slice/concat_ws chain. */
+  def wordBigrams(text: Column): Column = exprs.word_ngrams(text, 2)
 
   /** Gopher-style repetition metrics per document:
     * `dup2f` = fraction of bigram occurrences that are repeats
