@@ -65,6 +65,8 @@ class FunctionsSpec extends SparkTestBase {
         "graft_shingle_hash_set(array('a','b','c'), 2) AS sh").head()
     assert(r2.getSeq[String](0) == Seq("ab", "bc", "cd"))
     assert(r2.getSeq[Long](1).size == 2) // "a b", "b c"
+    val r3 = spark.sql("SELECT graft_word_ngrams('a b a b', 2) AS wg").head()
+    assert(r3.getSeq[String](0) == Seq("a b", "b a", "a b")) // repeats kept
   }
 
   test("token_stats matches the unfused split-based formulas exactly") {
