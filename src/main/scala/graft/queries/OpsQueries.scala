@@ -271,6 +271,31 @@ object OpsQueries {
       .select($"word", $"df", round($"df_frac", 4).as("df_frac"))
       .sort($"df".desc, $"word")
 
+  /** tx08: the end-to-end curation pipeline — what a training-data run
+    * actually ships. Near-dup cluster members (MinHash-LSH → connected
+    * components, non-representatives) are removed, then documents must
+    * pass the quality score (≥ 0.5) and the repetition filter
+    * (dup2f ≤ 0.3); the output is the per-language census of the final
+    * corpus with its token counts. Every stage reuses the shared
+    * operators, so the oracle is their formulas composed. */
+  private val tx08: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.8)
+    val dropped = Dedup.connectedComponents(pairs)
+      .filter($"member" =!= $"rep").select($"member")
+    val rep = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .select($"doc_id".as("rid"), $"dup2f")
+    docs.join(dropped, docs("doc_id") === dropped("member"), "left_anti")
+      .withColumn("ts", TextAnalysis.tokenStats($"text"))
+      .withColumn("score", TextAnalysis.qualityScoreFromStats($"ts"))
+      .join(rep, $"doc_id" === $"rid")
+      .filter($"score" >= 0.5 && $"dup2f" <= 0.3)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ts".getField("tc").cast("bigint")).as("tokens"))
+      .sort($"lang")
+  }
+
   /** mm02: frame-sampling pipeline — every 10th document's payload,
     * aggregated per language (the video frame-sample shape on rows). */
   private val mm02: Q = (s, d) =>
@@ -303,6 +328,7 @@ object OpsQueries {
     "tx05_char_ngrams" -> tx05,
     "tx06_repetition" -> tx06,
     "tx07_doc_frequency" -> tx07,
+    "tx08_curation" -> tx08,
     "mm01_multimodal_stub" -> mm01,
     "mm02_frame_sampling" -> mm02,
   )
@@ -420,6 +446,56 @@ object OpsQueries {
        |SELECT doc_id, lang, source FROM documents
        |WHERE doc_id NOT IN (SELECT member FROM clusters WHERE member <> rep)
        |ORDER BY doc_id""".stripMargin
+
+  /** tx08: dd08's cluster CTEs + tx02's quality formula + tx06's
+    * repetition formula, composed — thresholds applied to the same
+    * ROUNDed values on both engines so the boundary can't drift. */
+  private val tx08Oracle: String =
+    s"""WITH RECURSIVE ${minhashCtes(0.8)},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM verified
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM verified
+       |),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.label FROM reach r JOIN edges e ON e.dst = r.id
+       |),
+       |clusters AS (
+       |  SELECT MIN(label) AS rep, id AS member FROM reach GROUP BY id
+       |),
+       |tq AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+       |), m AS (
+       |  SELECT doc_id, lang,
+       |    len(w) AS tc,
+       |    ${sqlStopwordCount("w")} AS sc,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(w, x -> CAST(length(x) AS BIGINT))), (acc, x) -> acc + x) AS cl
+       |  FROM tq
+       |), scored AS (
+       |  SELECT doc_id, lang, tc, ROUND(
+       |      0.5 * least(tc / 100.0, 1.0)
+       |    + 0.3 * least((sc * 1.0 / tc) * 5.0, 1.0)
+       |    + 0.2 * (CASE WHEN cl * 1.0 / tc >= 3.0 AND cl * 1.0 / tc <= 8.0 THEN 1.0 ELSE 0.0 END)
+       |    , 4) AS score
+       |  FROM m
+       |), bg AS (
+       |  SELECT doc_id, unnest([ws[k] || ' ' || ws[k+1]
+       |    FOR k IN generate_series(1, len(ws) - 1)]) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |), bc AS (
+       |  SELECT doc_id, g, COUNT(*) AS cnt FROM bg GROUP BY doc_id, g
+       |), repf AS (
+       |  SELECT doc_id, ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 4) AS dup2f
+       |  FROM bc GROUP BY doc_id
+       |)
+       |SELECT s.lang, COUNT(*) AS n_docs, CAST(SUM(s.tc) AS BIGINT) AS tokens
+       |FROM scored s JOIN repf r ON s.doc_id = r.doc_id
+       |WHERE s.doc_id NOT IN (SELECT member FROM clusters WHERE member <> rep)
+       |  AND s.score >= 0.5 AND r.dup2f <= 0.3
+       |GROUP BY s.lang ORDER BY s.lang""".stripMargin
 
   private val dd04Oracle: String = {
     // Spark finds the pairs with a complete prefix-filter candidate
@@ -714,6 +790,7 @@ object OpsQueries {
         |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 4) AS dup2f,
         |  ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top2f
         |FROM c GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin,
+    "tx08_curation" -> tx08Oracle,
     "tx07_doc_frequency" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
