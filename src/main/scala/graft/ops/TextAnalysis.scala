@@ -116,6 +116,23 @@ object TextAnalysis {
         round(lit(1.0) - col("dist").cast("double") / col("total"), 4).as("dup2f"),
         round(col("top").cast("double") / col("total"), 4).as("top2f"))
 
+  /** Deterministic stratified sampling for training-mix rebalancing:
+    * a document is kept iff rolling_hash(id ⧺ ":" ⧺ salt) mod 100 falls
+    * under its stratum's percentage quota. Hash-based (not rand()) so
+    * the sample is reproducible across runs, engines and partitionings —
+    * the property a data-mix spec needs — and membership is row-local
+    * (no shuffle; the census afterwards is one hash agg). */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      stratumCol: String, quotas: Map[String, Int], defaultQuota: Int,
+      salt: String): org.apache.spark.sql.DataFrame = {
+    val h = pmod(exprs.rolling_hash(
+      concat(col(idCol).cast("string"), lit(":" + salt))), lit(100))
+    val quota = quotas.foldLeft(lit(defaultQuota)) { case (acc, (k, q)) =>
+      when(col(stratumCol) === k, lit(q)).otherwise(acc)
+    }
+    df.filter(h < quota)
+  }
+
   /** Corpus-level document frequency: for each word, in how many
     * documents it appears (`df`) and the fraction of the corpus
     * (`df_frac`) — the data-driven stopword/boilerplate discovery pass

@@ -296,6 +296,21 @@ object OpsQueries {
       .sort($"lang")
   }
 
+  /** tx09: deterministic training-mix sampling — per-language quotas
+    * (en kept at 80%, everything else 30%) via the shared rolling hash,
+    * then the census of the sampled mix. Reproducible by construction:
+    * the oracle recomputes membership from the same hash. */
+  private final val Tx09Quotas = Map("en" -> 80)
+  private final val Tx09Default = 30
+  private final val Tx09Salt = "mix1"
+  private val tx09: Q = (s, d) =>
+    TextAnalysis.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
+        Tx09Quotas, Tx09Default, Tx09Salt)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Dedup.tokens($"text")).cast("bigint")).as("tokens"))
+      .sort($"lang")
+
   /** mm02: frame-sampling pipeline — every 10th document's payload,
     * aggregated per language (the video frame-sample shape on rows). */
   private val mm02: Q = (s, d) =>
@@ -329,6 +344,7 @@ object OpsQueries {
     "tx06_repetition" -> tx06,
     "tx07_doc_frequency" -> tx07,
     "tx08_curation" -> tx08,
+    "tx09_train_mix" -> tx09,
     "mm01_multimodal_stub" -> mm01,
     "mm02_frame_sampling" -> mm02,
   )
@@ -791,6 +807,15 @@ object OpsQueries {
         |  ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top2f
         |FROM c GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin,
     "tx08_curation" -> tx08Oracle,
+    "tx09_train_mix" -> {
+      val h = sqlRollingHash(s"CAST(doc_id AS VARCHAR) || ':${Tx09Salt}'")
+      val quota = s"CASE WHEN lang = 'en' THEN ${Tx09Quotas("en")} ELSE $Tx09Default END"
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         |FROM documents
+         |WHERE ($h) % 100 < $quota
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "tx07_doc_frequency" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
