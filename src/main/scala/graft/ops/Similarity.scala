@@ -116,6 +116,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched k-NN join — the production ANN shape: EVERY query vector
+    * finds its top-k neighbors in one plan, instead of one driver-side
+    * search per query. Candidates come from the hyperplane-LSH bucket
+    * equi-join (queries meet only their bucket's corpus slice), then a
+    * per-query window rank keeps the k best by exact cosine. Scales as
+    * one shuffle on the bucket key + one on the query id — no per-query
+    * jobs, no all-pairs. */
+  def knnJoin(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int): DataFrame = {
+    def prep(df: DataFrame, idName: String) = df.select(
+      col(idCol).as(idName),
+      transform(col(vecCol), _.cast("double")).as(idName + "_v"),
+      lshBucket(transform(col(vecCol), _.cast("double")), dim).as(idName + "_b"))
+    val q = prep(queries, "qid")
+    val c = prep(corpus, "cid")
+    val scored = q.join(c,
+        col("qid_b") === col("cid_b") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        cosine(col("qid_v"), col("cid_v")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rn"))
+  }
+
   /** IVF coarse quantizer: k-means centroids over the embedding column
     * (seeded, deterministic for fixed data). At scale the assignment
     * column is precomputed and the table partitioned by it; a query

@@ -191,6 +191,19 @@ object OpsQueries {
       .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
   }
 
+  /** ss06: batched k-NN join — vectors 1..20 each find their top-3
+    * LSH-bucket neighbors in the rest of the corpus, in ONE plan (bucket
+    * equi-join + per-query window rank). The production shape: no
+    * per-query driver round trips. */
+  private val ss06: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    Similarity.knnJoin(
+        e.filter($"vec_id" >= 1 && $"vec_id" <= 20), e.filter($"vec_id" =!= 0),
+        "vec_id", "embedding", 64, 3)
+      .select($"qid", $"cid", round($"sim", 4).as("sim"), $"rn")
+      .sort($"qid", $"rn")
+  }
+
   // --------------------------------------------------------- text analysis
 
   /** tx01: per-language token statistics (whitespace + BPE-ish counts) —
@@ -336,6 +349,7 @@ object OpsQueries {
     "ss03_ann_topk" -> ss03,
     "ss04_ivf_topk" -> ss04,
     "ss05_multiprobe_topk" -> ss05,
+    "ss06_knn_join" -> ss06,
     "tx01_token_stats" -> tx01,
     "tx02_quality_score" -> tx02,
     "tx03_langid" -> tx03,
@@ -683,6 +697,22 @@ object OpsQueries {
        |ORDER BY ${sqlCosine("e.embedding", "q.qv", 64)} DESC, vec_id
        |LIMIT 5""".stripMargin
 
+  private val ss06Oracle: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bkt FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    ${sqlCosine("q.embedding", "c.embedding", 64)} AS sim
+       |  FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id BETWEEN 1 AND 20 AND c.vec_id <> 0
+       |), r AS (
+       |  SELECT qid, cid, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+       |  FROM scored
+       |)
+       |SELECT qid, cid, ROUND(sim, 4) AS sim, rn
+       |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
   private val dd06Oracle: String = {
     val cos = sqlCosine("a.embedding", "b.embedding", 64)
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND($cos, 4) AS c
@@ -786,6 +816,7 @@ object OpsQueries {
     "ss02_lsh_histogram" -> ss02Oracle,
     "ss03_ann_topk" -> ss03Oracle,
     "ss05_multiprobe_topk" -> ss05Oracle,
+    "ss06_knn_join" -> ss06Oracle,
     "tx01_token_stats" -> tx01Oracle,
     "tx02_quality_score" -> tx02Oracle,
     "tx03_langid" -> tx03Oracle,
