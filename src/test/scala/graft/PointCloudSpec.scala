@@ -205,6 +205,25 @@ class PointCloudSpec extends SparkTestBase {
     assert(base.filter($"pid" < 7).count() == 7 * nFiles)
   }
 
+  test("row-based reader applies pushed filters (non-columnar path)") {
+    // Spark picks the columnar reader for binary scans, so drive the
+    // row-based PartitionReader directly through the factory contract
+    val dir = tmpDir("rowpred")
+    samplePoints.coalesce(1).writeLas(dir)
+    val df = spark.read.las(dir).filter($"x" > 900)
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.asInstanceOf[graft.pointcloud.connector.PointCloudScan]
+    val factory = scan.createReaderFactory()
+    var n = 0
+    scan.planInputPartitions().foreach { p =>
+      val r = factory.createReader(p)
+      try while (r.next()) n += 1
+      finally r.close()
+    }
+    assert(n == samplePoints.filter($"x" > 900).count())
+  }
+
   test("record-level pushdown compares in the exposed (widened) domain") {
     val dir = tmpDir("recfilter-unsigned")
     samplePoints.withColumn("intensity", lit(-1).cast("short")).writeLas(dir)
