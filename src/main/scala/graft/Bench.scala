@@ -44,11 +44,17 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
-    val results = names.map(n =>
-      n -> ms(median(samples.map(_.toMap.apply(n)))))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = ms(results.map(_._2).sum)
+    // an errored query's (near-zero) elapsed time must not enter the
+    // medians or the headline total — breakage never reads as a speedup;
+    // its entry is null and the error text sits in "errors"
+    val results = names.map { n =>
+      n -> (if (errs.contains(n)) None
+            else Some(ms(median(samples.map(_.toMap.apply(n))))))
+    }
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val total = ms(results.flatMap(_._2).sum)
     def jstr(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => " "; case c => c.toString

@@ -107,9 +107,12 @@ object Similarity {
     val probes = qb +: (0 until planes).map(i => qb.bitwiseXOR(lit(1 << i)))
     val probeDf = df.sparkSession.range(1)
       .select(explode(array(probes: _*)).as("pb"))
+    // materialized: see knnJoin — the cast vector must not inline into
+    // each per-plane dot of the bucket code
     df.select(col(idCol).as("id"),
         transform(col(vecCol), _.cast("double")).as("v"),
         lshBucket(transform(col(vecCol), _.cast("double")), dim, planes).as("bucket"))
+      .localCheckpoint(eager = true)
       .join(broadcast(probeDf), col("bucket") === col("pb"))
       .select(col("id"), cosine(col("v"), q).as("sim"))
       .sort(col("sim").desc, col("id"))
@@ -126,10 +129,14 @@ object Similarity {
   def knnJoin(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int): DataFrame = {
+    // materialized per side: project collapse would otherwise inline the
+    // cast vector into every per-plane dot product (the MinHash 60×
+    // inlining trap) and re-evaluate it on each side of the join
     def prep(df: DataFrame, idName: String) = df.select(
       col(idCol).as(idName),
       transform(col(vecCol), _.cast("double")).as(idName + "_v"),
       lshBucket(transform(col(vecCol), _.cast("double")), dim).as(idName + "_b"))
+      .localCheckpoint(eager = true)
     val q = prep(queries, "qid")
     val c = prep(corpus, "cid")
     val scored = q.join(c,

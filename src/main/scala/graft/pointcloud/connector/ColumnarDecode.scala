@@ -114,7 +114,12 @@ class BinarySectionColumnarReader(p: BinaryPartition, readSchema: StructType,
   }
 
   /** [[fillColumn]] over the `sel` selection (first `m` entries): decode
-    * only the records the pushed filters kept. */
+    * only the records the pushed filters kept. The decode body must stay
+    * in LOCKSTEP with [[fillColumn]] (and the row-path FieldDecoder /
+    * RecordPredicate value semantics) — the "selected decode path"
+    * test compares the two loops row-for-row. Kept as a separate loop
+    * deliberately: an index-indirection branch in the unfiltered hot
+    * loop costs on every full scan. */
   private def fillColumnSelected(v: OnHeapColumnVector, pl: ColPlan, m: Int,
       base: Long): Unit = {
     import graft.pointcloud.FieldDecoder.Tag

@@ -105,12 +105,17 @@ class PointCloudScanBuilder(
       case Seq(e) if fieldName(e).contains(PointCloudUtil.FidCol) => true
       case _ => return None
     }
-    // per-group section lists: one group per fid, or all sections at once
+    // per-group section lists: one group per fid, or all sections at once.
+    // A fid whose sections hold zero records contributes NO group — SQL
+    // aggregation emits no row for a group with no input rows (the global
+    // COUNT(*) = 0 row, by contrast, is correct).
     val groups: Seq[(Option[Int], Seq[SectionWithFid])] =
       if (groupByFid)
         resolved.sections.groupBy(_.fid).toSeq.sortBy(_._1)
+          .filter { case (_, ss) => ss.exists(_.section.count > 0) }
           .map { case (fid, ss) => (Some(fid), ss) }
       else Seq((None, resolved.sections))
+    if (groupByFid && groups.isEmpty) return None
 
     def minMax(sections: Seq[SectionWithFid], col: String,
         wantMin: Boolean): Option[Any] = kind match {

@@ -333,6 +333,29 @@ class PointCloudSpec extends SparkTestBase {
     }
   }
 
+  test("selected decode path produces identical rows to the sequential path") {
+    // a tautologically-true pushed filter forces fillColumnSelected for
+    // every record; any drift between the two decode loops (cast chain,
+    // zero-extend, nodata) shows up as a row mismatch
+    val dir = tmpDir("selpath")
+    samplePoints.writeLas(dir)
+    val cols = Seq("x", "y", "z", "intensity", "flags", "classification")
+    val plain = spark.read.las(dir)
+      .select(cols.map(col): _*).orderBy(cols.map(col): _*).collect().toSeq
+    val selected = spark.read.las(dir).filter($"x" >= Int.MinValue)
+      .select(cols.map(col): _*).orderBy(cols.map(col): _*).collect().toSeq
+    assert(selected == plain)
+  }
+
+  test("GROUP BY fid emits no row for a file contributing zero records") {
+    val dir1 = tmpDir("gbe1")
+    val dir2 = tmpDir("gbe2")
+    samplePoints.coalesce(1).writeLas(dir1)
+    samplePoints.limit(0).coalesce(1).writeLas(dir2) // empty LAS file
+    val rows = spark.read.las(dir1, dir2).groupBy("fid").count().collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 10000, rows.toSeq)
+  }
+
   test("GROUP BY fid aggregates are answered from headers, zero data IO") {
     val dir1 = tmpDir("gb1")
     val dir2 = tmpDir("gb2")
