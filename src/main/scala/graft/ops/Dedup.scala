@@ -192,6 +192,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), j.as("j"))
   }
 
+  /** EXACT containment-dedup pairs: (a, b) where Jaccard CONTAINMENT
+    * |A∩B| / |A| ≥ t — the asymmetric relation (short doc subsumed by a
+    * longer one: quotes, boilerplate inclusion, excerpt spam) that
+    * symmetric Jaccard misses entirely. Candidate generation is complete
+    * by prefix filtering on the CONTAINED side only: containment ≥ t
+    * forces A to share an element of its first |A| − ceil(t·|A|) + 1
+    * shingles with B, so exploding just A-prefixes against B's full
+    * shingle postings is a complete equi-join — Σ|prefix| × postings
+    * rows through one shuffle, never all-pairs. Verification is the
+    * allocation-free sorted merge-count. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("cnt", size(col("sh")))
+      .localCheckpoint(eager = true)
+    val prefix = base.select(col("id"), col("cnt"),
+      slice(col("sh"), lit(1),
+        col("cnt") - ceil(col("cnt") * threshold).cast("int") + lit(1)).as("pref"))
+      .select(col("id"), explode(col("pref")).as("tok"))
+    val postings = base.select(col("id").as("pid"), explode(col("sh")).as("tok"))
+    val candidates = prefix.as("pa")
+      .join(postings.as("pb"),
+        col("pa.tok") === col("pb.tok") && col("pa.id") =!= col("pb.pid"))
+      .select(col("pa.id").as("id_a"), col("pb.pid").as("id_b"))
+      .distinct()
+    val inter = graft.functions.exprs.sorted_intersect_count(col("sa.sh"), col("sb.sh"))
+    val c = inter.cast("double") / col("sa.cnt")
+    candidates
+      .join(base.as("sa"), col("id_a") === col("sa.id"))
+      .join(base.as("sb"), col("id_b") === col("sb.id") && c >= threshold)
+      .select(col("id_a"), col("id_b"), c.as("containment"))
+  }
+
   /** SimHash near-dup pairs: 64-bit simhash per doc (native expression),
     * LSH over 4 16-bit chunks (any pair within Hamming distance 3 shares
     * at least one chunk by pigeonhole; larger distances are found with

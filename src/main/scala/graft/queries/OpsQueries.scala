@@ -116,6 +116,15 @@ object OpsQueries {
       .sort($"new_id", $"old_id")
   }
 
+  /** dd11: exact containment dedup — A's shingles ≥ 80% inside B
+    * (asymmetric: excerpt/quote/boilerplate subsumption, which symmetric
+    * Jaccard misses). Complete candidates from contained-side prefix
+    * filtering; brute-force oracle. */
+  private val dd11: Q = (s, d) =>
+    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text", 0.8)
+      .select($"id_a", $"id_b", round($"containment", 4).as("containment"))
+      .sort($"id_a", $"id_b")
+
   // ----------------------------------------------------- similarity search
 
   /** ss01: brute-force cosine top-10 neighbors of vec 0 (declarative:
@@ -344,6 +353,7 @@ object OpsQueries {
     "dd08_dedup_filtered" -> dd08,
     "dd09_incremental_dedup" -> dd09,
     "dd10_blocked_embedding" -> dd10,
+    "dd11_containment" -> dd11,
     "ss01_cosine_topk" -> ss01,
     "ss02_lsh_histogram" -> ss02,
     "ss03_ann_topk" -> ss03,
@@ -697,6 +707,22 @@ object OpsQueries {
        |ORDER BY ${sqlCosine("e.embedding", "q.qv", 64)} DESC, vec_id
        |LIMIT 5""".stripMargin
 
+  private val dd11Oracle: String = {
+    // complete candidates Spark-side, so brute force is the oracle
+    val inter = "len(list_intersect(a.hh, b.hh))"
+    val c = s"$inter * 1.0 / a.cnt"
+    s"""WITH $sqlDocsShingles,
+       |hh AS (
+       |  SELECT id, list_distinct(list_transform(sh, s -> ${sqlRollingHash("s")})) AS hh
+       |  FROM docs
+       |),
+       |sized AS (SELECT id, hh, len(hh) AS cnt FROM hh WHERE len(hh) > 0)
+       |SELECT a.id AS id_a, b.id AS id_b, ROUND($c, 4) AS containment
+       |FROM sized a JOIN sized b ON a.id <> b.id
+       |WHERE $c >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val ss06Oracle: String =
     s"""WITH b AS (
        |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bkt FROM embeddings
@@ -812,6 +838,7 @@ object OpsQueries {
     "dd08_dedup_filtered" -> dd08Oracle,
     "dd09_incremental_dedup" -> dd09Oracle,
     "dd10_blocked_embedding" -> dd10Oracle,
+    "dd11_containment" -> dd11Oracle,
     "ss01_cosine_topk" -> ss01Oracle,
     "ss02_lsh_histogram" -> ss02Oracle,
     "ss03_ann_topk" -> ss03Oracle,

@@ -179,7 +179,7 @@ class OpsSpec extends SparkTestBase {
     // dd06 is the exact all-pairs baseline by design; every other
     // near-dup path must stay a bucket/prefix equi-join at any scale
     val guarded = Seq("dd03_minhash_lsh", "dd04_exact_jaccard", "dd05_simhash",
-      "dd09_incremental_dedup", "dd10_blocked_embedding")
+      "dd09_incremental_dedup", "dd10_blocked_embedding", "dd11_containment")
     guarded.foreach { name =>
       val plan = graft.queries.OpsQueries.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
