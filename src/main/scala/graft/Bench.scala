@@ -65,10 +65,15 @@ object Bench {
         .mkString(""","errors":{""", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs$errJson,"sf":"$sfDir"}"""
-    println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       line.getBytes("UTF-8"))
     catch { case _: Exception => } // stdout line is the primary channel
+    // teardown BEFORE the structured line goes out: the state-store
+    // maintenance tick otherwise races session shutdown and stack-traces
+    // onto stderr after our output, pushing the JSON line out of a
+    // bounded log tail (r03's driver saw exactly that)
+    org.apache.spark.sql.graftglue.Bridge.stopStateStores()
     spark.stop()
+    println(line)
   }
 }

@@ -180,6 +180,20 @@ object HashUtil {
     new GenericInternalRow(Array[Any](tc, sc, cl, bpe))
   }
 
+  /** Multiplicative (Fibonacci) finalizer for the KMV sketch hash: FNV-1a
+    * alone clusters badly on short inputs (consecutive integer keys leave
+    * the high bits nearly constant, which wrecks an order-statistics
+    * estimator); one multiply by the odd golden-ratio constant diffuses
+    * the low-bit differences into the high bits. The result is shifted
+    * into [0, 2^63) so BOTH engines can carry it as a plain signed 64-bit
+    * integer — the DuckDB oracle reproduces the mod-2^64 multiply with a
+    * 32-bit-split HUGEINT product, and a single right shift never needs
+    * unsigned casts anywhere. */
+  final val KmvPhi = 0x9E3779B97F4A7C15L
+
+  /** KMV sketch hash of a string: finalized FNV-1a in [0, 2^63). */
+  def kmvHash(s: UTF8String): Long = (fnv1a64(s) * KmvPhi) >>> 1
+
   /** 64-bit SimHash over an array of tokens: per bit, sum +1/-1 weighted
     * by each token's FNV hash bit; result bit = sign of the sum.
     * Near-duplicate docs differ in few bits (compare via hamming
@@ -427,6 +441,119 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "graft_sorted_intersect_count"
 }
 
+/** kmv_hash(text): LongType in [0, 2^63) — the uniform sketch hash
+  * feeding KmvDistinct (finalized FNV-1a; see HashUtil.kmvHash). */
+case class KmvHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.kmvHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.kmvHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): KmvHash =
+    copy(child = newChild)
+  override def prettyName: String = "graft_kmv_hash"
+}
+
+/** KMV (k-minimum-values) distinct-count sketch as a native Catalyst
+  * aggregate: the buffer is the k smallest DISTINCT hash values seen, the
+  * estimate is (k-1) / u_k with u_k = kth-min / 2^63 — the classic KMV
+  * estimator (Bar-Yossef et al., "Counting distinct elements in a data
+  * stream", RANDOM 2002). Partial buffers merge by set-union-and-trim, so
+  * a 100 TB scan ships at most k longs per partition over the exchange —
+  * the constant-memory answer to COUNT(DISTINCT) at scale, and unlike
+  * HyperLogLog the sketch is deterministic and exactly reproducible in
+  * the DuckDB oracle (top-k over the same hash).
+  *
+  * Input must be a [0, 2^63) KmvHash value; result is a struct:
+  * kth = the kth-smallest hash (0 when the group is empty), est = the
+  * cardinality estimate (exact count when fewer than k distinct hashes).
+  */
+case class KmvDistinct(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 2, s"KMV needs k >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvDistinct =
+    copy(child = newChildren.head)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs BIGINT (a kmv_hash), got ${child.dataType}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("kth", LongType, nullable = false),
+    StructField("est", DoubleType, nullable = false)))
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      if (buf.size < k) buf.add(h)
+      else if (h < buf.last) { if (buf.add(h)) buf.remove(buf.last) }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (buf.size < k) buf.add(h)
+      else if (h < buf.last) { if (buf.add(h)) buf.remove(buf.last) }
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val n = buf.size
+    val kth = if (n == 0) 0L else buf.last.longValue()
+    // (k-1) * 2^63 is exact in a double (8 significand bits, shifted);
+    // the division then matches the oracle's BIGINT/DOUBLE divide bit
+    // for bit. Fewer than k distinct hashes = the sketch IS the set.
+    val est = if (n < k) n.toDouble else (k - 1).toDouble * 9.223372036854775808e18 / kth.toDouble
+    new GenericInternalRow(Array[Any](kth, est))
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next().longValue())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "graft_kmv_distinct"
+}
+
 /** Column-level entry points for the custom expressions. */
 object exprs {
   def rolling_hash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
@@ -445,4 +572,7 @@ object exprs {
     Bridge.column(CountInSet(Bridge.expression(tokens), values))
   def token_stats(text: Column, stopwords: Seq[String]): Column =
     Bridge.column(TokenStats(Bridge.expression(text), stopwords))
+  def kmv_hash(c: Column): Column = Bridge.column(KmvHash(Bridge.expression(c)))
+  def kmv_distinct(hash: Column, k: Int): Column =
+    Bridge.column(KmvDistinct(Bridge.expression(hash), k).toAggregateExpression())
 }

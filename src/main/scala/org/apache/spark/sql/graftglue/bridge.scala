@@ -20,4 +20,12 @@ object Bridge {
     * in-memory version maps linger and accumulate. */
   def unloadStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
+  /** Stop the state-store subsystem outright: unloads every provider AND
+    * terminates the background maintenance task. Call before
+    * `spark.stop()` in batch mains — otherwise the 60 s maintenance tick
+    * can fire mid-teardown and stack-trace "SparkEnv not active" onto
+    * stderr after the process's final output line. */
+  def stopStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 }
