@@ -67,13 +67,16 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs$errJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       line.getBytes("UTF-8"))
-    catch { case _: Exception => } // stdout line is the primary channel
+    catch { case _: Exception => } // the stdout line below still carries it
     // teardown BEFORE the structured line goes out: the state-store
     // maintenance tick otherwise races session shutdown and stack-traces
     // onto stderr after our output, pushing the JSON line out of a
-    // bounded log tail (r03's driver saw exactly that)
-    org.apache.spark.sql.graftglue.Bridge.stopStateStores()
-    spark.stop()
+    // bounded log tail (r03's driver saw exactly that). Guarded so a
+    // teardown failure can never eat the result line.
+    try org.apache.spark.sql.graftglue.Bridge.stopStateStores()
+    catch { case _: Throwable => }
+    try spark.stop()
+    catch { case _: Throwable => }
     println(line)
   }
 }

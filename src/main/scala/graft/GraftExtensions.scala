@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDotProduct, CharNgrams, RollingHash, ShingleHashSet, SimHash64, SortedIntersectCount, TokenStats, WordNgrams}
+import graft.functions.{ArrayDotProduct, CharNgrams, KmvDistinct, KmvHash, RollingHash, ShingleHashSet, SimHash64, SortedIntersectCount, TokenStats, WordNgrams}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -72,7 +72,17 @@ object GraftExtensions {
     ("graft_token_stats",
       info("graft_token_stats",
         "fused token statistics struct(tc, sc, cl, bpe) with the standard stopword set"),
-      unary(e => TokenStats(e, graft.ops.TextAnalysis.Stopwords))))
+      unary(e => TokenStats(e, graft.ops.TextAnalysis.Stopwords))),
+    ("graft_kmv_hash",
+      info("graft_kmv_hash", "KMV sketch hash of a string, uniform in [0, 2^63)"),
+      unary(KmvHash)),
+    ("graft_kmv_distinct",
+      info("graft_kmv_distinct",
+        "KMV distinct-count sketch aggregate over kmv hashes (k literal): struct(kth, est)"),
+      args => {
+        require(args.length == 2, "expected (hash, k)")
+        KmvDistinct(args.head, litInt(args(1))).toAggregateExpression()
+      }))
 
   private def litInt(e: Expression): Int = e match {
     case Literal(v: Int, _) => v

@@ -31,7 +31,11 @@ object Temporal {
     * not timestamps, when sub-second precision matters). Null keys group
     * together (they never leave the operator incorrect for SQL `=`
     * semantics because a null-keyed left row can only pick up null-keyed
-    * right rows; filter them beforehand if that is not wanted).
+    * right rows; filter them beforehand if that is not wanted). Null
+    * times follow SQL comparison semantics: a right row with a null time
+    * is never a match (it is filtered before the union), and a left row
+    * with a null time matches nothing (nulls-first ordering places it
+    * ahead of every right row of its key, so the running `last` is null).
     */
   def asofJoin(
       left: DataFrame,
@@ -45,11 +49,19 @@ object Temporal {
     val lt = left.schema(leftTime).dataType
     val rt = right.schema(rightTime).dataType
     require(lt == rt, s"asofJoin time columns must share a type ($leftTime: $lt, $rightTime: $rt)")
+    val lk = left.schema(leftKey).dataType
+    val rk = right.schema(rightKey).dataType
+    require(lk == rk, s"asofJoin key columns must share a type ($leftKey: $lk, $rightKey: $rk)")
+    require(!left.columns.contains(asofCol),
+      s"asofJoin output column '$asofCol' already exists on the left side; pass a different asofCol")
     val tieType = right.schema(rightTiebreak).dataType
     val lStructType = left.schema
     val rStructType = right.schema
 
-    val r = right.select(
+    // a null rightTime would sort to the head of its key partition and be
+    // carried forward as a "match"; SQL `<=` never matches null, so drop
+    val rightNonNull = right.where(col(rightTime).isNotNull)
+    val r = rightNonNull.select(
       col(rightKey).as("__k"),
       col(rightTime).as("__t"),
       lit(0).as("__side"),
@@ -96,6 +108,9 @@ object Temporal {
       time: String,
       id: String,
       band: Long): DataFrame = {
+    // band = 0 would make the bucket `div` yield NULL (non-ANSI mode) and
+    // silently return an empty join; negative bands are silently wrong
+    require(band > 0, s"bandedIntervalSelfJoin needs band > 0, got $band")
     val a = df.select(
       col(key).as("__ka"), col(time).as("__ta"), col(id).as("id_a"),
       explode(array(expr(s"$time div $band"), expr(s"$time div $band") + 1)).as("__blk"))

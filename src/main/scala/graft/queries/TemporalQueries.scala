@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{exprs, HashUtil}
+import graft.ops.Temporal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporal-join and sketch queries over the `events` / `documents`
+  * tables, with DuckDB oracles sharing every constant with the Spark
+  * plans.
+  *
+  *  - tp01: as-of join (DuckDB checks it with its native ASOF JOIN —
+  *    an independent implementation, not a restatement of our plan);
+  *  - tp02: banded interval self-join vs. a brute-force inequality join;
+  *  - sk01: KMV distinct-count sketch vs. the same order statistic
+  *    computed by window functions over the identical hash.
+  */
+object TemporalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private implicit class ColInterp(private val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+
+  /** tp01: for every purchase event, the most recent click by the same
+    * user at-or-before the purchase (the classic conversion-attribution
+    * as-of join), with the click's value and the lag in microseconds.
+    * Unmatched purchases keep null attribution columns. */
+  private val tp01: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    Temporal.asofJoin(purchases, clicks,
+        "user_id", "ts", "user_id", "ts", rightTiebreak = "event_id")
+      .select($"event_id", $"user_id",
+        $"asof.event_id".as("click_id"),
+        $"asof.value".as("click_value"),
+        (unix_micros($"ts") - unix_micros($"asof.ts")).as("lag_us"))
+      .sort($"event_id")
+      .limit(500)
+  }
+
+  /** tp02's band width: pairs of same-type events within 5 minutes. */
+  private final val Tp02BandUs = 300L * 1000000L
+
+  /** tp02: banded interval self-join — ordered pairs of same-type events
+    * whose timestamps fall within the band. The plan is a 2×-exploded
+    * bucket equi-join (never a nested loop); the oracle is the naive
+    * inequality join, correct by construction at oracle scale. */
+  private val tp02: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select($"event_type", unix_micros($"ts").as("t_us"), $"event_id")
+    Temporal.bandedIntervalSelfJoin(ev, "event_type", "t_us", "event_id", Tp02BandUs)
+      .sort($"event_type", $"id_a", $"id_b")
+      .limit(1000)
+  }
+
+  /** sk01's sketch size: estimator engages once a group holds ≥ 64
+    * distinct hashes (the en/other language groups at sf ≥ 0.01). */
+  private final val KmvK = 64
+
+  /** sk01: per-language distinct-document estimate from a KMV sketch
+    * (k minimum hash values; constant memory per group at any scale)
+    * next to the exact distinct count — the COUNT(DISTINCT) replacement
+    * a 100 TB corpus census actually runs. */
+  private val sk01: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select($"lang", exprs.kmv_hash($"text").as("h"), $"text")
+      .groupBy($"lang")
+      .agg(
+        exprs.kmv_distinct($"h", KmvK).as("kmv"),
+        countDistinct($"text").as("exact"))
+      .select($"lang", $"kmv.kth".as("kth"),
+        round($"kmv.est", 2).as("est"), $"exact")
+      .sort($"lang")
+
+  val queries: Map[String, Q] = Map(
+    "tp01_asof_join" -> tp01,
+    "tp02_interval_join" -> tp02,
+    "sk01_kmv_distinct" -> sk01,
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  private val tp01Oracle: String =
+    s"""SELECT l.event_id, l.user_id, r.event_id AS click_id,
+       |  r.value AS click_value, epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+       |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+       |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') r
+       |  ON l.user_id = r.user_id AND r.ts <= l.ts
+       |ORDER BY l.event_id LIMIT 500""".stripMargin
+
+  private val tp02Oracle: String =
+    s"""SELECT a.event_type, a.event_id AS id_a, b.event_id AS id_b,
+       |  epoch_us(b.ts) - epoch_us(a.ts) AS dt
+       |FROM events a JOIN events b ON a.event_type = b.event_type
+       |WHERE epoch_us(b.ts) <= epoch_us(a.ts) + $Tp02BandUs
+       |  AND (epoch_us(b.ts) > epoch_us(a.ts)
+       |       OR (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id > a.event_id))
+       |ORDER BY a.event_type, id_a, id_b LIMIT 1000""".stripMargin
+
+  /** FNV-1a 64-bit of a hex-encoded string column `hx`, in HUGEINT
+    * arithmetic mod 2^64 (XOR only ever touches the low byte, so it is
+    * lifted to BIGINT) — the SQL twin of HashUtil.fnv1a64. */
+  private def sqlFnv1a64(hx: String): String = {
+    val basis = java.lang.Long.toUnsignedString(HashUtil.FnvBasis)
+    val prime = java.lang.Long.toUnsignedString(HashUtil.FnvPrime)
+    s"""list_reduce(list_prepend(CAST($basis AS HUGEINT),
+       |      [CAST(16*(strpos('0123456789ABCDEF', substring($hx, 2*i-1, 1))-1)
+       |          + (strpos('0123456789ABCDEF', substring($hx, 2*i, 1))-1) AS BIGINT)
+       |       FOR i IN generate_series(1, length($hx)//2)]),
+       |      (h, b) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), b)) * $prime)
+       |                % 18446744073709551616)""".stripMargin
+  }
+
+  /** (h * KmvPhi) mod 2^64 >> 1 with a 32-bit-split HUGEINT product —
+    * the SQL twin of HashUtil.kmvHash's finalizer. */
+  private def sqlKmvFinalize(h: String): String = {
+    val phi = java.lang.Long.toUnsignedString(HashUtil.KmvPhi)
+    s"CAST((($h % 4294967296) * $phi + (($h // 4294967296) * $phi % 4294967296) * 4294967296) " +
+      s"% 18446744073709551616 // 2 AS BIGINT)"
+  }
+
+  private val sk01Oracle: String = {
+    // (k-1) * 2^63 / kth with the exact operation order of KmvDistinct.eval
+    val est = s"CAST(${KmvK - 1} AS DOUBLE) * 9.223372036854775808e18 / CAST(kth AS DOUBLE)"
+    s"""WITH f AS (
+       |  SELECT lang, text, ${sqlFnv1a64("hx")} AS fh
+       |  FROM (SELECT lang, text, hex(encode(text)) AS hx FROM documents WHERE text IS NOT NULL)
+       |), k AS (
+       |  SELECT lang, text, ${sqlKmvFinalize("fh")} AS kh FROM f
+       |), d AS (
+       |  SELECT DISTINCT lang, kh FROM k
+       |), r AS (
+       |  SELECT lang, kh,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY kh) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS nd
+       |  FROM d
+       |), kths AS (
+       |  SELECT lang, kh AS kth, nd FROM r WHERE rn = least(nd, $KmvK)
+       |), ex AS (
+       |  SELECT lang, COUNT(DISTINCT text) AS exact FROM documents GROUP BY lang
+       |)
+       |SELECT t.lang, t.kth,
+       |  ROUND(CASE WHEN t.nd < $KmvK THEN CAST(t.nd AS DOUBLE) ELSE $est END, 2) AS est,
+       |  ex.exact
+       |FROM kths t JOIN ex ON t.lang = ex.lang
+       |ORDER BY lang""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "tp01_asof_join" -> tp01Oracle,
+    "tp02_interval_join" -> tp02Oracle,
+    "sk01_kmv_distinct" -> sk01Oracle,
+  )
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.functions.exprs
+import graft.ops.Temporal
+import org.apache.spark.sql.functions._
+
+/** As-of join, banded interval join, and the KMV distinct sketch. */
+class TemporalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def randomEvents(seed: Int, n: Int, keys: Int, tMax: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (i.toLong, rnd.nextInt(keys).toLong, rnd.nextInt(tMax).toLong, rnd.nextDouble()))
+      .toDF("id", "k", "t", "v")
+  }
+
+  test("asofJoin matches the brute-force definition on random data") {
+    // duplicate times within keys are likely at tMax=50, exercising ties
+    val left = randomEvents(1, 300, 5, 50)
+    val right = randomEvents(2, 300, 5, 50)
+    val got = Temporal.asofJoin(left, right, "k", "t", "k", "t", rightTiebreak = "id")
+      .select($"id", $"asof.id".as("rid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    val rightRows = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = left.collect().map { l =>
+      val (lid, lk, lt) = (l.getLong(0), l.getLong(1), l.getLong(2))
+      val cands = rightRows.filter(r => r._2 == lk && r._3 <= lt)
+      lid -> (if (cands.isEmpty) -1L
+              else cands.maxBy(r => (r._3, r._1))._1) // greatest time, then tiebreak
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("asofJoin never matches a null right time and yields null for null left times") {
+    val left = Seq((1L, 1L, Some(10L)), (2L, 1L, None)).toDF("id", "k", "t")
+    val right = Seq((7L, 1L, Some(5L)), (8L, 1L, None)).toDF("id", "k", "t")
+    val rows = Temporal.asofJoin(left, right, "k", "t", "k", "t", rightTiebreak = "id")
+      .select($"id", $"asof.id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(rows == Map(1L -> 7L, 2L -> -1L)) // null-t right row 8 matched nothing
+  }
+
+  test("asofJoin rejects mismatched key types and an occupied asof column") {
+    val left = Seq((1L, "a", 10L)).toDF("id", "k", "t")
+    val right = Seq((1L, 2L, 5L)).toDF("id", "k", "t")
+    val e1 = intercept[IllegalArgumentException](
+      Temporal.asofJoin(left, right, "k", "t", "k", "t", "id"))
+    assert(e1.getMessage.contains("key columns"))
+    val leftTaken = Seq((1L, 1L, 10L)).toDF("asof", "k", "t")
+    val rightOk = Seq((1L, 1L, 5L)).toDF("id", "k", "t")
+    val e2 = intercept[IllegalArgumentException](
+      Temporal.asofJoin(leftTaken, rightOk, "k", "t", "k", "t", "id"))
+    assert(e2.getMessage.contains("already exists"))
+  }
+
+  test("bandedIntervalSelfJoin matches brute force and rejects band <= 0") {
+    val df = randomEvents(3, 400, 4, 1000).select($"k", $"t", $"id")
+    val band = 37L
+    val got = Temporal.bandedIntervalSelfJoin(df, "k", "t", "id", band)
+      .select($"id_a", $"id_b", $"dt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (for {
+      a <- rows; b <- rows
+      if a._1 == b._1
+      if b._2 <= a._2 + band
+      if b._2 > a._2 || (b._2 == a._2 && b._3 > a._3)
+    } yield (a._3, b._3, b._2 - a._2)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty) // the fixture actually exercises the join
+    intercept[IllegalArgumentException](
+      Temporal.bandedIntervalSelfJoin(df, "k", "t", "id", 0L))
+  }
+
+  test("KMV distinct estimate tracks the exact count and is partition-invariant") {
+    // 5000 rows, ~1200 distinct values: k=64 engages the estimator
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 5000).map(_ => s"val_${rnd.nextInt(1200)}").toDF("s")
+    def sketch(part: Int) = df.repartition(part)
+      .agg(exprs.kmv_distinct(exprs.kmv_hash($"s"), 64).as("kmv"))
+      .select($"kmv.kth", $"kmv.est").collect().head
+    val one = sketch(1)
+    val many = sketch(13)
+    assert(one == many) // merge path = single-buffer path, bit for bit
+    val exact = df.distinct().count().toDouble
+    val est = one.getDouble(1)
+    assert(math.abs(est - exact) / exact < 0.3, s"est=$est exact=$exact")
+  }
+
+  test("KMV is exact below k and the SQL surface resolves the functions") {
+    val df = (0 until 10).map(i => s"v$i").toDF("s")
+    val r = df.agg(exprs.kmv_distinct(exprs.kmv_hash($"s"), 64).as("kmv"))
+      .select($"kmv.est").collect().head
+    assert(r.getDouble(0) == 10.0)
+    df.createOrReplaceTempView("kmv_probe")
+    val sql = spark.sql(
+      "SELECT graft_kmv_distinct(graft_kmv_hash(s), 64).est AS est FROM kmv_probe")
+      .collect().head
+    assert(sql.getDouble(0) == 10.0)
+  }
+}
