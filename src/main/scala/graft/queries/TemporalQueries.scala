@@ -86,11 +86,17 @@ object TemporalQueries {
 
   // ------------------------------------------------------------- oracles
 
+  /** DuckDB's ASOF JOIN picks an unspecified row among clicks sharing
+    * (user_id, ts); the Spark plan picks the greatest event_id. The
+    * QUALIFY pre-dedup applies the same tiebreak before the ASOF, so the
+    * oracle is deterministic even if the data ever grows duplicate
+    * (user_id, ts) clicks (none at any current SF). */
   private val tp01Oracle: String =
     s"""SELECT l.event_id, l.user_id, r.event_id AS click_id,
        |  r.value AS click_value, epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
-       |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') r
+       |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1) r
        |  ON l.user_id = r.user_id AND r.ts <= l.ts
        |ORDER BY l.event_id LIMIT 500""".stripMargin
 
@@ -149,7 +155,7 @@ object TemporalQueries {
        |  ROUND(CASE WHEN t.nd < $KmvK THEN CAST(t.nd AS DOUBLE) ELSE $est END, 2) AS est,
        |  ex.exact
        |FROM kths t JOIN ex ON t.lang = ex.lang
-       |ORDER BY lang""".stripMargin
+       |ORDER BY t.lang""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(

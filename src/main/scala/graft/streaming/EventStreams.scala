@@ -18,14 +18,9 @@ object EventStreams {
 
   /** The driver's parquet stores ts as TIMESTAMP(NANOS); Spark has no
     * nanosecond timestamp, so the stream reads the raw int64 nanos and
-    * converts (or keeps exact integers for session arithmetic). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // epoch nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+    * converts (or keeps exact integers for session arithmetic). One
+    * definition for batch and stream, in [[graft.Tables]]. */
+  val eventsSchema: StructType = graft.Tables.eventsSchema
 
   /** Event with microsecond event time (exact arithmetic). */
   case class Event(event_id: Long, ts_us: Long, user_id: Long,
@@ -52,7 +47,7 @@ object EventStreams {
     * mode gives the deterministic full answer for the verification run. */
   def windowedCounts(events: DataFrame, windowDuration: String): DataFrame =
     events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.tsNanosToMicros)
       .groupBy(window(col("ts"), windowDuration), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
 
