@@ -298,12 +298,10 @@ object Relational {
       .sort($"source")
       .limit(100)
 
-  /** IQ-28 JSON extraction from the events props column. (The events
-    * parquet stores TIMESTAMP(NANOS), which Spark cannot infer — the
-    * explicit schema reads ts as raw int64 nanos.) */
+  /** IQ-28 JSON extraction from the events props column (the shared
+    * typed loader handles the TIMESTAMP(NANOS) schema trap). */
   private val iq28: Q = (s, d) =>
-    s.read.schema(graft.streaming.EventStreams.eventsSchema)
-      .parquet(s"$d/events.parquet")
+    Tables.eventsRawNanos(s, d)
       .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"k").as("sk"))

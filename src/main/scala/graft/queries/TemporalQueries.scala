@@ -59,6 +59,36 @@ object TemporalQueries {
       .limit(1000)
   }
 
+  /** tp03's grid step: hourly resampling. */
+  private final val Tp03HourUs = 3600L * 1000000L
+
+  /** tp03: grid resampling with last-observation-carried-forward — for
+    * the 10 lowest-id users with clicks, each user's latest click value
+    * sampled at every hour boundary of the table's time span (null
+    * before the user's first click). The feature-pipeline shape that
+    * turns irregular events into a regular time series, built from the
+    * same one-shuffle as-of join as tp01: the user list and grid are
+    * tiny (broadcast cross product), so at 100 TB the cost is the as-of
+    * shuffle on (user, time) alone — grid density scales the output,
+    * not the shuffle of the event side. */
+  private val tp03: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("t_us"), $"value")
+    val users = clicks.select($"user_id").distinct().sort($"user_id").limit(10)
+    val grid = ev
+      .agg(min(unix_micros($"ts")).as("lo"), max(unix_micros($"ts")).as("hi"))
+      .select(explode(sequence(
+        expr(s"(lo + ${Tp03HourUs - 1}) div $Tp03HourUs * $Tp03HourUs"),
+        expr(s"hi div $Tp03HourUs * $Tp03HourUs"),
+        lit(Tp03HourUs))).as("grid_us"))
+    Temporal.asofJoin(broadcast(users).crossJoin(broadcast(grid)), clicks,
+        "user_id", "grid_us", "user_id", "t_us", rightTiebreak = "event_id")
+      .select($"user_id", $"grid_us",
+        $"asof.event_id".as("click_id"), $"asof.value".as("value"))
+      .sort($"user_id", $"grid_us")
+  }
+
   /** sk01's sketch size: estimator engages once a group holds ≥ 64
     * distinct hashes (the en/other language groups at sf ≥ 0.01). */
   private final val KmvK = 64
@@ -81,6 +111,7 @@ object TemporalQueries {
   val queries: Map[String, Q] = Map(
     "tp01_asof_join" -> tp01,
     "tp02_interval_join" -> tp02,
+    "tp03_grid_resample" -> tp03,
     "sk01_kmv_distinct" -> sk01,
   )
 
@@ -131,6 +162,26 @@ object TemporalQueries {
       s"% 18446744073709551616 // 2 AS BIGINT)"
   }
 
+  /** Same QUALIFY tiebreak as tp01; the CROSS JOIN materializes the
+    * user×grid frame the Spark side resamples onto. */
+  private val tp03Oracle: String =
+    s"""WITH clicks AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS t_us, value FROM events WHERE event_type = 'click'
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) = 1
+       |), users AS (
+       |  SELECT DISTINCT user_id FROM clicks ORDER BY user_id LIMIT 10
+       |), span AS (
+       |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+       |), grid AS (
+       |  SELECT unnest(generate_series(
+       |    (lo + ${Tp03HourUs - 1}) // $Tp03HourUs * $Tp03HourUs,
+       |    hi // $Tp03HourUs * $Tp03HourUs, $Tp03HourUs)) AS grid_us FROM span
+       |)
+       |SELECT u.user_id, g.grid_us, c.event_id AS click_id, c.value AS value
+       |FROM users u CROSS JOIN grid g
+       |ASOF LEFT JOIN clicks c ON u.user_id = c.user_id AND c.t_us <= g.grid_us
+       |ORDER BY u.user_id, g.grid_us""".stripMargin
+
   private val sk01Oracle: String = {
     // (k-1) * 2^63 / kth with the exact operation order of KmvDistinct.eval
     val est = s"CAST(${KmvK - 1} AS DOUBLE) * 9.223372036854775808e18 / CAST(kth AS DOUBLE)"
@@ -161,6 +212,7 @@ object TemporalQueries {
   val oracle: Map[String, String] = Map(
     "tp01_asof_join" -> tp01Oracle,
     "tp02_interval_join" -> tp02Oracle,
+    "tp03_grid_resample" -> tp03Oracle,
     "sk01_kmv_distinct" -> sk01Oracle,
   )
 }
