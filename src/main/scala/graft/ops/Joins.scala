@@ -33,6 +33,17 @@ object Joins {
       .drop("__salt")
   }
 
+  /** Writes `df` as a bucketed + per-bucket-sorted managed parquet
+    * table. Tables bucketed identically on their join key equi-join —
+    * and aggregate on that key — with ZERO exchanges: the shuffle a
+    * repeatedly-joined 100 TB fact table would otherwise pay per query
+    * is paid once at write time and amortized forever. Size `buckets`
+    * so one bucket's share of the table fits an executor's memory
+    * (roughly totalBytes / 128 MB, rounded to a power of two). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** Approximate distinct count (HyperLogLog++) next to the exact one —
     * the constant-memory path for 100 TB cardinality questions. */
   def approxDistinct(df: DataFrame, colName: String, rsd: Double = 0.05): DataFrame =

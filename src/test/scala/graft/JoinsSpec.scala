@@ -24,6 +24,34 @@ class JoinsSpec extends SparkTestBase {
     assert(plain == salted)
   }
 
+  test("co-bucketed tables equi-join and aggregate with zero exchanges") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"lang")
+    val embs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id".as("doc_id"), $"label")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force a sort-merge join so the bucket layout, not a broadcast,
+    // must carry the co-location
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Joins.writeBucketed(docs, "graft_docs_bkt", "doc_id", 4)
+      Joins.writeBucketed(embs, "graft_embs_bkt", "doc_id", 4)
+      val j = spark.table("graft_docs_bkt")
+        .join(spark.table("graft_embs_bkt"), "doc_id")
+      assert(j.count() === docs.join(embs, "doc_id").count())
+      val joinPlan = j.queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange"), joinPlan)
+      // aggregation on the bucket key is exchange-free too
+      val agg = spark.table("graft_docs_bkt").groupBy($"doc_id").count()
+      assert(agg.count() === docs.select($"doc_id").distinct().count())
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), aggPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS graft_docs_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_embs_bkt")
+    }
+  }
+
   test("approx distinct is within the requested error of exact") {
     val docs = Tables.documents(spark, sfDir)
     val row = Joins.approxDistinct(docs, "text", 0.05).collect().head

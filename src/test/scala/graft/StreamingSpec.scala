@@ -39,6 +39,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowed aggregation is provider-agnostic: RocksDB state store matches default") {
+    // At 100 TB the default HDFS-backed store keeps all state on the JVM
+    // heap; RocksDB spills to local disk with bounded memory. Results
+    // must be identical — the provider is a deployment knob, not a
+    // semantics change.
+    val sfDir = this.sfDir
+    def run(): Array[org.apache.spark.sql.Row] = {
+      val out = graft.SparkEntry.queries("st01_windowed_stream")(spark, sfDir)
+      out.collect()
+    }
+    val default = run()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = run()
+      assert(rocks.length > 0 && (rocks sameElements default))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("append mode with watermark emits only closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Double)]
