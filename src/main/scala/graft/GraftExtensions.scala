@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDotProduct, CharNgrams, KmvDistinct, KmvHash, RollingHash, ShingleHashSet, SimHash64, SortedIntersectCount, TokenStats, WordNgrams}
+import graft.functions.{ArrayDotProduct, ArraySqDist, CharNgrams, KmvDistinct, KmvHash, RollingHash, ShingleHashSet, SimHash64, SortedIntersectCount, TokenStats, WordNgrams}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -46,6 +46,9 @@ object GraftExtensions {
     ("graft_array_dot",
       info("graft_array_dot", "sequential-fold dot product of two double arrays"),
       binary(ArrayDotProduct)),
+    ("graft_array_sqdist",
+      info("graft_array_sqdist", "sequential-fold squared L2 distance of two double arrays"),
+      binary(ArraySqDist)),
     ("graft_sorted_intersect_count",
       info("graft_sorted_intersect_count",
         "intersection size of two ascending-sorted bigint arrays"),

@@ -270,6 +270,16 @@ object VectorUtil {
     acc
   }
 
+  /** Sequential-fold squared L2 distance — same IEEE order as the
+    * oracle's `list_reduce` over `(a[i]-b[i])^2`, zero allocation. */
+  def sqdist(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = a.getDouble(i) - b.getDouble(i); acc = acc + d * d; i += 1 }
+    acc
+  }
+
   /** Intersection size of two ascending-sorted long arrays (merge scan). */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
@@ -306,6 +316,29 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): ArrayDotProduct =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_array_dot"
+}
+
+/** array_sqdist(array<double>, array<double>): DoubleType. Squared L2
+  * distance as a native codegen kernel — the k-means/IVF assignment hot
+  * loop, with none of the zip_with intermediate arrays. */
+case class ArraySqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName needs two ARRAY<DOUBLE>, got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorUtil.sqdist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorUtil.sqdist($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArraySqDist =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_array_sqdist"
 }
 
 /** shingle_hash_set(array<string>, n): sorted distinct rolling hashes of
@@ -560,6 +593,8 @@ object exprs {
   def simhash64(tokens: Column): Column = Bridge.column(SimHash64(Bridge.expression(tokens)))
   def array_dot(a: Column, b: Column): Column =
     Bridge.column(ArrayDotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def array_sqdist(a: Column, b: Column): Column =
+    Bridge.column(ArraySqDist(Bridge.expression(a), Bridge.expression(b)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
   def shingle_hash_set(tokens: Column, n: Int): Column =

@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.functions.exprs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed Lloyd k-means and the IVF probe built on it.
+  *
+  * Unlike a seeded `org.apache.spark.ml.clustering.KMeans` (whose init
+  * sampling is reproducible only within one Spark version and never in an
+  * external oracle), every step here is exact arithmetic an oracle can
+  * restate: init is the k lowest-id vectors, assignment is a sequential
+  * arg-min fold with ties to the lowest cell, and the recomputed means
+  * are rounded to 1e-6 so the result does not depend on the order Spark's
+  * partial aggregates combined partitions in.
+  */
+object Clustering {
+
+  /** Squared L2 distance with sequential-fold summation (the codegen
+    * kernel; bit-identical to the oracle's `list_reduce` over
+    * `(a[i]-b[i])^2`). */
+  def sqdist(a: Column, b: Column): Column = exprs.array_sqdist(a, b)
+
+  /** Row-local arg-min cell assignment against centroid literals: a fold
+    * over (distance, cell) candidate structs with an explicit comparison
+    * (ties to the lowest cell) — no shuffle, no engine-specific struct
+    * ordering, exactly DuckDB's `list_reduce` over the same structs.
+    * The fold is the `aggregate` higher-order function, NOT a nested
+    * `when` chain: a when-chain references its accumulator subtree three
+    * times per step, so the expression tree grows 3^k and analysis
+    * never finishes; lambda variables keep it linear in k. */
+  def assignCell(v: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    require(centroids.nonEmpty, "assignCell needs at least one centroid")
+    val cands = array(centroids.map { case (cell, c) =>
+      struct(sqdist(v, array(c.map(lit): _*)).as("d"), lit(cell).as("cell"))
+    }: _*)
+    aggregate(
+      slice(cands, 2, centroids.size - 1),
+      element_at(cands, 1),
+      (acc, x) => when(
+        x("d") < acc("d") || (x("d") === acc("d") && x("cell") < acc("cell")), x)
+        .otherwise(acc))
+      .getField("cell")
+  }
+
+  /** Deterministic Lloyd k-means over an `array<float|double>` column.
+    * Returns the (cell, centroid) pairs after `iters` iterations; cells
+    * that lose all members drop out (cannot happen while each init
+    * vector remains its own nearest cell, but the contract is explicit).
+    *
+    * Scale shape: per iteration, assignment is row-local (k fused-kernel
+    * distances per row, zero shuffle) and the recompute is ONE map-side-
+    * combined aggregation whose exchange carries at most k×dim partial
+    * sums per partition; the k×dim model state collects to the driver
+    * like any broadcast-scale ML model. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+      iters: Int): Seq[(Int, Seq[Double])] = {
+    require(k > 0 && iters >= 0, s"kmeans needs k > 0, iters >= 0, got $k/$iters")
+    // materialized: the cast vector must not re-inline into each of the
+    // k per-centroid distance kernels (the MinHash inlining trap)
+    val pts = df.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .localCheckpoint(eager = true)
+    var centroids: Seq[(Int, Seq[Double])] = pts.sort("id").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toSeq) }.toSeq
+    for (_ <- 0 until iters) {
+      val meanCols = (0 until dim).map(j =>
+        round(avg(element_at(col("v"), j + 1)), 6).as(s"m$j"))
+      centroids = pts
+        .withColumn("cell", assignCell(col("v"), centroids))
+        .groupBy("cell").agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), (0 until dim).map(j => r.getDouble(j + 1)): Seq[Double]))
+        .toSeq.sortBy(_._1)
+    }
+    centroids
+  }
+
+  /** ANN top-k through the IVF index: rank by exact cosine inside the
+    * `nProbe` cells nearest the query vector. At scale the cell column is
+    * precomputed and the table partitioned by it, so a query reads only
+    * its probed cells' partitions. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])], queryVec: Seq[Double], k: Int,
+      nProbe: Int): DataFrame = {
+    val probeCells = centroids
+      .map { case (cell, c) => (cell, seqSqdist(queryVec, c)) }
+      .sortBy { case (cell, d) => (d, cell) }
+      .take(nProbe).map(_._1)
+    val q = array(queryVec.map(lit): _*)
+    df.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .localCheckpoint(eager = true) // same inlining guard as kmeans
+      .withColumn("cell", assignCell(col("v"), centroids))
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("id"), Similarity.cosine(col("v"), q).as("sim"))
+      .sort(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Driver-side sqdist with the same sequential fold as the kernel. */
+  private def seqSqdist(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+}

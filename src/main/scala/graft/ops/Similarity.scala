@@ -150,39 +150,4 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim"), col("rn"))
   }
 
-  /** IVF coarse quantizer: k-means centroids over the embedding column
-    * (seeded, deterministic for fixed data). At scale the assignment
-    * column is precomputed and the table partitioned by it; a query
-    * probes `nProbe` nearest centroids' partitions only. */
-  def ivfModel(df: DataFrame, vecCol: String, nCentroids: Int,
-      seed: Long = 42): org.apache.spark.ml.clustering.KMeansModel = {
-    val feats = df.select(
-      org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("features"))
-    new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCentroids).setSeed(seed).setMaxIter(10)
-      .fit(feats)
-  }
-
-  /** ANN top-k through the IVF index: rank by exact cosine inside the
-    * `nProbe` centroid cells nearest to the query. */
-  def ivfTopK(
-      df: DataFrame, idCol: String, vecCol: String,
-      model: org.apache.spark.ml.clustering.KMeansModel,
-      queryVec: Seq[Double], k: Int, nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.linalg.Vectors
-    val qv = Vectors.dense(queryVec.toArray)
-    val probeCells = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, Vectors.sqdist(c, qv)) }
-      .sortBy(_._2).take(nProbe).map(_._1).toSet
-    val assigned = model
-      .transform(df.select(col(idCol).as("id"),
-        transform(col(vecCol), _.cast("double")).as("v"),
-        org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("features")))
-      .filter(col("prediction").isin(probeCells.toSeq: _*))
-    val q = array(queryVec.map(lit): _*)
-    assigned
-      .select(col("id"), cosine(col("v"), q).as("sim"))
-      .sort(col("sim").desc, col("id"))
-      .limit(k)
-  }
 }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.functions.exprs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable summary sketches as declarative plans — the constant-memory
+  * replacements for exact frequency/quantile queries on a 100 TB corpus.
+  * Everything here composes built-in operators plus the deterministic
+  * `kmv_hash` expression, so the sketch contents are bit-reproducible in
+  * the DuckDB oracle (unlike the seeded built-ins `count_min_sketch` /
+  * `approx_percentile`, whose binary buffers an oracle cannot check).
+  */
+object Sketches {
+
+  /** Count-min sketch counters for a token column: `depth` hash rows ×
+    * `width` buckets, counter(r, b) = number of tokens with
+    * hash_r(token) mod width = b. Row r's hash is kmv_hash("r:token") —
+    * independent rows from one hash kernel.
+    *
+    * The whole build is one hash aggregation with map-side partial
+    * combine: at any scale the exchange carries at most depth×width
+    * partial counters per partition, and the result is depth×width rows
+    * — broadcastable state, the CMS property. Returns (r, bucket, cnt).
+    */
+  def countMinBuild(df: DataFrame, tokenCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"countMin needs depth/width > 0, got $depth/$width")
+    df.select(posexplode(array(Seq.fill(depth)(col(tokenCol)): _*)).as(Seq("r", "tok")))
+      .select(col("r"), cmBucket(col("r"), col("tok"), width).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  private def cmBucket(r: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column,
+      width: Int): org.apache.spark.sql.Column =
+    exprs.kmv_hash(concat(r.cast("string"), lit(":"), tok)) % width
+
+  /** Point-estimate the frequency of each candidate token from the
+    * counters: est(tok) = min over rows r of counter(r, hash_r(tok)) —
+    * the classic CMS upper-bound estimate (Cormode & Muthukrishnan,
+    * J. Algorithms 2005). The counters side is depth×width rows, so the
+    * join broadcasts; per-candidate cost is `depth` lookups. An absent
+    * (r, bucket) counter means zero, hence the coalesce. */
+  def countMinEstimate(counters: DataFrame, candidates: DataFrame,
+      tokenCol: String, depth: Int, width: Int): DataFrame =
+    candidates.select(col(tokenCol).as("tok"))
+      .select(col("tok"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", cmBucket(col("r"), col("tok"), width))
+      .join(broadcast(counters), Seq("r", "bucket"), "left")
+      .groupBy("tok")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Fixed-width histogram quantile sketch: bucket = floor(v / step),
+    * est(q) = the upper edge of the first bucket whose cumulative count
+    * reaches ceil(q·n). One map-side-combined aggregation builds the
+    * histogram (constant state: one counter per occupied bucket), and the
+    * quantile extraction runs on that tiny summary — the single-pass,
+    * mergeable shape that replaces a full sort at 100 TB, with error
+    * bounded by `step`. Returns (q, est) for each requested quantile. */
+  def histogramQuantiles(df: DataFrame, valueCol: String, step: Double,
+      qs: Seq[Double]): DataFrame = {
+    require(step > 0, s"histogramQuantiles needs step > 0, got $step")
+    val hist = df.where(col(valueCol).isNotNull)
+      .select(floor(col(valueCol) / step).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    // the window runs over the occupied-bucket summary (range/step rows),
+    // not the data — single tiny partition by construction
+    val wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("n", sum(col("cnt")).over(wn))
+    val qdf = cum.sparkSession.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    broadcast(qdf).join(cum, col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("q")
+      .agg(min((col("b") + 1) * step).as("est"))
+  }
+}

@@ -86,6 +86,38 @@ object Temporal {
       .select(col("__l.*") +: Seq(col(asofCol)): _*)
   }
 
+  /** Gap-based sessionization in batch: appends a per-key session index
+    * `sessCol` (1-based) that increments whenever the time since the
+    * key's previous row exceeds `gap`. The batch twin of the streaming
+    * session operators (st02/st03) — the shape a backfill or feature
+    * pipeline runs over historical events.
+    *
+    * One shuffle: both windows (the lag and the running sum of
+    * session-starts) share the same (key, time, id) partitioning and
+    * ordering, so Catalyst plans a single exchange + sort and evaluates
+    * both in one Window operator pass. `time` must be an integral epoch
+    * column; `gap` shares its unit; `id` breaks equal-time ties so the
+    * session numbering is deterministic.
+    */
+  def sessionize(
+      df: DataFrame,
+      key: String,
+      time: String,
+      id: String,
+      gap: Long,
+      sessCol: String = "sess"): DataFrame = {
+    require(gap > 0, s"sessionize needs gap > 0, got $gap")
+    require(!df.columns.contains(sessCol),
+      s"sessionize output column '$sessCol' already exists; pass a different sessCol")
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(id))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(col(time), 1).over(w))
+      .withColumn(sessCol,
+        sum(when(col("__prev").isNull || col(time) - col("__prev") > gap, 1L)
+          .otherwise(0L)).over(run))
+      .drop("__prev")
+  }
+
   /** Banded interval self-join: all ordered pairs (a, b) of rows sharing
     * `key` with `b.time` in (a.time, a.time + band], plus equal-time
     * pairs ordered by `id` so each unordered pair appears exactly once.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,10 +9,9 @@ import org.apache.spark.sql.functions._
   * text analysis, multimodal plumbing) over the `documents` and
   * `embeddings` tables, with DuckDB oracle SQL generated from the SAME
   * constants the Spark plans use (Dedup / Similarity / TextAnalysis
-  * objects), so the two sides cannot drift.
-  *
-  * Every query here is oracle-checked except ss04 (k-means is not
-  * SQL-expressible; a recall-vs-exact scalatest pins it instead).
+  * objects), so the two sides cannot drift. Every query here is
+  * oracle-checked — including ss04, whose deterministic k-means fit the
+  * oracle re-runs in full.
   */
 object OpsQueries {
 
@@ -166,30 +165,38 @@ object OpsQueries {
       .select($"vec_id", round($"sim", 4).as("sim"))
   }
 
-  /** ss04: IVF ANN top-5 — k-means coarse quantizer (seeded,
-    * deterministic), probing the 2 nearest cells. Rows-only check
-    * (k-means is not SQL-expressible); semantics pinned by OpsSpec.
-    * The trained model is memoized per data dir: an IVF index is built
-    * once and served for many queries — retraining per query would
-    * benchmark index construction, not search. */
-  private val ivfModels =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.ml.clustering.KMeansModel]()
+  /** ss04's IVF index shape: 8 cells from 2 deterministic Lloyd
+    * iterations, 2 probed cells per query. */
+  private[queries] final val Ss04Cells = 8
+  private[queries] final val Ss04Iters = 2
+  private[queries] final val Ss04Probe = 2
+
+  /** ss04: IVF ANN top-5 — deterministic distributed Lloyd k-means as
+    * the coarse quantizer (init = lowest-id vectors, arg-min fold
+    * assignment, 1e-6-rounded means), probing the 2 nearest cells. Every
+    * step is exact arithmetic, so the DuckDB oracle re-runs the whole
+    * fit + probe. The trained centroids are memoized per data dir: an
+    * IVF index is built once and served for many queries — retraining
+    * per query would benchmark index construction, not search. */
+  private val kmeansModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
   private val ss04: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     val qv = e.filter($"vec_id" === 0)
       .select(transform($"embedding", _.cast("double")))
       .collect().head.getSeq[Double](0)
-    val model = ivfModels.computeIfAbsent(d,
-      _ => Similarity.ivfModel(e.filter($"vec_id" =!= 0), "embedding", 8))
-    Similarity.ivfTopK(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
-        model, qv, 5, nProbe = 2)
+    val centroids = kmeansModels.computeIfAbsent(d,
+      _ => Clustering.kmeans(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        64, Ss04Cells, Ss04Iters))
+    Clustering.ivfTopK(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        centroids, qv, 5, nProbe = Ss04Probe)
       .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
   }
 
   /** ss05: multi-probe ANN top-5 — deterministic 4-bit hyperplane coarse
     * quantizer, probing the query's cell + all Hamming-1 cells, exact
-    * cosine re-rank. The oracle-checkable IVF-family variant (ss04's
-    * k-means quantizer is rows-only by nature). */
+    * cosine re-rank. The model-free IVF-family twin of ss04: same probe
+    * shape, hyperplane code instead of a trained quantizer. */
   private val ss05: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     val qv = e.filter($"vec_id" === 0)
@@ -689,6 +696,52 @@ object OpsQueries {
        |ORDER BY ${sqlCosine("e.embedding", "q.qv", 64)} DESC, vec_id
        |LIMIT 5""".stripMargin
 
+  /** ss04's oracle re-runs the ENTIRE deterministic k-means fit
+    * (init = lowest-id vectors, arg-min fold assignment, 1e-6-rounded
+    * means, Ss04Iters Lloyd iterations) and then the nProbe-cell cosine
+    * re-rank — every fold in the same sequential order as the Spark
+    * kernels, so the fitted cells agree bit for bit. */
+  private val ss04Oracle: String = {
+    def sqd(v: String, c: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"[ (($v)[i] - ($c)[i]) * (($v)[i] - ($c)[i]) FOR i IN generate_series(1, 64) ]), " +
+        s"(acc2, x2) -> acc2 + x2)"
+    def listCte(c: String): String =
+      s"SELECT list(struct_pack(cell := cell, c := c) ORDER BY cell) AS cs FROM $c"
+    def assignCte(l: String): String =
+      s"SELECT vec_id, v, list_reduce(list_transform(cs, s -> struct_pack(" +
+        s"d := ${sqd("v", "s.c")}, cell := s.cell)), " +
+        s"(acc, x) -> CASE WHEN x.d < acc.d OR (x.d = acc.d AND x.cell < acc.cell) " +
+        s"THEN x ELSE acc END).cell AS cell FROM e, $l"
+    def meansCte(a: String): String =
+      s"SELECT cell, list(m ORDER BY j) AS c FROM (" +
+        s"SELECT cell, j, ROUND(AVG(v[j]), 6) AS m FROM $a, " +
+        s"(SELECT unnest(generate_series(1, 64)) AS j) tj GROUP BY cell, j) t GROUP BY cell"
+    val iterCtes = (1 to Ss04Iters).map { i =>
+      s"a$i AS (${assignCte(s"l${i - 1}")}), c$i AS (${meansCte(s"a$i")}), " +
+        s"l$i AS (${listCte(s"c$i")})"
+    }.mkString(",\n")
+    val last = Ss04Iters
+    s"""WITH e AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+       |  FROM embeddings WHERE vec_id <> 0
+       |), q AS (
+       |  SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+       |  FROM embeddings WHERE vec_id = 0
+       |), c0 AS (
+       |  SELECT rn - 1 AS cell, v AS c FROM (
+       |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, v FROM e) t
+       |  WHERE rn <= $Ss04Cells
+       |), l0 AS (${listCte("c0")}),
+       |$iterCtes,
+       |af AS (${assignCte(s"l$last")}),
+       |pc AS (SELECT cell FROM c$last, q ORDER BY ${sqd("qv", "c")}, cell LIMIT $Ss04Probe)
+       |SELECT vec_id, ROUND(${sqlCosine("v", "qv", 64)}, 4) AS sim
+       |FROM af JOIN pc USING (cell), q
+       |ORDER BY ${sqlCosine("v", "qv", 64)} DESC, vec_id
+       |LIMIT 5""".stripMargin
+  }
+
   private val ss05Oracle: String =
     s"""WITH q AS (
        |  SELECT embedding AS qv, ${sqlBucket("embedding", 4)} AS qb
@@ -842,6 +895,7 @@ object OpsQueries {
     "ss01_cosine_topk" -> ss01Oracle,
     "ss02_lsh_histogram" -> ss02Oracle,
     "ss03_ann_topk" -> ss03Oracle,
+    "ss04_ivf_topk" -> ss04Oracle,
     "ss05_multiprobe_topk" -> ss05Oracle,
     "ss06_knn_join" -> ss06Oracle,
     "tx01_token_stats" -> tx01Oracle,

@@ -2,8 +2,9 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{exprs, HashUtil}
-import graft.ops.Temporal
+import graft.ops.{Sketches, Temporal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal-join and sketch queries over the `events` / `documents`
@@ -89,6 +90,70 @@ object TemporalQueries {
       .sort($"user_id", $"grid_us")
   }
 
+  /** tp04's session gap: 30 minutes of inactivity closes a session. */
+  private final val Tp04GapUs = 1800L * 1000000L
+
+  /** tp04: batch gap-based sessionization — per-user sessions over the
+    * whole events history (30-min inactivity gap), with each session's
+    * event count, span, and summed value. The backfill twin of the
+    * streaming st02/st03 sessionizers: one shuffle on user_id, both
+    * windows and the final per-session aggregate share it. */
+  private val tp04: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("t_us"), $"value")
+    Temporal.sessionize(ev, "user_id", "t_us", "event_id", Tp04GapUs)
+      .groupBy($"user_id", $"sess")
+      .agg(count(lit(1)).as("n"),
+        min($"t_us").as("start_us"),
+        max($"t_us").as("end_us"),
+        round(sum($"value"), 2).as("val_sum"))
+      .sort($"user_id", $"sess")
+  }
+
+  /** sk02's sketch shape: 4 hash rows × 512 buckets (16 KiB of counters
+    * however large the corpus), estimating the 20 most frequent tokens. */
+  private final val CmDepth = 4
+  private final val CmWidth = 512
+  private final val CmTopK = 20
+
+  /** sk02: count-min heavy hitters — the 20 most frequent corpus tokens
+    * with their CMS frequency estimate next to the exact count. The
+    * sketch is depth×width counters built in one map-side-combined
+    * aggregation; estimates are `depth` broadcast-join lookups per
+    * candidate. est ≥ exact always (CMS over-counts on collisions). */
+  private val sk02: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("tok"))
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact"))
+      .sort($"exact".desc, $"tok").limit(CmTopK)
+    val counters = Sketches.countMinBuild(toks, "tok", CmDepth, CmWidth)
+    Sketches.countMinEstimate(counters, exact, "tok", CmDepth, CmWidth)
+      .join(exact, "tok")
+      .select($"tok", $"est", $"exact")
+      .sort($"exact".desc, $"tok")
+  }
+
+  /** sk03's histogram: 1000-unit price buckets, three tail quantiles. */
+  private final val Sk03Step = 1000.0
+  private final val Sk03Qs = Seq(0.5, 0.9, 0.99)
+
+  /** sk03: histogram quantile sketch over lineitem prices — single-pass
+    * fixed-width histogram (one counter per occupied bucket, mergeable)
+    * next to the exact rank statistic. The COUNT/SORT-free quantile a
+    * 100 TB scan can afford; error bounded by the bucket width. The
+    * exact column is the declared baseline (global rank), oracle-shared.
+    */
+  private val sk03: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select($"l_extendedprice".as("v"))
+    val est = Sketches.histogramQuantiles(li, "v", Sk03Step, Sk03Qs)
+    val qdf = s.createDataFrame(Sk03Qs.map(Tuple1(_))).toDF("q")
+    val targets = broadcast(qdf.crossJoin(li.agg(count(lit(1)).as("n"))))
+      .withColumn("rn", ceil($"q" * $"n"))
+    val ranked = li.withColumn("rn", row_number().over(Window.orderBy($"v")))
+    val exact = targets.join(ranked, "rn").select($"q", $"v".as("exact"))
+    est.join(exact, "q").select($"q", $"est", $"exact").sort($"q")
+  }
+
   /** sk01's sketch size: estimator engages once a group holds ≥ 64
     * distinct hashes (the en/other language groups at sf ≥ 0.01). */
   private final val KmvK = 64
@@ -112,7 +177,10 @@ object TemporalQueries {
     "tp01_asof_join" -> tp01,
     "tp02_interval_join" -> tp02,
     "tp03_grid_resample" -> tp03,
+    "tp04_sessionize" -> tp04,
     "sk01_kmv_distinct" -> sk01,
+    "sk02_count_min" -> sk02,
+    "sk03_histogram_quantile" -> sk03,
   )
 
   // ------------------------------------------------------------- oracles
@@ -209,10 +277,71 @@ object TemporalQueries {
        |ORDER BY t.lang""".stripMargin
   }
 
+  /** Same lag/running-sum formulation as Temporal.sessionize. */
+  private val tp04Oracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS t_us, value FROM events
+       |), l AS (
+       |  SELECT *, LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev
+       |  FROM e
+       |), x AS (
+       |  SELECT *, CAST(SUM(CASE WHEN prev IS NULL OR t_us - prev > $Tp04GapUs THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+       |  FROM l
+       |)
+       |SELECT user_id, sess, COUNT(*) AS n, MIN(t_us) AS start_us, MAX(t_us) AS end_us,
+       |  ROUND(SUM(value), 2) AS val_sum
+       |FROM x GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
+
+  /** CMS rebuilt in SQL: the same kmv_hash("r:tok") % width bucketing
+    * (FNV-1a + finalizer via the shared HUGEINT helpers), counters from a
+    * GROUP BY, estimates from the same min-over-rows lookup. */
+  private val sk02Oracle: String = {
+    def hashed(src: String, keep: String): Seq[String] = Seq(
+      s"SELECT $keep r, hex(encode(CAST(r AS VARCHAR) || ':' || tok)) AS hx FROM $src",
+      s"SELECT $keep r, ${sqlFnv1a64("hx")} AS fh",
+      s"SELECT $keep r, ${sqlKmvFinalize("fh")} % $CmWidth AS bucket")
+    val Seq(a1, a2, a3) = hashed("toks CROSS JOIN rr", "")
+    val Seq(c1, c2, c3) = hashed("top CROSS JOIN rr", "tok, exact,")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+       |), top AS (
+       |  SELECT tok, COUNT(*) AS exact FROM toks GROUP BY tok
+       |  ORDER BY exact DESC, tok LIMIT $CmTopK
+       |), rr AS (SELECT unnest(generate_series(0, ${CmDepth - 1})) AS r),
+       |a1 AS ($a1), a2 AS ($a2 FROM a1), a3 AS ($a3 FROM a2),
+       |counters AS (SELECT r, bucket, COUNT(*) AS cnt FROM a3 GROUP BY r, bucket),
+       |c1 AS ($c1), c2 AS ($c2 FROM c1), c3 AS ($c3 FROM c2)
+       |SELECT tok, MIN(COALESCE(cnt, 0)) AS est, exact
+       |FROM c3 LEFT JOIN counters USING (r, bucket)
+       |GROUP BY tok, exact ORDER BY exact DESC, tok""".stripMargin
+  }
+
+  /** Same histogram arithmetic; `exact` is the shared global-rank
+    * formulation (ROW_NUMBER at ceil(q*n)), not DuckDB's quantile_disc,
+    * so both engines state the identical rank statistic. */
+  private val sk03Oracle: String = {
+    val qlist = Sk03Qs.mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
+       |h AS (SELECT CAST(FLOOR(v / $Sk03Step) AS BIGINT) AS b, COUNT(*) AS cnt FROM v GROUP BY b),
+       |c AS (SELECT b, cnt, SUM(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
+       |        SUM(cnt) OVER () AS n FROM h),
+       |q AS (SELECT unnest($qlist) AS q),
+       |est AS (SELECT q, MIN((b + 1) * $Sk03Step) AS est FROM q JOIN c ON cum >= CEIL(q * n) GROUP BY q),
+       |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v),
+       |t AS (SELECT q, CAST(CEIL(q * (SELECT COUNT(*) FROM v)) AS BIGINT) AS rn FROM q)
+       |SELECT t.q, est.est, r.v AS exact
+       |FROM t JOIN r ON t.rn = r.rn JOIN est ON est.q = t.q
+       |ORDER BY t.q""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "tp01_asof_join" -> tp01Oracle,
     "tp02_interval_join" -> tp02Oracle,
     "tp03_grid_resample" -> tp03Oracle,
+    "tp04_sessionize" -> tp04Oracle,
     "sk01_kmv_distinct" -> sk01Oracle,
+    "sk02_count_min" -> sk02Oracle,
+    "sk03_histogram_quantile" -> sk03Oracle,
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Semantics tests for the training-data ops (dedup, similarity, text,
@@ -95,29 +95,23 @@ class OpsSpec extends SparkTestBase {
       (10L, 10L), (10L, 11L), (20L, 20L), (20L, 21L)))
   }
 
-  test("IVF ANN: probe cells cover the query's neighborhood consistently") {
-    val qv = embs.filter($"vec_id" === 0)
-      .select(transform($"embedding", _.cast("double")))
-      .as[Seq[Double]].head()
-    val model = Similarity.ivfModel(embs.filter($"vec_id" =!= 0), "embedding", 8)
-    val ivf = Similarity.ivfTopK(embs.filter($"vec_id" =!= 0),
-      "vec_id", "embedding", model, qv, 5, nProbe = 2)
-      .select("id").as[Long].collect()
-    assert(ivf.nonEmpty)
-    // IVF hits must be ranked consistently with brute force
-    val brute = Similarity.bruteForceTopK(embs.filter($"vec_id" =!= 0),
-      "vec_id", "embedding", qv, 100).select("id").as[Long].collect()
-    val pos = brute.zipWithIndex.toMap
-    val inBrute = ivf.filter(pos.contains)
-    assert(inBrute.map(pos) sameElements inBrute.map(pos).sorted)
+  test("deterministic k-means: assignment is partition-invariant and cells partition the data") {
+    val corpus = embs.filter($"vec_id" =!= 0)
+    val c1 = Clustering.kmeans(corpus, "vec_id", "embedding", 64, 8, 2)
+    val c2 = Clustering.kmeans(corpus.repartition(13), "vec_id", "embedding", 64, 8, 2)
+    assert(c1 == c2) // 1e-6-rounded means erase aggregation-order noise
+    assert(c1.map(_._1).toSet.size == 8)
+    val cells = corpus
+      .select(transform($"embedding", _.cast("double")).as("v"))
+      .withColumn("cell", Clustering.assignCell($"v", c1))
+      .groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(cells.keySet.subsetOf(c1.map(_._1).toSet))
+    assert(cells.values.sum == corpus.count())
   }
 
-  test("IVF ANN recall@5 vs exact top-k stays pinned (ss04's oracle substitute)") {
-    // ss04 has no SQL oracle (k-means is not SQL-expressible); this pins
-    // its quality instead: the probed cells must recover most of the true
-    // top-5 for a set of query vectors
+  test("IVF ANN recall@5 vs exact top-k stays pinned") {
     val ids = Seq(0L, 1L, 2L, 3L, 4L)
-    val model = Similarity.ivfModel(embs, "embedding", 8)
+    val model = Clustering.kmeans(embs, "vec_id", "embedding", 64, 8, 2)
     val recalls = ids.map { q =>
       val qv = embs.filter($"vec_id" === q)
         .select(transform($"embedding", _.cast("double")))
@@ -125,7 +119,7 @@ class OpsSpec extends SparkTestBase {
       val rest = embs.filter($"vec_id" =!= q)
       val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding", qv, 5)
         .select("id").as[Long].collect().toSet
-      val ivf = Similarity.ivfTopK(rest, "vec_id", "embedding", model, qv, 5, nProbe = 2)
+      val ivf = Clustering.ivfTopK(rest, "vec_id", "embedding", model, qv, 5, nProbe = 2)
         .select("id").as[Long].collect().toSet
       exact.intersect(ivf).size.toDouble / exact.size
     }

@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.{Sketches, Temporal}
+import org.apache.spark.sql.functions._
+
+/** Gap sessionization, the count-min sketch, and the histogram quantile
+  * sketch — each checked against its brute-force/exact definition and,
+  * where the sketch state merges, for partition invariance. */
+class SketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def randomEvents(seed: Int, n: Int, keys: Int, tMax: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (i.toLong, rnd.nextInt(keys).toLong, rnd.nextInt(tMax).toLong))
+      .toDF("id", "k", "t")
+  }
+
+  test("sessionize matches the brute-force session numbering") {
+    val df = randomEvents(11, 500, 6, 2000)
+    val gap = 40L
+    val got = Temporal.sessionize(df, "k", "t", "id", gap)
+      .select($"id", $"sess")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        val ordered = rows.sortBy(r => (r._3, r._1))
+        var sess = 0L
+        var prev = Long.MinValue
+        ordered.map { case (id, _, t) =>
+          if (prev == Long.MinValue || t - prev > gap) sess += 1
+          prev = t
+          id -> sess
+        }
+      }.toMap
+    assert(got == expected)
+    assert(expected.values.max > 1) // the fixture produces multiple sessions
+    intercept[IllegalArgumentException](Temporal.sessionize(df, "k", "t", "id", 0L))
+  }
+
+  test("count-min counters are partition-invariant and estimates upper-bound exact counts") {
+    val rnd = new scala.util.Random(23)
+    // zipfish: token i appears ~1500/i times
+    val toks = (1 to 40).flatMap(i => Seq.fill(1500 / i)(s"tok$i"))
+    val df = rnd.shuffle(toks).toDF("tok")
+    def counters(parts: Int) =
+      Sketches.countMinBuild(df.repartition(parts), "tok", 4, 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(counters(1) == counters(13)) // merge = single pass, exactly
+    val exact = df.groupBy($"tok").agg(count(lit(1)).as("exact"))
+    val est = Sketches.countMinEstimate(
+        Sketches.countMinBuild(df, "tok", 4, 64), exact, "tok", 4, 64)
+      .join(exact, "tok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty)
+    // CMS never under-counts; at 4x64 with 40 tokens it is usually exact
+    est.foreach { case (tok, e, x) => assert(e >= x, s"$tok: est $e < exact $x") }
+    val exactHits = est.count { case (_, e, x) => e == x }
+    assert(exactHits >= est.length / 2)
+  }
+
+  test("histogram quantile is within one bucket of the exact rank statistic") {
+    val rnd = new scala.util.Random(31)
+    val df = (0 until 20000).map(_ => rnd.nextDouble() * 5000).toDF("v")
+    val step = 100.0
+    val got = Sketches.histogramQuantiles(df, "v", step, Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = df.collect().map(_.getDouble(0)).sorted
+    Seq(0.5, 0.9, 0.99).foreach { q =>
+      val exact = sorted(math.ceil(q * sorted.length).toInt - 1)
+      val est = got(q)
+      assert(est >= exact && est - exact <= step, s"q=$q est=$est exact=$exact")
+    }
+    intercept[IllegalArgumentException](
+      Sketches.histogramQuantiles(df, "v", 0.0, Seq(0.5)))
+  }
+}
