@@ -132,12 +132,36 @@ object StreamingQueries {
     out.select(col("event_type"), col("n"), col("sv")).sort("event_type")
   }
 
+  /** st06's sketch size (shared with its oracle). */
+  private final val St06K = 64
+
+  /** st06: streaming approximate COUNT(DISTINCT) — per-event-type
+    * distinct-user estimates from the KMV sketch aggregate running as
+    * streaming state. Spark refuses exact distinct aggregation on a
+    * stream (state would be unbounded per group); the k-minimum-values
+    * buffer is the answer: constant memory per group, merges across
+    * micro-batches bit-identically to a single pass, so the batch oracle
+    * checks the streaming run value-for-value. */
+  private val st06: Q = (s, d) => {
+    val ev = EventStreams.readEventStream(s, d)
+    val agg = ev
+      .select(col("event_type"),
+        graft.functions.exprs.kmv_hash(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.exprs.kmv_distinct(col("h"), St06K).as("kmv"))
+    val out = runToCompletion(agg, "graft_st06", "complete")
+    out.select(col("event_type"), col("kmv.kth").as("kth"),
+        round(col("kmv.est"), 2).as("est"))
+      .sort("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_windowed_stream" -> st01,
     "st02_sessionization" -> st02,
     "st03_session_window" -> st03,
     "st04_stream_join" -> st04,
     "st05_stream_dedup" -> st05,
+    "st06_stream_distinct" -> st06,
   )
 
   val oracle: Map[String, String] = Map(
@@ -201,5 +225,30 @@ object StreamingQueries {
         |FROM (SELECT DISTINCT ON (event_id) event_type, value FROM events
         |      ORDER BY event_id)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "st06_stream_distinct" -> {
+      // same sketch arithmetic as sk01's oracle, over user_id strings
+      val est = s"CAST(${St06K - 1} AS DOUBLE) * 9.223372036854775808e18 / CAST(kth AS DOUBLE)"
+      s"""WITH u AS (
+         |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS us FROM events
+         |), f AS (
+         |  SELECT event_type, ${TemporalQueries.sqlFnv1a64("hx")} AS fh
+         |  FROM (SELECT event_type, hex(encode(us)) AS hx FROM u) t
+         |), k AS (
+         |  SELECT event_type, ${TemporalQueries.sqlKmvFinalize("fh")} AS kh FROM f
+         |), d AS (
+         |  SELECT DISTINCT event_type, kh FROM k
+         |), r AS (
+         |  SELECT event_type, kh,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY kh) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM d
+         |), kths AS (
+         |  SELECT event_type, kh AS kth, nd FROM r WHERE rn = least(nd, $St06K)
+         |)
+         |SELECT event_type, kth,
+         |  ROUND(CASE WHEN nd < $St06K THEN CAST(nd AS DOUBLE) ELSE $est END, 2) AS est
+         |FROM kths
+         |ORDER BY event_type""".stripMargin
+    },
   )
 }

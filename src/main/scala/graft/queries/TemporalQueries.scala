@@ -210,8 +210,9 @@ object TemporalQueries {
 
   /** FNV-1a 64-bit of a hex-encoded string column `hx`, in HUGEINT
     * arithmetic mod 2^64 (XOR only ever touches the low byte, so it is
-    * lifted to BIGINT) — the SQL twin of HashUtil.fnv1a64. */
-  private def sqlFnv1a64(hx: String): String = {
+    * lifted to BIGINT) — the SQL twin of HashUtil.fnv1a64. Shared with
+    * StreamingQueries' st06 oracle. */
+  private[queries] def sqlFnv1a64(hx: String): String = {
     val basis = java.lang.Long.toUnsignedString(HashUtil.FnvBasis)
     val prime = java.lang.Long.toUnsignedString(HashUtil.FnvPrime)
     s"""list_reduce(list_prepend(CAST($basis AS HUGEINT),
@@ -224,7 +225,7 @@ object TemporalQueries {
 
   /** (h * KmvPhi) mod 2^64 >> 1 with a 32-bit-split HUGEINT product —
     * the SQL twin of HashUtil.kmvHash's finalizer. */
-  private def sqlKmvFinalize(h: String): String = {
+  private[queries] def sqlKmvFinalize(h: String): String = {
     val phi = java.lang.Long.toUnsignedString(HashUtil.KmvPhi)
     s"CAST((($h % 4294967296) * $phi + (($h // 4294967296) * $phi % 4294967296) * 4294967296) " +
       s"% 18446744073709551616 // 2 AS BIGINT)"

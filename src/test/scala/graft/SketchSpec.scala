@@ -38,6 +38,18 @@ class SketchSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Temporal.sessionize(df, "k", "t", "id", 0L))
   }
 
+  test("sessionize + per-session aggregate plans exactly one exchange") {
+    // the lag window, the running-sum window, and the (key, sess)
+    // aggregate all reuse the hashpartitioning(key) exchange — the
+    // subset-clustering property the operator's 100 TB cost rests on
+    val df = randomEvents(17, 1000, 8, 5000)
+    val plan = Temporal.sessionize(df, "k", "t", "id", 50L)
+      .groupBy($"k", $"sess").agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
   test("count-min counters are partition-invariant and estimates upper-bound exact counts") {
     val rnd = new scala.util.Random(23)
     // zipfish: token i appears ~1500/i times
