@@ -50,6 +50,37 @@ object Sketches {
       .groupBy("tok")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** Exact rank-statistic quantiles located THROUGH the histogram: pass
+    * one builds the bucket summary, which pins each target rank
+    * ceil(q·n) to the single bucket whose cumulative count first covers
+    * it (and to a local rank inside that bucket); pass two sorts ONLY
+    * the pinned buckets' rows. The global-sort exact quantile touches
+    * every row of a 100 TB column in one task; this touches each target
+    * bucket (≤ step-width of data) and shuffles on the quantile id.
+    * Returns (q, exact). */
+  def exactQuantilesViaHistogram(df: DataFrame, valueCol: String, step: Double,
+      qs: Seq[Double]): DataFrame = {
+    require(step > 0, s"exactQuantilesViaHistogram needs step > 0, got $step")
+    val vals = df.where(col(valueCol).isNotNull)
+      .select(floor(col(valueCol) / step).as("b"), col(valueCol).as("v"))
+    val hist = vals.groupBy("b").agg(count(lit(1)).as("cnt"))
+    val wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("n", sum(col("cnt")).over(wn))
+    val qdf = df.sparkSession.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    val pinned = broadcast(qdf.crossJoin(cum.agg(max(col("n")).as("n")))
+      .withColumn("rn", ceil(col("q") * col("n")))
+      .join(cum, col("rn") > col("cum") - col("cnt") && col("rn") <= col("cum"))
+      .select(col("q"), col("b"), (col("rn") - (col("cum") - col("cnt"))).as("local")))
+    val w = Window.partitionBy(col("q")).orderBy(col("v"))
+    vals.join(pinned, "b")
+      .withColumn("r", row_number().over(w))
+      .where(col("r") === col("local"))
+      .select(col("q"), col("v").as("exact"))
+  }
+
   /** Fixed-width histogram quantile sketch: bucket = floor(v / step),
     * est(q) = the upper edge of the first bucket whose cumulative count
     * reaches ceil(q·n). One map-side-combined aggregation builds the

@@ -118,6 +118,31 @@ object Temporal {
       .drop("__prev")
   }
 
+  /** Per-key time-weighted average of an irregularly-sampled value — the
+    * step-function integral feature (each sample holds until the next
+    * one): twa = Σ value·dt / Σ dt with dt the gap to the key's next
+    * sample; the final sample carries no dt and drops out of both sums
+    * (SQL null-sum semantics), and single-sample keys yield a null twa.
+    * Returns (key, n, twa, span) with span = last − first sample time.
+    *
+    * One exchange: the lead window partitions by key and the aggregate's
+    * (key) grouping reuses that partitioning. `time` must be integral;
+    * `id` breaks equal-time ties deterministically. */
+  def timeWeightedAvg(
+      df: DataFrame,
+      key: String,
+      time: String,
+      id: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(id))
+    df.withColumn("__nt", lead(col(time), 1).over(w))
+      .withColumn("__dt", (col("__nt") - col(time)).cast("double"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        (sum(col(valueCol) * col("__dt")) / sum(col("__dt"))).as("twa"),
+        (max(col(time)) - min(col(time))).as("span"))
+  }
+
   /** Banded interval self-join: all ordered pairs (a, b) of rows sharing
     * `key` with `b.time` in (a.time, a.time + band], plus equal-time
     * pairs ordered by `id` so each unordered pair appears exactly once.

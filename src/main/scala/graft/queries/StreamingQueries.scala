@@ -29,6 +29,11 @@ object StreamingQueries {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
     spark.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
+    // a run-to-completion query never benefits from the background
+    // snapshot/cleanup tick (providers are unloaded right below); pushing
+    // it past any realistic run length keeps it from racing the timed
+    // region and showing up as ±0.3 s bench jitter
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "10m")
     try {
       val q = df.writeStream
         .format("memory")

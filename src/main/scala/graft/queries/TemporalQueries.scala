@@ -4,7 +4,6 @@ import graft.Tables
 import graft.functions.{exprs, HashUtil}
 import graft.ops.{Sketches, Temporal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal-join and sketch queries over the `events` / `documents`
@@ -110,6 +109,20 @@ object TemporalQueries {
       .sort($"user_id", $"sess")
   }
 
+  /** tp05: per-user time-weighted average click value — the
+    * step-function integral over each user's click history (a sample
+    * holds until the next one), the canonical feature for irregular
+    * series. Users with a single click (no held interval) are excluded.
+    */
+  private val tp05: Q = (s, d) => {
+    val clicks = Tables.events(s, d).filter($"event_type" === "click")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("t_us"), $"value")
+    Temporal.timeWeightedAvg(clicks, "user_id", "t_us", "event_id", "value")
+      .filter($"n" >= 2)
+      .select($"user_id", $"n", round($"twa", 4).as("twa"), $"span".as("span_us"))
+      .sort($"user_id")
+  }
+
   /** sk02's sketch shape: 4 hash rows × 512 buckets (16 KiB of counters
     * however large the corpus), estimating the 20 most frequent tokens. */
   private final val CmDepth = 4
@@ -139,18 +152,15 @@ object TemporalQueries {
 
   /** sk03: histogram quantile sketch over lineitem prices — single-pass
     * fixed-width histogram (one counter per occupied bucket, mergeable)
-    * next to the exact rank statistic. The COUNT/SORT-free quantile a
-    * 100 TB scan can afford; error bounded by the bucket width. The
-    * exact column is the declared baseline (global rank), oracle-shared.
-    */
+    * next to the exact rank statistic. The exact column is itself
+    * computed scale-safely: the histogram pins each rank to one bucket
+    * and only that bucket's rows get sorted (no global sort anywhere in
+    * the plan — the oracle states the same value as a global rank, but
+    * a rank statistic is formulation-independent). */
   private val sk03: Q = (s, d) => {
     val li = Tables.lineitem(s, d).select($"l_extendedprice".as("v"))
     val est = Sketches.histogramQuantiles(li, "v", Sk03Step, Sk03Qs)
-    val qdf = s.createDataFrame(Sk03Qs.map(Tuple1(_))).toDF("q")
-    val targets = broadcast(qdf.crossJoin(li.agg(count(lit(1)).as("n"))))
-      .withColumn("rn", ceil($"q" * $"n"))
-    val ranked = li.withColumn("rn", row_number().over(Window.orderBy($"v")))
-    val exact = targets.join(ranked, "rn").select($"q", $"v".as("exact"))
+    val exact = Sketches.exactQuantilesViaHistogram(li, "v", Sk03Step, Sk03Qs)
     est.join(exact, "q").select($"q", $"est", $"exact").sort($"q")
   }
 
@@ -178,6 +188,7 @@ object TemporalQueries {
     "tp02_interval_join" -> tp02,
     "tp03_grid_resample" -> tp03,
     "tp04_sessionize" -> tp04,
+    "tp05_time_weighted_avg" -> tp05,
     "sk01_kmv_distinct" -> sk01,
     "sk02_count_min" -> sk02,
     "sk03_histogram_quantile" -> sk03,
@@ -294,6 +305,21 @@ object TemporalQueries {
        |  ROUND(SUM(value), 2) AS val_sum
        |FROM x GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
 
+  /** Same lead/ratio formulation; the HAVING mirrors the n >= 2 filter. */
+  private val tp05Oracle: String =
+    s"""WITH c AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS t_us, value
+       |  FROM events WHERE event_type = 'click'
+       |), l AS (
+       |  SELECT *, LEAD(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS nt
+       |  FROM c
+       |), x AS (SELECT *, CAST(nt - t_us AS DOUBLE) AS dt FROM l)
+       |SELECT user_id, COUNT(*) AS n,
+       |  ROUND(SUM(value * dt) / SUM(dt), 4) AS twa,
+       |  MAX(t_us) - MIN(t_us) AS span_us
+       |FROM x GROUP BY user_id HAVING COUNT(*) >= 2
+       |ORDER BY user_id""".stripMargin
+
   /** CMS rebuilt in SQL: the same kmv_hash("r:tok") % width bucketing
     * (FNV-1a + finalizer via the shared HUGEINT helpers), counters from a
     * GROUP BY, estimates from the same min-over-rows lookup. */
@@ -341,6 +367,7 @@ object TemporalQueries {
     "tp02_interval_join" -> tp02Oracle,
     "tp03_grid_resample" -> tp03Oracle,
     "tp04_sessionize" -> tp04Oracle,
+    "tp05_time_weighted_avg" -> tp05Oracle,
     "sk01_kmv_distinct" -> sk01Oracle,
     "sk02_count_min" -> sk02Oracle,
     "sk03_histogram_quantile" -> sk03Oracle,

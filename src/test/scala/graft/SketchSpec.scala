@@ -71,6 +71,19 @@ class SketchSpec extends SparkTestBase {
     assert(exactHits >= est.length / 2)
   }
 
+  test("bucket-pinned exact quantile equals the brute-force rank statistic") {
+    val rnd = new scala.util.Random(41)
+    // duplicates included: step 50 over a 0..500 range of ints
+    val df = (0 until 5000).map(_ => (rnd.nextInt(500) * 1.0)).toDF("v")
+    val got = Sketches.exactQuantilesViaHistogram(df, "v", 50.0, Seq(0.01, 0.5, 0.9, 0.99, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = df.collect().map(_.getDouble(0)).sorted
+    Seq(0.01, 0.5, 0.9, 0.99, 1.0).foreach { q =>
+      val exact = sorted(math.ceil(q * sorted.length).toInt - 1)
+      assert(got(q) == exact, s"q=$q got=${got(q)} exact=$exact")
+    }
+  }
+
   test("histogram quantile is within one bucket of the exact rank statistic") {
     val rnd = new scala.util.Random(31)
     val df = (0 until 20000).map(_ => rnd.nextDouble() * 5000).toDF("v")

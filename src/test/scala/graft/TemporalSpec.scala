@@ -74,6 +74,20 @@ class TemporalSpec extends SparkTestBase {
       Temporal.bandedIntervalSelfJoin(df, "k", "t", "id", 0L))
   }
 
+  test("timeWeightedAvg matches the hand-computed step integral") {
+    // key 1: v=10 holds 4 ticks, v=20 holds 6 ticks, v=30 ends the span
+    //   twa = (10*4 + 20*6) / 10 = 16.0, span = 10, n = 3
+    // key 2: one sample — no held interval, twa null
+    val df = Seq(
+      (1L, 1L, 0L, 10.0), (1L, 2L, 4L, 20.0), (1L, 3L, 10L, 30.0),
+      (2L, 4L, 5L, 99.0)).toDF("k", "id", "t", "v")
+    val rows = Temporal.timeWeightedAvg(df, "k", "t", "id", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2), r.getLong(3))).toMap
+    assert(rows(1L) == ((3L, 16.0, 10L)))
+    assert(rows(2L) == ((1L, null, 0L)))
+  }
+
   test("KMV distinct estimate tracks the exact count and is partition-invariant") {
     // 5000 rows, ~1200 distinct values: k=64 engages the estimator
     val rnd = new scala.util.Random(7)
