@@ -99,6 +99,37 @@ object Clustering {
       .limit(k)
   }
 
+  /** Persist the corpus partitioned by its IVF cell — the serving layout
+    * for ANN at scale: a query's probe set becomes a partition-pruning
+    * predicate, so the scan lists and reads ONLY the nProbe cell
+    * directories out of k, never the full corpus. Pair with
+    * [[ivfTopKServed]]. */
+  def writePartitionedByCell(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])], path: String): Unit =
+    df.select(col(idCol).as("id"), col(vecCol).as("embedding"))
+      .withColumn("cell",
+        assignCell(transform(col("embedding"), _.cast("double")), centroids))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** ANN top-k against a [[writePartitionedByCell]] layout: the cell
+    * filter prunes partitions at planning time (PartitionFilters on the
+    * scan), then the probed cells re-rank by exact cosine. */
+  def ivfTopKServed(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Seq[(Int, Seq[Double])], queryVec: Seq[Double], k: Int,
+      nProbe: Int): DataFrame = {
+    val probeCells = centroids
+      .map { case (cell, c) => (cell, seqSqdist(queryVec, c)) }
+      .sortBy { case (cell, d) => (d, cell) }
+      .take(nProbe).map(_._1)
+    val q = array(queryVec.map(lit): _*)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("id"),
+        Similarity.cosine(transform(col("embedding"), _.cast("double")), q).as("sim"))
+      .sort(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Driver-side sqdist with the same sequential fold as the kernel. */
   private def seqSqdist(a: Seq[Double], b: Seq[Double]): Double = {
     var acc = 0.0

@@ -109,6 +109,24 @@ class OpsSpec extends SparkTestBase {
     assert(cells.values.sum == corpus.count())
   }
 
+  test("cell-partitioned IVF layout: probes prune partitions, results unchanged") {
+    val corpus = embs.filter($"vec_id" =!= 0)
+    val qv = embs.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")))
+      .as[Seq[Double]].head()
+    val model = Clustering.kmeans(corpus, "vec_id", "embedding", 64, 8, 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Clustering.writePartitionedByCell(corpus, "vec_id", "embedding", model, path)
+    val served = Clustering.ivfTopKServed(spark, path, model, qv, 5, nProbe = 2)
+    val direct = Clustering.ivfTopK(corpus, "vec_id", "embedding", model, qv, 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == direct)
+    // the probe set must reach the scan as a partition-pruning predicate
+    val scan = served.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"), scan)
+    assert(!scan.contains("PartitionFilters: []"), scan)
+  }
+
   test("IVF ANN recall@5 vs exact top-k stays pinned") {
     val ids = Seq(0L, 1L, 2L, 3L, 4L)
     val model = Clustering.kmeans(embs, "vec_id", "embedding", 64, 8, 2)
