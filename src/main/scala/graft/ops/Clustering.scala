@@ -48,6 +48,13 @@ object Clustering {
     * that lose all members drop out (cannot happen while each init
     * vector remains its own nearest cell, but the contract is explicit).
     *
+    * Determinism caveat: the 1e-6 rounding erases aggregation-order
+    * noise (~1e-15 relative for double sums at these widths) except in
+    * the measure-zero event that a true mean sits within that noise of a
+    * 0.5e-6 rounding boundary — the standard float-summation residual
+    * any engine-reproducible mean carries; narrower than the noise of
+    * the seeded-sampling KMeans this replaced by ~9 orders of magnitude.
+    *
     * Scale shape: per iteration, assignment is row-local (k fused-kernel
     * distances per row, zero shuffle) and the recompute is ONE map-side-
     * combined aggregation whose exchange carries at most k×dim partial
@@ -84,16 +91,13 @@ object Clustering {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Double])], queryVec: Seq[Double], k: Int,
       nProbe: Int): DataFrame = {
-    val probeCells = centroids
-      .map { case (cell, c) => (cell, seqSqdist(queryVec, c)) }
-      .sortBy { case (cell, d) => (d, cell) }
-      .take(nProbe).map(_._1)
+    val probes = probeCells(centroids, queryVec, nProbe)
     val q = array(queryVec.map(lit): _*)
     df.select(col(idCol).as("id"),
         transform(col(vecCol), _.cast("double")).as("v"))
       .localCheckpoint(eager = true) // same inlining guard as kmeans
       .withColumn("cell", assignCell(col("v"), centroids))
-      .filter(col("cell").isin(probeCells: _*))
+      .filter(col("cell").isin(probes: _*))
       .select(col("id"), Similarity.cosine(col("v"), q).as("sim"))
       .sort(col("sim").desc, col("id"))
       .limit(k)
@@ -106,9 +110,11 @@ object Clustering {
     * [[ivfTopKServed]]. */
   def writePartitionedByCell(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Double])], path: String): Unit =
-    df.select(col(idCol).as("id"), col(vecCol).as("embedding"))
-      .withColumn("cell",
-        assignCell(transform(col("embedding"), _.cast("double")), centroids))
+    df.select(col(idCol).as("id"), col(vecCol).as("embedding"),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .localCheckpoint(eager = true) // same inlining guard as kmeans
+      .withColumn("cell", assignCell(col("__v"), centroids))
+      .drop("__v")
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
   /** ANN top-k against a [[writePartitionedByCell]] layout: the cell
@@ -117,18 +123,25 @@ object Clustering {
   def ivfTopKServed(spark: org.apache.spark.sql.SparkSession, path: String,
       centroids: Seq[(Int, Seq[Double])], queryVec: Seq[Double], k: Int,
       nProbe: Int): DataFrame = {
-    val probeCells = centroids
-      .map { case (cell, c) => (cell, seqSqdist(queryVec, c)) }
-      .sortBy { case (cell, d) => (d, cell) }
-      .take(nProbe).map(_._1)
+    val probes = probeCells(centroids, queryVec, nProbe)
     val q = array(queryVec.map(lit): _*)
     spark.read.parquet(path)
-      .filter(col("cell").isin(probeCells: _*))
+      .filter(col("cell").isin(probes: _*))
       .select(col("id"),
         Similarity.cosine(transform(col("embedding"), _.cast("double")), q).as("sim"))
       .sort(col("sim").desc, col("id"))
       .limit(k)
   }
+
+  /** The nProbe cells nearest the query vector, nearest first, ties to
+    * the lowest cell — shared by the direct and served probe paths (and
+    * restated by the ss04 oracle's `pc` CTE). */
+  private def probeCells(centroids: Seq[(Int, Seq[Double])],
+      queryVec: Seq[Double], nProbe: Int): Seq[Int] =
+    centroids
+      .map { case (cell, c) => (cell, seqSqdist(queryVec, c)) }
+      .sortBy { case (cell, d) => (d, cell) }
+      .take(nProbe).map(_._1)
 
   /** Driver-side sqdist with the same sequential fold as the kernel. */
   private def seqSqdist(a: Seq[Double], b: Seq[Double]): Double = {

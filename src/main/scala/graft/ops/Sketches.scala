@@ -50,6 +50,23 @@ object Sketches {
       .groupBy("tok")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** Cumulative fixed-width histogram of `valueCol` in `vals` (already
+    * projected to a `b` bucket and `v` value column): one map-side-
+    * combined aggregation, then running/total counts over the occupied-
+    * bucket summary — a tiny single partition by construction. */
+  private def cumHistogram(vals: DataFrame): DataFrame = {
+    val hist = vals.groupBy("b").agg(count(lit(1)).as("cnt"))
+    val wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("n", sum(col("cnt")).over(wn))
+  }
+
+  private def bucketed(df: DataFrame, valueCol: String, step: Double): DataFrame =
+    df.where(col(valueCol).isNotNull)
+      .select(floor(col(valueCol) / step).as("b"), col(valueCol).as("v"))
+
   /** Exact rank-statistic quantiles located THROUGH the histogram: pass
     * one builds the bucket summary, which pins each target rank
     * ceil(q·n) to the single bucket whose cumulative count first covers
@@ -61,15 +78,13 @@ object Sketches {
   def exactQuantilesViaHistogram(df: DataFrame, valueCol: String, step: Double,
       qs: Seq[Double]): DataFrame = {
     require(step > 0, s"exactQuantilesViaHistogram needs step > 0, got $step")
-    val vals = df.where(col(valueCol).isNotNull)
-      .select(floor(col(valueCol) / step).as("b"), col(valueCol).as("v"))
-    val hist = vals.groupBy("b").agg(count(lit(1)).as("cnt"))
-    val wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wn = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(wc))
-      .withColumn("n", sum(col("cnt")).over(wn))
-    val qdf = df.sparkSession.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    val vals = bucketed(df, valueCol, step)
+    exactFromCum(vals, cumHistogram(vals), qs)
+  }
+
+  private def exactFromCum(vals: DataFrame, cum: DataFrame,
+      qs: Seq[Double]): DataFrame = {
+    val qdf = vals.sparkSession.createDataFrame(qs.map(Tuple1(_))).toDF("q")
     val pinned = broadcast(qdf.crossJoin(cum.agg(max(col("n")).as("n")))
       .withColumn("rn", ceil(col("q") * col("n")))
       .join(cum, col("rn") > col("cum") - col("cnt") && col("rn") <= col("cum"))
@@ -91,19 +106,29 @@ object Sketches {
   def histogramQuantiles(df: DataFrame, valueCol: String, step: Double,
       qs: Seq[Double]): DataFrame = {
     require(step > 0, s"histogramQuantiles needs step > 0, got $step")
-    val hist = df.where(col(valueCol).isNotNull)
-      .select(floor(col(valueCol) / step).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("cnt"))
-    // the window runs over the occupied-bucket summary (range/step rows),
-    // not the data — single tiny partition by construction
-    val wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wn = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(wc))
-      .withColumn("n", sum(col("cnt")).over(wn))
-    val qdf = cum.sparkSession.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    estFromCum(df.sparkSession, cumHistogram(bucketed(df, valueCol, step)), step, qs)
+  }
+
+  private def estFromCum(spark: org.apache.spark.sql.SparkSession, cum: DataFrame,
+      step: Double, qs: Seq[Double]): DataFrame = {
+    val qdf = spark.createDataFrame(qs.map(Tuple1(_))).toDF("q")
     broadcast(qdf).join(cum, col("cum") >= ceil(col("q") * col("n")))
       .groupBy("q")
       .agg(min((col("b") + 1) * step).as("est"))
+  }
+
+  /** Sketch estimate and exact rank statistic side by side, sharing ONE
+    * histogram build: the cumulative summary (tiny) is materialized once
+    * and feeds both the upper-edge estimate and the bucket-pinned exact
+    * pass, so the value column is scanned twice total (histogram +
+    * pinned-bucket probe), never once per output column. */
+  def quantilesWithExact(df: DataFrame, valueCol: String, step: Double,
+      qs: Seq[Double]): DataFrame = {
+    require(step > 0, s"quantilesWithExact needs step > 0, got $step")
+    val vals = bucketed(df, valueCol, step)
+    val cum = cumHistogram(vals).localCheckpoint(eager = true)
+    estFromCum(df.sparkSession, cum, step, qs)
+      .join(exactFromCum(vals, cum, qs), "q")
+      .select(col("q"), col("est"), col("exact"))
   }
 }

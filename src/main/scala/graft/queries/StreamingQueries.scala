@@ -27,6 +27,7 @@ object StreamingQueries {
       mode: String): DataFrame = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevMaint = spark.conf.getOption("spark.sql.streaming.stateStore.maintenanceInterval")
     spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
     spark.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
     // a run-to-completion query never benefits from the background
@@ -44,6 +45,10 @@ object StreamingQueries {
       try q.processAllAvailable() finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevMaint match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.maintenanceInterval")
+      }
       // Drop this query's loaded state-store providers now instead of
       // waiting for the 60 s maintenance tick: back-to-back stateful
       // queries otherwise accumulate every stopped query's in-memory

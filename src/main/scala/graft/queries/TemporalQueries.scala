@@ -76,12 +76,15 @@ object TemporalQueries {
     val clicks = ev.filter($"event_type" === "click")
       .select($"event_id", $"user_id", unix_micros($"ts").as("t_us"), $"value")
     val users = clicks.select($"user_id").distinct().sort($"user_id").limit(10)
+    // guard: a span containing no hour boundary gives start > stop, where
+    // sequence() throws but the oracle's generate_series returns empty —
+    // the null branch makes explode drop the row, matching the oracle
+    val gridLo = expr(s"(lo + ${Tp03HourUs - 1}) div $Tp03HourUs * $Tp03HourUs")
+    val gridHi = expr(s"hi div $Tp03HourUs * $Tp03HourUs")
     val grid = ev
       .agg(min(unix_micros($"ts")).as("lo"), max(unix_micros($"ts")).as("hi"))
-      .select(explode(sequence(
-        expr(s"(lo + ${Tp03HourUs - 1}) div $Tp03HourUs * $Tp03HourUs"),
-        expr(s"hi div $Tp03HourUs * $Tp03HourUs"),
-        lit(Tp03HourUs))).as("grid_us"))
+      .select(explode(when(gridLo <= gridHi,
+        sequence(gridLo, gridHi, lit(Tp03HourUs)))).as("grid_us"))
     Temporal.asofJoin(broadcast(users).crossJoin(broadcast(grid)), clicks,
         "user_id", "grid_us", "user_id", "t_us", rightTiebreak = "event_id")
       .select($"user_id", $"grid_us",
@@ -157,12 +160,10 @@ object TemporalQueries {
     * and only that bucket's rows get sorted (no global sort anywhere in
     * the plan — the oracle states the same value as a global rank, but
     * a rank statistic is formulation-independent). */
-  private val sk03: Q = (s, d) => {
-    val li = Tables.lineitem(s, d).select($"l_extendedprice".as("v"))
-    val est = Sketches.histogramQuantiles(li, "v", Sk03Step, Sk03Qs)
-    val exact = Sketches.exactQuantilesViaHistogram(li, "v", Sk03Step, Sk03Qs)
-    est.join(exact, "q").select($"q", $"est", $"exact").sort($"q")
-  }
+  private val sk03: Q = (s, d) =>
+    Sketches.quantilesWithExact(
+        Tables.lineitem(s, d).select($"l_extendedprice".as("v")), "v", Sk03Step, Sk03Qs)
+      .sort($"q")
 
   /** sk01's sketch size: estimator engages once a group holds ≥ 64
     * distinct hashes (the en/other language groups at sf ≥ 0.01). */

@@ -16,11 +16,11 @@ class EntrySurfaceSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).limit(1).count() === 1L)
   }
 
-  test("every query has either an oracle or a documented rows-only status") {
+  test("every query has an oracle, and no oracle is orphaned") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // ss04 is the one intentional rows-only entry (seeded KMeans IVF —
-    // recall pinned in OpsSpec; ss05 is its oracle-green deterministic twin)
-    assert(noOracle.subsetOf(Set("ss04_ivf_topk")), s"undeclared rows-only: $noOracle")
+    assert(noOracle.isEmpty, s"queries without an oracle: $noOracle")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without a query: $orphaned")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
