@@ -23,7 +23,7 @@ object Joins {
       rightKey: String,
       buckets: Int): DataFrame = {
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(buckets)).cast("int"))
+      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(buckets)).cast("int"))
     val saltedRight = right.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))
     saltedLeft

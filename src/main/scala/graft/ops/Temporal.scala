@@ -67,13 +67,13 @@ object Temporal {
       lit(0).as("__side"),
       col(rightTiebreak).as("__tie"),
       lit(null).cast(lStructType).as("__l"),
-      struct(right.columns.map(col): _*).as("__r"))
+      struct(right.columns.toIndexedSeq.map(col): _*).as("__r"))
     val l = left.select(
       col(leftKey).as("__k"),
       col(leftTime).as("__t"),
       lit(1).as("__side"),
       lit(null).cast(tieType).as("__tie"),
-      struct(left.columns.map(col): _*).as("__l"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
       lit(null).cast(rStructType).as("__r"))
 
     val w = Window.partitionBy(col("__k"))
