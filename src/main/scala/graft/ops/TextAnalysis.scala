@@ -63,14 +63,22 @@ object TextAnalysis {
     */
   def qualityScore(text: Column): Column = qualityScoreFromStats(tokenStats(text))
 
-  /** Quality score from an already-computed [[tokenStats]] struct. */
+  /** Quality score from an already-computed [[tokenStats]] struct.
+    * Evaluated as ONE division of exact integer numerator/denominator —
+    * score = (5·tc·min(tc,100) + 300·min(5·sc,tc) + 200·tc·shape) /
+    * (1000·tc) — so the emitted double is bit-identical in any engine
+    * under any evaluation order; the previous ROUND of chained float
+    * arithmetic flipped at representation boundaries (one sf0.1 row).
+    * Empty documents (tc = 0) score 0. */
   def qualityScoreFromStats(ts: Column): Column = {
-    val tc = ts.getField("tc").cast("double")
-    val lengthScore = least(tc / 100.0, lit(1.0))
-    val stopScore = least(ts.getField("sc").cast("double") / tc * 5.0, lit(1.0))
-    val mwl = ts.getField("cl").cast("double") / tc
-    val wordShape = when(mwl >= 3.0 && mwl <= 8.0, 1.0).otherwise(0.0)
-    round(lit(0.5) * lengthScore + lit(0.3) * stopScore + lit(0.2) * wordShape, 4)
+    val tc = ts.getField("tc").cast("long")
+    val sc = ts.getField("sc").cast("long")
+    val cl = ts.getField("cl")
+    val num = lit(5L) * tc * least(tc, lit(100L)) +
+      lit(300L) * least(lit(5L) * sc, tc) +
+      when(cl >= lit(3L) * tc && cl <= lit(8L) * tc, lit(200L) * tc).otherwise(lit(0L))
+    when(tc === 0L, lit(0.0))
+      .otherwise(num.cast("double") / (tc * lit(1000L)).cast("double"))
   }
 
   /** Marker-word language id: argmax of per-language marker counts, ties

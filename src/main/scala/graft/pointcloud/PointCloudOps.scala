@@ -56,15 +56,19 @@ object PointCloudOps {
     */
   def voxelDownsample(df: DataFrame, xCol: String, yCol: String, zCol: String,
       voxelSize: Double): DataFrame =
+    // centroids as ONE division of exact integer sums (LAS coordinates
+    // are scaled ints), not avg(double): a float avg depends on the
+    // partition-combine order, so its last ulp — and a ROUND at a
+    // representation boundary — can differ per run/engine
     df.groupBy(
         voxelKey(col(xCol), voxelSize).as("vx"),
         voxelKey(col(yCol), voxelSize).as("vy"),
         voxelKey(col(zCol), voxelSize).as("vz"))
       .agg(
         count(lit(1)).as("n"),
-        avg(col(xCol).cast("double")).as("cx"),
-        avg(col(yCol).cast("double")).as("cy"),
-        avg(col(zCol).cast("double")).as("cz"))
+        (sum(col(xCol).cast("long")).cast("double") / count(lit(1))).as("cx"),
+        (sum(col(yCol).cast("long")).cast("double") / count(lit(1))).as("cy"),
+        (sum(col(zCol).cast("long")).cast("double") / count(lit(1))).as("cz"))
 
   /** Per-voxel covariance statistics — the local-structure foundation of
     * dimensionality-based point-cloud features (linearity / planarity /

@@ -522,11 +522,7 @@ object OpsQueries {
        |      list_transform(w, x -> CAST(length(x) AS BIGINT))), (acc, x) -> acc + x) AS cl
        |  FROM tq
        |), scored AS (
-       |  SELECT doc_id, lang, tc, ROUND(
-       |      0.5 * least(tc / 100.0, 1.0)
-       |    + 0.3 * least((sc * 1.0 / tc) * 5.0, 1.0)
-       |    + 0.2 * (CASE WHEN cl * 1.0 / tc >= 3.0 AND cl * 1.0 / tc <= 8.0 THEN 1.0 ELSE 0.0 END)
-       |    , 4) AS score
+       |  SELECT doc_id, lang, tc, ${sqlQualityScore("tc", "sc", "cl")} AS score
        |  FROM m
        |), bg AS (
        |  SELECT doc_id, unnest([ws[k] || ' ' || ws[k+1]
@@ -560,6 +556,15 @@ object OpsQueries {
        |WHERE $j >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Integer-exact quality score — SQL twin of
+    * TextAnalysis.qualityScoreFromStats: one division of exact integer
+    * sums, engine-reproducible without ROUND. */
+  private def sqlQualityScore(tc: String, sc: String, cl: String): String =
+    s"CASE WHEN $tc = 0 THEN 0.0 ELSE " +
+      s"CAST(5 * $tc * least($tc, 100) + 300 * least(5 * $sc, $tc) + " +
+      s"(CASE WHEN $cl >= 3 * $tc AND $cl <= 8 * $tc THEN 200 * $tc ELSE 0 END) AS DOUBLE) " +
+      s"/ CAST(1000 * $tc AS DOUBLE) END"
 
   /** Sequential-fold dot product of two DOUBLE list expressions. */
   private def sqlDot(a: String, b: String, dim: Int): String =
@@ -825,11 +830,7 @@ object OpsQueries {
        |      list_transform(w, x -> CAST(length(x) AS BIGINT))), (acc, x) -> acc + x) AS cl
        |  FROM t
        |)
-       |SELECT doc_id, ROUND(
-       |    0.5 * least(tc / 100.0, 1.0)
-       |  + 0.3 * least((sc * 1.0 / tc) * 5.0, 1.0)
-       |  + 0.2 * (CASE WHEN cl * 1.0 / tc >= 3.0 AND cl * 1.0 / tc <= 8.0 THEN 1.0 ELSE 0.0 END)
-       |  , 4) AS score
+       |SELECT doc_id, ${sqlQualityScore("tc", "sc", "cl")} AS score
        |FROM m
        |ORDER BY score DESC, doc_id
        |LIMIT 100""".stripMargin

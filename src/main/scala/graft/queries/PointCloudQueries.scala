@@ -151,8 +151,7 @@ object PointCloudQueries {
     val dir = tmpDir("pc06", d)
     pts.writeLas(dir)
     PointCloudOps.voxelDownsample(s.read.las(dir), "x", "y", "z", 1000.0)
-      .select($"vx", $"vy", $"vz", $"n",
-        round($"cx", 2).as("cx"), round($"cy", 2).as("cy"), round($"cz", 2).as("cz"))
+      .select($"vx", $"vy", $"vz", $"n", $"cx", $"cy", $"cz")
       .sort($"vx", $"vy", $"vz")
       .limit(500)
   }
@@ -304,9 +303,9 @@ object PointCloudQueries {
         |  CAST(floor(CAST(l_partkey % 1000000 AS DOUBLE) / 1000.0) AS BIGINT) AS vy,
         |  CAST(floor(CAST(l_suppkey % 1000000 AS DOUBLE) / 1000.0) AS BIGINT) AS vz,
         |  COUNT(*) AS n,
-        |  ROUND(AVG(CAST(l_orderkey % 1000000 AS DOUBLE)), 2) AS cx,
-        |  ROUND(AVG(CAST(l_partkey % 1000000 AS DOUBLE)), 2) AS cy,
-        |  ROUND(AVG(CAST(l_suppkey % 1000000 AS DOUBLE)), 2) AS cz
+        |  CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS DOUBLE) / COUNT(*) AS cx,
+        |  CAST(SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS DOUBLE) / COUNT(*) AS cy,
+        |  CAST(SUM(CAST(l_suppkey % 1000000 AS BIGINT)) AS DOUBLE) / COUNT(*) AS cz
         |FROM lineitem
         |GROUP BY vx, vy, vz ORDER BY vx, vy, vz LIMIT 500""".stripMargin,
     "pc07_radius_join" ->

@@ -74,6 +74,16 @@ class TemporalSpec extends SparkTestBase {
       Temporal.bandedIntervalSelfJoin(df, "k", "t", "id", 0L))
   }
 
+  test("asofJoin plans exactly one exchange (sort-merge shape, no per-row probe)") {
+    val left = randomEvents(4, 200, 5, 50)
+    val right = randomEvents(5, 200, 5, 50)
+    val plan = Temporal.asofJoin(left, right, "k", "t", "k", "t", rightTiebreak = "id")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("timeWeightedAvg matches the hand-computed step integral") {
     // key 1: v=10 holds 4 ticks, v=20 holds 6 ticks, v=30 ends the span
     //   twa = (10*4 + 20*6) / 10 = 16.0, span = 10, n = 3
