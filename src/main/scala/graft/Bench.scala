@@ -11,6 +11,15 @@ import org.apache.spark.sql.SparkSession
   * name order so round-over-round comparisons are stable. A query that
   * throws is reported in an "errors" object rather than silently timed —
   * breakage must never read as a fast run.
+  *
+  * Load robustness (the r06 incident: a loaded box inflated all three
+  * medians of several queries up to 35×, faking regressions a quiet
+  * re-run disproved): the line also carries `queries_min`/`total_min` —
+  * the per-query min over runs, the standard noise-floor estimator for
+  * cold-cache-free micro-benches — and `run_totals`, the wall time of
+  * each full pass, so a loaded box is visible IN the artifact (inflated
+  * medians with a quiet min ⇒ transient load; run totals diverging run
+  * to run ⇒ the box was busy while benching).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,14 +56,21 @@ object Bench {
     // an errored query's (near-zero) elapsed time must not enter the
     // medians or the headline total — breakage never reads as a speedup;
     // its entry is null and the error text sits in "errors"
-    val results = names.map { n =>
+    def summarize(f: Seq[Double] => Double) = names.map { n =>
       n -> (if (errs.contains(n)) None
-            else Some(ms(median(samples.map(_.toMap.apply(n))))))
+            else Some(ms(f(samples.map(_.toMap.apply(n))))))
     }
-    val qs = results.map { case (k, v) =>
+    val results = summarize(median)
+    val resultsMin = summarize(_.min)
+    def qjson(rs: Seq[(String, Option[Double])]) = rs.map { case (k, v) =>
       s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
     }.mkString("{", ",", "}")
+    val qs = qjson(results)
+    val qsMin = qjson(resultsMin)
     val total = ms(results.flatMap(_._2).sum)
+    val totalMin = ms(resultsMin.flatMap(_._2).sum)
+    val runTotals = samples.map(run => ms(run.map(_._2).sum))
+      .mkString("[", ",", "]")
     def jstr(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => " "; case c => c.toString
@@ -64,7 +80,9 @@ object Bench {
       else errs.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString(""","errors":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+        s""""total_min":$totalMin,"run_totals":$runTotals,""" +
+        s""""queries":$qs,"queries_min":$qsMin$errJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       line.getBytes("UTF-8"))
     catch { case _: Exception => } // the stdout line below still carries it

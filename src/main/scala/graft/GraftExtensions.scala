@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDotProduct, ArraySqDist, CharNgrams, KmvDistinct, KmvHash, RollingHash, ShingleHashSet, SimHash64, SortedIntersectCount, TokenStats, WordNgrams}
+import graft.functions.{ArrayDotProduct, ArraySqDist, CharNgrams, KmvDistinct, KmvHash, PngIhdr, RollingHash, ShingleHashSet, SimHash64, SortedIntersectCount, TokenStats, WordNgrams}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -79,6 +79,10 @@ object GraftExtensions {
     ("graft_kmv_hash",
       info("graft_kmv_hash", "KMV sketch hash of a string, uniform in [0, 2^63)"),
       unary(KmvHash)),
+    ("graft_png_ihdr",
+      info("graft_png_ihdr",
+        "PNG IHDR header decode: struct(width, height, bit_depth, color_type), null for non-PNG bytes"),
+      unary(PngIhdr)),
     ("graft_kmv_distinct",
       info("graft_kmv_distinct",
         "KMV distinct-count sketch aggregate over kmv hashes (k literal): struct(kth, est)"),

@@ -220,6 +220,64 @@ object HashUtil {
   }
 }
 
+/** Binary media-container header parsing for generated code. */
+object MediaUtil {
+  /** Parse a PNG IHDR header (public spec: W3C PNG / RFC 2083).
+    * Layout: bytes 0–7 the fixed signature 89 50 4E 47 0D 0A 1A 0A;
+    * bytes 8–11 the first chunk's big-endian length (13 for IHDR);
+    * bytes 12–15 the chunk type "IHDR"; then width (BE u32), height
+    * (BE u32), bit depth (u8), color type (u8). Returns
+    * (width, height, bit_depth, color_type) — or null unless the payload
+    * starts with a well-formed IHDR (the decoder never throws on junk:
+    * a corrupt blob in a 100 TB media corpus must filter, not fail the
+    * job). The CRC is not validated — dimension extraction, not
+    * integrity checking. */
+  def pngIhdr(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 26) return null
+    if ((bytes(0) & 0xff) != 0x89 || bytes(1) != 'P' || bytes(2) != 'N' ||
+        bytes(3) != 'G' || bytes(4) != 0x0d || bytes(5) != 0x0a ||
+        bytes(6) != 0x1a || bytes(7) != 0x0a) return null
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    if (be32(8) != 13L) return null
+    if (bytes(12) != 'I' || bytes(13) != 'H' || bytes(14) != 'D' || bytes(15) != 'R')
+      return null
+    val w = be32(16)
+    val h = be32(20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
+    new GenericInternalRow(Array[Any](w.toInt, h.toInt, bytes(24) & 0xff, bytes(25) & 0xff))
+  }
+}
+
+/** png_ihdr(binary): STRUCT<width INT, height INT, bit_depth INT,
+  * color_type INT>, null for anything that is not a well-formed PNG
+  * prefix — a REAL fixed-format media decoder as a codegen expression
+  * (the multimodal path's proof that binary payload decoding runs
+  * native in the scan pipeline; the full image decode stays behind the
+  * documented stub because this container ships no codecs). */
+case class PngIhdr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs BINARY, got ${child.dataType}")
+  override def nullable: Boolean = true // junk bytes decode to null
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("bit_depth", IntegerType, nullable = false),
+    StructField("color_type", IntegerType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    MediaUtil.pngIhdr(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaUtil.pngIhdr($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): PngIhdr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_png_ihdr"
+}
+
 /** rolling_hash(text): LongType. Codegen-friendly (stays inside
   * whole-stage codegen via a static call — no UDF/serialization cost).
   * Oracle-equivalent in DuckDB: sequential (acc*31 + ascii) % 1e9+7 fold.
@@ -608,6 +666,7 @@ object exprs {
   def token_stats(text: Column, stopwords: Seq[String]): Column =
     Bridge.column(TokenStats(Bridge.expression(text), stopwords))
   def kmv_hash(c: Column): Column = Bridge.column(KmvHash(Bridge.expression(c)))
+  def png_ihdr(payload: Column): Column = Bridge.column(PngIhdr(Bridge.expression(payload)))
   def kmv_distinct(hash: Column, k: Int): Column =
     Bridge.column(KmvDistinct(Bridge.expression(hash), k).toAggregateExpression())
 }

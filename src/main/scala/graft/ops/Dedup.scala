@@ -63,7 +63,16 @@ object Dedup {
     * carries one short row per doc — the plan that holds at 100 TB. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = NumHashes): DataFrame =
-    df.select(col(idCol).as("id"), explode(shingleHashes(col(textCol))).as("h"))
+    signaturesFromHashes(
+      df.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh")), numHashes)
+
+  /** MinHash signatures from an existing `(id, sh: array<bigint>)`
+    * hashed-shingle frame — the same explode + map-side-combined
+    * aggregate as [[minhashSignatures]], reading a (typically
+    * materialized) frame instead of re-running the shingle kernel. Docs
+    * with an empty shingle set produce no exploded rows and drop out. */
+  def signaturesFromHashes(sh: DataFrame, numHashes: Int = NumHashes): DataFrame =
+    sh.select(col("id"), explode(col("sh")).as("h"))
       .groupBy(col("id"))
       .agg(
         min((lit(hashA(0)) * col("h") + lit(hashB(0))) % lit(Prime)).as("s0"),
@@ -71,6 +80,21 @@ object Dedup {
           min((lit(hashA(i)) * col("h") + lit(hashB(i))) % lit(Prime)).as(s"s$i")): _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"s$i")): _*).as("sig"))
+
+  /** The per-side preparation every shingle-based near-dup pipeline
+    * shares: one shingle-kernel pass, materialized (eager local
+    * checkpoint) so band-key derivation and exact-Jaccard verification
+    * both read the SAME computed frame — at cluster scale this is the
+    * persisted signature table an ingest pipeline keeps. */
+  private def hashedShingleFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(eager = true)
+
+  /** Exploded (id, band, key) LSH buckets from a hashed-shingle frame. */
+  private def bandBuckets(sh: DataFrame): DataFrame =
+    signaturesFromHashes(sh)
+      .select(col("id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
 
   /** LSH band keys: the signature is cut into `bands` runs of
     * `rowsPerBand` values, each folded to one key with the same
@@ -108,14 +132,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double): DataFrame = {
-    // signatures are materialized once (eager local checkpoint): both
-    // sides of the self-join and Spark's exchange-reuse cannot otherwise
-    // see through the aliased subplans, so the whole shingle+minhash
-    // pipeline would run twice. At cluster scale this materialization is
-    // the standard persisted signature table.
-    val withBands = minhashSignatures(df, idCol, textCol)
-      .select(col("id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
-      .localCheckpoint(eager = true)
+    // ONE shingle-kernel execution: the hashed-shingle frame materializes
+    // first, then band keys derive from it (and are materialized too —
+    // both sides of the self-join and Spark's exchange-reuse cannot
+    // otherwise see through the aliased subplans, so the signature
+    // aggregation would run twice).
+    val sh = hashedShingleFrame(df, idCol, textCol)
+    val withBands = bandBuckets(sh).localCheckpoint(eager = true)
 
     val candidates = withBands.as("a")
       .join(withBands.as("b"),
@@ -127,10 +150,7 @@ object Dedup {
     // exact-Jaccard verification over the *hashed* shingle arrays: long
     // comparisons instead of string comparisons, same value on both
     // engines (identical hash function on both sides of the oracle);
-    // materialized once, read by both join sides
-    val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint(eager = true)
+    // the checkpointed frame is read by both join sides
     candidates
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
       .join(sh.as("sb"), col("id_b") === col("sb.id"))
@@ -270,19 +290,21 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double): DataFrame = {
-    def bands(df: DataFrame) = minhashSignatures(df, idCol, textCol)
-      .select(col("id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
-    val candidates = bands(newDf).as("a")
-      .join(bands(oldDf).as("b"),
+    // one shingle-kernel execution per side: the materialized frame feeds
+    // BOTH the band-key derivation and the exact-Jaccard verify — the
+    // same materialization policy as minhashNearDupPairs (in production
+    // the old side's frame is the persisted signature table, so only the
+    // new slice hashes fresh)
+    val shNew = hashedShingleFrame(newDf, idCol, textCol)
+    val shOld = hashedShingleFrame(oldDf, idCol, textCol)
+    val candidates = bandBuckets(shNew).as("a")
+      .join(bandBuckets(shOld).as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.id").as("new_id"), col("b.id").as("old_id"))
       .distinct()
-    def sh(df: DataFrame) = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
     candidates
-      .join(sh(newDf).as("sa"), col("new_id") === col("sa.id"))
-      .join(sh(oldDf).as("sb"), col("old_id") === col("sb.id"))
+      .join(shNew.as("sa"), col("new_id") === col("sa.id"))
+      .join(shOld.as("sb"), col("old_id") === col("sb.id"))
       .select(col("new_id"), col("old_id"),
         jaccard(col("sa.sh"), col("sb.sh")).as("j"))
       .filter(col("j") >= threshold)

@@ -51,6 +51,27 @@ object Multimodal {
   def sampleEvery(df: DataFrame, idCol: String, stride: Int): DataFrame =
     df.filter(col(idCol) % stride === 0)
 
+  /** Big-endian u32 as 8 hex nibbles (Spark `hex` drops leading zeros). */
+  private def hex8(c: Column): Column = lpad(hex(c.cast("int")), 8, "0")
+
+  /** A well-formed PNG signature + IHDR prefix built from dimension
+    * columns — the encode twin of the [[graft.functions.PngIhdr]]
+    * decoder, used by mm03 to run real header decoding through a
+    * deterministic payload the DuckDB oracle can restate arithmetically.
+    * The trailing CRC is zeroed (the decoder extracts dimensions, it
+    * does not integrity-check). */
+  def pngIhdrBytes(width: Column, height: Column, bitDepth: Column,
+      colorType: Column): Column =
+    unhex(concat(
+      lit("89504E470D0A1A0A"), // PNG signature
+      lit("0000000D"),         // IHDR chunk length = 13
+      lit("49484452"),         // "IHDR"
+      hex8(width), hex8(height),
+      lpad(hex(bitDepth.cast("int")), 2, "0"),
+      lpad(hex(colorType.cast("int")), 2, "0"),
+      lit("000000"),           // compression, filter, interlace
+      lit("00000000")))        // CRC (zeroed)
+
   case class DecodedFeatures(id: Long, byte_len: Int, head_sum: Long)
 
   /** The real decoder seam: payloads stream through partition-local

@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** A built count-min sketch: the `(r, bucket, cnt)` counters DataFrame
+    * together with the depth/width it was built at, so an estimate can
+    * never silently hash with different parameters than the build (a
+    * mismatched lookup misses every counter and under-counts — violating
+    * the CMS upper-bound guarantee). */
+  final case class CountMinSketch(counters: DataFrame, depth: Int, width: Int)
+
   /** Count-min sketch counters for a token column: `depth` hash rows ×
     * `width` buckets, counter(r, b) = number of tokens with
     * hash_r(token) mod width = b. Row r's hash is kmv_hash("r:token") —
@@ -22,13 +29,15 @@ object Sketches {
     * The whole build is one hash aggregation with map-side partial
     * combine: at any scale the exchange carries at most depth×width
     * partial counters per partition, and the result is depth×width rows
-    * — broadcastable state, the CMS property. Returns (r, bucket, cnt).
+    * — broadcastable state, the CMS property.
     */
-  def countMinBuild(df: DataFrame, tokenCol: String, depth: Int, width: Int): DataFrame = {
+  def countMinBuild(df: DataFrame, tokenCol: String, depth: Int, width: Int): CountMinSketch = {
     require(depth > 0 && width > 0, s"countMin needs depth/width > 0, got $depth/$width")
-    df.select(posexplode(array(Seq.fill(depth)(col(tokenCol)): _*)).as(Seq("r", "tok")))
-      .select(col("r"), cmBucket(col("r"), col("tok"), width).as("bucket"))
-      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    CountMinSketch(
+      df.select(posexplode(array(Seq.fill(depth)(col(tokenCol)): _*)).as(Seq("r", "tok")))
+        .select(col("r"), cmBucket(col("r"), col("tok"), width).as("bucket"))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("cnt")),
+      depth, width)
   }
 
   private def cmBucket(r: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column,
@@ -40,13 +49,15 @@ object Sketches {
     * the classic CMS upper-bound estimate (Cormode & Muthukrishnan,
     * J. Algorithms 2005). The counters side is depth×width rows, so the
     * join broadcasts; per-candidate cost is `depth` lookups. An absent
-    * (r, bucket) counter means zero, hence the coalesce. */
-  def countMinEstimate(counters: DataFrame, candidates: DataFrame,
-      tokenCol: String, depth: Int, width: Int): DataFrame =
+    * (r, bucket) counter means zero, hence the coalesce. Depth/width come
+    * from the sketch itself, so the lookup hashing always matches the
+    * build hashing. */
+  def countMinEstimate(sketch: CountMinSketch, candidates: DataFrame,
+      tokenCol: String): DataFrame =
     candidates.select(col(tokenCol).as("tok"))
-      .select(col("tok"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .withColumn("bucket", cmBucket(col("r"), col("tok"), width))
-      .join(broadcast(counters), Seq("r", "bucket"), "left")
+      .select(col("tok"), explode(sequence(lit(0), lit(sketch.depth - 1))).as("r"))
+      .withColumn("bucket", cmBucket(col("r"), col("tok"), sketch.width))
+      .join(broadcast(sketch.counters), Seq("r", "bucket"), "left")
       .groupBy("tok")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 

@@ -24,8 +24,16 @@ object Temporal {
     * sort — exactly a sort-merge join's plan shape, with none of the
     * per-left-row probing a LATERAL/theta formulation would pay, and no
     * state blowup on keys with many right rows (the window carries one
-    * struct). A hot key skews its sort partition; pre-salt the key on
-    * both sides if one entity dominates the stream.
+    * struct). A hot key skews its sort partition; `saltBuckets > 1`
+    * applies the pre-salting mitigation: every LEFT row gets a
+    * deterministic content-hash salt in [0, saltBuckets) and the right
+    * side replicates once per salt, so the window partitions on
+    * (key, salt) and one hot key's left rows spread over `saltBuckets`
+    * sort partitions instead of one. Each salted partition still holds
+    * ALL right rows of its key, so the running `last` sees exactly the
+    * same candidates — results are identical to the unsalted join
+    * (parity-pinned by TemporalSpec). Cost: the right side shuffles
+    * ×saltBuckets — use when left rows per hot key dwarf right rows.
     *
     * Both time columns must share one type (use exact integer epochs,
     * not timestamps, when sub-second precision matters). Null keys group
@@ -45,7 +53,9 @@ object Temporal {
       rightKey: String,
       rightTime: String,
       rightTiebreak: String,
-      asofCol: String = "asof"): DataFrame = {
+      asofCol: String = "asof",
+      saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, s"asofJoin needs saltBuckets >= 1, got $saltBuckets")
     val lt = left.schema(leftTime).dataType
     val rt = right.schema(rightTime).dataType
     require(lt == rt, s"asofJoin time columns must share a type ($leftTime: $lt, $rightTime: $rt)")
@@ -61,22 +71,35 @@ object Temporal {
     // a null rightTime would sort to the head of its key partition and be
     // carried forward as a "match"; SQL `<=` never matches null, so drop
     val rightNonNull = right.where(col(rightTime).isNotNull)
+    // left salt is a deterministic content hash (identical rows land in
+    // the same bucket, which is harmless — each bucket holds every right
+    // row of the key); right rows replicate across all buckets
+    val lSalt =
+      if (saltBuckets == 1) lit(0)
+      else pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)),
+        lit(saltBuckets)).cast("int")
+    val rSalt =
+      if (saltBuckets == 1) lit(0)
+      else explode(array((0 until saltBuckets).map(lit): _*))
     val r = rightNonNull.select(
       col(rightKey).as("__k"),
       col(rightTime).as("__t"),
       lit(0).as("__side"),
       col(rightTiebreak).as("__tie"),
       lit(null).cast(lStructType).as("__l"),
-      struct(right.columns.toIndexedSeq.map(col): _*).as("__r"))
+      struct(right.columns.toIndexedSeq.map(col): _*).as("__r"),
+      rSalt.as("__salt"))
     val l = left.select(
       col(leftKey).as("__k"),
       col(leftTime).as("__t"),
       lit(1).as("__side"),
       lit(null).cast(tieType).as("__tie"),
       struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
-      lit(null).cast(rStructType).as("__r"))
+      lit(null).cast(rStructType).as("__r"),
+      lSalt.as("__salt"))
 
-    val w = Window.partitionBy(col("__k"))
+    val partCols = if (saltBuckets == 1) Seq(col("__k")) else Seq(col("__k"), col("__salt"))
+    val w = Window.partitionBy(partCols: _*)
       .orderBy(col("__t"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -109,6 +132,10 @@ object Temporal {
     require(gap > 0, s"sessionize needs gap > 0, got $gap")
     require(!df.columns.contains(sessCol),
       s"sessionize output column '$sessCol' already exists; pass a different sessCol")
+    // withColumn silently REPLACES an existing column, so an input column
+    // named like the temporary would be consumed and dropped from the output
+    require(!df.columns.contains("__prev"),
+      "sessionize uses '__prev' as a temporary column; rename that input column")
     val w = Window.partitionBy(col(key)).orderBy(col(time), col(id))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__prev", lag(col(time), 1).over(w))
@@ -134,6 +161,9 @@ object Temporal {
       time: String,
       id: String,
       valueCol: String): DataFrame = {
+    // same collision hazard as sessionize's __prev: withColumn replaces
+    require(!df.columns.contains("__nt") && !df.columns.contains("__dt"),
+      "timeWeightedAvg uses '__nt'/'__dt' as temporary columns; rename those input columns")
     val w = Window.partitionBy(col(key)).orderBy(col(time), col(id))
     df.withColumn("__nt", lead(col(time), 1).over(w))
       .withColumn("__dt", (col("__nt") - col(time)).cast("double"))

@@ -193,6 +193,43 @@ object OpsQueries {
       .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
   }
 
+  /** ss07: the SERVED IVF path — the corpus persisted partitioned by its
+    * IVF cell ([[Clustering.writePartitionedByCell]]), queried through
+    * [[Clustering.ivfTopKServed]] so the probe set becomes a
+    * partition-pruning predicate: the scan lists and reads ONLY the
+    * nProbe cell directories out of [[Ss04Cells]], never the full corpus
+    * — the layout ANN actually ships with at 100 TB. Same model, probes,
+    * and re-rank as ss04, so the results (and the oracle) are identical;
+    * what this entry adds is the pruned-scan plan, pinned by OpsSpec's
+    * PartitionFilters assertion. The layout is built once per dataset
+    * (an index is written once and served for many queries) into a
+    * temp dir cleaned up on JVM exit. */
+  private val servedLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ss07: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")))
+      .collect().head.getSeq[Double](0)
+    val centroids = kmeansModels.computeIfAbsent(d,
+      _ => Clustering.kmeans(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        64, Ss04Cells, Ss04Iters))
+    val path = servedLayouts.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_served")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        catch { case _: Exception => } // best-effort temp cleanup
+      }))
+      Clustering.writePartitionedByCell(
+        e.filter($"vec_id" =!= 0), "vec_id", "embedding", centroids, dir.toString)
+      dir.toString
+    })
+    Clustering.ivfTopKServed(s, path, centroids, qv, 5, nProbe = Ss04Probe)
+      .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
+  }
+
   /** ss05: multi-probe ANN top-5 — deterministic 4-bit hyperplane coarse
     * quantizer, probing the query's cell + all Hamming-1 cells, exact
     * cosine re-rank. The model-free IVF-family twin of ss04: same probe
@@ -340,6 +377,33 @@ object OpsQueries {
         sum(size(Dedup.tokens($"text")).cast("bigint")).as("tokens"))
       .sort($"lang")
 
+  /** mm03: REAL binary decode in the scan pipeline — each document gets a
+    * well-formed PNG header payload (dimensions derived from doc_id), and
+    * the graft_png_ihdr codegen expression parses width/height/bit-depth/
+    * color-type back out of the big-endian bytes; a junk payload decodes
+    * to null rather than failing the job. The oracle states the expected
+    * dimensions arithmetically, so any drift in the byte layout OR the
+    * parser breaks the hash match. Real-PNG decoding (ImageIO goldens)
+    * is pinned by OpsSpec. */
+  private val mm03: Q = (s, d) => {
+    val dims = Tables.documents(s, d).select($"doc_id",
+      (lit(16) + $"doc_id" % 64).cast("int").as("w"),
+      (lit(16) + ($"doc_id" * 7) % 64).cast("int").as("h"),
+      lit(8).as("bd"),
+      when($"doc_id" % 2 === 0, 2).otherwise(6).as("ct"))
+    dims
+      .select($"doc_id",
+        graft.functions.exprs.png_ihdr(
+          Multimodal.pngIhdrBytes($"w", $"h", $"bd", $"ct")).as("f"),
+        graft.functions.exprs.png_ihdr(lit("junk, not a png").cast("binary"))
+          .isNull.as("rejects_junk"))
+      .select($"doc_id", $"f.width".as("width"), $"f.height".as("height"),
+        $"f.bit_depth".as("bit_depth"), $"f.color_type".as("color_type"),
+        $"rejects_junk")
+      .sort($"doc_id")
+      .limit(200)
+  }
+
   /** mm02: frame-sampling pipeline — every 10th document's payload,
     * aggregated per language (the video frame-sample shape on rows). */
   private val mm02: Q = (s, d) =>
@@ -367,6 +431,7 @@ object OpsQueries {
     "ss04_ivf_topk" -> ss04,
     "ss05_multiprobe_topk" -> ss05,
     "ss06_knn_join" -> ss06,
+    "ss07_ivf_served" -> ss07,
     "tx01_token_stats" -> tx01,
     "tx02_quality_score" -> tx02,
     "tx03_langid" -> tx03,
@@ -378,6 +443,7 @@ object OpsQueries {
     "tx09_train_mix" -> tx09,
     "mm01_multimodal_stub" -> mm01,
     "mm02_frame_sampling" -> mm02,
+    "mm03_png_decode" -> mm03,
   )
 
   // ------------------------------------------------------------- oracles
@@ -899,6 +965,9 @@ object OpsQueries {
     "ss04_ivf_topk" -> ss04Oracle,
     "ss05_multiprobe_topk" -> ss05Oracle,
     "ss06_knn_join" -> ss06Oracle,
+    // the served layout is the SAME model + probes + re-rank as ss04,
+    // just read through a partition-pruned scan — one oracle, two plans
+    "ss07_ivf_served" -> ss04Oracle,
     "tx01_token_stats" -> tx01Oracle,
     "tx02_quality_score" -> tx02Oracle,
     "tx03_langid" -> tx03Oracle,
@@ -944,5 +1013,14 @@ object OpsQueries {
     "mm02_frame_sampling" ->
       ("SELECT lang, COUNT(*) AS n, CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS bytes " +
         "FROM documents WHERE doc_id % 10 = 0 GROUP BY lang ORDER BY lang"),
+    // the encode side is pinned by construction (same doc_id arithmetic);
+    // a byte-layout or parser bug breaks width/height/bit_depth here
+    "mm03_png_decode" ->
+      ("SELECT doc_id, CAST(16 + doc_id % 64 AS INTEGER) AS width, " +
+        "CAST(16 + (doc_id * 7) % 64 AS INTEGER) AS height, " +
+        "CAST(8 AS INTEGER) AS bit_depth, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 6 END AS INTEGER) AS color_type, " +
+        "TRUE AS rejects_junk " +
+        "FROM documents ORDER BY doc_id LIMIT 200"),
   )
 }

@@ -331,6 +331,59 @@ object Relational {
       .limit(200)
   }
 
+  /** jn01's bucket count — sized for the test SFs; at 100 TB it would be
+    * totalBytes / 128 MB rounded to a power of two. */
+  private final val Jn01Buckets = 8
+
+  /** One bucketed+sorted copy of (lineitem, orders) per dataset dir,
+    * bucketed on the order key — the pay-the-shuffle-once layout of
+    * [[graft.ops.Joins.writeBucketed]]. Existence is checked in the
+    * session catalog (not a static map), so a fresh session rebuilds and
+    * a later query in the same session reuses. Table names carry the
+    * dataset dir so sf0.001/sf0.01/sf0.1 never collide. */
+  private def jn01Tables(s: SparkSession, d: String): (String, String) = synchronized {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val lTab = s"graft_jn_lineitem$key"
+    val oTab = s"graft_jn_orders$key"
+    def build(tab: String, df: => DataFrame, bucketKey: String): Unit =
+      if (!s.catalog.tableExists(tab)) {
+        // the in-memory catalog is per-JVM but the warehouse dir is not:
+        // a location left by a previous run makes CTAS refuse
+        // (LOCATION_ALREADY_EXISTS), so clear the stale artifact first
+        val loc = new org.apache.hadoop.fs.Path(
+          s.sessionState.conf.warehousePath, tab.toLowerCase(java.util.Locale.ROOT))
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        graft.ops.Joins.writeBucketed(df, tab, bucketKey, Jn01Buckets)
+      }
+    build(lTab, Tables.lineitem(s, d).select($"l_orderkey", $"l_quantity"),
+      "l_orderkey")
+    build(oTab, Tables.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+      "o_orderkey")
+    (lTab, oTab)
+  }
+
+  /** jn01: the zero-exchange co-located join — both sides read from the
+    * bucketed layout, so the fact-fact equi-join, the per-order
+    * aggregate (grouped on the streamed side's key, which every join
+    * strategy preserves), and the TakeOrdered top-k all run WITHOUT a
+    * single shuffle. This is the layout a repeatedly-joined 100 TB fact
+    * table ships with: the join shuffle is paid once at write time.
+    * Plan shape is pinned by JoinsSpec (zero `Exchange` nodes). */
+  private val jn01: Q = (s, d) => {
+    val (lTab, oTab) = jn01Tables(s, d)
+    val l = s.table(lTab)
+    val o = s.table(oTab)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(l("l_orderkey"))
+      .agg(
+        max($"o_orderdate").as("o_orderdate"),
+        count(lit(1)).as("n_items"),
+        // l_quantity is a whole-valued double; the bigint sum is exact
+        sum($"l_quantity".cast("bigint")).as("sum_qty"))
+      .sort($"l_orderkey")
+      .limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
     "iq01_scan_project" -> iq01,
     "iq02_filter" -> iq02,
@@ -362,6 +415,7 @@ object Relational {
     "iq28_json" -> iq28,
     "iq29_collect_list" -> iq29,
     "iq30_rank_family" -> iq30,
+    "jn01_bucketed_join" -> jn01,
   )
 
   val oracle: Map[String, String] = Map(
@@ -432,5 +486,12 @@ object Relational {
         "ROUND(PERCENT_RANK() OVER w, 4) AS pr, ROUND(CUME_DIST() OVER w, 4) AS cd " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) " +
         "ORDER BY o_orderkey LIMIT 200"),
+    // the bucketed layout is an identical copy of the source tables, so
+    // the oracle is the plain join over the originals
+    "jn01_bucketed_join" ->
+      ("SELECT l_orderkey, MAX(o_orderdate) AS o_orderdate, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100"),
   )
 }

@@ -103,12 +103,16 @@ object TemporalQueries {
   private val tp04: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select($"user_id", $"event_id", unix_micros($"ts").as("t_us"), $"value")
+    // val_sum via an exact integer cents sum + ONE division (the quality-
+    // score/voxel-centroid pattern): ROUND(SUM(double), 2) is aggregation-
+    // order dependent and can flip a 2-dp boundary between engines; the
+    // stored values are 2-dp, so cents are exact integers in both
     Temporal.sessionize(ev, "user_id", "t_us", "event_id", Tp04GapUs)
       .groupBy($"user_id", $"sess")
       .agg(count(lit(1)).as("n"),
         min($"t_us").as("start_us"),
         max($"t_us").as("end_us"),
-        round(sum($"value"), 2).as("val_sum"))
+        (sum(round($"value" * 100).cast("bigint")).cast("double") / 100.0).as("val_sum"))
       .sort($"user_id", $"sess")
   }
 
@@ -142,8 +146,8 @@ object TemporalQueries {
       .select(explode(split($"text", " ")).as("tok"))
     val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact"))
       .sort($"exact".desc, $"tok").limit(CmTopK)
-    val counters = Sketches.countMinBuild(toks, "tok", CmDepth, CmWidth)
-    Sketches.countMinEstimate(counters, exact, "tok", CmDepth, CmWidth)
+    val sketch = Sketches.countMinBuild(toks, "tok", CmDepth, CmWidth)
+    Sketches.countMinEstimate(sketch, exact, "tok")
       .join(exact, "tok")
       .select($"tok", $"est", $"exact")
       .sort($"exact".desc, $"tok")
@@ -303,7 +307,7 @@ object TemporalQueries {
        |  FROM l
        |)
        |SELECT user_id, sess, COUNT(*) AS n, MIN(t_us) AS start_us, MAX(t_us) AS end_us,
-       |  ROUND(SUM(value), 2) AS val_sum
+       |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS val_sum
        |FROM x GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
 
   /** Same lead/ratio formulation; the HAVING mirrors the n >= 2 filter. */

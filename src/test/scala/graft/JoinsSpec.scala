@@ -52,6 +52,20 @@ class JoinsSpec extends SparkTestBase {
     }
   }
 
+  test("jn01 entry query joins and aggregates with zero exchanges") {
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force sort-merge so the bucket layout, not a broadcast, carries
+    // the co-location (the graded query leaves the default; either way
+    // the group key is the streamed side's, so the agg never shuffles)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.queries.Relational.queries("jn01_bucketed_join")(spark, sfDir)
+      assert(q.count() > 0)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
   test("approx distinct is within the requested error of exact") {
     val docs = Tables.documents(spark, sfDir)
     val row = Joins.approxDistinct(docs, "text", 0.05).collect().head

@@ -115,16 +115,37 @@ class OpsSpec extends SparkTestBase {
       .select(transform($"embedding", _.cast("double")))
       .as[Seq[Double]].head()
     val model = Clustering.kmeans(corpus, "vec_id", "embedding", 64, 8, 2)
-    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-    Clustering.writePartitionedByCell(corpus, "vec_id", "embedding", model, path)
-    val served = Clustering.ivfTopKServed(spark, path, model, qv, 5, nProbe = 2)
-    val direct = Clustering.ivfTopK(corpus, "vec_id", "embedding", model, qv, 5, nProbe = 2)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    assert(served.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == direct)
-    // the probe set must reach the scan as a partition-pruning predicate
-    val scan = served.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("cell"), scan)
-    assert(!scan.contains("PartitionFilters: []"), scan)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf")
+    try {
+      val path = dir.toString
+      Clustering.writePartitionedByCell(corpus, "vec_id", "embedding", model, path)
+      val served = Clustering.ivfTopKServed(spark, path, model, qv, 5, nProbe = 2)
+      val direct = Clustering.ivfTopK(corpus, "vec_id", "embedding", model, qv, 5, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(served.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == direct)
+      // the probe set must reach the scan as a partition-pruning predicate
+      val scan = served.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("cell"), scan)
+      assert(!scan.contains("PartitionFilters: []"), scan)
+    } finally { // don't leak a layout directory per test run
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("ss07 entry query: served layout is partition-pruned and equals the direct IVF path") {
+    val served = graft.queries.OpsQueries.queries("ss07_ivf_served")(spark, sfDir)
+    val rows = served.collect().toSeq // execute first so AQE finalizes the plan
+    val direct = graft.queries.OpsQueries.queries("ss04_ivf_topk")(spark, sfDir)
+      .collect().toSeq
+    assert(rows == direct)
+    // the probe set must reach the layout scan as a partition-pruning
+    // predicate — the property that makes the served path read nProbe
+    // cell directories instead of the corpus
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    assert(!plan.contains("PartitionFilters: []"), plan)
   }
 
   test("IVF ANN recall@5 vs exact top-k stays pinned") {
@@ -254,6 +275,39 @@ class OpsSpec extends SparkTestBase {
     import scala.jdk.CollectionConverters._
     val observed = sizes.value.asScala.toSeq
     assert(observed.nonEmpty && observed.max <= 100000 && observed.contains(7))
+  }
+
+  test("png_ihdr decodes real ImageIO PNGs and rejects junk/truncated bytes") {
+    import graft.functions.exprs
+    def realPng(w: Int, h: Int, imgType: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos))
+      baos.toByteArray
+    }
+    val rgb = realPng(37, 23, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val argb = realPng(640, 480, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val rows = Seq(
+      (1L, rgb),                      // truecolor (color type 2)
+      (2L, argb),                     // truecolor + alpha (color type 6)
+      (3L, "not a png".getBytes),     // junk
+      (4L, rgb.take(20)),             // truncated mid-IHDR
+      (5L, Array[Byte]()))            // empty
+      .toDF("id", "payload")
+      .select($"id", exprs.png_ihdr($"payload").as("f"))
+      .orderBy("id")
+      .collect()
+    val byId = rows.map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    assert(byId(1L).map(s => (s.getInt(0), s.getInt(1), s.getInt(2), s.getInt(3)))
+      .contains((37, 23, 8, 2)))
+    assert(byId(2L).map(s => (s.getInt(0), s.getInt(1), s.getInt(2), s.getInt(3)))
+      .contains((640, 480, 8, 6)))
+    assert(byId(3L).isEmpty && byId(4L).isEmpty && byId(5L).isEmpty)
+    // the encode twin round-trips through the same decoder
+    val rt = spark.range(1).select(exprs.png_ihdr(
+        graft.ops.Multimodal.pngIhdrBytes(lit(300), lit(77), lit(16), lit(4))).as("f"))
+      .select("f.*").collect().head
+    assert((rt.getInt(0), rt.getInt(1), rt.getInt(2), rt.getInt(3)) == (300, 77, 16, 4))
   }
 
   test("multimodal stub decode produces the contracted feature shape") {

@@ -56,12 +56,12 @@ class SketchSpec extends SparkTestBase {
     val toks = (1 to 40).flatMap(i => Seq.fill(1500 / i)(s"tok$i"))
     val df = rnd.shuffle(toks).toDF("tok")
     def counters(parts: Int) =
-      Sketches.countMinBuild(df.repartition(parts), "tok", 4, 64)
+      Sketches.countMinBuild(df.repartition(parts), "tok", 4, 64).counters
         .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(counters(1) == counters(13)) // merge = single pass, exactly
     val exact = df.groupBy($"tok").agg(count(lit(1)).as("exact"))
     val est = Sketches.countMinEstimate(
-        Sketches.countMinBuild(df, "tok", 4, 64), exact, "tok", 4, 64)
+        Sketches.countMinBuild(df, "tok", 4, 64), exact, "tok")
       .join(exact, "tok")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(est.nonEmpty)

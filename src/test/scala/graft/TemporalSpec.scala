@@ -74,6 +74,27 @@ class TemporalSpec extends SparkTestBase {
       Temporal.bandedIntervalSelfJoin(df, "k", "t", "id", 0L))
   }
 
+  test("salted asofJoin equals the unsalted join on a hot key") {
+    // 90% of left rows share key 7 — the documented skew shape the
+    // saltBuckets mitigation exists for; results must be identical
+    val rnd = new scala.util.Random(9)
+    val left = (0 until 2000).map(i =>
+      (i.toLong, if (i % 10 == 0) i % 5L else 7L, rnd.nextInt(100).toLong))
+      .toDF("id", "k", "t")
+    val right = randomEvents(10, 300, 8, 100)
+    def res(buckets: Int) =
+      Temporal.asofJoin(left, right, "k", "t", "k", "t", rightTiebreak = "id",
+          saltBuckets = buckets)
+        .select($"id", $"asof.id".as("rid"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+    val unsalted = res(1)
+    assert(res(4) == unsalted)
+    assert(unsalted.values.count(_ >= 0) > 0) // the fixture actually matches
+    intercept[IllegalArgumentException](
+      Temporal.asofJoin(left, right, "k", "t", "k", "t", "id", saltBuckets = 0))
+  }
+
   test("asofJoin plans exactly one exchange (sort-merge shape, no per-row probe)") {
     val left = randomEvents(4, 200, 5, 50)
     val right = randomEvents(5, 200, 5, 50)
