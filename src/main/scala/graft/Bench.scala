@@ -34,7 +34,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.queries("iq01_scan_project")(spark, sfDir).count()
     catch { case _: Throwable => }
+    // optional comma-separated name-prefix filter, for iterating on one
+    // query family locally; the driver never sets it (full run)
+    val prefixes = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => prefixes.forall(_.exists(n.startsWith)))
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
     val samples: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
       names.map { name =>

@@ -34,7 +34,10 @@ object Relational {
     * TakeOrderedAndProject — no global sort at scale. */
   private val iq01: Q = (s, d) =>
     Tables.lineitem(s, d)
-      .sort($"l_orderkey", $"l_linenumber")
+      // the synthetic (l_orderkey, l_linenumber) is NOT unique, so the
+      // projected columns join the sort: engines may break residual ties
+      // differently, but tied rows are then value-identical in the output
+      .sort($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
       .limit(100)
       .select("l_orderkey", "l_partkey", "l_quantity")
 
@@ -160,7 +163,8 @@ object Relational {
     val avgQ = l.agg(avg($"l_quantity").as("avg_q"))
     l.crossJoin(broadcast(avgQ))
       .filter($"l_quantity" > $"avg_q")
-      .sort($"l_orderkey", $"l_linenumber")
+      // l_quantity completes the order: (orderkey, linenumber) is not unique
+      .sort($"l_orderkey", $"l_linenumber", $"l_quantity")
       .limit(100)
       .select("l_orderkey", "l_quantity")
   }
@@ -243,7 +247,8 @@ object Relational {
         round($"l_extendedprice" * 0.01 + 1000.0, 2).as("scaled"),
         round(sqrt($"l_quantity"), 4).as("sq"),
         (abs($"l_discount" - 0.05) > 0.001).as("far"))
-      .sort($"l_orderkey", $"l_linenumber")
+      // raw inputs complete the order: (orderkey, linenumber) is not unique
+      .sort($"l_orderkey", $"l_linenumber", $"scaled", $"sq", $"far")
       .limit(100)
 
   /** IQ-23 CAST / CASE (mirrors reference's implicit widening casts, P2).
@@ -253,9 +258,12 @@ object Relational {
       .select(
         $"l_orderkey",
         $"l_quantity".cast("bigint").as("q"),
-        when($"l_returnflag" === "R", "ret").otherwise("ok").as("f"))
-      .sort($"l_orderkey", $"l_linenumber")
+        when($"l_returnflag" === "R", "ret").otherwise("ok").as("f"),
+        $"l_linenumber")
+      // output columns complete the order: (orderkey, linenumber) is not unique
+      .sort($"l_orderkey", $"l_linenumber", $"q", $"f")
       .limit(100)
+      .select($"l_orderkey", $"q", $"f")
 
   /** IQ-24 CTE + HAVING: filter on the unrounded aggregate, round on
     * output. */
@@ -420,7 +428,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "iq01_scan_project" ->
-      "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity LIMIT 100",
     "iq02_filter" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 30 AND (l_returnflag = 'R' OR l_linestatus = 'F') ORDER BY l_orderkey, l_linenumber LIMIT 100",
     "iq03_hash_agg" ->
@@ -446,7 +454,7 @@ object Relational {
     "iq13_theta_join" ->
       "SELECT n1.n_name AS a, n2.n_name AS b FROM nation n1 JOIN nation n2 ON n1.n_regionkey=n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey ORDER BY a, b",
     "iq14_scalar_subquery" ->
-      "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem) ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem) ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100",
     "iq15_rank_window" ->
       "SELECT * FROM (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rn LIMIT 200",
     "iq16_frame_window" ->
@@ -462,9 +470,9 @@ object Relational {
     "iq21_date_fns" ->
       "SELECT o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y, CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m, o_orderdate + INTERVAL 30 DAY AS due FROM orders ORDER BY o_orderkey LIMIT 100",
     "iq22_math_fns" ->
-      "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice*0.01 + 1000.0, 2) AS scaled, ROUND(SQRT(l_quantity),4) AS sq, ABS(l_discount-0.05) > 0.001 AS far FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice*0.01 + 1000.0, 2) AS scaled, ROUND(SQRT(l_quantity),4) AS sq, ABS(l_discount-0.05) > 0.001 AS far FROM lineitem ORDER BY l_orderkey, l_linenumber, scaled, sq, far LIMIT 100",
     "iq23_cast_case" ->
-      "SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS q, CASE WHEN l_returnflag='R' THEN 'ret' ELSE 'ok' END AS f FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      "SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS q, CASE WHEN l_returnflag='R' THEN 'ret' ELSE 'ok' END AS f FROM lineitem ORDER BY l_orderkey, l_linenumber, q, f LIMIT 100",
     "iq24_cte_having" ->
       "WITH t AS (SELECT o_custkey, SUM(o_totalprice) AS s_raw FROM orders GROUP BY o_custkey) SELECT o_custkey, ROUND(s_raw,2) AS s FROM t WHERE s_raw > 100000 ORDER BY o_custkey LIMIT 100",
     "iq25_percentile" ->

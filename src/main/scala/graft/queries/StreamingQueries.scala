@@ -18,10 +18,25 @@ object StreamingQueries {
   /** Stateful micro-batch queries pay a per-partition constant (state
     * store open/commit/snapshot) per batch that dwarfs the data at test
     * scale and is pure overhead even at 100 TB unless the state itself is
-    * large. 8 state partitions instead of the session's 32 cuts that 4×;
-    * the count is fixed into the (fresh) checkpoint at query start, so it
-    * cannot disagree with a prior run. */
-  private val streamStatePartitions = "8"
+    * large. 4 state partitions instead of the session's 32 cuts that 8×
+    * (a stream-stream join opens FOUR stores per partition per side, so
+    * st04 alone drops 224 store lifecycles per batch); the count is fixed
+    * into the (fresh) checkpoint at query start, so it cannot disagree
+    * with a prior run. Results are partition-count invariant — pinned by
+    * the DuckDB oracles. */
+  private val streamStatePartitions = "4"
+
+  /** Checkpoints (offset/commit logs + every state-store delta file, all
+    * fsync-heavy) go to tmpfs when the host has one — a run-to-completion
+    * memory-sink query needs no durability, and the default disk-backed
+    * temp dir charges each micro-batch a filesystem round trip. Falls
+    * back to the JVM temp dir elsewhere. */
+  private val ckptBase: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      Some(shm)
+    else None
+  }
 
   private def runToCompletion(df: DataFrame, name: String,
       mode: String): DataFrame = {
@@ -35,15 +50,24 @@ object StreamingQueries {
     // it past any realistic run length keeps it from racing the timed
     // region and showing up as ±0.3 s bench jitter
     spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "10m")
+    val ckptDir = ckptBase.map(base =>
+      java.nio.file.Files.createTempDirectory(base, s"graft_ckpt_$name"))
     try {
-      val q = df.writeStream
+      val writer = df.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
-        .start()
+      ckptDir.foreach(p => writer.option("checkpointLocation", p.toString))
+      val q = writer.start()
       try q.processAllAvailable() finally q.stop()
     } finally {
+      ckptDir.foreach { p => // explicit checkpoints aren't force-deleted
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        catch { case _: Exception => } // best-effort tmpfs cleanup
+      }
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       prevMaint match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", v)
