@@ -67,8 +67,11 @@ object Multimodal {
       lit("0000000D"),         // IHDR chunk length = 13
       lit("49484452"),         // "IHDR"
       hex8(width), hex8(height),
-      lpad(hex(bitDepth.cast("int")), 2, "0"),
-      lpad(hex(colorType.cast("int")), 2, "0"),
+      // masked to the field width: Spark lpad KEEPS THE FIRST len chars of
+      // an over-long string, so an unmasked out-of-range value would
+      // silently encode its top nibbles instead of erroring
+      lpad(hex(bitDepth.cast("int").bitwiseAND(lit(0xff))), 2, "0"),
+      lpad(hex(colorType.cast("int").bitwiseAND(lit(0xff))), 2, "0"),
       lit("000000"),           // compression, filter, interlace
       lit("00000000")))        // CRC (zeroed)
 

@@ -71,13 +71,14 @@ object Temporal {
     // a null rightTime would sort to the head of its key partition and be
     // carried forward as a "match"; SQL `<=` never matches null, so drop
     val rightNonNull = right.where(col(rightTime).isNotNull)
-    // left salt is a deterministic content hash (identical rows land in
-    // the same bucket, which is harmless — each bucket holds every right
-    // row of the key); right rows replicate across all buckets
+    // left salt is a deterministic hash of (key, time): time varies
+    // within a hot key so rows spread uniformly, equal-(key,time) rows
+    // sharing a bucket is harmless (each bucket holds every right row of
+    // the key), and primitive inputs avoid both full-row hashing cost and
+    // xxhash64's MapType-column rejection on wide production schemas
     val lSalt =
       if (saltBuckets == 1) lit(0)
-      else pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)),
-        lit(saltBuckets)).cast("int")
+      else pmod(xxhash64(col(leftKey), col(leftTime)), lit(saltBuckets)).cast("int")
     val rSalt =
       if (saltBuckets == 1) lit(0)
       else explode(array((0 until saltBuckets).map(lit): _*))

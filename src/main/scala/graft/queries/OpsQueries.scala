@@ -180,16 +180,20 @@ object OpsQueries {
     * per query would benchmark index construction, not search. */
   private val kmeansModels =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+  /** The ss04/ss07 coarse quantizer, trained once per dataset dir — ONE
+    * definition so the direct and served paths can never fit diverging
+    * models against the shared oracle. */
+  private def ivfModel(s: SparkSession, d: String): Seq[(Int, Seq[Double])] =
+    kmeansModels.computeIfAbsent(d,
+      _ => Clustering.kmeans(Tables.embeddings(s, d).filter($"vec_id" =!= 0),
+        "vec_id", "embedding", 64, Ss04Cells, Ss04Iters))
   private val ss04: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     val qv = e.filter($"vec_id" === 0)
       .select(transform($"embedding", _.cast("double")))
       .collect().head.getSeq[Double](0)
-    val centroids = kmeansModels.computeIfAbsent(d,
-      _ => Clustering.kmeans(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
-        64, Ss04Cells, Ss04Iters))
     Clustering.ivfTopK(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
-        centroids, qv, 5, nProbe = Ss04Probe)
+        ivfModel(s, d), qv, 5, nProbe = Ss04Probe)
       .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
   }
 
@@ -211,17 +215,11 @@ object OpsQueries {
     val qv = e.filter($"vec_id" === 0)
       .select(transform($"embedding", _.cast("double")))
       .collect().head.getSeq[Double](0)
-    val centroids = kmeansModels.computeIfAbsent(d,
-      _ => Clustering.kmeans(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
-        64, Ss04Cells, Ss04Iters))
+    val centroids = ivfModel(s, d)
     val path = servedLayouts.computeIfAbsent(d, { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf_served")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import scala.jdk.CollectionConverters._
-        try java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        catch { case _: Exception => } // best-effort temp cleanup
-      }))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.Fs.deleteRecursively(dir)))
       Clustering.writePartitionedByCell(
         e.filter($"vec_id" =!= 0), "vec_id", "embedding", centroids, dir.toString)
       dir.toString

@@ -348,7 +348,10 @@ object Relational {
     * [[graft.ops.Joins.writeBucketed]]. Existence is checked in the
     * session catalog (not a static map), so a fresh session rebuilds and
     * a later query in the same session reuses. Table names carry the
-    * dataset dir so sf0.001/sf0.01/sf0.1 never collide. */
+    * dataset dir so sf0.001/sf0.01/sf0.1 never collide. Assumes the
+    * dataset dir is immutable while a session lives (driver testdata is)
+    * and one JVM per working dir at a time (the driver's run shape) —
+    * a regenerated dataset needs a fresh session to re-bucket. */
   private def jn01Tables(s: SparkSession, d: String): (String, String) = synchronized {
     val key = d.replaceAll("[^A-Za-z0-9]", "_")
     val lTab = s"graft_jn_lineitem$key"

@@ -33,9 +33,15 @@ object StreamingQueries {
     * back to the JVM temp dir elsewhere. */
   private val ckptBase: Option[java.nio.file.Path] = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-      Some(shm)
-    else None
+    try {
+      // containers commonly cap /dev/shm at 64 MB — a filled tmpfs would
+      // fail queries mid-batch that the disk-backed default handles, so
+      // only route there with ample headroom
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm) &&
+          java.nio.file.Files.getFileStore(shm).getUsableSpace > (4L << 30))
+        Some(shm)
+      else None
+    } catch { case _: Exception => None }
   }
 
   private def runToCompletion(df: DataFrame, name: String,
@@ -62,12 +68,8 @@ object StreamingQueries {
       val q = writer.start()
       try q.processAllAvailable() finally q.stop()
     } finally {
-      ckptDir.foreach { p => // explicit checkpoints aren't force-deleted
-        import scala.jdk.CollectionConverters._
-        try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        catch { case _: Exception => } // best-effort tmpfs cleanup
-      }
+      // explicit checkpoints aren't force-deleted; best-effort tmpfs cleanup
+      ckptDir.foreach(graft.Fs.deleteRecursively)
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       prevMaint match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", v)

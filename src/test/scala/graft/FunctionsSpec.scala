@@ -20,6 +20,21 @@ class FunctionsSpec extends SparkTestBase {
     assert(HashUtil.rollingHash(UTF8String.fromString("abc")) == ref("abc"))
   }
 
+  test("png_ihdr: interpreted eval agrees with the codegen DataFrame path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val png = graft.ops.Multimodal.pngIhdrBytes(lit(300), lit(77), lit(8), lit(2))
+    val viaCodegen = spark.range(1).select(exprs.png_ihdr(png).as("f"))
+      .select("f.*").collect().head
+    val bytes = spark.range(1).select(png.as("p")).collect().head.getAs[Array[Byte]](0)
+    val interp = graft.functions.PngIhdr(Literal(bytes, BinaryType))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert((viaCodegen.getInt(0), viaCodegen.getInt(1), viaCodegen.getInt(2), viaCodegen.getInt(3))
+      == ((interp.getInt(0), interp.getInt(1), interp.getInt(2), interp.getInt(3))))
+    assert(graft.functions.PngIhdr(Literal(Array[Byte](1, 2, 3), BinaryType)).eval(null) == null)
+    assert(graft.functions.PngIhdr(Literal(null, BinaryType)).eval(null) == null)
+  }
+
   test("rolling_hash is null-safe") {
     val got = Seq[Option[String]](Some("x"), None).toDF("s")
       .select(exprs.rolling_hash(col("s")).as("h"))

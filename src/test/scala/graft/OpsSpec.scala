@@ -127,11 +127,7 @@ class OpsSpec extends SparkTestBase {
       val scan = served.queryExecution.executedPlan.toString
       assert(scan.contains("PartitionFilters") && scan.contains("cell"), scan)
       assert(!scan.contains("PartitionFilters: []"), scan)
-    } finally { // don't leak a layout directory per test run
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally Fs.deleteRecursively(dir) // don't leak a layout dir per run
   }
 
   test("ss07 entry query: served layout is partition-pruned and equals the direct IVF path") {
@@ -218,6 +214,18 @@ class OpsSpec extends SparkTestBase {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"), s"$name plans an all-pairs join:\n$plan")
+    }
+  }
+
+  test("near-dup pipelines run the shingle kernel only inside the materialized frames") {
+    // the hashed-shingle frame is checkpointed once per side; if the
+    // kernel ever leaks back into the executed plan, some stage is
+    // recomputing the shingle pipeline instead of reading the frame
+    for (name <- Seq("dd03_minhash_lsh", "dd09_incremental_dedup")) {
+      val plan = graft.queries.OpsQueries.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("graft_shingle_hash_set"),
+        s"$name recomputes shingles in-plan:\n$plan")
     }
   }
 
