@@ -78,8 +78,11 @@ class TemporalSpec extends SparkTestBase {
     // 90% of left rows share key 7 — the documented skew shape the
     // saltBuckets mitigation exists for; results must be identical
     val rnd = new scala.util.Random(9)
+    // includes null left times (match nothing) — the null path must keep
+    // behaving identically under salting
     val left = (0 until 2000).map(i =>
-      (i.toLong, if (i % 10 == 0) i % 5L else 7L, rnd.nextInt(100).toLong))
+      (i.toLong, if (i % 10 == 0) i % 5L else 7L,
+        if (i % 17 == 0) None else Some(rnd.nextInt(100).toLong)))
       .toDF("id", "k", "t")
     val right = randomEvents(10, 300, 8, 100)
     def res(buckets: Int) =
