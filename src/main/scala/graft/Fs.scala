@@ -2,6 +2,26 @@ package graft
 
 /** Tiny filesystem helpers shared by the query layer and tests. */
 object Fs {
+  /** A tmpfs base for ephemeral scratch (streaming checkpoints, serving
+    * layouts) when the host has one with ample headroom — containers
+    * commonly cap /dev/shm at 64 MB, and a filled tmpfs would fail jobs
+    * the disk-backed default handles, hence the 4 GiB guard. */
+  val fastTempBase: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    try {
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm) &&
+          java.nio.file.Files.getFileStore(shm).getUsableSpace > (4L << 30))
+        Some(shm)
+      else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Temp dir under [[fastTempBase]] when available, else the default. */
+  def scratchDir(prefix: String): java.nio.file.Path =
+    fastTempBase match {
+      case Some(base) => java.nio.file.Files.createTempDirectory(base, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
   /** Best-effort recursive delete (children before parents); quiet on
     * races — a vanished temp/checkpoint dir is never worth failing a
     * query or a bench run over. */

@@ -217,7 +217,7 @@ object OpsQueries {
       .collect().head.getSeq[Double](0)
     val centroids = ivfModel(s, d)
     val path = servedLayouts.computeIfAbsent(d, { _ =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_served")
+      val dir = graft.Fs.scratchDir("graft_ivf_served")
       Runtime.getRuntime.addShutdownHook(
         new Thread(() => graft.Fs.deleteRecursively(dir)))
       Clustering.writePartitionedByCell(
@@ -389,11 +389,13 @@ object OpsQueries {
       (lit(16) + ($"doc_id" * 7) % 64).cast("int").as("h"),
       lit(8).as("bd"),
       when($"doc_id" % 2 === 0, 2).otherwise(6).as("ct"))
+    val payload = Multimodal.pngIhdrBytes($"w", $"h", $"bd", $"ct")
     dims
       .select($"doc_id",
-        graft.functions.exprs.png_ihdr(
-          Multimodal.pngIhdrBytes($"w", $"h", $"bd", $"ct")).as("f"),
-        graft.functions.exprs.png_ihdr(lit("junk, not a png").cast("binary"))
+        graft.functions.exprs.png_ihdr(payload).as("f"),
+        // per-row corruption (truncated mid-IHDR), NOT a foldable literal:
+        // every row exercises the decoder's reject path at runtime
+        graft.functions.exprs.png_ihdr(substring(payload, 1, 20))
           .isNull.as("rejects_junk"))
       .select($"doc_id", $"f.width".as("width"), $"f.height".as("height"),
         $"f.bit_depth".as("bit_depth"), $"f.color_type".as("color_type"),

@@ -27,22 +27,11 @@ object StreamingQueries {
   private val streamStatePartitions = "4"
 
   /** Checkpoints (offset/commit logs + every state-store delta file, all
-    * fsync-heavy) go to tmpfs when the host has one — a run-to-completion
-    * memory-sink query needs no durability, and the default disk-backed
-    * temp dir charges each micro-batch a filesystem round trip. Falls
-    * back to the JVM temp dir elsewhere. */
-  private val ckptBase: Option[java.nio.file.Path] = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    try {
-      // containers commonly cap /dev/shm at 64 MB — a filled tmpfs would
-      // fail queries mid-batch that the disk-backed default handles, so
-      // only route there with ample headroom
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm) &&
-          java.nio.file.Files.getFileStore(shm).getUsableSpace > (4L << 30))
-        Some(shm)
-      else None
-    } catch { case _: Exception => None }
-  }
+    * fsync-heavy) go to tmpfs when the host has one ([[graft.Fs]]) — a
+    * run-to-completion memory-sink query needs no durability, and the
+    * default disk-backed temp dir charges each micro-batch a filesystem
+    * round trip. Falls back to the JVM temp dir elsewhere. */
+  private val ckptBase: Option[java.nio.file.Path] = graft.Fs.fastTempBase
 
   private def runToCompletion(df: DataFrame, name: String,
       mode: String): DataFrame = {

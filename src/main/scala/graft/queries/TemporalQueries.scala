@@ -70,7 +70,11 @@ object TemporalQueries {
     * same one-shuffle as-of join as tp01: the user list and grid are
     * tiny (broadcast cross product), so at 100 TB the cost is the as-of
     * shuffle on (user, time) alone — grid density scales the output,
-    * not the shuffle of the event side. */
+    * not the shuffle of the event side. The left side is 10 keys × the
+    * whole grid — exactly the few-hot-keys shape — so this entry runs
+    * the saltBuckets mitigation, and the (unchanged) oracle pins that
+    * the salted plan is result-identical. */
+  private final val Tp03Salt = 4
   private val tp03: Q = (s, d) => {
     val ev = Tables.events(s, d)
     val clicks = ev.filter($"event_type" === "click")
@@ -86,7 +90,8 @@ object TemporalQueries {
       .select(explode(when(gridLo <= gridHi,
         sequence(gridLo, gridHi, lit(Tp03HourUs)))).as("grid_us"))
     Temporal.asofJoin(broadcast(users).crossJoin(broadcast(grid)), clicks,
-        "user_id", "grid_us", "user_id", "t_us", rightTiebreak = "event_id")
+        "user_id", "grid_us", "user_id", "t_us", rightTiebreak = "event_id",
+        saltBuckets = Tp03Salt)
       .select($"user_id", $"grid_us",
         $"asof.event_id".as("click_id"), $"asof.value".as("value"))
       .sort($"user_id", $"grid_us")
