@@ -38,29 +38,22 @@ object Dedup {
         i => concat_ws(" ", slice(w, i, lit(n)))))
   }
 
-  /** Sorted distinct polynomial rolling hashes of the text's shingles —
-    * one fused codegen kernel (graft_shingle_hash_set) instead of the
-    * interpreted transform/concat/distinct chain, values identical to
-    * hashing the materialized shingle strings (oracle-reproducible). */
+  /** Sorted distinct polynomial rolling hashes of the text's shingles
+    * (feeding [[minhashSignatures]]) — one fused codegen kernel
+    * (graft_shingle_hash_set) instead of the interpreted
+    * transform/concat/distinct chain, values identical to hashing the
+    * materialized shingle strings (oracle-reproducible). */
   def shingleHashes(text: Column, n: Int = ShingleSize): Column =
     exprs.shingle_hash_set(tokens(text), n)
 
-  /** MinHash signature: for permutation i, min over shingle hashes h of
-    * (a_i*h + b_i) mod P — row-local form for small signature counts.
-    * The pairs pipeline uses the explode + partial-aggregate form instead
-    * (see [[minhashSignatures]]): array expressions inline under project
-    * collapse, and recomputing the shingle pipeline once per permutation
-    * is a 60× slowdown at scale. */
-  def minhashSignature(shingleHashes: Column, numHashes: Int = NumHashes): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleHashes,
-        h => (lit(hashA(i)) * h + lit(hashB(i))) % lit(Prime)))
-    }: _*)
-
-  /** MinHash signatures via explode + hash aggregate: each shingle hash is
-    * computed exactly once; map-side partial aggregation reduces every
-    * map partition to (id, 16 mins) before the shuffle, so the exchange
-    * carries one short row per doc — the plan that holds at 100 TB. */
+  /** MinHash signature table `(id, sig: array<bigint>)` via explode +
+    * hash aggregate: each shingle hash is computed exactly once;
+    * map-side partial aggregation reduces every map partition to
+    * (id, 16 mins) before the shuffle, so the exchange carries one short
+    * row per doc — the plan that holds at 100 TB. (A row-local
+    * `transform`+`array_min` form exists but inlines the whole shingle
+    * pipeline once per permutation under project collapse — a 60×
+    * slowdown — so this aggregate form is the only one shipped.) */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = NumHashes): DataFrame =
     signaturesFromHashes(

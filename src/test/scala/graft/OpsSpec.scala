@@ -217,6 +217,15 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("minhash signatures are partition-invariant (mergeable partial mins)") {
+    // the 100 TB shape rests on map-side partial min-aggregation merging
+    // exactly like a single pass, whatever the input partitioning
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(docs) == sigs(docs.repartition(17)))
+  }
+
   test("near-dup pipelines run the shingle kernel only inside the materialized frames") {
     // the hashed-shingle frame is checkpointed once per side; if the
     // kernel ever leaks back into the executed plan, some stage is
