@@ -127,6 +127,15 @@ class OpsSpec extends SparkTestBase {
       val scan = served.queryExecution.executedPlan.toString
       assert(scan.contains("PartitionFilters") && scan.contains("cell"), scan)
       assert(!scan.contains("PartitionFilters: []"), scan)
+      // and the pruning predicate admits at most nProbe of the 8 cells
+      // (inputFiles can't be used here: it lists the relation's files
+      // BEFORE partition pruning)
+      val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+      val admitted = "IN \\(([^)]*)\\)".r.findFirstMatchIn(pf)
+        .map(_.group(1).split(',').map(_.trim).toSet).getOrElse(Set.empty)
+      assert(admitted.nonEmpty && admitted.size <= 2,
+        s"PartitionFilters admits cells $admitted, expected <= 2 (nProbe): $pf")
     } finally Fs.deleteRecursively(dir) // don't leak a layout dir per run
   }
 

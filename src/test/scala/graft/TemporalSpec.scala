@@ -96,6 +96,12 @@ class TemporalSpec extends SparkTestBase {
     assert(unsalted.values.count(_ >= 0) > 0) // the fixture actually matches
     intercept[IllegalArgumentException](
       Temporal.asofJoin(left, right, "k", "t", "k", "t", "id", saltBuckets = 0))
+    // salting widens the partitioning key, it must not add a shuffle
+    val plan = Temporal.asofJoin(left, right, "k", "t", "k", "t",
+        rightTiebreak = "id", saltBuckets = 4)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
   }
 
   test("asofJoin plans exactly one exchange (sort-merge shape, no per-row probe)") {
