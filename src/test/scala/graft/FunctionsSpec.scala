@@ -82,6 +82,12 @@ class FunctionsSpec extends SparkTestBase {
     assert(r2.getSeq[Long](1).size == 2) // "a b", "b c"
     val r3 = spark.sql("SELECT graft_word_ngrams('a b a b', 2) AS wg").head()
     assert(r3.getSeq[String](0) == Seq("a b", "b a", "a b")) // repeats kept
+    // png_ihdr from SQL: junk → null, a real IHDR prefix → dimensions
+    val r4 = spark.sql(
+      "SELECT graft_png_ihdr(CAST('junk' AS BINARY)) AS j, " +
+        "graft_png_ihdr(unhex('89504E470D0A1A0A0000000D49484452" +
+        "0000012C0000004D0802000000DEADBEEF')).width AS w").head()
+    assert(r4.isNullAt(0) && r4.getInt(1) == 300)
   }
 
   test("token_stats matches the unfused split-based formulas exactly") {
