@@ -15,13 +15,6 @@ object Fs {
       else None
     } catch { case _: Exception => None }
   }
-
-  /** Temp dir under [[fastTempBase]] when available, else the default. */
-  def scratchDir(prefix: String): java.nio.file.Path =
-    fastTempBase match {
-      case Some(base) => java.nio.file.Files.createTempDirectory(base, prefix)
-      case None => java.nio.file.Files.createTempDirectory(prefix)
-    }
   /** Best-effort recursive delete (children before parents); quiet on
     * races — a vanished temp/checkpoint dir is never worth failing a
     * query or a bench run over. */

@@ -216,8 +216,11 @@ object OpsQueries {
       .select(transform($"embedding", _.cast("double")))
       .collect().head.getSeq[Double](0)
     val centroids = ivfModel(s, d)
+    // disk-backed temp, NOT Fs.fastTempBase: the layout lives until JVM
+    // exit, and a long-lived artifact sharing tmpfs with the streaming
+    // checkpoints could starve them after the one-shot headroom check
     val path = servedLayouts.computeIfAbsent(d, { _ =>
-      val dir = graft.Fs.scratchDir("graft_ivf_served")
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_served")
       Runtime.getRuntime.addShutdownHook(
         new Thread(() => graft.Fs.deleteRecursively(dir)))
       Clustering.writePartitionedByCell(

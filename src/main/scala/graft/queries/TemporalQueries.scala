@@ -62,6 +62,9 @@ object TemporalQueries {
   /** tp03's grid step: hourly resampling. */
   private final val Tp03HourUs = 3600L * 1000000L
 
+  /** tp03's salt width (its left side is 10 hot keys × the whole grid). */
+  private final val Tp03Salt = 4
+
   /** tp03: grid resampling with last-observation-carried-forward — for
     * the 10 lowest-id users with clicks, each user's latest click value
     * sampled at every hour boundary of the table's time span (null
@@ -74,7 +77,6 @@ object TemporalQueries {
     * whole grid — exactly the few-hot-keys shape — so this entry runs
     * the saltBuckets mitigation, and the (unchanged) oracle pins that
     * the salted plan is result-identical. */
-  private final val Tp03Salt = 4
   private val tp03: Q = (s, d) => {
     val ev = Tables.events(s, d)
     val clicks = ev.filter($"event_type" === "click")
