@@ -207,7 +207,11 @@ object OpsQueries {
     * what this entry adds is the pruned-scan plan, pinned by OpsSpec's
     * PartitionFilters assertion. The layout is built once per dataset
     * (an index is written once and served for many queries) into a
-    * temp dir cleaned up on JVM exit. */
+    * temp dir cleaned up on JVM exit. Like jn01's bucketed tables, the
+    * cache assumes the dataset dir is IMMUTABLE while the session lives
+    * (the driver's one-JVM-per-workdir shape): regenerating the parquet
+    * under a live JVM would serve stale cells — restart the session (or
+    * clear the map) after rewriting a dataset. */
   private val servedLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ss07: Q = (s, d) => {
@@ -217,8 +221,8 @@ object OpsQueries {
       .collect().head.getSeq[Double](0)
     val centroids = ivfModel(s, d)
     // disk-backed temp, NOT Fs.fastTempBase: the layout lives until JVM
-    // exit, and a long-lived artifact sharing tmpfs with the streaming
-    // checkpoints could starve them after the one-shot headroom check
+    // exit, and a long-lived artifact squatting on tmpfs would eat the
+    // headroom the streaming checkpoints re-check per query
     val path = servedLayouts.computeIfAbsent(d, { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf_served")
       Runtime.getRuntime.addShutdownHook(
@@ -407,6 +411,32 @@ object OpsQueries {
       .limit(200)
   }
 
+  /** mm04: REAL pixel decode through the batch seam — each document gets
+    * a solid-colour PNG (dimensions and colour derived from doc_id,
+    * encoded via ImageIO), and [[graft.ops.Multimodal.imageBatchDecode]]
+    * decodes it back with `ImageIO.read` inside
+    * [[graft.ops.Multimodal.decodeImages]], emitting width/height/pixel
+    * count/per-channel means. PNG is lossless and the colour is solid,
+    * so every output value is pure arithmetic in doc_id — the oracle
+    * restates it without touching an image library; any drift in the
+    * encoder, the codec round-trip, or the pixel loop breaks the hash.
+    * The whole path is partition-local (encode map → batched decode):
+    * no shuffle, so it scales with input splits. doc_id < 400 bounds
+    * the fixture cost, not the operator. */
+  private val mm04: Q = (s, d) => {
+    val dims = Tables.documents(s, d).filter($"doc_id" < 400).select($"doc_id",
+      (lit(4) + $"doc_id" % 13).cast("int").as("w"),
+      (lit(3) + ($"doc_id" * 5) % 11).cast("int").as("h"),
+      ($"doc_id" % 256).cast("int").as("r"),
+      (($"doc_id" * 3) % 256).cast("int").as("g"),
+      (($"doc_id" * 7) % 256).cast("int").as("b"))
+    val packed = Multimodal.encodeSolidPngs(dims, "doc_id", "w", "h", "r", "g", "b")
+    Multimodal.decodeImages(packed, "doc_id", "payload", 64)
+      .select($"id".as("doc_id"), $"width", $"height", $"px",
+        $"r_mean", $"g_mean", $"b_mean")
+      .sort($"doc_id")
+  }
+
   /** mm02: frame-sampling pipeline — every 10th document's payload,
     * aggregated per language (the video frame-sample shape on rows). */
   private val mm02: Q = (s, d) =>
@@ -447,6 +477,7 @@ object OpsQueries {
     "mm01_multimodal_stub" -> mm01,
     "mm02_frame_sampling" -> mm02,
     "mm03_png_decode" -> mm03,
+    "mm04_image_decode" -> mm04,
   )
 
   // ------------------------------------------------------------- oracles
@@ -1025,5 +1056,15 @@ object OpsQueries {
         "CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 6 END AS INTEGER) AS color_type, " +
         "TRUE AS rejects_junk " +
         "FROM documents ORDER BY doc_id LIMIT 200"),
+    // lossless codec + solid colour: pixel stats restate arithmetically
+    // from the same doc_id → (w, h, r, g, b) mapping the fixture uses
+    "mm04_image_decode" ->
+      ("SELECT doc_id, CAST(4 + doc_id % 13 AS INTEGER) AS width, " +
+        "CAST(3 + (doc_id * 5) % 11 AS INTEGER) AS height, " +
+        "CAST((4 + doc_id % 13) * (3 + (doc_id * 5) % 11) AS BIGINT) AS px, " +
+        "CAST(doc_id % 256 AS DOUBLE) AS r_mean, " +
+        "CAST((doc_id * 3) % 256 AS DOUBLE) AS g_mean, " +
+        "CAST((doc_id * 7) % 256 AS DOUBLE) AS b_mean " +
+        "FROM documents WHERE doc_id < 400 ORDER BY doc_id"),
   )
 }

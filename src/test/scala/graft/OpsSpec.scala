@@ -349,6 +349,71 @@ class OpsSpec extends SparkTestBase {
   }
 
   test("frame sampling stub keeps every Nth row") {
-    assert(Multimodal.sampleEvery(spark.range(100).toDF, "id", 10).count() == 10)
+    assert(Multimodal.sampleEvery(spark.range(100).toDF(), "id", 10).count() == 10)
+  }
+
+  test("stub decoders agree on NON-ASCII payloads: both sum raw bytes") {
+    // "é" is 2 bytes in UTF-8 (0xC3 0xA9) but 1 char / codepoint 233 —
+    // a codepoint-summing expression side would disagree with the
+    // byte-summing batch side on every row here
+    val rows = Seq((1L, "héllo wörld … ¤"), (2L, "日本語テキスト"), (3L, "plain ascii"))
+      .toDF("id", "text").withColumn("payload", $"text".cast("binary"))
+    val viaExpr = rows.select($"id", Multimodal.stubDecodeFeatures($"payload").as("f"))
+      .select($"id", $"f.byte_len".as("byte_len"), $"f.head_sum".as("head_sum"))
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val viaBatch = rows.select($"id", $"payload").as[(Long, Array[Byte])]
+      .collect().sortBy(_._1).toSeq
+      .map { case (id, b) =>
+        val d = Multimodal.stubBatchDecode(Seq((id, b))).head
+        (d.id, d.byte_len, d.head_sum)
+      }
+    assert(viaExpr == viaBatch)
+    // and the UTF-8 rows genuinely exercise the distinction
+    assert(viaExpr.head._2 > "héllo wörld … ¤".length)
+  }
+
+  test("image decode: solid PNG round-trip recovers exact dims and channel means") {
+    val png = Multimodal.encodeSolidPng(9, 5, 200, 30, 7)
+    val got = Multimodal.imageBatchDecode(Seq((42L, png)))
+    assert(got == Seq(Multimodal.ImageFeatures(42L, 9, 5, 45L, 200.0, 30.0, 7.0)))
+    // non-solid golden: 1 black + 1 white pixel → means are exactly 127.5
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(1, 0, 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    val mixed = Multimodal.imageBatchDecode(Seq((7L, out.toByteArray))).head
+    assert((mixed.r_mean, mixed.g_mean, mixed.b_mean) == (127.5, 127.5, 127.5))
+  }
+
+  test("image decode drops undecodable payloads instead of failing the batch") {
+    val png = Multimodal.encodeSolidPng(3, 3, 1, 2, 3)
+    val batch = Seq((1L, png), (2L, "junk bytes".getBytes("UTF-8")),
+      (3L, Array[Byte]()), (4L, png.take(30)))
+    val got = Multimodal.imageBatchDecode(batch)
+    assert(got.map(_.id) == Seq(1L))
+    // and through the distributed seam: poison rows cost rows, not the job
+    val df = batch.toDF("id", "payload")
+    val decoded = Multimodal.decodeImages(df, "id", "payload", 2)
+    assert(decoded.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("image decode through the seam is batch-size invariant") {
+    val dims = spark.range(1, 60).select($"id",
+      (lit(4) + $"id" % 13).cast("int").as("w"),
+      (lit(3) + ($"id" * 5) % 11).cast("int").as("h"),
+      ($"id" % 256).cast("int").as("r"),
+      (($"id" * 3) % 256).cast("int").as("g"),
+      (($"id" * 7) % 256).cast("int").as("b"))
+    val packed = Multimodal.encodeSolidPngs(dims, "id", "w", "h", "r", "g", "b")
+    val expected = (1L until 60L).map(i => Multimodal.ImageFeatures(
+      i, (4 + i % 13).toInt, (3 + (i * 5) % 11).toInt,
+      (4 + i % 13) * (3 + (i * 5) % 11),
+      (i % 256).toDouble, ((i * 3) % 256).toDouble, ((i * 7) % 256).toDouble))
+    for (bs <- Seq(1, 7, 100000)) {
+      val got = Multimodal.decodeImages(packed, "id", "payload", bs)
+        .as[Multimodal.ImageFeatures].collect().sortBy(_.id).toSeq
+      assert(got == expected, s"batchSize=$bs")
+    }
   }
 }
