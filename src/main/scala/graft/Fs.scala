@@ -5,8 +5,12 @@ object Fs {
   /** A tmpfs base for ephemeral scratch (streaming checkpoints, serving
     * layouts) when the host has one with ample headroom — containers
     * commonly cap /dev/shm at 64 MB, and a filled tmpfs would fail jobs
-    * the disk-backed default handles, hence the 4 GiB guard. */
-  val fastTempBase: Option[java.nio.file.Path] = {
+    * the disk-backed default handles, hence the 4 GiB guard. A `def`, not
+    * a `val`: the headroom is re-checked at every call (a cheap FileStore
+    * stat), so a tmpfs that fills MID-RUN — other processes, concurrent
+    * checkpoint trees — demotes later callers to the disk-backed default
+    * instead of failing them on a stale class-load-time answer. */
+  def fastTempBase: Option[java.nio.file.Path] = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     try {
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm) &&

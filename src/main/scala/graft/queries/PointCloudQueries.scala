@@ -246,6 +246,40 @@ object PointCloudQueries {
         max($"z").as("mxz"))
   }
 
+  /** pc11: the LAS source on the STREAMING surface — the same DSv2 table
+    * read through `readStream` micro-batches (PointCloudStream: each
+    * record-aligned file split becomes stream input), aggregated with a
+    * complete-mode group-by and run to completion via the st-queries'
+    * harness. The oracle computes the identical census from the parquet
+    * source, so a hash match proves the streaming read decodes exactly
+    * what the batch read does — ingest-as-it-lands over a growing LAS
+    * directory, which at 100 TB replaces "re-scan the corpus" with
+    * "process the new files". */
+  private val pc11: Q = (s, d) => {
+    val pts = Tables.lineitem(s, d).select(
+      ($"l_orderkey" % 1000000).cast("int").as("x"),
+      ($"l_partkey" % 1000000).cast("int").as("y"),
+      ($"l_suppkey" % 1000000).cast("int").as("z"),
+      ($"l_linenumber" % 32000).cast("short").as("intensity"),
+      (($"l_linenumber" % 7) + 1).cast("byte").as("flags"),
+      lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"),
+      lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    val dir = tmpDir("pc11", d)
+    pts.writeLas(dir, Map("scale" -> "0.001"))
+    val stream = s.readStream.format("las").load(dir)
+    val agg = stream.groupBy($"flags")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        min($"y").as("mny"), max($"y").as("mxy"),
+        sum($"intensity".cast("bigint")).as("si"))
+    StreamingQueries.runToCompletion(agg, "graft_pc11", "complete")
+      .select($"flags", $"n", $"sx", $"mny", $"mxy", $"si")
+      .sort($"flags")
+  }
+
   val queries: Map[String, Q] = Map(
     "pc01_las_roundtrip" -> pc01,
     "pc02_ply_roundtrip" -> pc02,
@@ -257,6 +291,7 @@ object PointCloudQueries {
     "pc08_voxel_covariance" -> pc08,
     "pc09_filtered_scan" -> pc09,
     "pc10_clustered_scan" -> pc10,
+    "pc11_streaming_scan" -> pc11,
   )
 
   val oracle: Map[String, String] = Map(
@@ -357,5 +392,14 @@ object PointCloudQueries {
         |FROM lineitem
         |WHERE (l_orderkey % 1000000) < 100000
         |  AND (l_partkey % 1000000) < 100000""".stripMargin,
+    "pc11_streaming_scan" ->
+      """SELECT CAST((l_linenumber % 7) + 1 AS TINYINT) AS flags,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | MIN(CAST(l_partkey % 1000000 AS INT)) AS mny,
+        | MAX(CAST(l_partkey % 1000000 AS INT)) AS mxy,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY flags""".stripMargin,
   )
 }

@@ -26,14 +26,16 @@ object StreamingQueries {
     * the DuckDB oracles. */
   private val streamStatePartitions = "4"
 
-  /** Checkpoints (offset/commit logs + every state-store delta file, all
-    * fsync-heavy) go to tmpfs when the host has one ([[graft.Fs]]) — a
+  /** Shared by the st-queries and pc11 (the streaming LAS read).
+    *
+    * Checkpoints (offset/commit logs + every state-store delta file, all
+    * fsync-heavy) go to tmpfs when the host has one with headroom
+    * ([[graft.Fs.fastTempBase]], re-checked per query so a tmpfs that
+    * fills mid-run demotes to disk instead of failing) — a
     * run-to-completion memory-sink query needs no durability, and the
     * default disk-backed temp dir charges each micro-batch a filesystem
     * round trip. Falls back to the JVM temp dir elsewhere. */
-  private val ckptBase: Option[java.nio.file.Path] = graft.Fs.fastTempBase
-
-  private def runToCompletion(df: DataFrame, name: String,
+  private[queries] def runToCompletion(df: DataFrame, name: String,
       mode: String): DataFrame = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -45,7 +47,7 @@ object StreamingQueries {
     // it past any realistic run length keeps it from racing the timed
     // region and showing up as ±0.3 s bench jitter
     spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "10m")
-    val ckptDir = ckptBase.map(base =>
+    val ckptDir = graft.Fs.fastTempBase.map(base =>
       java.nio.file.Files.createTempDirectory(base, s"graft_ckpt_$name"))
     try {
       val writer = df.writeStream
