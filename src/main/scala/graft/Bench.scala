@@ -7,8 +7,10 @@ import org.apache.spark.sql.SparkSession
   * structured result. Per-query time is the median of
   * SPARK_GRAFT_BENCH_RUNS passes (default 3, BASELINE.md protocol),
   * rounded to 1 ms to keep the line short. A short untimed warmup (one
-  * scan-shaped query) absorbs session/codegen startup; queries run in
-  * name order so round-over-round comparisons are stable. A query that
+  * scan-shaped query) absorbs session/codegen startup; each pass runs
+  * the queries in name order but starts at a rotated offset, so a load
+  * burst hits different queries in different passes (the reported
+  * per-query stats are position-independent). A query that
   * throws is reported in an "errors" object rather than silently timed —
   * breakage must never read as a fast run.
   *
@@ -33,12 +35,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated name-prefix filter, for iterating on one
-    // query family locally; the driver never sets it (full run). An empty
-    // or non-matching filter FAILS rather than writing a normal-looking
-    // zero-total artifact — breakage must never read as a fast run.
-    val prefixes = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
-      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-      .filter(_.nonEmpty)
+    // query family locally; the driver never sets it (full run). A set-
+    // but-effectively-empty (only commas/whitespace) or non-matching
+    // filter FAILS rather than silently running the full suite with no
+    // "filter" marker — breakage must never read as a fast run.
+    val prefixes = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map { raw =>
+      val ps = raw.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      require(ps.nonEmpty,
+        s"SPARK_GRAFT_BENCH_FILTER is set but names no prefix: '$raw'")
+      ps
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => prefixes.forall(_.exists(n.startsWith)))
     require(names.nonEmpty,
@@ -53,8 +59,14 @@ object Bench {
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => } // a broken query still errors in the timed loop
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
-    val samples: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
-      names.map { name =>
+    // each pass starts at a different point of the (sorted) name list, so
+    // a transient load burst lands on DIFFERENT queries in different
+    // passes and per-query min-of-N converges on the quiet value even
+    // when one whole pass is inflated (same-position rotation would
+    // instead tax the same queries every time the burst recurs)
+    val samples: Seq[Seq[(String, Double)]] = (0 until runs).map { k =>
+      val off = (k * names.size) / runs
+      (names.drop(off) ++ names.take(off)).map { name =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case t: Throwable => // recorded, never a fast "success" time
