@@ -13,8 +13,12 @@ object Joins {
     * plain inner join (the replicated side covers every salt).
     *
     * Use when AQE's skew-join split is not available (e.g. forced
-    * sort-merge, or skew inside a single key). The right side's size
-    * cost is ×buckets — keep it the dimension side.
+    * sort-merge, or skew inside a single key). Cost model: the right
+    * side shuffles ×buckets while the left pays nothing extra — profit
+    * when (hot-key left rows / buckets) dwarfs (right rows × buckets),
+    * so keep the replicated side the dimension side.
+    * [[graft.ops.Temporal.asofJoin]]'s `saltBuckets` applies the same
+    * mitigation (same cost model) to the as-of window partition.
     */
   def saltedJoin(
       left: DataFrame,

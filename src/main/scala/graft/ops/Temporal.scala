@@ -33,7 +33,18 @@ object Temporal {
     * ALL right rows of its key, so the running `last` sees exactly the
     * same candidates — results are identical to the unsalted join
     * (parity-pinned by TemporalSpec). Cost: the right side shuffles
-    * ×saltBuckets — use when left rows per hot key dwarf right rows.
+    * ×saltBuckets — use when left rows per hot key dwarf right rows
+    * (the same trade as [[graft.ops.Joins.saltedJoin]], which applies it
+    * to a plain equi-join). Caveat: the salt hashes (key, time) — kept
+    * deterministic ACROSS attempts on purpose, since a row whose bucket
+    * changed between stage retries could be lost or duplicated by the
+    * exchange — so the spread is only as good as the hot key's distinct
+    * time values. Coarse-truncated timestamps collapse toward fewer
+    * buckets (all-null times to one), degrading the mitigation toward
+    * the unsalted plan; correctness is unaffected. If a hot key's times
+    * are that coarse, pre-disambiguate the left time (e.g. add a
+    * per-row jitter column smaller than the comparison granularity)
+    * rather than hashing a nondeterministic id.
     *
     * Both time columns must share one type (use exact integer epochs,
     * not timestamps, when sub-second precision matters). Null keys group

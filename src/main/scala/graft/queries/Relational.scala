@@ -360,7 +360,12 @@ object Relational {
       if (!s.catalog.tableExists(tab)) {
         // the in-memory catalog is per-JVM but the warehouse dir is not:
         // a location left by a previous run makes CTAS refuse
-        // (LOCATION_ALREADY_EXISTS), so clear the stale artifact first
+        // (LOCATION_ALREADY_EXISTS), so clear the stale artifact first.
+        // SAFE ONLY under the one-JVM-per-working-dir assumption above:
+        // two concurrent JVMs sharing this warehouse would race the
+        // delete+CTAS (one could clobber the other's live table). A
+        // parallel harness must isolate warehouses (spark.sql.warehouse
+        // .dir per JVM) or serialize with a lock file before this runs.
         val loc = new org.apache.hadoop.fs.Path(
           s.sessionState.conf.warehousePath, tab.toLowerCase(java.util.Locale.ROOT))
         loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
