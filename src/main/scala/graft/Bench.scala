@@ -50,12 +50,14 @@ object Bench {
     require(names.nonEmpty,
       s"SPARK_GRAFT_BENCH_FILTER=${sys.env("SPARK_GRAFT_BENCH_FILTER")} matches no query")
     // untimed warmup: one scan-shaped query for session/codegen startup,
-    // plus the queries that build session-cached artifacts on first use
-    // (ss07's layout + model, jn01's bucketed tables) — otherwise the
-    // build cost lands inside timed run 1 and pollutes run_totals'
-    // load-divergence signal with a built-in false positive
+    // plus the queries that build cached artifacts on first use (ss07's
+    // layout + model, jn01's bucketed tables, pc10/pc11's build-once LAS
+    // layouts) — otherwise the build cost lands inside timed run 1 and
+    // pollutes run_totals' load-divergence signal with a built-in false
+    // positive
     for (w <- Seq("iq01_scan_project") ++ names.filter(n =>
-        n.startsWith("ss07") || n.startsWith("jn01") || n.startsWith("ss04")))
+        n.startsWith("ss07") || n.startsWith("jn01") || n.startsWith("ss04") ||
+        n.startsWith("pc10") || n.startsWith("pc11")))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => } // a broken query still errors in the timed loop
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -21,6 +21,9 @@ object Verify {
     // key silently vanishing (the round-5 tp01/tp02 incident).
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
+      // progress marker: lets driver-side warnings (task size, spills) be
+      // attributed to the query that produced them when reading the log
+      System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -347,16 +347,23 @@ class PointCloudScan(
     * partition per file. */
   override def planInputPartitions(): Array[InputPartition] = {
     val maxBytes = SQLConf.get.filesMaxPartitionBytes
+    // one rendered schema string per SECTION, shared by all its splits:
+    // StructType.json allocates a fresh String per call, and distinct
+    // instances defeat Java serialization's identity-based back-refs, so
+    // a task that carries many splits (coalesce/union) would otherwise
+    // serialize one full copy per split (observed as >1 MiB tasks)
+    val xyzSchemaJson = if (kind == FormatKind.Xyz) xyzTokenSchema.json else null
     val all: Array[InputPartition] = sections.flatMap { sf =>
       val s = sf.section
       if (kind == FormatKind.Xyz) {
-        Seq(XyzPartition(s.location, sf.fid, xyzTokenSchema.json))
+        Seq(XyzPartition(s.location, sf.fid, xyzSchemaJson))
       } else {
         val perPartition = math.max(1L, maxBytes / math.max(1, s.stride))
+        val schemaJson = s.schema.json
         (0L until s.count by perPartition).map { start =>
           val n = math.min(perPartition, s.count - start)
           BinaryPartition(s.location, s.offset, start, n, s.stride,
-            s.littleEndian, sf.fid, s.schema.json)
+            s.littleEndian, sf.fid, schemaJson)
         }
       }
     }.toArray

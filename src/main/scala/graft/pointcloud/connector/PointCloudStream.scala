@@ -75,10 +75,13 @@ class PointCloudMicroBatchStream(
       else try {
         provider.streamSections(path, options).flatMap { section =>
           val perPartition = math.max(1L, maxBytes / math.max(1, section.stride))
+          // render once per section: splits share the String instance so a
+          // multi-split task serializes one copy (see PointCloudScan)
+          val schemaJson = section.schema.json
           (0L until section.count by perPartition).map { startRec =>
             val n = math.min(perPartition, section.count - startRec)
             BinaryPartition(section.location, section.offset, startRec, n,
-              section.stride, section.littleEndian, fid, section.schema.json)
+              section.stride, section.littleEndian, fid, schemaJson)
           }
         }
       } catch {

@@ -26,6 +26,30 @@ object PointCloudQueries {
   private def tmpDir(name: String, sfDir: String): String =
     s"/tmp/graft_pc/${name}_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
 
+  /** Build-once fixture layout for queries whose GRADED operation is the
+    * read side (pc10's clustered scan, pc11's streaming ingest): the
+    * derived LAS layout is deterministic from the dataset dir, so it is
+    * built on first use and reused afterwards — repeated passes then
+    * measure the operator, not the fixture generator. A marker file
+    * written only after the write commits makes reuse safe across JVMs
+    * (Verify, then Bench); a crashed partial build leaves no marker and
+    * is rebuilt in overwrite mode. Same contract as ss07's served
+    * layouts and jn01's warehouse: the dataset dir is immutable while
+    * layouts exist, and one JVM builds at a time (the round driver's
+    * shape — a parallel harness would need a lock here). */
+  private def layoutOnce(name: String, sfDir: String)(build: String => Unit): String = {
+    val dir = tmpDir(name, sfDir)
+    // bump the version whenever a layout's fixture definition changes:
+    // /tmp outlives JVMs, and an unversioned marker would silently serve
+    // a layout built by older code
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_LAYOUT_DONE_v1")
+    if (!java.nio.file.Files.exists(marker)) {
+      build(dir)
+      java.nio.file.Files.createFile(marker)
+    }
+    dir
+  }
+
   /** lineitem → LAS (format 0 schema) → read → exact aggregates. */
   private val pc01: Q = (s, d) => {
     val pts = Tables.lineitem(s, d).select(
@@ -234,9 +258,10 @@ object PointCloudQueries {
       lit(0).cast("byte").as("angle"),
       lit(0).cast("byte").as("user"),
       lit(0).cast("short").as("source"))
-    val dir = tmpDir("pc10", d)
-    PointCloudOps.clusterSpatially(pts, "x", "y", "z", 8)
-      .writeLas(dir, Map("scale" -> "0.001"))
+    val dir = layoutOnce("pc10", d) { out =>
+      PointCloudOps.clusterSpatially(pts, "x", "y", "z", 8)
+        .writeLas(out, Map("scale" -> "0.001"))
+    }
     s.read.las(dir)
       .filter($"x" < 100000 && $"y" < 100000)
       .agg(
@@ -266,8 +291,9 @@ object PointCloudQueries {
       lit(0).cast("byte").as("angle"),
       lit(0).cast("byte").as("user"),
       lit(0).cast("short").as("source"))
-    val dir = tmpDir("pc11", d)
-    pts.writeLas(dir, Map("scale" -> "0.001"))
+    val dir = layoutOnce("pc11", d) { out =>
+      pts.writeLas(out, Map("scale" -> "0.001"))
+    }
     val stream = s.readStream.format("las").load(dir)
     val agg = stream.groupBy($"flags")
       .agg(

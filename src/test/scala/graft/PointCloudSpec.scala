@@ -224,6 +224,26 @@ class PointCloudSpec extends SparkTestBase {
     assert(n == samplePoints.filter($"x" > 900).count())
   }
 
+  test("splits of one section share one schema-JSON String instance") {
+    // task-size hygiene: a task carrying many splits (coalesce/union)
+    // serializes the section schema once only if the splits hold the SAME
+    // String (Java serialization back-refs by identity, not value)
+    val dir = tmpDir("schemashare")
+    samplePoints.coalesce(1).writeLas(dir)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      val scan = spark.read.las(dir).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head.scan.asInstanceOf[graft.pointcloud.connector.PointCloudScan]
+      val parts = scan.planInputPartitions().collect {
+        case p: graft.pointcloud.connector.BinaryPartition => p
+      }
+      assert(parts.length > 1)
+      assert(parts.forall(_.sectionSchemaJson eq parts.head.sectionSchemaJson))
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("record-level pushdown compares in the exposed (widened) domain") {
     val dir = tmpDir("recfilter-unsigned")
     samplePoints.withColumn("intensity", lit(-1).cast("short")).writeLas(dir)
