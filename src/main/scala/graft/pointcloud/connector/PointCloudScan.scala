@@ -292,10 +292,10 @@ class PointCloudScan(
   }
 
   /** Streaming ingest: new files in the directory become micro-batches
-    * (SURVEY §7.7). Binary formats only — XYZ text has no header count. */
+    * (SURVEY §7.7). Binary formats split record-aligned; XYZ text (no
+    * header count) streams one partition per file, like the batch path. */
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(kind != FormatKind.Xyz, "XYZ streaming is not supported")
     require(provider != null, "streaming requires the owning provider")
     // filters claimed as pushed MUST be applied by the streaming readers
     // too — this scan (with its pushedFilters) is what Spark plans from

@@ -65,6 +65,13 @@ class PointCloudMicroBatchStream(
 
   override def stop(): Unit = ()
 
+  /** XYZ token layout: the table schema minus the generated id columns
+    * (same as the batch scan's xyzTokenSchema) — rendered once, shared by
+    * every XYZ partition. */
+  private lazy val xyzSchemaJson: String =
+    StructType(tableSchema.fields.filterNot(f =>
+      f.name == PointCloudUtil.FidCol || f.name == PointCloudUtil.PidCol)).json
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val done = start.asInstanceOf[FileListOffset].files.toSet
     val all = end.asInstanceOf[FileListOffset].files
@@ -73,7 +80,13 @@ class PointCloudMicroBatchStream(
       // fid = index in the append-only offset list: stable across batches
       if (done.contains(path)) Nil
       else try {
-        provider.streamSections(path, options).flatMap { section =>
+        val sections = provider.streamSections(path, options)
+        if (kind == FormatKind.Xyz) {
+          // text sections have no header count: one partition per file,
+          // exactly like the batch planner — the file is already the unit
+          // of streaming progress, so per-file granularity is natural here
+          sections.map(s => XyzPartition(s.location, fid, xyzSchemaJson))
+        } else sections.flatMap { section =>
           val perPartition = math.max(1L, maxBytes / math.max(1, section.stride))
           // render once per section: splits share the String instance so a
           // multi-split task serializes one copy (see PointCloudScan)

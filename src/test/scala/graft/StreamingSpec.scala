@@ -142,6 +142,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("PLY directory streams through the same micro-batch source") {
+    import graft.pointcloud.syntax._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-plystream").toString
+    def pts(lo: Int) = spark.range(100).select(
+      ($"id" + lo).cast("int").as("x"), lit(0).cast("int").as("y"),
+      lit(0).cast("int").as("z"), lit(7).cast("short").as("intensity"))
+    pts(0).coalesce(1).writePly(dir)
+    val stream = spark.readStream.format("ply").load(dir).select("x")
+    val q = stream.writeStream.format("memory")
+      .queryName("ply_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ply_stream").count() == 100)
+      val dir2 = java.nio.file.Files.createTempDirectory("graft-plystream2").toString
+      pts(1000).coalesce(1).writePly(dir2)
+      val newFile = new java.io.File(dir2).listFiles().find(_.getName.endsWith(".ply")).get
+      java.nio.file.Files.copy(newFile.toPath,
+        java.nio.file.Paths.get(dir, "zz-" + newFile.getName))
+      q.processAllAvailable()
+      assert(spark.table("ply_stream").count() == 200)
+      assert(spark.table("ply_stream").agg(max("x")).head().getInt(0) == 1099)
+    } finally q.stop()
+  }
+
+  test("XYZ text streams one partition per file, null-padding short lines") {
+    import graft.pointcloud.syntax._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xyzstream").toString
+    Seq((1.0f, 2.0f, 3.0f, Some(10.toByte)), (4.5f, 5.5f, 6.5f, None))
+      .toDF("x", "y", "z", "r").coalesce(1).writeXyz(dir)
+    val stream = spark.readStream.format("xyz").load(dir).select("x", "r", "g")
+    val q = stream.writeStream.format("memory")
+      .queryName("xyz_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("xyz_stream").orderBy("x").collect()
+      assert(got.length == 2)
+      assert(got(0).getFloat(0) == 1.0f && got(0).getByte(1) == 10)
+      // columns absent from the written lines stream back as null
+      assert(got.forall(_.isNullAt(2)) && got(1).isNullAt(1))
+    } finally q.stop()
+  }
+
   test("late file sorting before processed names: stable fids, still ingested") {
     import graft.pointcloud.syntax._
     import org.apache.spark.sql.functions._
