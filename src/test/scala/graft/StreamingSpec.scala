@@ -186,6 +186,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming skips an unreadable file and keeps ingesting valid ones") {
+    import graft.pointcloud.syntax._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skipstream").toString
+    def pts(lo: Int) = spark.range(50).select(
+      ($"id" + lo).cast("int").as("x"), lit(0).cast("int").as("y"),
+      lit(0).cast("int").as("z"), lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"), lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"), lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    def addFile(lo: Int, name: String): Unit = {
+      val d = java.nio.file.Files.createTempDirectory("graft-skipsrc").toString
+      pts(lo).coalesce(1).writeLas(d)
+      val f = new java.io.File(d).listFiles().find(_.getName.endsWith(".las")).get
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(dir, name))
+    }
+    addFile(0, "aa.las")
+    val stream = spark.readStream.format("las").load(dir).select("x")
+    val q = stream.writeStream.format("memory")
+      .queryName("skip_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("skip_stream").count() == 50)
+      // a corrupt file arriving mid-stream is skipped (one warning), and
+      // a later valid file still becomes its own micro-batch
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bb.las"),
+        "not a las file at all".getBytes)
+      addFile(1000, "cc.las")
+      q.processAllAvailable()
+      assert(spark.table("skip_stream").count() == 100)
+      assert(spark.table("skip_stream").agg(max("x")).head().getInt(0) == 1049)
+    } finally q.stop()
+  }
+
   test("late file sorting before processed names: stable fids, still ingested") {
     import graft.pointcloud.syntax._
     import org.apache.spark.sql.functions._
