@@ -33,14 +33,97 @@ class PointCloudWriteBuilder(
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
+    private def targetPath: String = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(s"${kind.name} write requires a path"))
+
     override def toBatch: BatchWrite = {
-      val path = Option(options.get("path")).getOrElse(
-        throw new IllegalArgumentException(s"${kind.name} write requires a path"))
       import scala.jdk.CollectionConverters._
       // CaseInsensitiveStringMap stores keys lowercased — every downstream
       // lookup on this map must use lowercase keys
-      new PointCloudBatchWrite(kind, path, info.schema(), options.asScala.toMap,
+      new PointCloudBatchWrite(kind, targetPath, info.schema(), options.asScala.toMap,
         info.queryId(), doTruncate)
+    }
+
+    override def toStreaming: streaming.StreamingWrite = {
+      import scala.jdk.CollectionConverters._
+      val opts = options.asScala.toMap
+      require(!doTruncate,
+        s"streaming ${kind.name} writes support append mode only")
+      require(!opts.contains("keycolumn") && !opts.get("merge").contains("true"),
+        s"keyColumn/merge are batch-only ${kind.name} write options")
+      new PointCloudStreamingWrite(kind, targetPath, info.schema(), opts, info.queryId())
+    }
+  }
+}
+
+/** Streaming sink: each micro-batch's task files land as
+  * `epoch-<e>-part-<pid>-<tid>.<ext>` — self-contained files, so a live
+  * directory is readable (batch or stream) while the query runs. Epoch
+  * commit is an ATOMIC REPLACE of that epoch's file set: stale
+  * same-epoch files from a previously failed attempt (driver died
+  * between sink commit and offset-log commit, epoch replayed) are
+  * deleted, keeping exactly the committed attempt's outputs — the same
+  * idempotence contract Spark's built-in file sink gets from its
+  * manifest, achieved here by the epoch prefix alone because every task
+  * file is self-contained. */
+class PointCloudStreamingWrite(
+    kind: FormatKind,
+    path: String,
+    schema: StructType,
+    options: Map[String, String],
+    queryId: String)
+  extends streaming.StreamingWrite {
+
+  private def fs(): FileSystem = new Path(path).getFileSystem(new Configuration())
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
+    fs().mkdirs(new Path(path))
+    PointCloudStreamingWriterFactory(kind, path, schema.json, options, queryId)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs()
+    val committed = messages.filter(_ != null)
+      .flatMap(WriterUtil.outputPaths).map(new Path(_).getName).toSet
+    Option(f.listStatus(new Path(path))).getOrElse(Array.empty).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(s"epoch-$epochId-") && n.toLowerCase.endsWith(kind.extension) &&
+          !committed.contains(n)) {
+        f.delete(st.getPath, false)
+      }
+    }
+    // epochs are sequential in micro-batch execution: the shared task-temp
+    // dir holds only this epoch's leftovers at commit time
+    f.delete(new Path(path, s".graft-tmp-$queryId"), true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs()
+    messages.foreach(m => if (m != null) WriterUtil.deleteOutputs(f, m))
+    f.delete(new Path(path, s".graft-tmp-$queryId"), true)
+  }
+}
+
+case class PointCloudStreamingWriterFactory(
+    kind: FormatKind,
+    path: String,
+    schemaJson: String,
+    options: Map[String, String],
+    queryId: String)
+  extends streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val base = Some(f"epoch-$epochId-part-$partitionId%05d-$taskId")
+    kind match {
+      case FormatKind.Las =>
+        new LasDataWriter(path, schema, options, queryId, partitionId, taskId, base)
+      case FormatKind.Ply =>
+        new PlyDataWriter(path, schema, options, queryId, partitionId, taskId, base)
+      case FormatKind.Xyz =>
+        new XyzDataWriter(path, schema, options, partitionId, taskId, base)
     }
   }
 }
@@ -158,6 +241,15 @@ private[connector] object WriterUtil {
   def dataFields(schema: StructType, options: Map[String, String]): StructType = {
     val drop = Set(PointCloudUtil.FidCol, PointCloudUtil.PidCol) ++ options.get("keycolumn")
     StructType(schema.fields.filterNot(f => drop.contains(f.name)))
+  }
+
+  /** Final output path(s) a commit message points at. */
+  def outputPaths(m: WriterCommitMessage): Seq[String] = m match {
+    case LasPartMessage(p, _) => Seq(p)
+    case PlyPartMessage(p, _, _) => Seq(p)
+    case XyzPartMessage(p, _) => Seq(p)
+    case KeyedPartsMessage(parts) => parts.flatMap(outputPaths)
+    case _ => Nil
   }
 
   /** Delete the final output(s) a commit message points at (job-abort and

@@ -87,6 +87,21 @@ object syntax {
     def writeXyz(path: String, options: Map[String, String] = Map.empty): Unit =
       write("xyz", path, options)
 
+    /** Streaming-sink sugar: a configured `DataStreamWriter` targeting the
+      * point-cloud sink (append mode; each epoch's task files are
+      * self-contained `epoch-<e>-part-*.<ext>`). The caller still sets
+      * trigger/checkpoint and calls `.start()`. The query schema rides in
+      * `__schema` exactly like the batch sugar — the sink dir may be
+      * empty, so there is nothing to infer from. */
+    def writeStreamPointCloud(format: String, path: String,
+        options: Map[String, String] = Map.empty)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      var w = df.writeStream.format(format)
+        .option("__schema", df.schema.json).option("path", path)
+      options.foreach { case (k, v) => w = w.option(k, v) }
+      w
+    }
+
     /** Single-pass partition-keyed save: ONE distributed write that emits
       * one self-contained `<key>.<ext>` file per distinct value of
       * `keyCol` — the reference's `$key.las` naming sugar (K2,

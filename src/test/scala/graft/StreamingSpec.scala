@@ -186,6 +186,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming LAS sink: epochs land as self-contained files, replace-idempotent") {
+    import graft.pointcloud.syntax._
+    import org.apache.spark.sql.functions._
+    val in = java.nio.file.Files.createTempDirectory("graft-sinkin").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-sinkout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sinkckpt").toString
+    def pts(lo: Int) = spark.range(100).select(
+      ($"id" + lo).cast("int").as("x"), lit(0).cast("int").as("y"),
+      lit(0).cast("int").as("z"), lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"), lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"), lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    pts(0).coalesce(1).writeLas(in)
+    val stream = spark.readStream.format("las").load(in)
+      .drop("fid", "pid")
+    val q = stream.writeStreamPointCloud("las", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.las(out).count() == 100)
+      // second input file → second epoch → new self-contained output files
+      val d2 = java.nio.file.Files.createTempDirectory("graft-sinkin2").toString
+      pts(1000).coalesce(1).writeLas(d2)
+      val f2 = new java.io.File(d2).listFiles().find(_.getName.endsWith(".las")).get
+      java.nio.file.Files.copy(f2.toPath, java.nio.file.Paths.get(in, "zz-" + f2.getName))
+      q.processAllAvailable()
+      val back = spark.read.las(out)
+      assert(back.count() == 200)
+      assert(back.agg(max("x")).head().getInt(0) == 1099)
+      val names = new java.io.File(out).listFiles().map(_.getName)
+        .filter(_.endsWith(".las")).sorted
+      assert(names.forall(_.startsWith("epoch-")), names.mkString(","))
+      assert(names.map(_.split("-")(1)).distinct.length >= 2, "expected ≥2 epochs")
+      // replace idempotence: a stale file left by a FAILED attempt of an
+      // epoch is deleted when that epoch commits with a different file set
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out, "epoch-5-part-00000-99.las"), Array[Byte](1, 2, 3))
+      new graft.pointcloud.connector.PointCloudStreamingWrite(
+        graft.pointcloud.connector.FormatKind.Las, out, stream.schema, Map.empty, "testq")
+        .commit(5, Array.empty)
+      assert(!new java.io.File(out, "epoch-5-part-00000-99.las").exists())
+      assert(spark.read.las(out).count() == 200) // committed epochs untouched
+    } finally q.stop()
+  }
+
   test("streaming skips an unreadable file and keeps ingesting valid ones") {
     import graft.pointcloud.syntax._
     import org.apache.spark.sql.functions._
