@@ -57,7 +57,7 @@ object Bench {
     // positive
     for (w <- Seq("iq01_scan_project") ++ names.filter(n =>
         n.startsWith("ss07") || n.startsWith("jn01") || n.startsWith("ss04") ||
-        n.startsWith("pc10") || n.startsWith("pc11")))
+        n.startsWith("pc1"))) // pc10/pc11/pc12: build-once LAS layouts
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => } // a broken query still errors in the timed loop
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -306,6 +306,48 @@ object PointCloudQueries {
       .sort($"flags")
   }
 
+  /** pc12: the streaming SINK on the graded surface — the pc11 census,
+    * but the data flows readStream(las) → writeStreamPointCloud(las)
+    * (epoch-tagged self-contained files) before the batch read computes
+    * the aggregate. A hash match proves the streaming writer encodes
+    * exactly what the batch writer does: the continuous-ingest landing
+    * path (curated micro-batches → LAS files) end-to-end. The output dir
+    * is rebuilt per run — the graded operation IS the streaming write. */
+  private val pc12: Q = (s, d) => {
+    val pts = Tables.lineitem(s, d).select(
+      ($"l_orderkey" % 1000000).cast("int").as("x"),
+      ($"l_partkey" % 1000000).cast("int").as("y"),
+      ($"l_suppkey" % 1000000).cast("int").as("z"),
+      ($"l_linenumber" % 32000).cast("short").as("intensity"),
+      (($"l_linenumber" % 7) + 1).cast("byte").as("flags"),
+      lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"),
+      lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    val src = layoutOnce("pc12src", d) { out =>
+      pts.writeLas(out, Map("scale" -> "0.001"))
+    }
+    val out = tmpDir("pc12out", d)
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(out))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pc12_ckpt")
+    val stream = s.readStream.format("las").load(src).drop("fid", "pid")
+    val q = stream.writeStreamPointCloud("las", out, Map("scale" -> "0.001"))
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop(); graft.Fs.deleteRecursively(ckpt)
+    }
+    s.read.las(out).groupBy($"flags")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        min($"y").as("mny"), max($"y").as("mxy"),
+        sum($"intensity".cast("bigint")).as("si"))
+      .select($"flags", $"n", $"sx", $"mny", $"mxy", $"si")
+      .sort($"flags")
+  }
+
   val queries: Map[String, Q] = Map(
     "pc01_las_roundtrip" -> pc01,
     "pc02_ply_roundtrip" -> pc02,
@@ -318,6 +360,7 @@ object PointCloudQueries {
     "pc09_filtered_scan" -> pc09,
     "pc10_clustered_scan" -> pc10,
     "pc11_streaming_scan" -> pc11,
+    "pc12_streaming_sink" -> pc12,
   )
 
   val oracle: Map[String, String] = Map(
@@ -419,6 +462,17 @@ object PointCloudQueries {
         |WHERE (l_orderkey % 1000000) < 100000
         |  AND (l_partkey % 1000000) < 100000""".stripMargin,
     "pc11_streaming_scan" ->
+      """SELECT CAST((l_linenumber % 7) + 1 AS TINYINT) AS flags,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | MIN(CAST(l_partkey % 1000000 AS INT)) AS mny,
+        | MAX(CAST(l_partkey % 1000000 AS INT)) AS mxy,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY flags""".stripMargin,
+    // identical census to pc11 — the Spark side differs only in routing
+    // the bytes through the streaming sink before the batch read
+    "pc12_streaming_sink" ->
       """SELECT CAST((l_linenumber % 7) + 1 AS TINYINT) AS flags,
         | COUNT(*) AS n,
         | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
