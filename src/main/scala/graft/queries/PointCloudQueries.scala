@@ -50,9 +50,11 @@ object PointCloudQueries {
     dir
   }
 
-  /** lineitem → LAS (format 0 schema) → read → exact aggregates. */
-  private val pc01: Q = (s, d) => {
-    val pts = Tables.lineitem(s, d).select(
+  /** The shared lineitem→LAS format-0 frame (one definition: pc01, pc04,
+    * pc10, pc11 and pc12 must all census the same rows for their oracles
+    * to agree on the lineitem arithmetic). */
+  private def lasPointFrame(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
       ($"l_orderkey" % 1000000).cast("int").as("x"),
       ($"l_partkey" % 1000000).cast("int").as("y"),
       ($"l_suppkey" % 1000000).cast("int").as("z"),
@@ -62,6 +64,10 @@ object PointCloudQueries {
       lit(0).cast("byte").as("angle"),
       lit(0).cast("byte").as("user"),
       lit(0).cast("short").as("source"))
+
+  /** lineitem → LAS (format 0 schema) → read → exact aggregates. */
+  private val pc01: Q = (s, d) => {
+    val pts = lasPointFrame(s, d)
     val dir = tmpDir("pc01", d)
     pts.writeLas(dir, Map("scale" -> "0.001"))
     s.read.las(dir).agg(
@@ -218,16 +224,7 @@ object PointCloudQueries {
     * applies the same predicate in SQL, so a hash match proves the pushed
     * evaluation is exact. */
   private val pc09: Q = (s, d) => {
-    val pts = Tables.lineitem(s, d).select(
-      ($"l_orderkey" % 1000000).cast("int").as("x"),
-      ($"l_partkey" % 1000000).cast("int").as("y"),
-      ($"l_suppkey" % 1000000).cast("int").as("z"),
-      ($"l_linenumber" % 32000).cast("short").as("intensity"),
-      (($"l_linenumber" % 7) + 1).cast("byte").as("flags"),
-      lit(0).cast("byte").as("classification"),
-      lit(0).cast("byte").as("angle"),
-      lit(0).cast("byte").as("user"),
-      lit(0).cast("short").as("source"))
+    val pts = lasPointFrame(s, d)
     val dir = tmpDir("pc09", d)
     pts.writeLas(dir, Map("scale" -> "0.001"))
     s.read.las(dir)
@@ -248,16 +245,7 @@ object PointCloudQueries {
     * source (layout cannot change values). */
   private val pc10: Q = (s, d) => {
     import graft.pointcloud.PointCloudOps
-    val pts = Tables.lineitem(s, d).select(
-      ($"l_orderkey" % 1000000).cast("int").as("x"),
-      ($"l_partkey" % 1000000).cast("int").as("y"),
-      ($"l_suppkey" % 1000000).cast("int").as("z"),
-      ($"l_linenumber" % 32000).cast("short").as("intensity"),
-      (($"l_linenumber" % 7) + 1).cast("byte").as("flags"),
-      lit(0).cast("byte").as("classification"),
-      lit(0).cast("byte").as("angle"),
-      lit(0).cast("byte").as("user"),
-      lit(0).cast("short").as("source"))
+    val pts = lasPointFrame(s, d)
     val dir = layoutOnce("pc10", d) { out =>
       PointCloudOps.clusterSpatially(pts, "x", "y", "z", 8)
         .writeLas(out, Map("scale" -> "0.001"))
@@ -281,16 +269,7 @@ object PointCloudQueries {
     * directory, which at 100 TB replaces "re-scan the corpus" with
     * "process the new files". */
   private val pc11: Q = (s, d) => {
-    val pts = Tables.lineitem(s, d).select(
-      ($"l_orderkey" % 1000000).cast("int").as("x"),
-      ($"l_partkey" % 1000000).cast("int").as("y"),
-      ($"l_suppkey" % 1000000).cast("int").as("z"),
-      ($"l_linenumber" % 32000).cast("short").as("intensity"),
-      (($"l_linenumber" % 7) + 1).cast("byte").as("flags"),
-      lit(0).cast("byte").as("classification"),
-      lit(0).cast("byte").as("angle"),
-      lit(0).cast("byte").as("user"),
-      lit(0).cast("short").as("source"))
+    val pts = lasPointFrame(s, d)
     val dir = layoutOnce("pc11", d) { out =>
       pts.writeLas(out, Map("scale" -> "0.001"))
     }
@@ -314,16 +293,7 @@ object PointCloudQueries {
     * path (curated micro-batches → LAS files) end-to-end. The output dir
     * is rebuilt per run — the graded operation IS the streaming write. */
   private val pc12: Q = (s, d) => {
-    val pts = Tables.lineitem(s, d).select(
-      ($"l_orderkey" % 1000000).cast("int").as("x"),
-      ($"l_partkey" % 1000000).cast("int").as("y"),
-      ($"l_suppkey" % 1000000).cast("int").as("z"),
-      ($"l_linenumber" % 32000).cast("short").as("intensity"),
-      (($"l_linenumber" % 7) + 1).cast("byte").as("flags"),
-      lit(0).cast("byte").as("classification"),
-      lit(0).cast("byte").as("angle"),
-      lit(0).cast("byte").as("user"),
-      lit(0).cast("short").as("source"))
+    val pts = lasPointFrame(s, d)
     val src = layoutOnce("pc12src", d) { out =>
       pts.writeLas(out, Map("scale" -> "0.001"))
     }
