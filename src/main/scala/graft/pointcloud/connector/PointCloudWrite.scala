@@ -123,7 +123,7 @@ case class PointCloudStreamingWriterFactory(
       case FormatKind.Ply =>
         new PlyDataWriter(path, schema, options, queryId, partitionId, taskId, base)
       case FormatKind.Xyz =>
-        new XyzDataWriter(path, schema, options, partitionId, taskId, base)
+        new XyzDataWriter(path, schema, options, queryId, partitionId, taskId, base)
     }
   }
 }
@@ -214,7 +214,7 @@ case class PointCloudWriterFactory(
       case FormatKind.Ply =>
         new PlyDataWriter(path, schema, options, queryId, partitionId, taskId, base)
       case FormatKind.Xyz =>
-        new XyzDataWriter(path, schema, options, partitionId, taskId, base)
+        new XyzDataWriter(path, schema, options, queryId, partitionId, taskId, base)
     }
     options.get("keycolumn") match {
       case Some(kc) =>
@@ -534,11 +534,18 @@ class PlyDataWriter(
 
 /** Tab-separated text writer, one file per task (reference K5,
   * xyz/package.scala:40-61). Null values become empty tokens, which the
-  * reader parses back to null. */
+  * reader parses back to null. Streams to a task-temp file and renames at
+  * commit (like the LAS/PLY writers): a direct write to the final name
+  * would let an executor crash — which never calls abort() — leave a
+  * PARTIAL .xyz behind that the retried task (different taskId ⇒
+  * different name) does not replace, and readers would see partial plus
+  * complete rows. Temp files live under dot-prefixed paths readers skip,
+  * and job commit/abort removes the temp dir wholesale. */
 class XyzDataWriter(
     dir: String,
     inputSchema: StructType,
     options: Map[String, String],
+    queryId: String,
     partitionId: Int,
     taskId: Long,
     baseName: Option[String] = None)
@@ -548,10 +555,11 @@ class XyzDataWriter(
   private val ords: Array[(Int, DataType)] = dataSchema.fields.map { f =>
     (inputSchema.fieldNames.indexOf(f.name), f.dataType)
   }
-  private val finalPath = new Path(dir,
-    s"${baseName.getOrElse(f"part-$partitionId%05d-$taskId")}.xyz")
+  private val base = baseName.getOrElse(f"part-$partitionId%05d-$taskId")
+  private val finalPath = new Path(dir, s"$base.xyz")
+  private val tmpPath = new Path(dir, s".graft-tmp-$queryId/$base-$partitionId-$taskId.txt")
   private val fs = finalPath.getFileSystem(new Configuration())
-  private val out = new DataOutputStream(new BufferedOutputStream(fs.create(finalPath, true), 1 << 16))
+  private val out = new DataOutputStream(new BufferedOutputStream(fs.create(tmpPath, true), 1 << 16))
   private var count = 0L
   private val sb = new StringBuilder
 
@@ -571,11 +579,15 @@ class XyzDataWriter(
 
   override def commit(): WriterCommitMessage = {
     out.close()
+    if (!fs.rename(tmpPath, finalPath)) {
+      throw new java.io.IOException(s"failed to finalize $tmpPath -> $finalPath")
+    }
     XyzPartMessage(finalPath.toString, count)
   }
 
   override def abort(): Unit = {
     try out.close() catch { case _: Exception => }
+    fs.delete(tmpPath, false)
     fs.delete(finalPath, false)
   }
 
