@@ -445,7 +445,11 @@ class LasDataWriter(
       pdrLengthRaw = encoder.recordLength.toShort,
       extraFields = extraFields)
 
-    val out = new DataOutputStream(new BufferedOutputStream(fs.create(finalPath, true), 1 << 16))
+    // assemble header+body in the temp dir, then RENAME into place: the
+    // final name appears atomically, so a crash mid-commit can never
+    // leave a partial file under a name readers pick up
+    val finPath = new Path(tmpPath.getParent, tmpPath.getName + ".fin")
+    val out = new DataOutputStream(new BufferedOutputStream(fs.create(finPath, true), 1 << 16))
     try {
       header.write(out)
       if (vlrBytes.nonEmpty) out.write(vlrBytes)
@@ -456,6 +460,15 @@ class LasDataWriter(
         while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
       } finally in.close()
     } finally out.close()
+    // a crashed earlier attempt may have left a stale file under the
+    // final name (keyed writes derive it from the KEY, not the taskId);
+    // rename does not overwrite, so clear the destination first — the
+    // window between delete and rename exposes an absent name, never a
+    // partial file
+    fs.delete(finalPath, false)
+    if (!fs.rename(finPath, finalPath)) {
+      throw new java.io.IOException(s"failed to finalize $finPath -> $finalPath")
+    }
     fs.delete(tmpPath, false)
     LasPartMessage(finalPath.toString, count)
   }
@@ -508,7 +521,10 @@ class PlyDataWriter(
       PlyPartMessage(bodyPath.toString, count, dataSchema.json)
     } else {
       val header = PlyHeader("", littleEndian, 0, Seq(PlyElement(element, count, dataSchema)))
-      val out = new DataOutputStream(new BufferedOutputStream(fs.create(finalPath, true), 1 << 16))
+      // header+body assembled in the temp dir, renamed into place — the
+      // final name appears atomically (see LasDataWriter.commit)
+      val finPath = new Path(bodyPath.getParent, bodyPath.getName + ".fin")
+      val out = new DataOutputStream(new BufferedOutputStream(fs.create(finPath, true), 1 << 16))
       try {
         out.write(header.headerText.getBytes(StandardCharsets.US_ASCII))
         val in = fs.open(bodyPath)
@@ -518,6 +534,10 @@ class PlyDataWriter(
           while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
         } finally in.close()
       } finally out.close()
+      fs.delete(finalPath, false) // stale keyed final from a crashed attempt (see LAS)
+      if (!fs.rename(finPath, finalPath)) {
+        throw new java.io.IOException(s"failed to finalize $finPath -> $finalPath")
+      }
       fs.delete(bodyPath, false)
       PlyPartMessage(finalPath.toString, count, dataSchema.json)
     }
@@ -579,6 +599,7 @@ class XyzDataWriter(
 
   override def commit(): WriterCommitMessage = {
     out.close()
+    fs.delete(finalPath, false) // stale keyed final from a crashed attempt (see LAS)
     if (!fs.rename(tmpPath, finalPath)) {
       throw new java.io.IOException(s"failed to finalize $tmpPath -> $finalPath")
     }
