@@ -26,8 +26,9 @@ object PointCloudQueries {
   private def tmpDir(name: String, sfDir: String): String =
     s"/tmp/graft_pc/${name}_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
 
-  /** Build-once fixture layout for queries whose GRADED operation is the
-    * read side (pc10's clustered scan, pc11's streaming ingest): the
+  /** Build-once fixture layout for queries whose GRADED operation is
+    * elsewhere (pc10's clustered scan, pc11's streaming ingest, pc12's
+    * streaming-sink source): the
     * derived LAS layout is deterministic from the dataset dir, so it is
     * built on first use and reused afterwards — repeated passes then
     * measure the operator, not the fixture generator. A marker file
