@@ -135,8 +135,11 @@ object LasExtraBytes {
   def writeVlr(fields: Array[StructField]): Array[Byte] = {
     val payload = new Array[Byte](StructSize * fields.length)
     fields.zipWithIndex.foreach { case (f, i) =>
+      // slice() so absolute puts index from this struct's own region —
+      // wrap(array, off, len) keeps index 0 at the ARRAY start, and
+      // absolute puts from struct i>0 would silently overwrite struct 0
       val buf = ByteBuffer.wrap(payload, i * StructSize, StructSize)
-        .order(ByteOrder.LITTLE_ENDIAN)
+        .slice().order(ByteOrder.LITTLE_ENDIAN)
       val typ = diskType.indexOf(f.dataType, 1)
       require(typ > 0, s"unsupported extra-bytes type ${f.dataType}")
       // we read unsigned as signed same-width, so emit the signed code of

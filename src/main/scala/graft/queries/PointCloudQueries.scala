@@ -319,6 +319,41 @@ object PointCloudQueries {
       .sort($"flags")
   }
 
+  /** pc13's nodata sentinel — outside the real value range ([0, 1000)),
+    * shared with the VLR metadata so write and oracle agree. */
+  private final val Pc13Sentinel = -999999.0
+
+  /** pc13: LAS ExtraBytes VLR + nodata→null end-to-end — the reference's
+    * most distinctive schema feature (las/LasHeader.scala:64-117 struct
+    * layout; BinarySectionRelation.scala:76-88 sentinel→null) under the
+    * oracle. The frame carries two extra (non-format-0) columns:
+    * `gps_residual` (double, with a nodata sentinel stamped in the column
+    * metadata — the writer serializes it into the Extra Bytes VLR, and
+    * rows whose value IS the sentinel decode back as NULL) and `cycle`
+    * (int, no nodata — proves a multi-struct VLR and the integral extra
+    * path). COUNT(col) vs COUNT(*) and the null-skipping SUM/MIN/MAX only
+    * match the oracle's CASE-WHEN twin if the VLR round trip AND the
+    * sentinel→null decode are both exact. All values are integer-valued,
+    * so every aggregate is order-independent and bit-exact. */
+  private val pc13: Q = (s, d) => {
+    val ndMd = new org.apache.spark.sql.types.MetadataBuilder()
+      .putDouble("nodata", Pc13Sentinel).build()
+    val pts = lasPointFrame(s, d).select(
+      col("*"),
+      when($"intensity" % 3 === 0, lit(Pc13Sentinel))
+        .otherwise(($"y" % 1000).cast("double")).as("gps_residual", ndMd),
+      ($"z" % 128).cast("int").as("cycle"))
+    val dir = tmpDir("pc13", d)
+    pts.writeLas(dir, Map("scale" -> "0.001"))
+    s.read.las(dir).agg(
+      count(lit(1)).as("n"),
+      count($"gps_residual").as("ng"),
+      sum($"gps_residual").cast("bigint").as("sg"),
+      min($"gps_residual").as("mng"),
+      max($"gps_residual").as("mxg"),
+      sum($"cycle".cast("bigint")).as("sc"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pc01_las_roundtrip" -> pc01,
     "pc02_ply_roundtrip" -> pc02,
@@ -332,6 +367,7 @@ object PointCloudQueries {
     "pc10_clustered_scan" -> pc10,
     "pc11_streaming_scan" -> pc11,
     "pc12_streaming_sink" -> pc12,
+    "pc13_extrabytes_nodata" -> pc13,
   )
 
   val oracle: Map[String, String] = Map(
@@ -452,5 +488,18 @@ object PointCloudQueries {
         | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si
         |FROM lineitem
         |GROUP BY 1 ORDER BY flags""".stripMargin,
+    // CASE WHEN twin of the nodata sentinel: rows the writer stamps with
+    // the sentinel must come back as NULL, so COUNT/SUM/MIN/MAX skip them
+    "pc13_extrabytes_nodata" ->
+      """SELECT COUNT(*) AS n,
+        | COUNT(CASE WHEN (l_linenumber % 32000) % 3 = 0 THEN NULL ELSE 1 END) AS ng,
+        | CAST(SUM(CASE WHEN (l_linenumber % 32000) % 3 = 0 THEN NULL
+        |   ELSE CAST((l_partkey % 1000000) % 1000 AS BIGINT) END) AS BIGINT) AS sg,
+        | MIN(CASE WHEN (l_linenumber % 32000) % 3 = 0 THEN NULL
+        |   ELSE CAST((l_partkey % 1000000) % 1000 AS DOUBLE) END) AS mng,
+        | MAX(CASE WHEN (l_linenumber % 32000) % 3 = 0 THEN NULL
+        |   ELSE CAST((l_partkey % 1000000) % 1000 AS DOUBLE) END) AS mxg,
+        | CAST(SUM(CAST((l_suppkey % 1000000) % 128 AS BIGINT)) AS BIGINT) AS sc
+        |FROM lineitem""".stripMargin,
   )
 }

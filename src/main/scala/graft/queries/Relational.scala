@@ -400,6 +400,29 @@ object Relational {
       .limit(100)
   }
 
+  /** jn02: [[graft.ops.Joins.saltedJoin]] on a deliberately skewed key —
+    * ~30% of lineitem lands on nation key 0 (every l_orderkey ending in
+    * 0/1/2), the classic hot-key shape AQE's skew split can't fix when
+    * the skew is INSIDE one key. The salt spreads that key over 8
+    * reducers while the 25-row dimension side replicates ×8 (the cheap
+    * side pays). The oracle is the PLAIN join's arithmetic: salting must
+    * never change results, only the shuffle layout — the same parity
+    * JoinsSpec pins, here under the driver's DuckDB gate. l_quantity is
+    * whole-valued, so the bigint sum is exact. */
+  private val jn02: Q = (s, d) => {
+    val facts = Tables.lineitem(s, d).select(
+      when($"l_orderkey" % 10 < 3, lit(0))
+        .otherwise($"l_orderkey" % 25).cast("int").as("k"),
+      $"l_quantity")
+    val dim = Tables.nation(s, d).select(
+      $"n_nationkey".cast("int").as("nk"), $"n_name")
+    graft.ops.Joins.saltedJoin(facts, dim, "k", "nk", 8)
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("bigint")).as("qty"))
+      .sort($"n_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "iq01_scan_project" -> iq01,
     "iq02_filter" -> iq02,
@@ -432,6 +455,7 @@ object Relational {
     "iq29_collect_list" -> iq29,
     "iq30_rank_family" -> iq30,
     "jn01_bucketed_join" -> jn01,
+    "jn02_salted_join" -> jn02,
   )
 
   val oracle: Map[String, String] = Map(
@@ -509,5 +533,16 @@ object Relational {
         "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100"),
+    // salting never changes values — the oracle is the PLAIN join
+    "jn02_salted_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0
+        |    ELSE CAST(l_orderkey % 25 AS INT) END AS k, l_quantity
+        |  FROM lineitem
+        |)
+        |SELECT n_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM f JOIN nation ON f.k = nation.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
   )
 }

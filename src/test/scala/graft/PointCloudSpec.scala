@@ -116,6 +116,33 @@ class PointCloudSpec extends SparkTestBase {
       df.agg(sum($"reflectance")).as[Double].head())
   }
 
+  test("LAS extra-bytes nodata sentinel decodes to null (pc13 path)") {
+    val dir = tmpDir("lasnodata")
+    val sentinel = -9999.0
+    val md = new MetadataBuilder().putDouble("nodata", sentinel).build()
+    // TWO extra columns: the multi-struct VLR layout (a single-struct
+    // write can't catch a wrong per-struct offset — round 9 did)
+    val df = samplePoints.select(col("*"),
+      when($"z" % 4 === 0, lit(sentinel))
+        .otherwise($"y".cast("double")).as("gps_residual", md),
+      ($"z" % 7).cast("int").as("cycle"))
+    df.writeLas(dir)
+    val back = spark.read.las(dir)
+    val f = back.schema("gps_residual")
+    // the VLR round-trips the sentinel: nullable + nodata metadata survive
+    assert(f.nullable && f.metadata.getDouble("nodata") == sentinel)
+    // and the second struct's field survives with its own name and type
+    assert(back.schema("cycle").dataType == IntegerType)
+    assert(back.agg(sum($"cycle".cast("bigint"))).as[Long].head() ==
+      df.agg(sum($"cycle".cast("bigint"))).as[Long].head())
+    val expected = df.filter($"z" % 4 === 0).count()
+    assert(expected > 0)
+    assert(back.filter($"gps_residual".isNull).count() == expected)
+    // non-sentinel values are untouched
+    assert(back.agg(sum($"gps_residual")).as[Double].head() ==
+      df.filter($"z" % 4 =!= 0).agg(sum($"y".cast("double"))).as[Double].head())
+  }
+
   test("XYZ round trip with nulls and default schema") {
     val dir = tmpDir("xyz")
     val df = Seq(
