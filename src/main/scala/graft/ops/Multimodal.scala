@@ -136,6 +136,25 @@ object Multimodal {
     * both codec entry points so either initializes it. */
   private lazy val imageIoNoCache: Unit = javax.imageio.ImageIO.setUseCache(false)
 
+  /** Pixel statistics of a decoded image — the shared tail of both real
+    * decoders. One bulk getRGB: the per-pixel sRGB int regardless of the
+    * decoded raster's internal layout (3BYTE_BGR for PNG truecolor,
+    * BYTE_INDEXED for GIF). */
+  private def pixelStats(im: java.awt.image.BufferedImage): (Int, Int, Long, Double, Double, Double) = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val rgb = im.getRGB(0, 0, w, h, null, 0, w)
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var i = 0
+    while (i < rgb.length) {
+      val p = rgb(i)
+      rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+      i += 1
+    }
+    val n = w.toLong * h
+    (w, h, n, rs.toDouble / n, gs.toDouble / n, bs.toDouble / n)
+  }
+
   /** REAL pixel decode (not the stub): `ImageIO.read` over the payload
     * bytes — the JVM ships PNG/JPEG/BMP/GIF codecs — then per-channel
     * mean over every pixel. Payloads no installed codec recognizes are
@@ -149,22 +168,48 @@ object Multimodal {
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
         catch { case _: java.io.IOException => None }
       img.map { im =>
-        val w = im.getWidth
-        val h = im.getHeight
-        // one bulk getRGB: the per-pixel sRGB int regardless of the
-        // decoded raster's internal layout (3BYTE_BGR for PNG truecolor)
-        val rgb = im.getRGB(0, 0, w, h, null, 0, w)
-        var rs = 0L; var gs = 0L; var bs = 0L
-        var i = 0
-        while (i < rgb.length) {
-          val p = rgb(i)
-          rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
-          i += 1
-        }
-        val n = w.toLong * h
-        ImageFeatures(id, w, h, n, rs.toDouble / n, gs.toDouble / n, bs.toDouble / n)
+        val (w, h, n, r, g, b) = pixelStats(im)
+        ImageFeatures(id, w, h, n, r, g, b)
       }
     }
+  }
+
+  /** [[ImageFeatures]] plus the codec that actually decoded the payload
+    * (the reader ImageIO dispatched to by content sniffing, lowercased:
+    * "png"/"bmp"/"gif"/"jpeg"). */
+  case class ImageFeaturesFmt(id: Long, fmt: String, width: Int, height: Int,
+      px: Long, r_mean: Double, g_mean: Double, b_mean: Double)
+
+  /** Codec-dispatching twin of [[imageBatchDecode]]: looks up the reader
+    * by payload content (the same magic-byte sniffing `ImageIO.read`
+    * does internally) and emits its format name alongside the pixel
+    * stats — one pass over a MIXED-codec corpus, junk still costs one
+    * row. Graded as mm05. */
+  def imageBatchDecodeFmt(batch: Seq[(Long, Array[Byte])]): Seq[ImageFeaturesFmt] = {
+    imageIoNoCache
+    batch.flatMap { case (id, bytes) =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val (w, h, n, r, g, b) = pixelStats(reader.read(0))
+          Some(ImageFeaturesFmt(id, reader.getFormatName.toLowerCase, w, h, n, r, g, b))
+        } catch { case _: java.io.IOException => None }
+        finally reader.dispose()
+      }
+    }
+  }
+
+  /** [[decodeInBatchesAs]] with [[imageBatchDecodeFmt]]. */
+  def decodeImagesFmt(df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[ImageFeaturesFmt] =
+      org.apache.spark.sql.Encoders.product[ImageFeaturesFmt]
+    decodeInBatchesAs(df, idCol, payloadCol, batchSize, imageBatchDecodeFmt).toDF()
   }
 
   /** [[decodeInBatchesAs]] with the real [[imageBatchDecode]]. */
@@ -175,23 +220,52 @@ object Multimodal {
     decodeInBatchesAs(df, idCol, payloadCol, batchSize, imageBatchDecode).toDF()
   }
 
-  /** Encode one solid-colour PNG (the deterministic fixture for mm04:
-    * lossless codec + solid colour ⇒ the decoded pixel stats are pure
-    * arithmetic in (w, h, r, g, b)). */
-  def encodeSolidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+  /** Encode one solid-colour image in `fmt` ("png"/"bmp"/"gif") — the
+    * deterministic fixture for mm04/mm05: all three codecs are lossless
+    * for a solid colour, so the decoded pixel stats are pure arithmetic
+    * in (w, h, r, g, b). GIF is palette-based: we hand the writer a
+    * BYTE_INDEXED image whose palette holds exactly our colour (raster
+    * zero-fill = palette entry 0), so no quantizer ever runs. */
+  def encodeSolid(fmt: String, w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
     imageIoNoCache
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val p = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { img.setRGB(x, y, p); x += 1 }
-      y += 1
+    val img = if (fmt == "gif") {
+      val cm = new java.awt.image.IndexColorModel(8, 2,
+        Array(r.toByte, 0.toByte), Array(g.toByte, 0.toByte), Array(b.toByte, 0.toByte))
+      new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    } else {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val p = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { im.setRGB(x, y, p); x += 1 }
+        y += 1
+      }
+      im
     }
     val out = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "png", out), "no PNG writer in this JVM")
+    require(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer in this JVM")
     out.toByteArray
+  }
+
+  /** Encode one solid-colour PNG (the deterministic fixture for mm04). */
+  def encodeSolidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
+    encodeSolid("png", w, h, r, g, b)
+
+  /** Row-wise solid-image encoding with a per-row format column — the
+    * mixed-codec fixture side of mm05. Partition-local, no shuffle. */
+  def encodeSolidImages(df: DataFrame, idCol: String, fmtCol: String,
+      wCol: String, hCol: String, rCol: String, gCol: String, bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(fmtCol).cast("string"),
+        col(wCol).cast("int"), col(hCol).cast("int"),
+        col(rCol).cast("int"), col(gCol).cast("int"), col(bCol).cast("int"))
+      .as[(Long, String, Int, Int, Int, Int, Int)]
+      .map { case (id, fmt, w, h, r, g, b) => (id, encodeSolid(fmt, w, h, r, g, b)) }
+      .toDF(idCol, "payload")
   }
 
   /** Row-wise solid-PNG encoding of (id, w, h, r, g, b) columns into an

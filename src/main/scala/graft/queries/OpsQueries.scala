@@ -437,6 +437,32 @@ object OpsQueries {
       .sort($"doc_id")
   }
 
+  /** mm05: multi-codec decode DISPATCH through the same batch seam —
+    * the corpus mixes solid-colour PNG, BMP and GIF payloads (codec by
+    * doc_id % 3; all three are lossless for a solid colour, GIF via an
+    * exact-palette indexed image), and ONE
+    * [[graft.ops.Multimodal.decodeImagesFmt]] pass decodes all of them,
+    * emitting the format name of the codec ImageIO's content sniffing
+    * dispatched to. The oracle restates the stats arithmetically plus a
+    * CASE on doc_id % 3 for the format — proving the seam is
+    * codec-agnostic, not a PNG-only path. Partition-local like mm04. */
+  private val mm05: Q = (s, d) => {
+    val dims = Tables.documents(s, d).filter($"doc_id" < 300).select($"doc_id",
+      element_at(array(lit("png"), lit("bmp"), lit("gif")),
+        ($"doc_id" % 3).cast("int") + 1).as("fmt"),
+      (lit(4) + $"doc_id" % 13).cast("int").as("w"),
+      (lit(3) + ($"doc_id" * 5) % 11).cast("int").as("h"),
+      ($"doc_id" % 256).cast("int").as("r"),
+      (($"doc_id" * 3) % 256).cast("int").as("g"),
+      (($"doc_id" * 7) % 256).cast("int").as("b"))
+    val packed = Multimodal.encodeSolidImages(
+      dims, "doc_id", "fmt", "w", "h", "r", "g", "b")
+    Multimodal.decodeImagesFmt(packed, "doc_id", "payload", 64)
+      .select($"id".as("doc_id"), $"fmt", $"width", $"height", $"px",
+        $"r_mean", $"g_mean", $"b_mean")
+      .sort($"doc_id")
+  }
+
   /** mm02: frame-sampling pipeline — every 10th document's payload,
     * aggregated per language (the video frame-sample shape on rows). */
   private val mm02: Q = (s, d) =>
@@ -478,6 +504,7 @@ object OpsQueries {
     "mm02_frame_sampling" -> mm02,
     "mm03_png_decode" -> mm03,
     "mm04_image_decode" -> mm04,
+    "mm05_codec_dispatch" -> mm05,
   )
 
   // ------------------------------------------------------------- oracles
@@ -1066,5 +1093,18 @@ object OpsQueries {
         "CAST((doc_id * 3) % 256 AS DOUBLE) AS g_mean, " +
         "CAST((doc_id * 7) % 256 AS DOUBLE) AS b_mean " +
         "FROM documents WHERE doc_id < 400 ORDER BY doc_id"),
+    // codec dispatch: the format must come back from the reader ImageIO
+    // sniffed, and the stats must survive all three codecs losslessly
+    "mm05_codec_dispatch" ->
+      ("SELECT doc_id, " +
+        "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' " +
+        "ELSE 'gif' END AS fmt, " +
+        "CAST(4 + doc_id % 13 AS INTEGER) AS width, " +
+        "CAST(3 + (doc_id * 5) % 11 AS INTEGER) AS height, " +
+        "CAST((4 + doc_id % 13) * (3 + (doc_id * 5) % 11) AS BIGINT) AS px, " +
+        "CAST(doc_id % 256 AS DOUBLE) AS r_mean, " +
+        "CAST((doc_id * 3) % 256 AS DOUBLE) AS g_mean, " +
+        "CAST((doc_id * 7) % 256 AS DOUBLE) AS b_mean " +
+        "FROM documents WHERE doc_id < 300 ORDER BY doc_id"),
   )
 }

@@ -416,4 +416,23 @@ class OpsSpec extends SparkTestBase {
       assert(got == expected, s"batchSize=$bs")
     }
   }
+
+  test("codec dispatch: PNG/BMP/GIF are all lossless for solid colours (mm05 path)") {
+    // one colour per codec; GIF's exact-palette path must not quantize
+    val cases = Seq(("png", 9, 5), ("bmp", 7, 4), ("gif", 6, 8))
+    val batch = cases.zipWithIndex.map { case ((fmt, w, h), i) =>
+      (i.toLong, Multimodal.encodeSolid(fmt, w, h, 200, 30, 7))
+    } :+ (99L, "not an image".getBytes("UTF-8"))
+    // the payload's magic bytes really differ per codec (the sniffing
+    // the dispatcher relies on): PNG \x89PNG, BMP "BM", GIF "GIF8"
+    val magics = batch.take(3).map(_._2.take(2).map(_ & 0xff).toSeq)
+    assert(magics == Seq(Seq(0x89, 'P'.toInt), Seq('B'.toInt, 'M'.toInt),
+      Seq('G'.toInt, 'I'.toInt)))
+    val got = Multimodal.imageBatchDecodeFmt(batch)
+    assert(got.map(f => (f.id, f.fmt, f.width, f.height)) ==
+      cases.zipWithIndex.map { case ((fmt, w, h), i) => (i.toLong, fmt, w, h) })
+    // lossless across every codec: exact channel means, junk dropped
+    assert(got.forall(f => (f.r_mean, f.g_mean, f.b_mean) == (200.0, 30.0, 7.0)))
+    assert(!got.exists(_.id == 99L))
+  }
 }
