@@ -57,15 +57,24 @@ class PointCloudWriteBuilder(
 }
 
 /** Streaming sink: each micro-batch's task files land as
-  * `epoch-<e>-part-<pid>-<tid>.<ext>` — self-contained files, so a live
-  * directory is readable (batch or stream) while the query runs. Epoch
-  * commit is an ATOMIC REPLACE of that epoch's file set: stale
-  * same-epoch files from a previously failed attempt (driver died
+  * `epoch-<e>-q<token>-part-<pid>-<tid>.<ext>` — self-contained files,
+  * so a live directory is readable (batch or stream) while the query
+  * runs. Epoch commit is an ATOMIC REPLACE of that epoch's file set:
+  * stale same-epoch files from a previously failed attempt (driver died
   * between sink commit and offset-log commit, epoch replayed) are
   * deleted, keeping exactly the committed attempt's outputs — the same
   * idempotence contract Spark's built-in file sink gets from its
-  * manifest, achieved here by the epoch prefix alone because every task
-  * file is self-contained. */
+  * manifest, achieved here by the epoch+token prefix alone because every
+  * task file is self-contained.
+  *
+  * `<token>` is derived from the STREAMING QUERY ID (the id in
+  * checkpoint metadata — stable across restarts from the same
+  * checkpoint, fresh for a fresh checkpoint), so the replay sweep is
+  * scoped to this query's own files: a query restarted with a new
+  * checkpoint (epochs back at 0) or a second query landing in the same
+  * directory can never delete another run's committed data. Spark's
+  * manifest file sink forbids that sharing outright; here the directory
+  * is a safe multi-query landing zone. */
 class PointCloudStreamingWrite(
     kind: FormatKind,
     path: String,
@@ -73,6 +82,8 @@ class PointCloudStreamingWrite(
     options: Map[String, String],
     queryId: String)
   extends streaming.StreamingWrite {
+
+  private val token = PointCloudStreamingWrite.queryToken(queryId)
 
   private def fs(): FileSystem = new Path(path).getFileSystem(new Configuration())
 
@@ -86,12 +97,14 @@ class PointCloudStreamingWrite(
     val f = fs()
     val committed = messages.filter(_ != null)
       .flatMap(WriterUtil.outputPaths).map(new Path(_).getName).toSet
-    Option(f.listStatus(new Path(path))).getOrElse(Array.empty).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith(s"epoch-$epochId-") && n.toLowerCase.endsWith(kind.extension) &&
-          !committed.contains(n)) {
-        f.delete(st.getPath, false)
-      }
+    // glob scoped to THIS query's files for THIS epoch — commit cost
+    // follows the epoch's own file count where the FS supports server-side
+    // filtering, and foreign tokens/epochs are never even candidates
+    val stale = Option(f.globStatus(
+      new Path(path, s"epoch-$epochId-q$token-*${kind.extension}")))
+      .getOrElse(Array.empty)
+    stale.foreach { st =>
+      if (!committed.contains(st.getPath.getName)) f.delete(st.getPath, false)
     }
     // epochs are sequential in micro-batch execution: the shared task-temp
     // dir holds only this epoch's leftovers at commit time
@@ -102,6 +115,18 @@ class PointCloudStreamingWrite(
     val f = fs()
     messages.foreach(m => if (m != null) WriterUtil.deleteOutputs(f, m))
     f.delete(new Path(path, s".graft-tmp-$queryId"), true)
+  }
+}
+
+object PointCloudStreamingWrite {
+  /** File-name token identifying one streaming query: the query id's
+    * first 8 filename-safe chars (UUID prefix in practice). Stable
+    * across restarts from the same checkpoint — epoch replay after a
+    * crash still finds its own stale files — and distinct per fresh
+    * checkpoint, which is what scopes the replay sweep. */
+  def queryToken(queryId: String): String = {
+    val t = queryId.filter(_.isLetterOrDigit).take(8)
+    if (t.nonEmpty) t else "x"
   }
 }
 
@@ -116,7 +141,8 @@ case class PointCloudStreamingWriterFactory(
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val base = Some(f"epoch-$epochId-part-$partitionId%05d-$taskId")
+    val tok = PointCloudStreamingWrite.queryToken(queryId)
+    val base = Some(f"epoch-$epochId-q$tok-part-$partitionId%05d-$taskId")
     kind match {
       case FormatKind.Las =>
         new LasDataWriter(path, schema, options, queryId, partitionId, taskId, base)

@@ -89,7 +89,8 @@ object syntax {
 
     /** Streaming-sink sugar: a configured `DataStreamWriter` targeting the
       * point-cloud sink (append mode; each epoch's task files are
-      * self-contained `epoch-<e>-part-*.<ext>`). The caller still sets
+      * self-contained `epoch-<e>-q<query-token>-part-*.<ext>`, the token
+      * scoping replay cleanup to this query's own files). The caller still sets
       * trigger/checkpoint and calls `.start()`. The query schema rides in
       * `__schema` exactly like the batch sugar — the sink dir may be
       * empty, so there is nothing to infer from. */

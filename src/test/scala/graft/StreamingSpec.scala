@@ -220,15 +220,63 @@ class StreamingSpec extends SparkTestBase {
       assert(names.forall(_.startsWith("epoch-")), names.mkString(","))
       assert(names.map(_.split("-")(1)).distinct.length >= 2, "expected ≥2 epochs")
       // replace idempotence: a stale file left by a FAILED attempt of an
-      // epoch is deleted when that epoch commits with a different file set
+      // epoch is deleted when that epoch commits with a different file set —
+      // but ONLY this query's own files (epoch+token prefix): a foreign
+      // query's epoch-5 file in the same dir must survive the sweep
+      val tok = graft.pointcloud.connector.PointCloudStreamingWrite.queryToken("testq")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(out, "epoch-5-part-00000-99.las"), Array[Byte](1, 2, 3))
+        java.nio.file.Paths.get(out, s"epoch-5-q$tok-part-00000-99.las"), Array[Byte](1, 2, 3))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out, "epoch-5-qother00-part-00000-7.las"), Array[Byte](9))
       new graft.pointcloud.connector.PointCloudStreamingWrite(
         graft.pointcloud.connector.FormatKind.Las, out, stream.schema, Map.empty, "testq")
         .commit(5, Array.empty)
-      assert(!new java.io.File(out, "epoch-5-part-00000-99.las").exists())
+      assert(!new java.io.File(out, s"epoch-5-q$tok-part-00000-99.las").exists())
+      assert(new java.io.File(out, "epoch-5-qother00-part-00000-7.las").exists())
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(out, "epoch-5-qother00-part-00000-7.las"))
       assert(spark.read.las(out).count() == 200) // committed epochs untouched
     } finally q.stop()
+  }
+
+  test("epoch replay: committed census is invariant under any leftover subset") {
+    import graft.pointcloud.syntax._
+    import org.apache.spark.sql.functions._
+    // property pin of the idempotence claim: whatever subset of a FAILED
+    // attempt's files survives until the replayed epoch commits, the
+    // directory afterwards holds exactly the committed attempt's files
+    val out = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val src = java.nio.file.Files.createTempDirectory("graft-replaysrc").toString
+    val pts = spark.range(10).select(
+      $"id".cast("int").as("x"), lit(0).cast("int").as("y"),
+      lit(0).cast("int").as("z"), lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"), lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"), lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    pts.coalesce(1).writeLas(src)
+    val lasBytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(src).listFiles().find(_.getName.endsWith(".las")).get.toPath)
+    val tok = graft.pointcloud.connector.PointCloudStreamingWrite.queryToken("replayq")
+    val prevNames = (0 until 5).map(i => f"epoch-3-q$tok-part-$i%05d-1$i.las")
+    val newNames = (0 until 3).map(i => f"epoch-3-q$tok-part-$i%05d-2$i.las")
+    val sink = new graft.pointcloud.connector.PointCloudStreamingWrite(
+      graft.pointcloud.connector.FormatKind.Las, out, pts.schema, Map.empty, "replayq")
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 8) {
+      new java.io.File(out).listFiles().foreach(f => f.delete())
+      val leftovers = prevNames.filter(_ => rnd.nextBoolean())
+      (leftovers ++ newNames).foreach { n =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(out, n), lasBytes)
+      }
+      val msgs = newNames.map(n => graft.pointcloud.connector.LasPartMessage(
+        new java.io.File(out, n).getPath, 10L)
+        : org.apache.spark.sql.connector.write.WriterCommitMessage).toArray
+      sink.commit(3, msgs)
+      val remaining = new java.io.File(out).listFiles().map(_.getName)
+        .filter(_.endsWith(".las")).toSet
+      assert(remaining == newNames.toSet, s"trial $trial leftovers=$leftovers")
+      assert(spark.read.las(out).count() == 30, s"trial $trial")
+    }
   }
 
   test("streaming skips an unreadable file and keeps ingesting valid ones") {
