@@ -24,6 +24,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * streams of that size should compact/rotate source directories anyway.
   * Headers are read per batch on the driver (exactly like the batch
   * path); partitions are the same record-aligned binary partitions.
+  *
+  * A file enters the offset only once its header parses: a file still
+  * being copied into the directory fails the parse and is simply retried
+  * on the next trigger instead of being dropped forever (the offset IS
+  * the seen-file list, so membership means done). The flip side: a
+  * permanently corrupt file costs one header read + warning per trigger
+  * until removed — producers should move files into the directory
+  * atomically (write elsewhere on the same FS, then rename) so neither
+  * case arises. `maxFilesPerTrigger` (option) bounds how many NEW files
+  * each trigger admits; fids stay first-seen-order stable because they
+  * are indices in the same append-only list regardless of batch size.
   */
 class PointCloudMicroBatchStream(
     kind: FormatKind,
@@ -42,6 +53,17 @@ class PointCloudMicroBatchStream(
     * are append-only, so length orders them). */
   @volatile private var known: Vector[String] = Vector.empty
 
+  /** Sections read while ADMITTING a file in latestOffset, consumed by
+    * planInputPartitions so each admitted file's header is read once per
+    * run (a replay after restart re-reads; that is the normal batch-path
+    * cost). Entries are removed on use — memory stays bounded by the
+    * admitted-but-not-yet-planned window, not the corpus. */
+  private val pendingSections =
+    scala.collection.mutable.HashMap.empty[String, Seq[graft.pointcloud.Section]]
+
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxfilespertrigger")).map(_.toInt)
+
   private def listFiles(): Seq[String] =
     PointCloudUtil.expandPaths(
       PointCloudUtil.explicitPaths(options), kind, new Configuration()).sorted
@@ -51,7 +73,26 @@ class PointCloudMicroBatchStream(
   override def latestOffset(): Offset = synchronized {
     val seen = known.toSet
     val fresh = listFiles().filterNot(seen)
-    if (fresh.nonEmpty) known = known ++ fresh
+    // admit a file only once its header parses: a mid-copy file is
+    // retried next trigger instead of burning its fid forever
+    val budget = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    val admitted = Vector.newBuilder[String]
+    var n = 0
+    val it = fresh.iterator
+    while (n < budget && it.hasNext) {
+      val path = it.next()
+      try {
+        pendingSections.put(path, provider.streamSections(path, options))
+        admitted += path
+        n += 1
+      } catch {
+        case e: Exception =>
+          logWarning(s"Deferring unreadable ${kind.name} file $path " +
+            s"(retried next trigger): ${e.getMessage}")
+      }
+    }
+    val add = admitted.result()
+    if (add.nonEmpty) known = known ++ add
     FileListOffset(known)
   }
 
@@ -80,7 +121,10 @@ class PointCloudMicroBatchStream(
       // fid = index in the append-only offset list: stable across batches
       if (done.contains(path)) Nil
       else try {
-        val sections = provider.streamSections(path, options)
+        // admitted this run → header already read at admission time;
+        // replay after restart falls back to reading it here
+        val sections = synchronized(pendingSections.remove(path))
+          .getOrElse(provider.streamSections(path, options))
         if (kind == FormatKind.Xyz) {
           // text sections have no header count: one partition per file,
           // exactly like the batch planner — the file is already the unit

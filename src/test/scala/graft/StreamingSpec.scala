@@ -302,14 +302,62 @@ class StreamingSpec extends SparkTestBase {
     try {
       q.processAllAvailable()
       assert(spark.table("skip_stream").count() == 50)
-      // a corrupt file arriving mid-stream is skipped (one warning), and
-      // a later valid file still becomes its own micro-batch
+      // a corrupt file arriving mid-stream is deferred (never admitted to
+      // the offset), and a later valid file still becomes its own batch
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bb.las"),
         "not a las file at all".getBytes)
       addFile(1000, "cc.las")
       q.processAllAvailable()
       assert(spark.table("skip_stream").count() == 100)
       assert(spark.table("skip_stream").agg(max("x")).head().getInt(0) == 1049)
+      // the mid-copy scenario: once the "copy" completes (the path turns
+      // into a valid file), the previously deferred file IS ingested —
+      // deferral retries, it does not burn the file
+      val d2 = java.nio.file.Files.createTempDirectory("graft-skipfix").toString
+      pts(2000).coalesce(1).writeLas(d2)
+      val fixed = new java.io.File(d2).listFiles().find(_.getName.endsWith(".las")).get
+      java.nio.file.Files.copy(fixed.toPath, java.nio.file.Paths.get(dir, "bb.las"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      assert(spark.table("skip_stream").count() == 150)
+      assert(spark.table("skip_stream").agg(max("x")).head().getInt(0) == 2049)
+    } finally q.stop()
+  }
+
+  test("maxFilesPerTrigger bounds each batch; fids stay first-seen stable") {
+    import graft.pointcloud.syntax._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-boundstream").toString
+    def pts(lo: Int) = spark.range(50).select(
+      ($"id" + lo).cast("int").as("x"), lit(0).cast("int").as("y"),
+      lit(0).cast("int").as("z"), lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"), lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"), lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    for ((name, lo) <- Seq(("aa.las", 0), ("bb.las", 1000), ("cc.las", 2000))) {
+      val d = java.nio.file.Files.createTempDirectory("graft-boundsrc").toString
+      pts(lo).coalesce(1).writeLas(d)
+      val f = new java.io.File(d).listFiles().find(_.getName.endsWith(".las")).get
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(dir, name))
+    }
+    // all three files are present BEFORE the stream starts; the bound
+    // forces one file per micro-batch instead of one bulk batch
+    val q = spark.readStream.format("las").option("maxFilesPerTrigger", "1")
+      .load(dir).select("fid", "x")
+      .writeStream.format("memory").queryName("bound_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table("bound_stream")
+      assert(t.count() == 150)
+      // ≥3 non-empty micro-batches: the bound was real
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+      // fid = index in first-seen (sorted-name) order, regardless of
+      // which batch carried the file: aa→0, bb→1, cc→2
+      val byFid = t.groupBy("fid").agg(min("x").as("lo"), max("x").as("hi"))
+        .collect().map(r => (r.getInt(0), (r.getInt(1), r.getInt(2)))).toMap
+      assert(byFid == Map(0 -> (0, 49), 1 -> (1000, 1049), 2 -> (2000, 2049)))
     } finally q.stop()
   }
 
