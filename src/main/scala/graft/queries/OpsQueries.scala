@@ -989,21 +989,34 @@ object OpsQueries {
     s"""SELECT doc_id, ${sqlRollingHash("text")} AS fp
        |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin
 
-  private val mm01Oracle: String =
+  /** BYTE-based like the Spark side (payload = UTF-8 bytes; the stub sums
+    * raw byte values and `octet_length`): the text is hex-encoded and
+    * each byte rebuilt from its hex pair, so the twin holds for ANY
+    * corpus, not just an all-ASCII fixture where codepoints == bytes.
+    * The `length(text) >= 64` filter is intentionally CHAR-based on both
+    * engines (it mirrors the query's pre-pack filter, not the stub). */
+  private val mm01Oracle: String = {
+    def bytesOf(hx: String) =
+      s"""[CAST((strpos('0123456789ABCDEF', $hx[2*i-1:2*i-1]) - 1) * 16
+         |        + strpos('0123456789ABCDEF', $hx[2*i:2*i]) - 1 AS BIGINT)
+         |     FOR i IN generate_series(1, len($hx) // 2)]""".stripMargin
     s"""WITH t AS (
-       |  SELECT doc_id, length(text) AS byte_len, text FROM documents WHERE length(text) >= 64
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS byte_len
+       |  FROM documents WHERE length(text) >= 64
        |), h AS (
+       |  SELECT doc_id, byte_len, hx[1:32] AS x16, hx[1:128] AS x64 FROM t
+       |), v AS (
        |  SELECT doc_id, byte_len,
-       |    [ascii(c) FOR c IN string_split(substring(text, 1, 16), '')] AS h16,
-       |    [ascii(c) FOR c IN string_split(substring(text, 1, 64), '')] AS h64
-       |  FROM t
+       |    ${bytesOf("x16")} AS h16,
+       |    ${bytesOf("x64")} AS h64
+       |  FROM h
        |)
        |SELECT doc_id, byte_len,
-       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(h16, x -> CAST(x AS BIGINT))),
-       |    (acc, x) -> acc + x) AS head_sum,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), h16), (acc, x) -> acc + x) AS head_sum,
        |  len(list_filter(h64, x -> x // 64 = 0)) AS hist0,
        |  len(list_filter(h64, x -> x // 64 = 1)) AS hist1
-       |FROM h ORDER BY doc_id LIMIT 100""".stripMargin
+       |FROM v ORDER BY doc_id LIMIT 100""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "dd01_exact_dedup" ->
