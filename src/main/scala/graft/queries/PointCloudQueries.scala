@@ -354,6 +354,36 @@ object PointCloudQueries {
       sum($"cycle".cast("bigint")).as("sc"))
   }
 
+  /** pc14: unsigned read semantics under the oracle — LAS `intensity` is
+    * u16 on disk (public spec; reference reads it signed-wrapped,
+    * las/package.scala). The frame stores values spanning the FULL u16
+    * range (> 32767 included, via an orderkey mix — partkey alone is too
+    * small at test SFs to ever wrap), then reads the same file twice:
+    * default (signed wrap, the reference's semantics) and
+    * `widenUnsigned` (zero-extended 0..65535). Aggregating both reads in
+    * one result means the oracle's two's-complement CASE twin must match
+    * BOTH decode modes — a wrap bug or a widen bug each break a column.
+    * All values integer ⇒ order-independent, bit-exact. */
+  private val pc14: Q = (s, d) => {
+    // ANSI cast refuses an overflowing int→short, so wrap explicitly:
+    // store u16 value v as its two's-complement short (same disk bytes)
+    val v = ($"x" * 31 + $"y") % 65536
+    val pts = lasPointFrame(s, d)
+      .withColumn("intensity",
+        (v - when(v >= 32768, lit(65536)).otherwise(lit(0))).cast("short"))
+    val dir = tmpDir("pc14", d)
+    pts.writeLas(dir, Map("scale" -> "0.001"))
+    val wrapped = s.read.las(dir).agg(
+      sum($"intensity".cast("bigint")).as("s_wrap"),
+      min($"intensity".cast("int")).as("mn_wrap"),
+      max($"intensity".cast("int")).as("mx_wrap"))
+    val widened = s.read.option("widenUnsigned", "true").las(dir).agg(
+      sum($"intensity".cast("bigint")).as("s_wide"),
+      min($"intensity").as("mn_wide"),
+      max($"intensity").as("mx_wide"))
+    wrapped.crossJoin(widened)
+  }
+
   val queries: Map[String, Q] = Map(
     "pc01_las_roundtrip" -> pc01,
     "pc02_ply_roundtrip" -> pc02,
@@ -368,6 +398,7 @@ object PointCloudQueries {
     "pc11_streaming_scan" -> pc11,
     "pc12_streaming_sink" -> pc12,
     "pc13_extrabytes_nodata" -> pc13,
+    "pc14_unsigned_semantics" -> pc14,
   )
 
   val oracle: Map[String, String] = Map(
@@ -501,5 +532,21 @@ object PointCloudQueries {
         |   ELSE CAST((l_partkey % 1000000) % 1000 AS DOUBLE) END) AS mxg,
         | CAST(SUM(CAST((l_suppkey % 1000000) % 128 AS BIGINT)) AS BIGINT) AS sc
         |FROM lineitem""".stripMargin,
+    // two's-complement twin: on-disk u16 v reads back as v (widen) or
+    // v - 65536 when v >= 32768 (default signed wrap)
+    "pc14_unsigned_semantics" ->
+      """WITH u AS (
+        |  SELECT ((l_orderkey % 1000000) * 31 + (l_partkey % 1000000)) % 65536 AS v
+        |  FROM lineitem
+        |), w AS (
+        |  SELECT v, CASE WHEN v < 32768 THEN v ELSE v - 65536 END AS sv FROM u
+        |)
+        |SELECT CAST(SUM(CAST(sv AS BIGINT)) AS BIGINT) AS s_wrap,
+        |  CAST(MIN(sv) AS INTEGER) AS mn_wrap,
+        |  CAST(MAX(sv) AS INTEGER) AS mx_wrap,
+        |  CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS s_wide,
+        |  CAST(MIN(v) AS INTEGER) AS mn_wide,
+        |  CAST(MAX(v) AS INTEGER) AS mx_wide
+        |FROM w""".stripMargin,
   )
 }
