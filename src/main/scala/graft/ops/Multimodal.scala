@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL where the JVM has a codec: [[imageBatchDecode]]
   * runs `ImageIO` (PNG/JPEG/BMP/GIF) inside the batch seam and emits
-  * pixel-level statistics (graded as mm04). For codecs the JVM lacks
-  * (audio/video), the decode step is a clearly-marked deterministic STUB
+  * pixel-level statistics (graded as mm04). Audio decode is REAL for
+  * PCM WAV: [[audioBatchDecode]] runs `javax.sound.sampled` inside the
+  * same seam and emits sample-level statistics (graded as mm06). For
+  * codecs the JVM lacks (video, compressed audio), the decode step is a
+  * clearly-marked deterministic STUB
   * ([[stubDecodeFeatures]]/[[stubBatchDecode]]) behind the same seam —
   * the Spark-side contract (schema shape, payload packing, batch
   * partitioning, feature pipeline) is identical, so a vectorized
@@ -280,6 +283,106 @@ object Multimodal {
         col(rCol).cast("int"), col(gCol).cast("int"), col(bCol).cast("int"))
       .as[(Long, Int, Int, Int, Int, Int)]
       .map { case (id, w, h, r, g, b) => (id, encodeSolidPng(w, h, r, g, b)) }
+      .toDF(idCol, "payload")
+  }
+
+  // ---- audio: real PCM WAV decode through the same batch seam (mm06) ----
+
+  /** Sample-level features of one decoded audio clip. All integer-exact
+    * (`sum_abs` of 16-bit samples stays far below 2^63), so the DuckDB
+    * oracle can restate a deterministic fixture's output as pure
+    * arithmetic — the audio twin of [[ImageFeatures]]' lossless trick. */
+  case class AudioFeatures(id: Long, sample_rate: Int, channels: Int,
+      n_samples: Long, sum_abs: Long, peak: Int)
+
+  /** One canonical RIFF/WAVE file: 44-byte header + little-endian PCM16
+    * frames (public WAV spec — the layout every tool writes for plain
+    * PCM). The encode twin of [[audioBatchDecode]]: fixture bytes are
+    * hand-laid here and parsed back by the JDK's own WAV reader, so a
+    * drift in either side breaks mm06's hash match. */
+  def encodePcm16Wav(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      s"sample count ${samples.length} not a multiple of $channels channels")
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1)                          // audio format: PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * 2)    // byte rate
+    bb.putShort((channels * 2).toShort)     // block align
+    bb.putShort(16)                         // bits per sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL audio decode (not the stub): `AudioSystem.getAudioInputStream`
+    * — the JDK ships WAV/AIFF/AU parsers — then exact integer statistics
+    * over every PCM16 sample. Non-audio payloads and encodings outside
+    * signed little-endian 16-bit PCM are dropped, not fatal: a poison
+    * row costs one row, like [[imageBatchDecode]]. */
+  def audioBatchDecode(batch: Seq[(Long, Array[Byte])]): Seq[AudioFeatures] =
+    batch.flatMap { case (id, bytes) =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val ok =
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian && fmt.getChannels >= 1
+          if (!ok) None
+          else {
+            val data = in.readAllBytes()
+            var i = 0; var sum = 0L; var peak = 0
+            while (i + 1 < data.length) {
+              val v = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toInt
+              val a = if (v < 0) -v else v
+              sum += a; if (a > peak) peak = a
+              i += 2
+            }
+            Some(AudioFeatures(id, fmt.getSampleRate.toInt, fmt.getChannels,
+              data.length / 2L / fmt.getChannels, sum, peak))
+          }
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    }
+
+  /** [[decodeInBatchesAs]] with the real [[audioBatchDecode]]. */
+  def decodeAudio(df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[AudioFeatures] =
+      org.apache.spark.sql.Encoders.product[AudioFeatures]
+    decodeInBatchesAs(df, idCol, payloadCol, batchSize, audioBatchDecode).toDF()
+  }
+
+  /** The deterministic sample wave shared between mm06's fixture and its
+    * oracle: full s16 range, integer-exact. Oracle twin:
+    * `(id*31 + i*7) % 65536 - 32768`. */
+  def toneSample(id: Long, i: Long): Short =
+    (((id * 31 + i * 7) % 65536) - 32768).toShort
+
+  /** Row-wise WAV fixture encoding: mono PCM16, `50 + id%50` samples of
+    * [[toneSample]] at `8000 + (id%4)*4000` Hz — every decoded statistic
+    * is pure arithmetic in id. Partition-local (a `Dataset.map`), no
+    * shuffle; the graded path is the decode through [[decodeAudio]]. */
+  def encodeToneWavs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map { id =>
+        val n = (50 + id % 50).toInt
+        val rate = (8000 + (id % 4) * 4000).toInt
+        (id, encodePcm16Wav(rate, 1, Array.tabulate(n)(i => toneSample(id, i.toLong))))
+      }
       .toDF(idCol, "payload")
   }
 }

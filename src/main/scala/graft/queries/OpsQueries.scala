@@ -463,6 +463,27 @@ object OpsQueries {
       .sort($"doc_id")
   }
 
+  /** mm06: REAL audio decode through the batch seam — each document gets
+    * a hand-laid canonical RIFF/PCM16 WAV (mono; sample count, rate and
+    * every sample value derived from doc_id via
+    * [[graft.ops.Multimodal.toneSample]]), and
+    * [[graft.ops.Multimodal.audioBatchDecode]] parses it back with the
+    * JDK's own WAV reader (`AudioSystem.getAudioInputStream`), emitting
+    * rate/channels/frame count and exact integer sample statistics
+    * (sum of |sample|, peak). PCM is lossless and every value integer,
+    * so the oracle restates the output as pure arithmetic in doc_id —
+    * any drift in the RIFF layout, the JDK parse, or the sample loop
+    * breaks the hash. Partition-local (encode map → batched decode),
+    * no shuffle; doc_id < 300 bounds the fixture cost, not the operator. */
+  private val mm06: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter($"doc_id" < 300).select($"doc_id")
+    val packed = Multimodal.encodeToneWavs(docs, "doc_id")
+    Multimodal.decodeAudio(packed, "doc_id", "payload", 64)
+      .select($"id".as("doc_id"), $"sample_rate", $"channels",
+        $"n_samples", $"sum_abs", $"peak")
+      .sort($"doc_id")
+  }
+
   /** mm02: frame-sampling pipeline — every 10th document's payload,
     * aggregated per language (the video frame-sample shape on rows). */
   private val mm02: Q = (s, d) =>
@@ -505,6 +526,7 @@ object OpsQueries {
     "mm03_png_decode" -> mm03,
     "mm04_image_decode" -> mm04,
     "mm05_codec_dispatch" -> mm05,
+    "mm06_audio_decode" -> mm06,
   )
 
   // ------------------------------------------------------------- oracles
@@ -1119,5 +1141,26 @@ object OpsQueries {
         "CAST((doc_id * 3) % 256 AS DOUBLE) AS g_mean, " +
         "CAST((doc_id * 7) % 256 AS DOUBLE) AS b_mean " +
         "FROM documents WHERE doc_id < 300 ORDER BY doc_id"),
+    // audio decode: PCM16 is lossless and integer-exact, so the decoded
+    // sample statistics are pure arithmetic in (doc_id, i); i ranges over
+    // a fixed series filtered to the per-doc count (DuckDB generate_series
+    // rejects lateral column bounds)
+    "mm06_audio_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, 50 + doc_id % 50 AS n,
+        |         CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate
+        |  FROM documents WHERE doc_id < 300
+        |), s AS (
+        |  SELECT p.doc_id, p.sample_rate,
+        |    (p.doc_id * 31 + t.i * 7) % 65536 - 32768 AS v
+        |  FROM p, generate_series(0, 98) AS t(i)
+        |  WHERE t.i < p.n
+        |)
+        |SELECT doc_id, MAX(sample_rate) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(ABS(v)) AS INTEGER) AS peak
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

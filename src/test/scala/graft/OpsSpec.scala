@@ -435,4 +435,47 @@ class OpsSpec extends SparkTestBase {
     assert(got.forall(f => (f.r_mean, f.g_mean, f.b_mean) == (200.0, 30.0, 7.0)))
     assert(!got.exists(_.id == 99L))
   }
+
+  test("audio decode: hand-laid PCM16 WAV round-trips through the JDK parser") {
+    // golden: 4 known samples incl. both s16 extremes; stats by hand
+    val samples = Array[Short](100, -200, 32767, -32768)
+    val wav = Multimodal.encodePcm16Wav(8000, 1, samples)
+    // the RIFF magic + chunk ids really are where the spec puts them
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(wav.length == 44 + 8)
+    val got = Multimodal.audioBatchDecode(Seq((5L, wav)))
+    assert(got == Seq(Multimodal.AudioFeatures(5L, 8000, 1, 4L,
+      100L + 200 + 32767 + 32768, 32768)))
+    // stereo: frames = samples / channels, stats over both channels
+    val st = Multimodal.audioBatchDecode(
+      Seq((6L, Multimodal.encodePcm16Wav(44100, 2, Array[Short](1, -2, 3, -4)))))
+    assert(st == Seq(Multimodal.AudioFeatures(6L, 44100, 2, 2L, 10L, 4)))
+  }
+
+  test("audio decode drops undecodable payloads instead of failing the batch") {
+    val wav = Multimodal.encodePcm16Wav(8000, 1, Array[Short](1, 2, 3))
+    val batch = Seq((1L, wav), (2L, "junk bytes".getBytes("UTF-8")),
+      (3L, Array[Byte]()), (4L, wav.take(30)))
+    assert(Multimodal.audioBatchDecode(batch).map(_.id) == Seq(1L))
+    // and through the distributed seam: poison rows cost rows, not the job
+    val df = batch.toDF("id", "payload")
+    val decoded = Multimodal.decodeAudio(df, "id", "payload", 2)
+    assert(decoded.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("audio decode through the seam is batch-size invariant") {
+    val packed = Multimodal.encodeToneWavs(spark.range(1, 60).toDF("id"), "id")
+    val expected = (1L until 60L).map { id =>
+      val n = (50 + id % 50).toInt
+      val vs = (0 until n).map(i => Multimodal.toneSample(id, i.toLong).toInt)
+      Multimodal.AudioFeatures(id, (8000 + (id % 4) * 4000).toInt, 1, n.toLong,
+        vs.map(v => math.abs(v).toLong).sum, vs.map(math.abs).max)
+    }
+    for (bs <- Seq(1, 7, 100000)) {
+      val got = Multimodal.decodeAudio(packed, "id", "payload", bs)
+        .as[Multimodal.AudioFeatures].collect().sortBy(_.id).toSeq
+      assert(got == expected, s"batchSize=$bs")
+    }
+  }
 }
