@@ -384,6 +384,37 @@ object PointCloudQueries {
     wrapped.crossJoin(widened)
   }
 
+  /** pc15: the reference's per-key saver graded end-to-end — ONE
+    * distributed pass writes one self-contained `<key>.las` per tile
+    * (K2, reference las/package.scala:45-98, minus its driver loop of
+    * per-key jobs), and the read-back recovers each row's tile from the
+    * FILE NAME via the fid column's source-paths metadata (the D3 naming
+    * contract). The per-tile census must then match a plain lineitem
+    * GROUP BY — a wrong file split, a dropped key file, or a fid↔path
+    * mismatch each shift a group. The fid→tile map is k rows on the
+    * driver (k = distinct keys, from schema metadata, no data collect)
+    * and joins back in as a broadcast. */
+  private val pc15: Q = (s, d) => {
+    val pts = lasPointFrame(s, d).withColumn("tile", ($"x" % 5).cast("int"))
+    val dir = tmpDir("pc15", d)
+    pts.writeLasKeyed(dir, "tile", Map("scale" -> "0.001"))
+    val back = s.read.las(dir)
+    // key rides in the file name, not the records: rebuild fid→tile from
+    // the scan's own paths metadata (exactly what writePerSource trusts)
+    val fidTile = back.schema("fid").metadata.getStringArray("paths")
+      .toSeq.zipWithIndex.map { case (p, i) =>
+        (i, new java.io.File(p).getName.stripSuffix(".las").toInt)
+      }
+    val keys = s.createDataFrame(fidTile).toDF("fid", "tile")
+    back.join(broadcast(keys), "fid")
+      .groupBy($"tile")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        min($"intensity".cast("int")).as("mni"),
+        max($"intensity".cast("int")).as("mxi"))
+      .sort($"tile")
+  }
+
   val queries: Map[String, Q] = Map(
     "pc01_las_roundtrip" -> pc01,
     "pc02_ply_roundtrip" -> pc02,
@@ -399,6 +430,7 @@ object PointCloudQueries {
     "pc12_streaming_sink" -> pc12,
     "pc13_extrabytes_nodata" -> pc13,
     "pc14_unsigned_semantics" -> pc14,
+    "pc15_keyed_write" -> pc15,
   )
 
   val oracle: Map[String, String] = Map(
@@ -548,5 +580,14 @@ object PointCloudQueries {
         |  CAST(MIN(v) AS INTEGER) AS mn_wide,
         |  CAST(MAX(v) AS INTEGER) AS mx_wide
         |FROM w""".stripMargin,
+    // per-tile census: tile = x % 5 rode only in the FILE NAME through
+    // the keyed write, so a match proves key routing + name recovery
+    "pc15_keyed_write" ->
+      """SELECT CAST((l_orderkey % 1000000) % 5 AS INTEGER) AS tile,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | CAST(MIN(l_linenumber % 32000) AS INTEGER) AS mni,
+        | CAST(MAX(l_linenumber % 32000) AS INTEGER) AS mxi
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
