@@ -415,6 +415,59 @@ object PointCloudQueries {
       .sort($"tile")
   }
 
+  /** pc16: heterogeneous-schema union scan graded under the oracle — two
+    * PLY directories share a corpus but disagree on schema (one stores
+    * `x` as i32 and carries `price`; the other stores `x` widened to i64
+    * and omits `price`), and ONE multi-path read resolves the merged
+    * schema: `x` widens to long (narrow files implicitly cast at decode,
+    * U1+P2), `price` turns nullable with nulls exactly on the omitting
+    * file's rows. The census mixes both behaviors so a widening, cast,
+    * or missing-column bug each break a column (reference merge:
+    * BinarySectionRelation.scala:165-181). */
+  private val pc16: Q = (s, d) => {
+    val base = Tables.orders(s, d).select(
+      ($"o_orderkey" % 1000000).cast("int").as("x"),
+      ($"o_custkey" % 1000000).cast("int").as("y"),
+      $"o_totalprice".cast("double").as("price"),
+      ($"o_orderkey" % 2).as("par"))
+    val dirA = tmpDir("pc16a", d)
+    val dirB = tmpDir("pc16b", d)
+    base.filter($"par" === 0).drop("par").writePly(dirA)
+    base.filter($"par" === 1).drop("par")
+      .withColumn("x", $"x".cast("long")).drop("price").writePly(dirB)
+    s.read.ply(dirA, dirB).agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sx"),                          // long: i32 rows cast up
+      count($"price").as("np"),                    // nulls where file omits it
+      min($"price").as("mnp"), max($"price").as("mxp"),
+      sum($"price".isNull.cast("bigint")).as("nnull"))
+  }
+
+  /** pc17: LAS format-0 + format-1 union with scaled-coordinate
+    * reconstruction — half the corpus lands as fmt0, half as fmt1 with a
+    * `time` channel (exact halves, so even its SUM is order-independent
+    * in IEEE doubles), both headers carrying scale 0.01 / offset 50.
+    * One read merges the formats (`time` null exactly on fmt0 rows) and
+    * [[graft.pointcloud.syntax.withCoordinates]] rebuilds world
+    * coordinates from the header metadata (`x_d = x*scale+offset`, the
+    * metadata-plus-arithmetic replacement for the reference's
+    * ScaledInteger UDT, ScaledIntegerType.scala:27-111 / SURVEY §1.5).
+    * The oracle recomputes the same IEEE product per row, so a header
+    * scale/offset drift or a reconstruction bug breaks min/max. */
+  private val pc17: Q = (s, d) => {
+    val pts = lasPointFrame(s, d)
+    val world = Map("scale" -> "0.01", "offset" -> "50")
+    val dirA = tmpDir("pc17a", d)
+    val dirB = tmpDir("pc17b", d)
+    pts.filter($"z" % 2 === 0).writeLas(dirA, world)
+    pts.filter($"z" % 2 === 1).withColumn("time", $"x" * 0.5).writeLas(dirB, world)
+    withCoordinates(s.read.las(dirA, dirB)).agg(
+      count(lit(1)).as("n"),
+      count($"time").as("nt"),                     // fmt0 rows surface null
+      sum($"time").as("st"),                       // exact multiples of 0.5
+      min($"x_d").as("mnxd"), max($"x_d").as("mxxd"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pc01_las_roundtrip" -> pc01,
     "pc02_ply_roundtrip" -> pc02,
@@ -431,6 +484,8 @@ object PointCloudQueries {
     "pc13_extrabytes_nodata" -> pc13,
     "pc14_unsigned_semantics" -> pc14,
     "pc15_keyed_write" -> pc15,
+    "pc16_schema_merge" -> pc16,
+    "pc17_scaled_union" -> pc17,
   )
 
   val oracle: Map[String, String] = Map(
@@ -589,5 +644,28 @@ object PointCloudQueries {
         | CAST(MIN(l_linenumber % 32000) AS INTEGER) AS mni,
         | CAST(MAX(l_linenumber % 32000) AS INTEGER) AS mxi
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // merged-schema twin: even orderkeys carried price (i32 x), odd ones
+    // omitted it (i64 x) — the CASE mirrors which FILE each row came from
+    "pc16_schema_merge" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(o_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | CAST(COUNT(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END) AS BIGINT) AS np,
+        | MIN(CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_totalprice AS DOUBLE) END) AS mnp,
+        | MAX(CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_totalprice AS DOUBLE) END) AS mxp,
+        | CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nnull
+        |FROM orders""".stripMargin,
+    // scaled-coordinate twin: the same IEEE double product per row —
+    // 0.01/50 must be CAST to DOUBLE or DuckDB computes in DECIMAL
+    "pc17_scaled_union" ->
+      """WITH b AS (
+        |  SELECT l_orderkey % 1000000 AS x, l_suppkey % 1000000 AS z
+        |  FROM lineitem
+        |)
+        |SELECT COUNT(*) AS n,
+        | CAST(COUNT(CASE WHEN z % 2 = 1 THEN 1 END) AS BIGINT) AS nt,
+        | SUM(CASE WHEN z % 2 = 1 THEN CAST(x AS DOUBLE) * CAST(0.5 AS DOUBLE) END) AS st,
+        | MIN(CAST(x AS DOUBLE) * CAST(0.01 AS DOUBLE) + CAST(50 AS DOUBLE)) AS mnxd,
+        | MAX(CAST(x AS DOUBLE) * CAST(0.01 AS DOUBLE) + CAST(50 AS DOUBLE)) AS mxxd
+        |FROM b""".stripMargin,
   )
 }
