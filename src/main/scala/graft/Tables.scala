@@ -48,6 +48,14 @@ object Tables {
     * exact integer time arithmetic. */
   def eventsRawNanos(s: SparkSession, d: String): DataFrame =
     s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
+  /** Documents schema, for consumers that cannot infer (file streams). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

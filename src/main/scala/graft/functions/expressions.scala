@@ -194,6 +194,44 @@ object HashUtil {
   /** KMV sketch hash of a string: finalized FNV-1a in [0, 2^63). */
   def kmvHash(s: UTF8String): Long = (fnv1a64(s) * KmvPhi) >>> 1
 
+  /** LSH band keys straight from a shingle-hash array: `numHashes`
+    * permutation minima (permutation i is `((2i+1)*h + 7i+13) % Mod`,
+    * the `Dedup.hashA`/`hashB` family — parity pinned by OpsSpec) folded
+    * into `bands` keys of `rows` values each with the rolling-hash
+    * polynomial. One pass over the array, no per-permutation
+    * materialization — the row-local fusion that makes MinHash banding
+    * usable on a STREAM, where the batch path's explode+aggregate
+    * (a shuffle) is unavailable and the naive 16× `transform` chain
+    * re-evaluates its input per permutation. Empty input → empty keys
+    * (docs below the shingle size drop out, like the batch filter). */
+  def minhashBandKeys(hashes: ArrayData, numHashes: Int, bands: Int, rows: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = ((2L * j + 1) * h + (7L * j + 13)) % Mod
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var r = 0
+      while (r < rows) { acc = (acc * 31 + mins(b * rows + r)) % Mod; r += 1 }
+      keys(b) = acc
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
   /** 64-bit SimHash over an array of tokens: per bit, sum +1/-1 weighted
     * by each token's FNV hash bit; result bit = sign of the sum.
     * Near-duplicate docs differ in few bits (compare via hamming
@@ -415,6 +453,26 @@ case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
     copy(child = newChild)
   override def prettyName: String = "graft_shingle_hash_set"
+}
+
+/** minhash_band_keys(array<bigint>): ArrayType(LongType) — fused
+  * MinHash-signature + LSH-band-key kernel (see
+  * [[HashUtil.minhashBandKeys]]). */
+case class MinhashBandKeys(child: Expression, numHashes: Int, bands: Int,
+    rows: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName needs ARRAY<BIGINT>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.minhashBandKeys(input.asInstanceOf[ArrayData], numHashes, bands, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashUtil.minhashBandKeys($c, $numHashes, $bands, $rows)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandKeys =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_band_keys"
 }
 
 /** char_ngrams(string, n): ArrayType(StringType) — all character n-grams. */
@@ -657,6 +715,8 @@ object exprs {
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
   def shingle_hash_set(tokens: Column, n: Int): Column =
     Bridge.column(ShingleHashSet(Bridge.expression(tokens), n))
+  def minhash_band_keys(hashes: Column, numHashes: Int, bands: Int, rows: Int): Column =
+    Bridge.column(MinhashBandKeys(Bridge.expression(hashes), numHashes, bands, rows))
   def char_ngrams(s: Column, n: Int): Column =
     Bridge.column(CharNgrams(Bridge.expression(s), n))
   def word_ngrams(s: Column, n: Int): Column =

@@ -553,10 +553,11 @@ object OpsQueries {
   private def sqlJaccard(a: String, b: String): String =
     s"len(list_intersect($a, $b)) * 1.0 / len(list_distinct($a || $b))"
 
-  /** Shared CTE chain reproducing the MinHash-LSH candidate pipeline;
-    * ends with `verified(id_a, id_b, j)` at the given threshold. */
-  private def minhashCtes(threshold: Double,
-      pairPred: String = "a.id < b.id"): String = {
+  /** CTE chain from documents to exploded `(id, band, key)` LSH buckets —
+    * the shared prefix of every MinHash oracle; [[minhashCtes]] appends
+    * the candidate/verify tail, StreamingQueries' st07 gates on the
+    * buckets directly. */
+  private[queries] def bandExplodedCtes: String = {
     val sigExprs = (0 until Dedup.NumHashes).map { i =>
       s"list_min(list_transform(hh, h -> (${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % ${Dedup.Prime}))"
     }.mkString(",\n      ")
@@ -582,7 +583,14 @@ object OpsQueries {
        |exploded AS (
        |  SELECT id, unnest(generate_series(0, ${Dedup.Bands - 1})) AS band, unnest(bk) AS key
        |  FROM bands
-       |),
+       |)""".stripMargin
+  }
+
+  /** Shared CTE chain reproducing the MinHash-LSH candidate pipeline;
+    * ends with `verified(id_a, id_b, j)` at the given threshold. */
+  private def minhashCtes(threshold: Double,
+      pairPred: String = "a.id < b.id"): String = {
+    s"""$bandExplodedCtes,
        |cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM exploded a JOIN exploded b

@@ -186,6 +186,28 @@ object StreamingQueries {
       .sort("event_type")
   }
 
+  /** st07: streaming near-duplicate ADMISSION GATE — documents flow
+    * through [[graft.streaming.StreamingDedup.bandGate]] (row-local
+    * fused MinHash banding, then one long of state per LSH bucket:
+    * the smallest doc id that claimed it), and a document is admitted
+    * iff none of its band buckets was claimed by a smaller id. The
+    * batch post-processing assembles the admitted corpus; the oracle
+    * restates the same rule declaratively over all pairs ("collides
+    * iff a smaller-id doc shares a bucket"), which the gate's
+    * smallest-first chain semantics provably equal under in-order
+    * arrival. The streaming twin of dd09's batch screen — corpus
+    * growth screens only new arrivals, never re-scans. */
+  private val st07: Q = (s, d) => {
+    val hits = graft.streaming.StreamingDedup.bandGate(
+      graft.streaming.StreamingDedup.readDocumentStream(s, d), "doc_id", "text").toDF()
+    val out = runToCompletion(hits, "graft_st07", "append")
+    val coll = out.filter(col("hit")).select(col("id")).distinct()
+    graft.Tables.documents(s, d)
+      .join(coll, col("doc_id") === col("id"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+      .sort("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_windowed_stream" -> st01,
     "st02_sessionization" -> st02,
@@ -193,6 +215,7 @@ object StreamingQueries {
     "st04_stream_join" -> st04,
     "st05_stream_dedup" -> st05,
     "st06_stream_distinct" -> st06,
+    "st07_neardup_gate" -> st07,
   )
 
   val oracle: Map[String, String] = Map(
@@ -281,5 +304,17 @@ object StreamingQueries {
          |FROM kths
          |ORDER BY event_type""".stripMargin
     },
+    // the declarative restatement of the gate's chain rule: a doc
+    // collides iff ANY smaller-id doc shares one of its band buckets
+    // (same bucket CTEs as the dd03 oracle)
+    "st07_neardup_gate" ->
+      s"""WITH ${OpsQueries.bandExplodedCtes},
+         |coll AS (
+         |  SELECT DISTINCT a.id FROM exploded a
+         |  JOIN exploded b ON a.band = b.band AND a.key = b.key AND b.id < a.id
+         |)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM coll)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -436,6 +436,27 @@ class OpsSpec extends SparkTestBase {
     assert(!got.exists(_.id == 99L))
   }
 
+  test("minhash_band_keys kernel matches the batch explode+aggregate path") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words in this other document here"),
+      (4L, "ab")).toDF("id", "text") // doc 4 is below the shingle size
+    val kernel = df.select($"id",
+        graft.functions.exprs.minhash_band_keys(Dedup.shingleHashes($"text"),
+          Dedup.NumHashes, Dedup.Bands, Dedup.RowsPerBand).as("bk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val batch = Dedup.minhashSignatures(df, "id", "text")
+      .select($"id", Dedup.bandKeys($"sig").as("bk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // the batch path drops empty-shingle docs; the kernel gives them
+    // empty keys (same outcome after posexplode: no band rows)
+    assert(batch.keySet == Set(1L, 2L, 3L))
+    batch.foreach { case (id, bk) => assert(kernel(id) == bk, s"id=$id") }
+    assert(kernel(4L).isEmpty)
+    assert(kernel(1L) == kernel(2L) && kernel(1L) != kernel(3L))
+  }
+
   test("audio decode: hand-laid PCM16 WAV round-trips through the JDK parser") {
     // golden: 4 known samples incl. both s16 extremes; stats by hand
     val samples = Array[Short](100, -200, 32767, -32768)

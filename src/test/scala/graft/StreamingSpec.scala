@@ -396,6 +396,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("near-dup gate: bucket state persists across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, max}
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDS().toDF("doc_id", "text")
+    val hits = graft.streaming.StreamingDedup.bandGate(docs, "doc_id", "text").toDF()
+    val q = hits.writeStream.format("memory").queryName("gate_test")
+      .outputMode("append").start()
+    try {
+      def verdicts = spark.table("gate_test").groupBy("id")
+        .agg(max(col("hit").cast("int")).as("anyhit"))
+        .as[(Long, Int)].collect().toMap
+      val textA = "alpha beta gamma delta epsilon zeta eta theta iota"
+      val textB = "one two three four five six seven eight nine ten"
+      // batch 1: 5 and 9 share textA — smaller id wins WITHIN a batch
+      input.addData((5L, textA), (9L, textA), (3L, textB))
+      q.processAllAvailable()
+      val v1 = verdicts
+      assert(v1(5L) == 0 && v1(3L) == 0 && v1(9L) == 1)
+      // batch 2: 7 repeats textA — the bucket claim survived in STATE
+      input.addData((7L, textA))
+      q.processAllAvailable()
+      assert(verdicts(7L) == 1)
+      // batch 3: genuinely novel text is still admitted
+      input.addData((11L, "moose yak okapi lemur gibbon tapir heron stork crane"))
+      q.processAllAvailable()
+      assert(verdicts(11L) == 0)
+    } finally q.stop()
+  }
+
   test("windowed stream over events matches a batch group-by") {
     val stream = EventStreams.windowedCounts(
       EventStreams.readEventStream(spark, sfDir), "1 hour")
