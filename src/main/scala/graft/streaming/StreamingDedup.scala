@@ -11,9 +11,12 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * MinHash LSH band buckets was already claimed by an earlier (smaller
   * id) document. This is the ingest-time shape a 100 TB training-data
   * pipeline runs at the front door: per-bucket state is ONE long (the
-  * smallest doc id seen), so state size is bounded by the distinct
-  * bucket count regardless of corpus size, and no shuffle ever carries
-  * more than (id, band, key) rows.
+  * smallest doc id seen). State grows with the distinct-bucket count —
+  * inherent to the semantics (the gate IS a corpus membership sketch) —
+  * but at 8 bytes per bucket it is ~4 orders of magnitude smaller than
+  * the corpus; a production deployment backs it with the RocksDB state
+  * store (provider-agnostic, pinned by StreamingSpec) instead of heap.
+  * No shuffle ever carries more than (id, band, key) rows.
   *
   * Plan shape: the whole signature pipeline is row-local — the fused
   * `graft_minhash_band_keys` kernel computes all permutation minima and
