@@ -167,9 +167,12 @@ object Multimodal {
   def imageBatchDecode(batch: Seq[(Long, Array[Byte])]): Seq[ImageFeatures] = {
     imageIoNoCache
     batch.flatMap { case (id, bytes) =>
+      // NonFatal, not just IOException: the JDK codecs throw runtime
+      // exceptions (IndexOutOfBounds, NegativeArraySize, ...) on
+      // payloads whose magic bytes sniff fine but whose body is garbage
       val img =
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       img.map { im =>
         val (w, h, n, r, g, b) = pixelStats(im)
         ImageFeatures(id, w, h, n, r, g, b)
@@ -193,17 +196,22 @@ object Multimodal {
     batch.flatMap { case (id, bytes) =>
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          val (w, h, n, r, g, b) = pixelStats(reader.read(0))
-          Some(ImageFeaturesFmt(id, reader.getFormatName.toLowerCase, w, h, n, r, g, b))
-        } catch { case _: java.io.IOException => None }
-        finally reader.dispose()
-      }
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val (w, h, n, r, g, b) = pixelStats(reader.read(0))
+            Some(ImageFeaturesFmt(id, reader.getFormatName.toLowerCase, w, h, n, r, g, b))
+          } catch {
+            // NonFatal: valid magic bytes + garbage body throw runtime
+            // exceptions from the JDK codecs, not just IOException
+            case scala.util.control.NonFatal(_) => None
+          } finally reader.dispose()
+        }
+      } finally iis.close()
     }
   }
 
@@ -351,8 +359,10 @@ object Multimodal {
           }
         } finally in.close()
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
+        // UnsupportedAudioFileException for non-audio payloads, but also
+        // NonFatal generally: malformed containers can throw runtime
+        // exceptions from the JDK parsers
+        case scala.util.control.NonFatal(_) => None
       }
     }
 

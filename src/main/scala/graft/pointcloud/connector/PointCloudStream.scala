@@ -1,9 +1,10 @@
 package graft.pointcloud.connector
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -25,16 +26,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Headers are read per batch on the driver (exactly like the batch
   * path); partitions are the same record-aligned binary partitions.
   *
-  * A file enters the offset only once its header parses: a file still
-  * being copied into the directory fails the parse and is simply retried
-  * on the next trigger instead of being dropped forever (the offset IS
+  * A file enters the offset only once its header parses AND the file is
+  * at least as long as the header promises (offset + count × stride): a
+  * file still being copied into the directory — even one whose header
+  * bytes have already landed — is deferred and retried on the next
+  * trigger instead of being dropped forever or read short (the offset IS
   * the seen-file list, so membership means done). The flip side: a
   * permanently corrupt file costs one header read + warning per trigger
   * until removed — producers should move files into the directory
   * atomically (write elsewhere on the same FS, then rename) so neither
-  * case arises. `maxFilesPerTrigger` (option) bounds how many NEW files
-  * each trigger admits; fids stay first-seen-order stable because they
-  * are indices in the same append-only list regardless of batch size.
+  * case arises. XYZ files carry NO header (count is unknown until
+  * scan), so the length check cannot protect them: atomic moves are a
+  * hard requirement for XYZ sources. `maxFilesPerTrigger` (option)
+  * bounds how many NEW files each trigger admits; fids stay
+  * first-seen-order stable because they are indices in the same
+  * append-only list regardless of batch size. Implements
+  * `SupportsTriggerAvailableNow`, so `Trigger.AvailableNow` freezes the
+  * file set at query start and drains it across as many
+  * `maxFilesPerTrigger`-bounded batches as needed (a plain
+  * MicroBatchStream would be wrapped to call latestOffset ONCE and
+  * silently stop after the first batch's admissions).
   */
 class PointCloudMicroBatchStream(
     kind: FormatKind,
@@ -44,7 +55,7 @@ class PointCloudMicroBatchStream(
     options: CaseInsensitiveStringMap,
     checkpointLocation: String,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-  extends MicroBatchStream with Logging {
+  extends MicroBatchStream with SupportsTriggerAvailableNow with Logging {
 
   import PointCloudMicroBatchStream.FileListOffset
 
@@ -68,21 +79,58 @@ class PointCloudMicroBatchStream(
     PointCloudUtil.expandPaths(
       PointCloudUtil.explicitPaths(options), kind, new Configuration()).sorted
 
+  /** File set frozen by `prepareForTriggerAvailableNow`: under
+    * `Trigger.AvailableNow` only these files are ever admitted, and the
+    * engine keeps running batches until they drain (or stall on a file
+    * that never becomes admissible — it is then left for the next run,
+    * with a warning per attempt). */
+  @volatile private var availableNowTarget: Option[Set[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowTarget = Some(listFiles().toSet)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
   override def initialOffset(): Offset = FileListOffset(Vector.empty)
 
-  override def latestOffset(): Offset = synchronized {
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with SupportsAdmissionControl")
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = synchronized {
     val seen = known.toSet
-    val fresh = listFiles().filterNot(seen)
-    // admit a file only once its header parses: a mid-copy file is
-    // retried next trigger instead of burning its fid forever
-    val budget = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    val listed = listFiles().filterNot(seen)
+    val fresh = availableNowTarget match {
+      case Some(target) => listed.filter(target)
+      case None => listed
+    }
+    // admit a file only once its header parses AND the bytes the header
+    // promises are all present: a mid-copy file (header landed, data
+    // still copying) is retried next trigger instead of burning its fid
+    // or reading short
+    val budget = limit match {
+      case f: ReadMaxFiles => f.maxFiles()
+      case _ => Int.MaxValue
+    }
     val admitted = Vector.newBuilder[String]
     var n = 0
     val it = fresh.iterator
     while (n < budget && it.hasNext) {
       val path = it.next()
       try {
-        pendingSections.put(path, provider.streamSections(path, options))
+        val sections = provider.streamSections(path, options)
+        val need = sections.iterator
+          .filter(_.count >= 0).map(s => s.offset + s.byteSize)
+          .foldLeft(0L)(math.max)
+        if (need > 0L) {
+          val p = new Path(path)
+          val len = p.getFileSystem(new Configuration()).getFileStatus(p).getLen
+          if (len < need) throw new java.io.IOException(
+            s"file is $len bytes but the header promises $need (mid-copy?)")
+        }
+        pendingSections.put(path, sections)
         admitted += path
         n += 1
       } catch {

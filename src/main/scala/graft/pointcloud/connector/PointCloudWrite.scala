@@ -119,13 +119,15 @@ class PointCloudStreamingWrite(
 }
 
 object PointCloudStreamingWrite {
-  /** File-name token identifying one streaming query: the query id's
-    * first 8 filename-safe chars (UUID prefix in practice). Stable
-    * across restarts from the same checkpoint — epoch replay after a
-    * crash still finds its own stale files — and distinct per fresh
-    * checkpoint, which is what scopes the replay sweep. */
+  /** File-name token identifying one streaming query: ALL of the query
+    * id's filename-safe chars (the full UUID in practice — a truncated
+    * prefix would make the "can't sweep another query's files" guarantee
+    * merely probabilistic). Stable across restarts from the same
+    * checkpoint — epoch replay after a crash still finds its own stale
+    * files — and distinct per fresh checkpoint, which is what scopes the
+    * replay sweep. */
   def queryToken(queryId: String): String = {
-    val t = queryId.filter(_.isLetterOrDigit).take(8)
+    val t = queryId.filter(_.isLetterOrDigit)
     if (t.nonEmpty) t else "x"
   }
 }

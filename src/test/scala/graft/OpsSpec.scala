@@ -436,6 +436,25 @@ class OpsSpec extends SparkTestBase {
     assert(!got.exists(_.id == 99L))
   }
 
+  test("decoders drop payloads whose magic bytes sniff fine but whose body is garbage") {
+    // valid GIF/BMP/PNG magics + junk bodies make the JDK codecs throw
+    // RUNTIME exceptions, not IOException — still one row, not the job
+    val junkTail = Array.fill[Byte](64)(0x5a)
+    val gifJunk = "GIF89a".getBytes("US-ASCII") ++ junkTail
+    val bmpJunk = "BM".getBytes("US-ASCII") ++ junkTail
+    val pngJunk = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte) ++ junkTail
+    val goodPng = Multimodal.encodeSolidPng(3, 3, 1, 2, 3)
+    val batch = Seq((1L, goodPng), (2L, gifJunk), (3L, bmpJunk), (4L, pngJunk))
+    assert(Multimodal.imageBatchDecode(batch).map(_.id) == Seq(1L))
+    assert(Multimodal.imageBatchDecodeFmt(batch).map(_.id) == Seq(1L))
+    // audio likewise: a RIFF/WAVE prefix with a garbage chunk table
+    val wavJunk = "RIFF".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0x7f) ++
+      "WAVE".getBytes("US-ASCII") ++ junkTail
+    val goodWav = Multimodal.encodePcm16Wav(8000, 1, Array[Short](1, 2, 3))
+    assert(Multimodal.audioBatchDecode(Seq((1L, goodWav), (2L, wavJunk))).map(_.id) == Seq(1L))
+  }
+
   test("minhash_band_keys kernel matches the batch explode+aggregate path") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

@@ -361,6 +361,77 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains ALL files even under maxFilesPerTrigger") {
+    // without SupportsTriggerAvailableNow the engine wraps the source,
+    // calls latestOffset once, and a bounded trigger silently stops
+    // after the first batch's admissions — only 1 of 3 files ingested
+    import graft.pointcloud.syntax._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-anstream").toString
+    def pts(lo: Int) = spark.range(40).select(
+      ($"id" + lo).cast("int").as("x"), lit(0).cast("int").as("y"),
+      lit(0).cast("int").as("z"), lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"), lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"), lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    for ((name, lo) <- Seq(("aa.las", 0), ("bb.las", 1000), ("cc.las", 2000))) {
+      val d = java.nio.file.Files.createTempDirectory("graft-ansrc").toString
+      pts(lo).coalesce(1).writeLas(d)
+      val f = new java.io.File(d).listFiles().find(_.getName.endsWith(".las")).get
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(dir, name))
+    }
+    val q = spark.readStream.format("las").option("maxFilesPerTrigger", "1")
+      .load(dir).select("fid", "x")
+      .writeStream.format("memory").queryName("an_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      assert(spark.table("an_stream").count() == 120)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
+  test("mid-copy file with a landed header is deferred until its data arrives") {
+    import graft.pointcloud.syntax._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-midcopy").toString
+    def pts(lo: Int) = spark.range(50).select(
+      ($"id" + lo).cast("int").as("x"), lit(0).cast("int").as("y"),
+      lit(0).cast("int").as("z"), lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"), lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"), lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    def lasBytes(lo: Int): Array[Byte] = {
+      val d = java.nio.file.Files.createTempDirectory("graft-midsrc").toString
+      pts(lo).coalesce(1).writeLas(d)
+      val f = new java.io.File(d).listFiles().find(_.getName.endsWith(".las")).get
+      java.nio.file.Files.readAllBytes(f.toPath)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "aa.las"), lasBytes(0))
+    val q = spark.readStream.format("las").load(dir).select("x")
+      .writeStream.format("memory").queryName("midcopy_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("midcopy_stream").count() == 50)
+      // "bb.las" lands with a COMPLETE header but only half its data —
+      // the non-atomic-copy shape. Admission must defer it (no rows, no
+      // failure), not read it short.
+      val full = lasBytes(1000)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bb.las"),
+        full.take(full.length - 200))
+      q.processAllAvailable()
+      assert(spark.table("midcopy_stream").count() == 50)
+      // the copy completes -> next trigger ingests the whole file
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bb.las"), full)
+      q.processAllAvailable()
+      assert(spark.table("midcopy_stream").count() == 100)
+      assert(spark.table("midcopy_stream").agg(max("x")).head().getInt(0) == 1049)
+    } finally q.stop()
+  }
+
   test("late file sorting before processed names: stable fids, still ingested") {
     import graft.pointcloud.syntax._
     import org.apache.spark.sql.functions._
