@@ -497,6 +497,18 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("near-dup gate plan: one fused kernel, one exchange into the state op") {
+    // the batch twin exposes the executed plan the streaming run shares
+    // below the sink: the whole signature pipeline must be row-local
+    // (graft_minhash_band_keys exactly once — not re-expanded per
+    // permutation) with the groupByKey shuffle as the ONLY exchange
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val gate = graft.streaming.StreamingDedup.bandGate(docs, "doc_id", "text")
+    val plan = gate.queryExecution.executedPlan.toString
+    assert("graft_minhash_band_keys".r.findAllIn(plan).size == 1, plan)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("windowed stream over events matches a batch group-by") {
     val stream = EventStreams.windowedCounts(
       EventStreams.readEventStream(spark, sfDir), "1 hour")
