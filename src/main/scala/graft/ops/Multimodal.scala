@@ -294,6 +294,55 @@ object Multimodal {
       .toDF(idCol, "payload")
   }
 
+  /** REAL image resize through the batch seam: decode (any installed
+    * codec), nearest-neighbor rescale to per-row target dimensions, and
+    * re-encode as PNG — the thumbnail/normalize step of a multimodal
+    * pipeline, emitting a payload column the next stage decodes like any
+    * other. Nearest-neighbor is the deterministic choice (no kernel
+    * arithmetic, every output pixel is a copied input pixel). Payloads
+    * that fail to decode or carry non-positive targets drop, costing one
+    * row. Partition-local like the decoders. */
+  def imageBatchResize(batch: Seq[(Long, (Array[Byte], Int, Int))]): Seq[(Long, Array[Byte])] = {
+    imageIoNoCache
+    batch.flatMap { case (id, (bytes, tw, th)) =>
+      if (tw <= 0 || th <= 0) None
+      else {
+        val img =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        img.map { im =>
+          val dst = new java.awt.image.BufferedImage(
+            tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+            g.drawImage(im, 0, 0, tw, th, null)
+          } finally g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", out)
+          (id, out.toByteArray)
+        }
+      }
+    }
+  }
+
+  /** [[imageBatchResize]] over `(idCol, payloadCol, wCol, hCol)` columns;
+    * returns an `(idCol, payload)` frame ready for [[decodeImages]]. */
+  def resizeImages(df: DataFrame, idCol: String, payloadCol: String,
+      wCol: String, hCol: String, batchSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(batchSize > 0, "batchSize must be positive")
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"),
+        col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions(_.map { case (id, b, w, h) => (id, (b, w, h)) }
+        .grouped(batchSize).flatMap(imageBatchResize))
+      .toDF(idCol, "payload")
+  }
+
   // ---- audio: real PCM WAV decode through the same batch seam (mm06) ----
 
   /** Sample-level features of one decoded audio clip. All integer-exact

@@ -484,6 +484,34 @@ object OpsQueries {
       .sort($"doc_id")
   }
 
+  /** mm07: REAL resize through the batch seam — solid-colour PNGs are
+    * decoded, nearest-neighbor rescaled to per-row target dims
+    * ([[graft.ops.Multimodal.resizeImages]]), re-encoded, and the
+    * resized payloads flow through the SAME decode operator as mm04.
+    * A solid colour survives any resampling exactly (every output pixel
+    * is a copied input pixel) and PNG re-encode is lossless, so the
+    * final stats are pure arithmetic: target dims + the original
+    * colour. Grades the decode→transform→re-encode→decode chain a
+    * thumbnail/normalize pipeline runs, with both codec passes real.
+    * Partition-local end to end. */
+  private val mm07: Q = (s, d) => {
+    val dims = Tables.documents(s, d).filter($"doc_id" < 300).select($"doc_id",
+      (lit(4) + $"doc_id" % 13).cast("int").as("w"),
+      (lit(3) + ($"doc_id" * 5) % 11).cast("int").as("h"),
+      (lit(3) + $"doc_id" % 9).cast("int").as("tw"),
+      (lit(2) + ($"doc_id" * 3) % 7).cast("int").as("th"),
+      ($"doc_id" % 256).cast("int").as("r"),
+      (($"doc_id" * 3) % 256).cast("int").as("g"),
+      (($"doc_id" * 7) % 256).cast("int").as("b"))
+    val packed = Multimodal.encodeSolidPngs(dims, "doc_id", "w", "h", "r", "g", "b")
+      .join(dims.select($"doc_id", $"tw", $"th"), "doc_id")
+    val resized = Multimodal.resizeImages(packed, "doc_id", "payload", "tw", "th", 64)
+    Multimodal.decodeImages(resized, "doc_id", "payload", 64)
+      .select($"id".as("doc_id"), $"width", $"height", $"px",
+        $"r_mean", $"g_mean", $"b_mean")
+      .sort($"doc_id")
+  }
+
   /** mm02: frame-sampling pipeline — every 10th document's payload,
     * aggregated per language (the video frame-sample shape on rows). */
   private val mm02: Q = (s, d) =>
@@ -527,6 +555,7 @@ object OpsQueries {
     "mm04_image_decode" -> mm04,
     "mm05_codec_dispatch" -> mm05,
     "mm06_audio_decode" -> mm06,
+    "mm07_image_resize" -> mm07,
   )
 
   // ------------------------------------------------------------- oracles
@@ -1170,5 +1199,16 @@ object OpsQueries {
         |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
         |  CAST(MAX(ABS(v)) AS INTEGER) AS peak
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // resize: output dims are the TARGET dims; a solid colour survives
+    // nearest-neighbor resampling and the lossless PNG re-encode exactly
+    "mm07_image_resize" ->
+      ("SELECT doc_id, " +
+        "CAST(3 + doc_id % 9 AS INTEGER) AS width, " +
+        "CAST(2 + (doc_id * 3) % 7 AS INTEGER) AS height, " +
+        "CAST((3 + doc_id % 9) * (2 + (doc_id * 3) % 7) AS BIGINT) AS px, " +
+        "CAST(doc_id % 256 AS DOUBLE) AS r_mean, " +
+        "CAST((doc_id * 3) % 256 AS DOUBLE) AS g_mean, " +
+        "CAST((doc_id * 7) % 256 AS DOUBLE) AS b_mean " +
+        "FROM documents WHERE doc_id < 300 ORDER BY doc_id"),
   )
 }

@@ -476,6 +476,20 @@ class OpsSpec extends SparkTestBase {
     assert(kernel(1L) == kernel(2L) && kernel(1L) != kernel(3L))
   }
 
+  test("image resize: nearest-neighbor to target dims, junk and bad targets drop") {
+    val png = Multimodal.encodeSolidPng(8, 6, 200, 30, 7)
+    // downscale, upscale, degenerate target, junk payload
+    val batch = Seq(
+      (1L, (png, 4, 3)), (2L, (png, 16, 12)), (3L, (png, 0, 5)),
+      (4L, ("junk".getBytes("UTF-8"), 4, 4)))
+    val out = Multimodal.imageBatchResize(batch)
+    assert(out.map(_._1) == Seq(1L, 2L))
+    val decoded = Multimodal.imageBatchDecode(out)
+    assert(decoded.map(f => (f.id, f.width, f.height)) == Seq((1L, 4, 3), (2L, 16, 12)))
+    // solid colour survives both directions exactly
+    assert(decoded.forall(f => (f.r_mean, f.g_mean, f.b_mean) == (200.0, 30.0, 7.0)))
+  }
+
   test("audio decode: hand-laid PCM16 WAV round-trips through the JDK parser") {
     // golden: 4 known samples incl. both s16 extremes; stats by hand
     val samples = Array[Short](100, -200, 32767, -32768)
