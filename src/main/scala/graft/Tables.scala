@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
@@ -13,24 +13,58 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark 4
-    * cannot infer (`PARQUET_TYPE_ILLEGAL`). Every reader of the table —
-    * batch or stream — must supply this schema, which reads ts as the raw
-    * epoch-nanos int64. */
+  /** The events parquet's `ts` physical unit has varied across driver
+    * generations: INT64 TIMESTAMP(NANOS) — which Spark 4 cannot infer
+    * (`PARQUET_TYPE_ILLEGAL`) or read as a timestamp — and INT64
+    * TIMESTAMP(MICROS), which the plain inferred read handles natively.
+    * Guessing wrong is silent and catastrophic: a NANOS-era reader
+    * applied to a MICROS file divides microseconds by 1000 and every
+    * event lands in 1970 at millisecond resolution. So the loaders sniff
+    * the unit ONCE per directory from the file footer ([[eventsTsIsMicros]])
+    * and normalize to a microsecond TimestampType either way; every
+    * consumer — batch or stream — sees one schema regardless of
+    * generation.
+    *
+    * This schema reads `ts` as the raw int64 (the NANOS-era fallback,
+    * where a timestamp read is impossible). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // epoch nanos
+    StructField("ts", LongType), // raw int64 epoch nanos (legacy files)
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Converts the raw epoch-nanos `ts` column to a microsecond
-    * TimestampType (truncating, matching DuckDB's micro-precision read of
-    * the same files) — shared by the batch loader and the streaming
-    * queries so the ns→us rule has exactly one definition. */
-  def tsNanosToMicros(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** True when the events file under `dir` stores ts as TIMESTAMP(MICROS):
+    * schema inference then yields a timestamp type (TimestampNTZType for
+    * the driver's isAdjustedToUTC=false files, TimestampType were they
+    * UTC-adjusted). For the legacy TIMESTAMP(NANOS) layout inference
+    * throws `PARQUET_TYPE_ILLEGAL` instead. One footer read per directory
+    * per JVM (a driver-side metadata op — the data dirs are immutable). */
+  def eventsTsIsMicros(s: SparkSession, dir: String): Boolean =
+    tsUnitCache.computeIfAbsent(s"$dir/events.parquet", path =>
+      java.lang.Boolean.valueOf(scala.util.Try(
+        s.read.parquet(path).schema("ts").dataType match {
+          case TimestampType | TimestampNTZType => true
+          case _ => false
+        }).getOrElse(false)))
+
+  private val tsUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Converts the raw int64 `ts` column to a microsecond TimestampType:
+    * identity reinterpretation for MICROS files, a truncating div 1000
+    * for legacy NANOS files (matching DuckDB's micro-precision read of
+    * the same files). Both units flow through the raw-int64 read + this
+    * one conversion — never through Spark's timestamp inference — so the
+    * result is byte-identical regardless of session timezone or the
+    * file's isAdjustedToUTC flag. */
+  def tsRawToMicros(df: DataFrame, isMicros: Boolean): DataFrame =
+    df.withColumn("ts",
+      timestamp_micros(if (isMicros) col("ts") else expr("ts div 1000")))
+
+  /** Legacy-NANOS alias of [[tsRawToMicros]] (kept for spec call sites). */
+  def tsNanosToMicros(df: DataFrame): DataFrame = tsRawToMicros(df, isMicros = false)
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
@@ -39,15 +73,12 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
-  /** Events with `ts` as a microsecond TimestampType — the schema the
-    * plain inferred read would have produced were the file not NANOS. */
+  /** Events with `ts` as a microsecond TimestampType, whichever unit the
+    * file stores (see [[eventsSchema]]'s scaladoc for the sniff). */
   def events(s: SparkSession, d: String): DataFrame =
-    tsNanosToMicros(eventsRawNanos(s, d))
-
-  /** Events with `ts` as the raw epoch-nanos int64, for consumers doing
-    * exact integer time arithmetic. */
-  def eventsRawNanos(s: SparkSession, d: String): DataFrame =
-    s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
+    tsRawToMicros(
+      s.read.schema(eventsSchema).parquet(s"$d/events.parquet"),
+      eventsTsIsMicros(s, d))
   /** Documents schema, for consumers that cannot infer (file streams). */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -307,9 +307,10 @@ object Relational {
       .limit(100)
 
   /** IQ-28 JSON extraction from the events props column (the shared
-    * typed loader handles the TIMESTAMP(NANOS) schema trap). */
+    * loader handles the ts-unit schema trap; column pruning means `ts`
+    * is never even decoded here). */
   private val iq28: Q = (s, d) =>
-    Tables.eventsRawNanos(s, d)
+    Tables.events(s, d)
       .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"k").as("sk"))

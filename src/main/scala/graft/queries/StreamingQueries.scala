@@ -108,7 +108,6 @@ object StreamingQueries {
     * previous window, so the oracle breaks on `ts - prev >= gap`. */
   private val st03: Q = (s, d) => {
     val stream = EventStreams.readEventStream(s, d)
-      .transform(graft.Tables.tsNanosToMicros)
     val agg = stream
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
@@ -127,7 +126,6 @@ object StreamingQueries {
     * yields exactly the batch join's rows). */
   private val st04: Q = (s, d) => {
     val ev = EventStreams.readEventStream(s, d)
-      .transform(graft.Tables.tsNanosToMicros)
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("user_id").as("su"), col("ts").as("sts"))
       .withWatermark("sts", "1 hour")
@@ -153,7 +151,6 @@ object StreamingQueries {
     * the stateful dedup emits each id exactly once. */
   private val st05: Q = (s, d) => {
     val ev = EventStreams.readEventStream(s, d)
-      .transform(graft.Tables.tsNanosToMicros)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     val agg = ev.groupBy(col("event_type"))

@@ -16,12 +16,6 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** The driver's parquet stores ts as TIMESTAMP(NANOS); Spark has no
-    * nanosecond timestamp, so the stream reads the raw int64 nanos and
-    * converts (or keeps exact integers for session arithmetic). One
-    * definition for batch and stream, in [[graft.Tables]]. */
-  val eventsSchema: StructType = graft.Tables.eventsSchema
-
   /** Event with microsecond event time (exact arithmetic). */
   case class Event(event_id: Long, ts_us: Long, user_id: Long,
       event_type: String, value: Double)
@@ -36,18 +30,22 @@ object EventStreams {
 
   /** File-source stream over the driver-generated events parquet (the
     * file-source path must be a directory, so glob-filter to the one
-    * table file). */
+    * table file). A file stream cannot infer its schema, so `ts` is read
+    * as the raw int64 and converted per the ts-unit sniff
+    * ([[graft.Tables.eventsTsIsMicros]], one batch footer read); the
+    * returned stream always carries `ts` as a microsecond TimestampType,
+    * same as [[graft.Tables.events]]. */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    graft.Tables.tsRawToMicros(
+      spark.readStream.option("pathGlobFilter", "events.parquet")
+        .schema(graft.Tables.eventsSchema).parquet(sfDir),
+      graft.Tables.eventsTsIsMicros(spark, sfDir))
 
   /** Tumbling-window counts/sums per event type. With `watermark` set the
     * query can run in append mode at scale (state eviction); complete
     * mode gives the deterministic full answer for the verification run. */
   def windowedCounts(events: DataFrame, windowDuration: String): DataFrame =
     events
-      .transform(graft.Tables.tsNanosToMicros)
       .groupBy(window(col("ts"), windowDuration), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
 
@@ -92,14 +90,14 @@ object EventStreams {
         OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
   }
 
-  /** Events DataFrame → typed stream with exact microsecond times (the
-    * parquet carries nanos, truncated here so DuckDB — which reads
-    * parquet TIMESTAMP(NANOS) at microsecond precision — sees the same
-    * instants as the oracle). */
+  /** Events DataFrame (normalized `ts`: microsecond TimestampType) →
+    * typed stream with exact integer microsecond times, so gap arithmetic
+    * never touches floating point or millisecond-truncating java.sql
+    * types. */
   def toTypedEvents(events: DataFrame): Dataset[Event] = {
     import events.sparkSession.implicits._
     events.select(
-      col("event_id"), expr("ts div 1000").as("ts_us"),
+      col("event_id"), unix_micros(col("ts")).as("ts_us"),
       col("user_id"), col("event_type"), col("value")).as[Event]
   }
 }

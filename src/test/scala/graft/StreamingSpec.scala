@@ -518,10 +518,9 @@ class StreamingSpec extends SparkTestBase {
     try q.processAllAvailable() finally q.stop()
     val got = spark.table("win_test").count()
 
-    val batch = spark.read.schema(EventStreams.eventsSchema)
-      .parquet(s"$sfDir/events.parquet")
-      .selectExpr("timestamp_micros(ts div 1000) AS t", "event_type")
-      .groupBy(org.apache.spark.sql.functions.window($"t", "1 hour"), $"event_type")
+    val batch = Tables.events(spark, sfDir)
+      .select($"ts", $"event_type")
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"), $"event_type")
       .count().count()
     assert(got == batch && got > 0)
   }
