@@ -41,13 +41,25 @@ object Tables {
     * UTC-adjusted). For the legacy TIMESTAMP(NANOS) layout inference
     * throws `PARQUET_TYPE_ILLEGAL` instead. One footer read per directory
     * per JVM (a driver-side metadata op — the data dirs are immutable). */
-  def eventsTsIsMicros(s: SparkSession, dir: String): Boolean =
-    tsUnitCache.computeIfAbsent(s"$dir/events.parquet", path =>
-      java.lang.Boolean.valueOf(scala.util.Try(
-        s.read.parquet(path).schema("ts").dataType match {
+  def eventsTsIsMicros(s: SparkSession, dir: String): Boolean = {
+    val path = s"$dir/events.parquet"
+    Option(tsUnitCache.get(path)).map(_.booleanValue).getOrElse {
+      // Only the EXPECTED inference failure (the NANOS layout's
+      // PARQUET_TYPE_ILLEGAL) selects the legacy path; anything else —
+      // missing file, transient FS error — propagates instead of being
+      // cached as "legacy" and silently mis-timing every later read.
+      val isMicros =
+        try s.read.parquet(path).schema("ts").dataType match {
           case TimestampType | TimestampNTZType => true
           case _ => false
-        }).getOrElse(false)))
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getMessage).exists(_.contains("PARQUET")) => false
+        }
+      tsUnitCache.put(path, java.lang.Boolean.valueOf(isMicros))
+      isMicros
+    }
+  }
 
   private val tsUnitCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
@@ -62,9 +74,6 @@ object Tables {
   def tsRawToMicros(df: DataFrame, isMicros: Boolean): DataFrame =
     df.withColumn("ts",
       timestamp_micros(if (isMicros) col("ts") else expr("ts div 1000")))
-
-  /** Legacy-NANOS alias of [[tsRawToMicros]] (kept for spec call sites). */
-  def tsNanosToMicros(df: DataFrame): DataFrame = tsRawToMicros(df, isMicros = false)
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")

@@ -281,18 +281,12 @@ object Multimodal {
 
   /** Row-wise solid-PNG encoding of (id, w, h, r, g, b) columns into an
     * (idCol, payload) frame — the fixture-generation side of mm04; the
-    * graded path is the decode through [[decodeImages]]. Partition-local
-    * (a `Dataset.map`), no shuffle. */
+    * graded path is the decode through [[decodeImages]]. The PNG-only
+    * face of [[encodeSolidImages]] (one pipeline, not two to drift). */
   def encodeSolidPngs(df: DataFrame, idCol: String, wCol: String, hCol: String,
-      rCol: String, gCol: String, bCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"),
-        col(rCol).cast("int"), col(gCol).cast("int"), col(bCol).cast("int"))
-      .as[(Long, Int, Int, Int, Int, Int)]
-      .map { case (id, w, h, r, g, b) => (id, encodeSolidPng(w, h, r, g, b)) }
-      .toDF(idCol, "payload")
-  }
+      rCol: String, gCol: String, bCol: String): DataFrame =
+    encodeSolidImages(df.withColumn("__fmt", lit("png")),
+      idCol, "__fmt", wCol, hCol, rCol, gCol, bCol)
 
   /** REAL image resize through the batch seam: decode (any installed
     * codec), nearest-neighbor rescale to per-row target dimensions, and

@@ -72,8 +72,12 @@ class PointCloudMicroBatchStream(
   private val pendingSections =
     scala.collection.mutable.HashMap.empty[String, Seq[graft.pointcloud.Section]]
 
-  private val maxFilesPerTrigger: Option[Int] =
-    Option(options.get("maxfilespertrigger")).map(_.toInt)
+  private val maxFilesPerTrigger: Option[Int] = {
+    val v = Option(options.get("maxfilespertrigger")).map(_.toInt)
+    // 0 would admit nothing forever while the stream reports healthy
+    require(v.forall(_ > 0), s"maxFilesPerTrigger must be positive, got ${v.get}")
+    v
+  }
 
   private def listFiles(): Seq[String] =
     PointCloudUtil.expandPaths(

@@ -97,12 +97,25 @@ class PointCloudStreamingWrite(
     val f = fs()
     val committed = messages.filter(_ != null)
       .flatMap(WriterUtil.outputPaths).map(new Path(_).getName).toSet
-    // glob scoped to THIS query's files for THIS epoch — commit cost
-    // follows the epoch's own file count where the FS supports server-side
-    // filtering, and foreign tokens/epochs are never even candidates
-    val stale = Option(f.globStatus(
-      new Path(path, s"epoch-$epochId-q$token-*${kind.extension}")))
-      .getOrElse(Array.empty)
+    // name-prefix filter scoped to THIS query's files for THIS epoch —
+    // foreign tokens/epochs are never even candidates. A PathFilter over
+    // listStatus rather than globStatus: Hadoop's globber filters
+    // client-side anyway (no cost difference), and a literal startsWith
+    // cannot be derailed by glob metacharacters in the sink directory
+    // name. The tokenless `epoch-<e>-part-` prefix is the pre-token
+    // naming; under the documented single-writer-per-directory contract
+    // those leftovers belong to this query's earlier (pre-upgrade)
+    // attempt of the same epoch, so the replay sweeps them too.
+    val tokenPrefix = s"epoch-$epochId-q$token-"
+    val legacyPrefix = s"epoch-$epochId-part-"
+    val stale = Option(f.listStatus(new Path(path),
+      new org.apache.hadoop.fs.PathFilter {
+        override def accept(p: Path): Boolean = {
+          val n = p.getName
+          n.endsWith(kind.extension) &&
+            (n.startsWith(tokenPrefix) || n.startsWith(legacyPrefix))
+        }
+      })).getOrElse(Array.empty)
     stale.foreach { st =>
       if (!committed.contains(st.getPath.getName)) f.delete(st.getPath, false)
     }

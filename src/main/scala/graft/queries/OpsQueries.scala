@@ -495,16 +495,19 @@ object OpsQueries {
     * thumbnail/normalize pipeline runs, with both codec passes real.
     * Partition-local end to end. */
   private val mm07: Q = (s, d) => {
+    // target dims are functions of doc_id (shared with the oracle), so
+    // they re-derive from the encoded frame's id — no join to carry them
+    // through the encode seam, keeping the chain partition-local
+    def twExpr = (lit(3) + $"doc_id" % 9).cast("int")
+    def thExpr = (lit(2) + ($"doc_id" * 3) % 7).cast("int")
     val dims = Tables.documents(s, d).filter($"doc_id" < 300).select($"doc_id",
       (lit(4) + $"doc_id" % 13).cast("int").as("w"),
       (lit(3) + ($"doc_id" * 5) % 11).cast("int").as("h"),
-      (lit(3) + $"doc_id" % 9).cast("int").as("tw"),
-      (lit(2) + ($"doc_id" * 3) % 7).cast("int").as("th"),
       ($"doc_id" % 256).cast("int").as("r"),
       (($"doc_id" * 3) % 256).cast("int").as("g"),
       (($"doc_id" * 7) % 256).cast("int").as("b"))
     val packed = Multimodal.encodeSolidPngs(dims, "doc_id", "w", "h", "r", "g", "b")
-      .join(dims.select($"doc_id", $"tw", $"th"), "doc_id")
+      .select($"doc_id", $"payload", twExpr.as("tw"), thExpr.as("th"))
     val resized = Multimodal.resizeImages(packed, "doc_id", "payload", "tw", "th", 64)
     Multimodal.decodeImages(resized, "doc_id", "payload", 64)
       .select($"id".as("doc_id"), $"width", $"height", $"px",

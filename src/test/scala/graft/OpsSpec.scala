@@ -490,6 +490,15 @@ class OpsSpec extends SparkTestBase {
     assert(decoded.forall(f => (f.r_mean, f.g_mean, f.b_mean) == (200.0, 30.0, 7.0)))
   }
 
+  test("mm07 plan: encode→resize→decode chain is join-free, one exchange (the sort)") {
+    // target dims re-derive from doc_id instead of joining back through
+    // the encode seam — the "partition-local end to end" claim, pinned
+    val plan = graft.SparkEntry.queries("mm07_image_resize")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("audio decode: hand-laid PCM16 WAV round-trips through the JDK parser") {
     // golden: 4 known samples incl. both s16 extremes; stats by hand
     val samples = Array[Short](100, -200, 32767, -32768)
