@@ -141,6 +141,34 @@ object TextAnalysis {
     df.filter(h < quota)
   }
 
+  /** Greedy sequence packing (concat-and-chunk, the standard GPT-style
+    * pretraining layout): documents are laid head to tail in
+    * deterministic (shard, order) order and cut into fixed `ctxTokens`
+    * windows; a document belongs to the sequence its FIRST token lands
+    * in (`seq_id = (running_total - own_tokens) div ctxTokens`). The
+    * final packing step of a training pipeline, downstream of token
+    * stats (tx01), quality (tx02/tx08), dedup (dd*) and mixing (tx09).
+    *
+    * Scale: packing needs a total order, which is a single-partition
+    * sort at corpus scale — so it is computed PER SHARD (one window per
+    * `shardCol` group, one shuffle total). That matches production
+    * practice: sequences never span shard/worker boundaries, and the
+    * shard key (source, file, worker split) bounds each sort. A
+    * whole-corpus order would serialize 100 TB through one task and is
+    * deliberately not offered. */
+  def packSequences(df: org.apache.spark.sql.DataFrame, shardCol: String,
+      orderCol: String, tokCol: String, ctxTokens: Long): org.apache.spark.sql.DataFrame = {
+    require(ctxTokens > 0, s"packSequences needs ctxTokens > 0, got $ctxTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__graft_cum", sum(col(tokCol).cast("long")).over(w))
+      .withColumn("seq_id",
+        expr(s"(__graft_cum - cast($tokCol as bigint)) div $ctxTokens"))
+      .drop("__graft_cum")
+  }
+
   /** Corpus-level document frequency: for each word, in how many
     * documents it appears (`df`) and the fraction of the corpus
     * (`df_frac`) — the data-driven stopword/boilerplate discovery pass

@@ -382,6 +382,31 @@ object OpsQueries {
         sum(size(Dedup.tokens($"text")).cast("bigint")).as("tokens"))
       .sort($"lang")
 
+  /** tx10's context length (BPE-estimate tokens per training sequence). */
+  private final val Tx10Ctx = 512L
+
+  /** tx10: sequence packing — the concat-and-chunk layout step that
+    * turns a curated corpus into fixed-length training sequences
+    * ([[graft.ops.TextAnalysis.packSequences]]). Documents are packed
+    * per `source` shard (sequences never span shards; one window = one
+    * shuffle, parallel across shards — never a whole-corpus order), and
+    * the result is the per-sequence census: how many documents start in
+    * each 512-token window and their summed token estimate. The oracle
+    * replays the identical prefix-sum arithmetic over the same per-word
+    * BPE formula that tx01 pins. */
+  private val tx10: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select($"source", $"doc_id",
+        TextAnalysis.tokenStats($"text").getField("bpe").as("bpe"))
+    TextAnalysis.packSequences(toks, "source", "doc_id", "bpe", Tx10Ctx)
+      .groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"bpe").as("tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .sort($"source", $"seq_id")
+  }
+
   /** mm03: REAL binary decode in the scan pipeline — each document gets a
     * well-formed PNG header payload (dimensions derived from doc_id), and
     * the graft_png_ihdr codegen expression parses width/height/bit-depth/
@@ -552,6 +577,7 @@ object OpsQueries {
     "tx07_doc_frequency" -> tx07,
     "tx08_curation" -> tx08,
     "tx09_train_mix" -> tx09,
+    "tx10_sequence_packing" -> tx10,
     "mm01_multimodal_stub" -> mm01,
     "mm02_frame_sampling" -> mm02,
     "mm03_png_decode" -> mm03,
@@ -1134,6 +1160,26 @@ object OpsQueries {
          |WHERE ($h) % 100 < $quota
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
+    // same per-word BPE formula as tx01; the prefix sum and the
+    // start-window rule ((cum - own) // ctx) restate packSequences
+    "tx10_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))),
+         |      (acc, x) -> acc + x) AS bpe
+         |  FROM documents
+         |), c AS (
+         |  SELECT source, doc_id, bpe,
+         |    SUM(bpe) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t
+         |)
+         |SELECT source, CAST((cum - bpe) // $Tx10Ctx AS BIGINT) AS seq_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(bpe) AS BIGINT) AS tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY source, seq_id
+         |ORDER BY source, seq_id""".stripMargin,
     "tx07_doc_frequency" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word

@@ -490,6 +490,35 @@ class OpsSpec extends SparkTestBase {
     assert(decoded.forall(f => (f.r_mean, f.g_mean, f.b_mean) == (200.0, 30.0, 7.0)))
   }
 
+  test("sequence packing matches a sequential scan, preserves docs, one window exchange") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      // shard a: token runs that straddle ctx=10 boundaries every way:
+      // exact fill, boundary-spanning doc, doc larger than ctx
+      ("a", 1L, 4L), ("a", 2L, 6L), ("a", 3L, 7L), ("a", 4L, 25L), ("a", 5L, 1L),
+      ("b", 6L, 10L), ("b", 7L, 10L), ("b", 8L, 3L))
+      .toDF("shard", "id", "tok")
+    val packed = TextAnalysis.packSequences(docs, "shard", "id", "tok", 10L)
+      .select($"shard", $"id", $"seq_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    // independent sequential scan: a doc's sequence is where its first
+    // token lands
+    val expected = Seq(("a", 1L, 4L), ("a", 2L, 6L), ("a", 3L, 7L), ("a", 4L, 25L),
+      ("a", 5L, 1L), ("b", 6L, 10L), ("b", 7L, 10L), ("b", 8L, 3L))
+      .groupBy(_._1).toSeq.flatMap { case (shard, ds) =>
+        var cum = 0L
+        ds.sortBy(_._2).map { case (_, id, t) =>
+          val seq = cum / 10L; cum += t; (shard, id, seq)
+        }
+      }.sortBy(t => (t._1, t._2))
+    assert(packed.toSeq == expected)
+    // every doc assigned exactly once, and the plan is one window exchange
+    assert(packed.length == docs.count())
+    val plan = TextAnalysis.packSequences(docs, "shard", "id", "tok", 10L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("mm07 plan: encode→resize→decode chain is join-free, one exchange (the sort)") {
     // target dims re-derive from doc_id instead of joining back through
     // the encode seam — the "partition-local end to end" claim, pinned
