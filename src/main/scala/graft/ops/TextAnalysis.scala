@@ -155,7 +155,11 @@ object TextAnalysis {
     * practice: sequences never span shard/worker boundaries, and the
     * shard key (source, file, worker split) bounds each sort. A
     * whole-corpus order would serialize 100 TB through one task and is
-    * deliberately not offered. */
+    * deliberately not offered.
+    *
+    * `orderCol` must be a total order within each shard (a ROWS-frame
+    * prefix sum over tied keys is tie-order dependent on any engine);
+    * use a unique id. */
   def packSequences(df: org.apache.spark.sql.DataFrame, shardCol: String,
       orderCol: String, tokCol: String, ctxTokens: Long): org.apache.spark.sql.DataFrame = {
     require(ctxTokens > 0, s"packSequences needs ctxTokens > 0, got $ctxTokens")
@@ -165,7 +169,7 @@ object TextAnalysis {
         org.apache.spark.sql.expressions.Window.currentRow)
     df.withColumn("__graft_cum", sum(col(tokCol).cast("long")).over(w))
       .withColumn("seq_id",
-        expr(s"(__graft_cum - cast($tokCol as bigint)) div $ctxTokens"))
+        expr(s"(__graft_cum - cast(`$tokCol` as bigint)) div $ctxTokens"))
       .drop("__graft_cum")
   }
 
