@@ -51,10 +51,20 @@ object Tables {
       val isMicros =
         try s.read.parquet(path).schema("ts").dataType match {
           case TimestampType | TimestampNTZType => true
-          case _ => false
+          // Any other inferred type (e.g. a future generation writing
+          // unannotated plain INT64 → LongType) means the unit is UNKNOWN:
+          // fail loudly rather than guess a conversion factor and silently
+          // mis-time every event.
+          case other => throw new IllegalStateException(
+            s"events.parquet at $path: ts inferred as $other — expected a " +
+            "timestamp type (MICROS layout) or the NANOS inference failure; " +
+            "refusing to guess the epoch unit")
         } catch {
+          // Only the EXACT known failure mode of the NANOS layout selects
+          // the legacy div-1000 path; an unrelated AnalysisException whose
+          // message merely mentions parquet must propagate.
           case e: org.apache.spark.sql.AnalysisException
-              if Option(e.getMessage).exists(_.contains("PARQUET")) => false
+              if e.getCondition == "ILLEGAL_PARQUET_TYPE" => false
         }
       tsUnitCache.put(path, java.lang.Boolean.valueOf(isMicros))
       isMicros

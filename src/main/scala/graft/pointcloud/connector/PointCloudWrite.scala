@@ -103,17 +103,23 @@ class PointCloudStreamingWrite(
     // client-side anyway (no cost difference), and a literal startsWith
     // cannot be derailed by glob metacharacters in the sink directory
     // name. The tokenless `epoch-<e>-part-` prefix is the pre-token
-    // naming; under the documented single-writer-per-directory contract
-    // those leftovers belong to this query's earlier (pre-upgrade)
-    // attempt of the same epoch, so the replay sweeps them too.
+    // naming; sweeping it is only safe if THIS query is the sole writer
+    // the directory has ever had — which the class contract above does
+    // NOT require — so it is opt-in (`sweepLegacyEpochFiles=true`,
+    // for a sink dir known to hold a single pre-upgrade query's
+    // leftovers). Default: token-scoped only, preserving the "can never
+    // delete another run's committed data" guarantee.
     val tokenPrefix = s"epoch-$epochId-q$token-"
     val legacyPrefix = s"epoch-$epochId-part-"
+    val sweepLegacy =
+      options.getOrElse("sweepLegacyEpochFiles", "false").toBoolean
     val stale = Option(f.listStatus(new Path(path),
       new org.apache.hadoop.fs.PathFilter {
         override def accept(p: Path): Boolean = {
           val n = p.getName
           n.endsWith(kind.extension) &&
-            (n.startsWith(tokenPrefix) || n.startsWith(legacyPrefix))
+            (n.startsWith(tokenPrefix) ||
+              (sweepLegacy && n.startsWith(legacyPrefix)))
         }
       })).getOrElse(Array.empty)
     stale.foreach { st =>

@@ -219,8 +219,20 @@ class FixturesSpec extends SparkTestBase {
       .collect()(0)
     assert(yr.getInt(0) >= 2000 && yr.getInt(1) <= 2200,
       s"events ts outside a plausible epoch: $yr — ts-unit sniff broken?")
-    // stream side shares the conversion; one micro-batch must agree
+    // stream side shares the conversion — but a wrong-factor bug applied
+    // stream-side only would pass a schema check, so actually run one
+    // micro-batch and assert the streamed VALUES land in the same epoch.
     val stream = graft.streaming.EventStreams.readEventStream(spark, sfDir)
     assert(stream.schema("ts").dataType == TimestampType)
+    val sinkName = "ts_epoch_check"
+    val q = stream.agg(min(year(col("ts"))).as("y0"), max(year(col("ts"))).as("y1"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val sy = spark.table(sinkName).collect()(0)
+    assert(sy.getInt(0) >= 2000 && sy.getInt(1) <= 2200,
+      s"streamed events ts outside a plausible epoch: $sy — stream-side conversion broken?")
   }
 }
