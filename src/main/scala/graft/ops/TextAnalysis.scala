@@ -39,10 +39,22 @@ object TextAnalysis {
 
   /** BPE-ish token estimate: words are roughly ceil(len/4) subword units
     * — the standard chars/4 heuristic, summed per word so whitespace
-    * never counts. */
+    * never counts. Kept as the cheap screening path; real counts are
+    * [[bpeCount]]. */
   def bpeTokenEstimate(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
+
+  /** REAL merge-table BPE token count ([[graft.functions.BpeVocab]]
+    * fixture vocab; graft_bpe_count codegen kernel). The contract number
+    * for mix ratios, packing and compute cost — an estimate silently
+    * mis-sizes all three. */
+  def bpeCount(text: Column): Column = graft.functions.bpe.bpe_count(text)
+
+  /** Token-id sequence of the text (ARRAY<INT>; 'a'..'z' → 0..25, merge
+    * rank r → 26+r, unknown char → -1) — what actually ships to a
+    * trainer. */
+  def bpeTokenIds(text: Column): Column = graft.functions.bpe.bpe_token_ids(text)
 
   def stopwordCount(text: Column): Column =
     exprs.count_in_set(tokens(text), Stopwords)

@@ -382,7 +382,7 @@ object OpsQueries {
         sum(size(Dedup.tokens($"text")).cast("bigint")).as("tokens"))
       .sort($"lang")
 
-  /** tx10's context length (BPE-estimate tokens per training sequence). */
+  /** tx10's context length (real BPE tokens per training sequence). */
   private final val Tx10Ctx = 512L
 
   /** tx10: sequence packing — the concat-and-chunk layout step that
@@ -391,13 +391,14 @@ object OpsQueries {
     * per `source` shard (sequences never span shards; one window = one
     * shuffle, parallel across shards — never a whole-corpus order), and
     * the result is the per-sequence census: how many documents start in
-    * each 512-token window and their summed token estimate. The oracle
-    * replays the identical prefix-sum arithmetic over the same per-word
-    * BPE formula that tx01 pins. */
+    * each 512-token window and their summed token count. Counts are the
+    * REAL merge-table BPE ([[graft.ops.TextAnalysis.bpeCount]]) — the
+    * number the layout actually keys off — and the oracle replays the
+    * identical prefix-sum arithmetic over the recursive-CTE restatement
+    * of the same merge loop (tx11 pins it per-token). */
   private val tx10: Q = (s, d) => {
     val toks = Tables.documents(s, d)
-      .select($"source", $"doc_id",
-        TextAnalysis.tokenStats($"text").getField("bpe").as("bpe"))
+      .select($"source", $"doc_id", TextAnalysis.bpeCount($"text").as("bpe"))
     TextAnalysis.packSequences(toks, "source", "doc_id", "bpe", Tx10Ctx)
       .groupBy($"source", $"seq_id")
       .agg(count(lit(1)).as("n_docs"),
@@ -405,6 +406,44 @@ object OpsQueries {
         min($"doc_id").as("first_doc"),
         max($"doc_id").as("last_doc"))
       .sort($"source", $"seq_id")
+  }
+
+  /** tx11: REAL merge-table BPE census — per-language document count,
+    * summed token count from the fused count kernel, the same sum
+    * re-derived from the token-id array kernel (pinning count ==
+    * ids.length corpus-wide), and the max per-document count. The
+    * oracle restates the merge loop itself as a recursive CTE over the
+    * distinct words (lowest-rank pair, leftmost occurrence, iterate to
+    * fixpoint — the exact contract in [[graft.functions.BpeTable]]), so
+    * the two sides are independent implementations of the same
+    * algorithm, not a shared shortcut. */
+  private val tx11: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select($"lang", TextAnalysis.bpeCount($"text").as("n_bpe"),
+        TextAnalysis.bpeTokenIds($"text").as("ids"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("docs"),
+        sum($"n_bpe").as("bpe_tokens"),
+        sum(size($"ids").cast("long")).as("bpe_tokens_ids"),
+        max($"n_bpe").as("max_doc_tokens"))
+      .sort($"lang")
+
+  /** tx12: corpus token-frequency census over the REAL BPE token-id
+    * stream — explode the id arrays, count, broadcast-join the id→token
+    * vocab, top 25. Grades the id assignment ('a'..'z' → 0..25, merge
+    * rank r → 26+r) and the merge loop per token, not just per count.
+    * (Corpus-pinned to a-z text: unknown chars would fold into one
+    * id=-1 row here but stay per-char in the oracle.) */
+  private val tx12: Q = (s, d) => {
+    val vocab = s.createDataFrame(graft.functions.BpeVocab.Tokens)
+      .toDF("tid", "token")
+    Tables.documents(s, d)
+      .select(explode(TextAnalysis.bpeTokenIds($"text")).as("tid"))
+      .groupBy($"tid").agg(count(lit(1)).as("n"))
+      .join(broadcast(vocab), "tid")
+      .select($"tid", $"token", $"n")
+      .sort($"n".desc, $"token")
+      .limit(25)
   }
 
   /** mm03: REAL binary decode in the scan pipeline — each document gets a
@@ -578,6 +617,8 @@ object OpsQueries {
     "tx08_curation" -> tx08,
     "tx09_train_mix" -> tx09,
     "tx10_sequence_packing" -> tx10,
+    "tx11_bpe_census" -> tx11,
+    "tx12_bpe_token_freq" -> tx12,
     "mm01_multimodal_stub" -> mm01,
     "mm02_frame_sampling" -> mm02,
     "mm03_png_decode" -> mm03,
@@ -610,6 +651,57 @@ object OpsQueries {
 
   private def sqlJaccard(a: String, b: String): String =
     s"len(list_intersect($a, $b)) * 1.0 / len(list_distinct($a || $b))"
+
+  /** WITH-RECURSIVE clause fragment restating the BPE merge loop
+    * ([[graft.functions.BpeTable]]'s contract: lowest-rank pair,
+    * LEFTMOST occurrence, one merge per iteration, to fixpoint) over the
+    * corpus's distinct words. Merges come from the SAME
+    * [[graft.functions.BpeVocab.Merges]] constant the kernel uses, but
+    * the loop itself is re-implemented in SQL: the word is a
+    * '/'-separated token string and one iteration replaces the FIRST
+    * occurrence of '/a/b/' with '/ab/' (regexp_replace without the 'g'
+    * flag) for the minimum applicable rank — exactly leftmost-single.
+    * Defines `bpe_final(word, seq, n_tok)` and the per-document rollup
+    * `bpe_doc(doc_id, bpe)` (LEFT JOIN so wordless documents keep 0).
+    * Callers must open with `WITH RECURSIVE`. */
+  private def bpeOracleCtes: String =
+    s"""merges(rank, a, b) AS (
+       |  SELECT * FROM (VALUES ${graft.functions.BpeVocab.mergesSqlValues}) m(rank, a, b)
+       |),
+       |bpe_words AS (
+       |  SELECT DISTINCT word FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |  ) WHERE word <> ''
+       |),
+       |bpe_iter(word, seq) AS (
+       |  SELECT word, '/' || array_to_string(string_split(word, ''), '/') || '/'
+       |  FROM bpe_words
+       |  UNION ALL
+       |  SELECT b.word,
+       |    regexp_replace(b.seq, '/' || m.a || '/' || m.b || '/',
+       |                   '/' || m.a || m.b || '/')
+       |  FROM bpe_iter b
+       |  JOIN merges m ON m.rank = (
+       |    SELECT min(m2.rank) FROM merges m2
+       |    WHERE contains(b.seq, '/' || m2.a || '/' || m2.b || '/'))
+       |),
+       |bpe_final AS (
+       |  SELECT word, seq,
+       |    length(seq) - length(replace(seq, '/', '')) - 1 AS n_tok
+       |  FROM bpe_iter
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+       |    WHERE contains(seq, '/' || m.a || '/' || m.b || '/'))
+       |),
+       |bpe_doc AS (
+       |  SELECT d.doc_id, COALESCE(s.bpe, 0) AS bpe
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, CAST(SUM(f.n_tok) AS BIGINT) AS bpe FROM (
+       |      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |      FROM documents
+       |    ) e JOIN bpe_final f USING (word)
+       |    WHERE e.word <> '' GROUP BY doc_id
+       |  ) s USING (doc_id)
+       |)""".stripMargin
 
   /** CTE chain from documents to exploded `(id, band, key)` LSH buckets —
     * the shared prefix of every MinHash oracle; [[minhashCtes]] appends
@@ -1160,26 +1252,45 @@ object OpsQueries {
          |WHERE ($h) % 100 < $quota
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
-    // same per-word BPE formula as tx01; the prefix sum and the
+    // REAL BPE counts (recursive-CTE merge loop); the prefix sum and the
     // start-window rule ((cum - own) // ctx) restate packSequences
     "tx10_sequence_packing" ->
-      s"""WITH t AS (
-         |  SELECT source, doc_id,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))),
-         |      (acc, x) -> acc + x) AS bpe
-         |  FROM documents
-         |), c AS (
-         |  SELECT source, doc_id, bpe,
-         |    SUM(bpe) OVER (PARTITION BY source ORDER BY doc_id
+      s"""WITH RECURSIVE
+         |$bpeOracleCtes, c AS (
+         |  SELECT d.source, d.doc_id, b.bpe,
+         |    SUM(b.bpe) OVER (PARTITION BY d.source ORDER BY d.doc_id
          |      ROWS UNBOUNDED PRECEDING) AS cum
-         |  FROM t
+         |  FROM documents d JOIN bpe_doc b USING (doc_id)
          |)
          |SELECT source, CAST((cum - bpe) // $Tx10Ctx AS BIGINT) AS seq_id,
          |  COUNT(*) AS n_docs, CAST(SUM(bpe) AS BIGINT) AS tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM c GROUP BY source, seq_id
          |ORDER BY source, seq_id""".stripMargin,
+    "tx11_bpe_census" ->
+      s"""WITH RECURSIVE
+         |$bpeOracleCtes
+         |SELECT d.lang, COUNT(*) AS docs,
+         |  CAST(SUM(b.bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(SUM(b.bpe) AS BIGINT) AS bpe_tokens_ids,
+         |  CAST(MAX(b.bpe) AS BIGINT) AS max_doc_tokens
+         |FROM documents d JOIN bpe_doc b USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "tx12_bpe_token_freq" ->
+      s"""WITH RECURSIVE
+         |$bpeOracleCtes, vocab(id, tok) AS (
+         |  SELECT * FROM (VALUES ${graft.functions.BpeVocab.vocabSqlValues}) v(id, tok)
+         |), occ AS (
+         |  SELECT e.word, f.seq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+         |  ) e JOIN bpe_final f USING (word) WHERE e.word <> ''
+         |), toks AS (
+         |  SELECT unnest(list_filter(string_split(seq, '/'), t -> t <> '')) AS tok
+         |  FROM occ
+         |)
+         |SELECT COALESCE(v.id, -1) AS tid, t.tok AS token, COUNT(*) AS n
+         |FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+         |GROUP BY 1, 2 ORDER BY n DESC, token LIMIT 25""".stripMargin,
     "tx07_doc_frequency" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
