@@ -468,6 +468,79 @@ object PointCloudQueries {
       min($"x_d").as("mnxd"), max($"x_d").as("mxxd"))
   }
 
+  /** Copies a layout's data files into a live streamed directory under a
+    * fresh name prefix (idempotent per target name — bench passes rerun
+    * the landing). */
+  private def landFiles(src: String, dst: String, prefix: String, ext: String): Unit = {
+    val files = Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
+    files.filter(_.getName.endsWith(ext)).foreach { f =>
+      val t = java.nio.file.Paths.get(dst, prefix + f.getName)
+      if (!java.nio.file.Files.exists(t)) java.nio.file.Files.copy(f.toPath, t)
+    }
+  }
+
+  /** pc18: the PLY source on the STREAMING surface, with files LANDING
+    * mid-stream — half the corpus is present when the query starts, the
+    * other half is copied in after the first drain and picked up by the
+    * next micro-batch (default trigger; AvailableNow would snapshot the
+    * start state and never see it). The oracle computes the identical
+    * census from the parquet source, so a hash match proves the
+    * streaming PLY decode — including the landed files — matches the
+    * batch read. Same continuous-ingest shape as pc11, on the second
+    * source format. */
+  private val pc18: Q = (s, d) => {
+    val pts = Tables.orders(s, d).select(
+      ($"o_orderkey" % 1000000).cast("int").as("x"),
+      ($"o_custkey" % 1000000).cast("int").as("y"),
+      $"o_totalprice".cast("double").as("price"))
+    val srcA = layoutOnce("pc18a", d) { out => pts.filter($"x" % 2 === 0).writePly(out) }
+    val srcB = layoutOnce("pc18b", d) { out => pts.filter($"x" % 2 === 1).writePly(out) }
+    val dir = tmpDir("pc18stream", d)
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    landFiles(srcA, dir, "aa-", ".ply")
+    val stream = s.readStream.format("ply").load(dir)
+    val agg = stream.groupBy(($"y" % 5).cast("int").as("grp"))
+      .agg(count(lit(1)).as("n"), sum($"x".cast("bigint")).as("sx"),
+        min($"price").as("mnp"), max($"price").as("mxp"))
+    StreamingQueries.runToCompletion(agg, "graft_pc18", "complete",
+        Some(() => landFiles(srcB, dir, "zz-", ".ply")))
+      .select($"grp", $"n", $"sx", $"mnp", $"mxp")
+      .sort($"grp")
+  }
+
+  /** pc19: the XYZ text source on the STREAMING surface with mid-stream
+    * landing — same shape as pc18 on the third format (one partition per
+    * text file, float parse). Census vs the parquet oracle. */
+  private val pc19: Q = (s, d) => {
+    val pts = Tables.part(s, d).select(
+      $"p_partkey".cast("float").as("x"),
+      ($"p_partkey" % 1000).cast("float").as("y"),
+      ($"p_size").cast("float").as("z"),
+      ($"p_size" % 100).cast("byte").as("r"),
+      lit(1).cast("byte").as("g"),
+      lit(2).cast("byte").as("b"))
+    val srcA = layoutOnce("pc19a", d) { out =>
+      pts.filter($"z".cast("int") % 2 === 0).writeXyz(out)
+    }
+    val srcB = layoutOnce("pc19b", d) { out =>
+      pts.filter($"z".cast("int") % 2 === 1).writeXyz(out)
+    }
+    val dir = tmpDir("pc19stream", d)
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    landFiles(srcA, dir, "aa-", ".xyz")
+    val stream = s.readStream.format("xyz").load(dir)
+    val agg = stream.groupBy(($"r" % 3).cast("int").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast("double")).as("sx"),
+        min($"z").as("mnz"), max($"z").as("mxz"))
+    StreamingQueries.runToCompletion(agg, "graft_pc19", "complete",
+        Some(() => landFiles(srcB, dir, "zz-", ".xyz")))
+      .select($"grp", $"n", $"sx", $"mnz", $"mxz")
+      .sort($"grp")
+  }
+
   val queries: Map[String, Q] = Map(
     "pc01_las_roundtrip" -> pc01,
     "pc02_ply_roundtrip" -> pc02,
@@ -486,6 +559,8 @@ object PointCloudQueries {
     "pc15_keyed_write" -> pc15,
     "pc16_schema_merge" -> pc16,
     "pc17_scaled_union" -> pc17,
+    "pc18_ply_streaming" -> pc18,
+    "pc19_xyz_streaming" -> pc19,
   )
 
   val oracle: Map[String, String] = Map(
@@ -667,5 +742,21 @@ object PointCloudQueries {
         | MIN(CAST(x AS DOUBLE) * CAST(0.01 AS DOUBLE) + CAST(50 AS DOUBLE)) AS mnxd,
         | MAX(CAST(x AS DOUBLE) * CAST(0.01 AS DOUBLE) + CAST(50 AS DOUBLE)) AS mxxd
         |FROM b""".stripMargin,
+    // census over BOTH halves — the starting files and the mid-stream
+    // landed ones; a streaming source that missed the landing loses rows
+    "pc18_ply_streaming" ->
+      """SELECT CAST((o_custkey % 1000000) % 5 AS INT) AS grp,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | MIN(CAST(o_totalprice AS DOUBLE)) AS mnp,
+        | MAX(CAST(o_totalprice AS DOUBLE)) AS mxp
+        |FROM orders GROUP BY 1 ORDER BY grp""".stripMargin,
+    "pc19_xyz_streaming" ->
+      """SELECT CAST((p_size % 100) % 3 AS INT) AS grp,
+        | COUNT(*) AS n,
+        | SUM(CAST(CAST(p_partkey AS REAL) AS DOUBLE)) AS sx,
+        | MIN(CAST(p_size AS REAL)) AS mnz,
+        | MAX(CAST(p_size AS REAL)) AS mxz
+        |FROM part GROUP BY 1 ORDER BY grp""".stripMargin,
   )
 }

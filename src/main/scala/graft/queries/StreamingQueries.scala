@@ -40,7 +40,17 @@ object StreamingQueries {
     * default disk-backed temp dir charges each micro-batch a filesystem
     * round trip. Falls back to the JVM temp dir elsewhere. */
   private[queries] def runToCompletion(df: DataFrame, name: String,
-      mode: String): DataFrame = {
+      mode: String): DataFrame = runToCompletion(df, name, mode, None)
+
+  /** Like [[runToCompletion]], but with an optional mid-stream action:
+    * after the first drain, `land()` runs (typically copying new source
+    * files into the streamed directory) and the query drains again —
+    * files LANDING while the query is live, the actual continuous-ingest
+    * shape. Uses the default trigger rather than AvailableNow, which
+    * snapshots the available data at start and would never see the
+    * landed files. */
+  private[queries] def runToCompletion(df: DataFrame, name: String,
+      mode: String, midStream: Option[() => Unit]): DataFrame = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevMaint = spark.conf.getOption("spark.sql.streaming.stateStore.maintenanceInterval")
@@ -58,10 +68,15 @@ object StreamingQueries {
         .format("memory")
         .queryName(name)
         .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
+      // AvailableNow snapshots the source at start — correct for a fixed
+      // dataset, but it would never pick up files landed mid-stream
+      if (midStream.isEmpty) writer.trigger(Trigger.AvailableNow())
       ckptDir.foreach(p => writer.option("checkpointLocation", p.toString))
       val q = writer.start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        midStream.foreach { land => land(); q.processAllAvailable() }
+      } finally q.stop()
     } finally {
       // explicit checkpoints aren't force-deleted; best-effort tmpfs cleanup
       ckptDir.foreach(graft.Fs.deleteRecursively)
