@@ -579,6 +579,31 @@ object OpsQueries {
       .sort($"doc_id")
   }
 
+  /** mm08: JPEG through the SAME dispatch seam as mm05 — the codec
+    * family a real crawl corpus is mostly made of. JPEG is lossy, so
+    * pixel arithmetic can't be oracled; the graded surface is what
+    * survives lossy encode exactly: the sniffed format name, the
+    * dimensions, and junk REJECTION (every 7th row carries the
+    * document's text bytes as its payload — no codec claims them, so
+    * the row drops, costing one row and never the job). The oracle
+    * restates dims arithmetically and omits the junk rows. */
+  private val mm08: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter($"doc_id" < 300)
+    val dims = docs.filter($"doc_id" % 7 =!= 0).select($"doc_id",
+      lit("jpg").as("fmt"),
+      (lit(8) + $"doc_id" % 17).cast("int").as("w"),
+      (lit(5) + ($"doc_id" * 3) % 13).cast("int").as("h"),
+      lit(96).as("r"), lit(128).as("g"), lit(160).as("b"))
+    val good = Multimodal.encodeSolidImages(
+      dims, "doc_id", "fmt", "w", "h", "r", "g", "b")
+    val junk = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", encode($"text", "UTF-8").cast("binary").as("payload"))
+    val packed = good.unionByName(junk)
+    Multimodal.decodeImagesFmt(packed, "doc_id", "payload", 64)
+      .select($"id".as("doc_id"), $"fmt", $"width", $"height")
+      .sort($"doc_id")
+  }
+
   /** mm02: frame-sampling pipeline — every 10th document's payload,
     * aggregated per language (the video frame-sample shape on rows). */
   private val mm02: Q = (s, d) =>
@@ -624,6 +649,7 @@ object OpsQueries {
     "mm03_png_decode" -> mm03,
     "mm04_image_decode" -> mm04,
     "mm05_codec_dispatch" -> mm05,
+    "mm08_jpeg_dispatch" -> mm08,
     "mm06_audio_decode" -> mm06,
     "mm07_image_resize" -> mm07,
   )
@@ -1338,6 +1364,13 @@ object OpsQueries {
         "CAST((doc_id * 3) % 256 AS DOUBLE) AS g_mean, " +
         "CAST((doc_id * 7) % 256 AS DOUBLE) AS b_mean " +
         "FROM documents WHERE doc_id < 300 ORDER BY doc_id"),
+    // JPEG is lossy: grade what survives exactly — sniffed format,
+    // dimensions, and junk rejection (the %7 rows never appear)
+    "mm08_jpeg_dispatch" ->
+      ("SELECT doc_id, 'jpeg' AS fmt, " +
+        "CAST(8 + doc_id % 17 AS INTEGER) AS width, " +
+        "CAST(5 + (doc_id * 3) % 13 AS INTEGER) AS height " +
+        "FROM documents WHERE doc_id < 300 AND doc_id % 7 <> 0 ORDER BY doc_id"),
     // audio decode: PCM16 is lossless and integer-exact, so the decoded
     // sample statistics are pure arithmetic in (doc_id, i); i ranges over
     // a fixed series filtered to the per-doc count (DuckDB generate_series
