@@ -195,6 +195,25 @@ object TemporalQueries {
         round($"kmv.est", 2).as("est"), $"exact")
       .sort($"lang")
 
+  /** sk04's HLL++ precision (relative standard deviation). */
+  private final val Sk04Rsd = 0.05
+
+  /** sk04: per-source HLL++ distinct estimate
+    * ([[graft.ops.Joins.approxDistinctBy]]) graded against the exact
+    * count. HLL++ is deterministic for fixed data (hash-based, max-merge
+    * — partitioning order cannot change the registers), so the graded
+    * row carries the exact count plus a computed `within_bound` boolean
+    * pinning |approx − exact| / exact ≤ 3·rsd; the oracle states the
+    * exact count and TRUE. An estimator drifting past three standard
+    * deviations breaks the hash. */
+  private val sk04: Q = (s, d) =>
+    graft.ops.Joins.approxDistinctBy(
+        Tables.documents(s, d), "source", "text", Sk04Rsd)
+      .select($"source", $"exact",
+        (abs($"approx" - $"exact").cast("double") / $"exact".cast("double")
+          <= lit(3 * Sk04Rsd)).as("within_bound"))
+      .sort($"source")
+
   val queries: Map[String, Q] = Map(
     "tp01_asof_join" -> tp01,
     "tp02_interval_join" -> tp02,
@@ -204,6 +223,7 @@ object TemporalQueries {
     "sk01_kmv_distinct" -> sk01,
     "sk02_count_min" -> sk02,
     "sk03_histogram_quantile" -> sk03,
+    "sk04_approx_distinct" -> sk04,
   )
 
   // ------------------------------------------------------------- oracles
@@ -383,5 +403,10 @@ object TemporalQueries {
     "sk01_kmv_distinct" -> sk01Oracle,
     "sk02_count_min" -> sk02Oracle,
     "sk03_histogram_quantile" -> sk03Oracle,
+    // the estimate itself is engine-specific; what IS engine-independent
+    // is the exact count and the 3-sigma bound holding
+    "sk04_approx_distinct" ->
+      ("SELECT source, COUNT(DISTINCT text) AS exact, TRUE AS within_bound " +
+        "FROM documents GROUP BY source ORDER BY source"),
   )
 }

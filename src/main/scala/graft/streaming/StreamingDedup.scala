@@ -34,6 +34,17 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * multi-trigger case). Under that contract the gate's output equals the
   * batch rule "collides iff a smaller-id doc shares a bucket", which is
   * what the DuckDB oracle restates (st07).
+  *
+  * The contract is CHECKED, not just documented — and checked at the
+  * exact soundness boundary: a later batch delivering an id BELOW the
+  * bucket's claimed minimum would rewrite history (ids already admitted
+  * with hit=false should have collided with it), so that fails the
+  * query loudly ([[ContractViolation]]) instead of silently emitting
+  * verdicts that differ from the batch rule. An out-of-order id that
+  * stays ≥ the bucket minimum is provably benign — every already-emitted
+  * verdict and its own verdict equal the order-independent batch rule
+  * ("hit iff a smaller id shares the bucket") — so it passes, and state
+  * stays ONE long per bucket.
   */
 object StreamingDedup {
 
@@ -41,6 +52,12 @@ object StreamingDedup {
     * already claimed by a smaller doc id (in this or an earlier batch).
     * A document is near-dup iff ANY of its bands hit. */
   case class BandHit(id: Long, hit: Boolean)
+
+  /** The id-ordering contract was violated in a way that changes
+    * verdicts: a micro-batch delivered an id smaller than the minimum an
+    * EARLIER batch already claimed for the same bucket, so ids admitted
+    * before it carry hit=false the batch rule would flip. */
+  final class ContractViolation(msg: String) extends IllegalStateException(msg)
 
   /** The documents table as a file stream (explicit schema — file
     * sources cannot infer). */
@@ -67,10 +84,21 @@ object StreamingDedup {
       .as[(Int, Long, Long)]
       .groupByKey { case (band, key, _) => (band, key) }
       .flatMapGroupsWithState[Long, BandHit](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, rows, state) =>
+        case (bucket, rows, state) =>
           val ids = rows.map(_._3).toArray
           java.util.Arrays.sort(ids)
+          // ordering guard at the soundness boundary: an id below the
+          // minimum an earlier batch claimed would flip verdicts already
+          // emitted for this bucket — fail loudly, never silently drift
+          val hadState = state.exists
           var minSeen = state.getOption.getOrElse(Long.MaxValue)
+          if (hadState && ids.nonEmpty && ids(0) < minSeen)
+            throw new ContractViolation(
+              s"st07 ordering contract violated for bucket $bucket: id ${ids(0)} " +
+              s"arrived after an earlier micro-batch claimed the bucket at id $minSeen; " +
+              "ids at or above the claimed minimum admitted since then carry " +
+              "verdicts the batch rule would flip — the file source must " +
+              "deliver ids in non-decreasing order")
           val out = new Array[BandHit](ids.length)
           var i = 0
           while (i < ids.length) {

@@ -497,6 +497,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("near-dup gate: a history-rewriting late id fails loudly, benign reorder passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota"
+    // benign out-of-order: 7 after {5, 9} stays >= the bucket minimum 5,
+    // so every emitted verdict equals the batch rule — must NOT fail
+    // (this is also what the persistence test above relies on)
+    locally {
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup
+        .bandGate(input.toDS().toDF("doc_id", "text"), "doc_id", "text").toDF()
+        .writeStream.format("memory").queryName("gate_benign")
+        .outputMode("append").start()
+      try {
+        input.addData((5L, textA), (9L, textA))
+        q.processAllAvailable()
+        input.addData((7L, textA))
+        q.processAllAvailable() // would rethrow a stream failure
+        assert(spark.table("gate_benign").count() > 0)
+      } finally q.stop()
+    }
+    // history-rewriting: 3 after {5} is BELOW the claimed minimum — 5 was
+    // admitted with hit=false but the batch rule says it collides with 3;
+    // the guard must fail the query instead of silently diverging
+    locally {
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup
+        .bandGate(input.toDS().toDF("doc_id", "text"), "doc_id", "text").toDF()
+        .writeStream.format("memory").queryName("gate_violate")
+        .outputMode("append").start()
+      try {
+        input.addData((5L, textA))
+        q.processAllAvailable()
+        input.addData((3L, textA))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        def causes(t: Throwable): Seq[Throwable] =
+          Option(t).toSeq.flatMap(c => c +: causes(c.getCause))
+        assert(causes(e).exists(
+          _.isInstanceOf[graft.streaming.StreamingDedup.ContractViolation]),
+          s"expected ContractViolation in cause chain, got: $e")
+      } finally q.stop()
+    }
+  }
+
   test("near-dup gate plan: one fused kernel, one exchange into the state op") {
     // the batch twin exposes the executed plan the streaming run shares
     // below the sink: the whole signature pipeline must be row-local
