@@ -22,8 +22,79 @@ import org.apache.spark.sql.SparkSession
   * each full pass, so a loaded box is visible IN the artifact (inflated
   * medians with a quiet min ⇒ transient load; run totals diverging run
   * to run ⇒ the box was busy while benching).
+  *
+  * Self-calibration (the r09 incident: a uniform ~1.39× cross-round
+  * inflation on unchanged code needed a judge re-run to attribute to
+  * the box): each pass is preceded by a FIXED pure-CPU loop, timed
+  * single-threaded (`calib`, core speed) and on all cores at once
+  * (`calib_mt`, contention), so box-speed drift divides out of any
+  * cross-round comparison. The line also carries the testdata
+  * fingerprint — per-table footer row counts (`rows`) and an MD5 over
+  * the PHYSICAL parquet schemas (`schema_hash`) — because the driver
+  * regenerates /root/testdata per round and physical layout drifted
+  * before (r09: events.ts NANOS→MICROS); two rounds' numbers are only
+  * comparable when their fingerprints match.
   */
 object Bench {
+
+  private val TableNames = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Per-table footer row counts + an MD5 over the physical parquet
+    * schemas (footer metadata only — no data IO). A missing/unreadable
+    * table records -1 and poisons the hash input rather than throwing:
+    * the fingerprint must never kill the bench. */
+  private def dataFingerprint(sfDir: String): (String, String) = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val parts = TableNames.map { t =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet"), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (t, r.getRecordCount,
+          r.getFooter.getFileMetaData.getSchema.toString)
+        finally r.close()
+      } catch { case e: Exception =>
+        (t, -1L, s"ERR:${e.getClass.getSimpleName}")
+      }
+    }
+    val rowsJson = parts.map { case (t, n, _) => s""""$t":$n""" }
+      .mkString("{", ",", "}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach { case (t, _, s) =>
+      md.update((t + "\n" + s + "\n").getBytes("UTF-8"))
+    }
+    (rowsJson, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  /** Fixed pure-CPU work unit (~10^8 xorshift64 steps), returns elapsed
+    * seconds. The same instruction stream every call, so its time is a
+    * box-speed denominator: if calib inflates 1.4× between rounds, a
+    * uniform 1.4× on the queries is the box, not the code. */
+  private def calibrateOnce(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < (1 << 27)) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    // data dependency defeats dead-code elimination; never taken
+    if (x == 42L) System.err.print("")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** [[calibrateOnce]] on `n` threads at once (wall time of the slowest)
+    * — measures the contention a loaded box adds on top of core speed. */
+  private def calibrateMt(n: Int): Double = {
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { _ =>
+      val th = new Thread(() => { calibrateOnce(); () })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -66,7 +137,12 @@ object Bench {
     // passes and per-query min-of-N converges on the quiet value even
     // when one whole pass is inflated (same-position rotation would
     // instead tax the same queries every time the burst recurs)
+    val (rowsJson, schemaHash) = dataFingerprint(sfDir)
+    val calib = scala.collection.mutable.ArrayBuffer[Double]()
+    val calibMt = scala.collection.mutable.ArrayBuffer[Double]()
     val samples: Seq[Seq[(String, Double)]] = (0 until runs).map { k =>
+      calib += calibrateOnce()
+      calibMt += calibrateMt(cpus.toInt)
       val off = (k * names.size) / runs
       (names.drop(off) ++ names.take(off)).map { name =>
         val t0 = System.nanoTime()
@@ -113,9 +189,13 @@ object Bench {
     // a filtered run is visibly marked so it can never pass for a full one
     val filterJson = prefixes.map(p =>
       s""","filter":${jstr(p.mkString(","))}""").getOrElse("")
+    val calibJson = calib.map(ms).mkString("[", ",", "]")
+    val calibMtJson = calibMt.map(ms).mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
         s""""total_min":$totalMin,"run_totals":$runTotals,""" +
+        s""""calib":$calibJson,"calib_mt":$calibMtJson,""" +
+        s""""rows":$rowsJson,"schema_hash":"$schemaHash",""" +
         s""""queries":$qs,"queries_min":$qsMin$errJson$filterJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       line.getBytes("UTF-8"))
