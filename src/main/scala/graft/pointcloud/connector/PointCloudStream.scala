@@ -21,8 +21,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    without any naming-convention requirement;
   *  - each micro-batch processes exactly end.files minus start.files.
   * The offset grows with the file count; at ~100 bytes per path an
-  * offset log entry stays manageable well past 10^5 files, and file
-  * streams of that size should compact/rotate source directories anyway.
+  * offset log entry stays manageable well past 10^5 files. For sources
+  * that rotate their directories (delete or archive files once
+  * ingested), `compactFileListThreshold` (option, int > 0) bounds the
+  * list: whenever the tail exceeds the threshold, the longest PREFIX of
+  * COMMITTED entries whose files are no longer present in the listing is
+  * replaced by a count (`base`), so the offset becomes
+  * `(compacted-count, tail-list)`. Re-admission of a compacted name is
+  * impossible by construction — the file was absent from the directory
+  * when compacted, and membership tests only matter for listed files; a
+  * file RE-CREATED under a compacted name is genuinely new data and is
+  * ingested fresh (new fid). fids stay stable because a fid is the
+  * file's GLOBAL index `base + tail-index`, which compaction never
+  * changes. Only committed entries compact (an uncommitted entry may
+  * still be replayed from the write-ahead offset, which needs its name),
+  * and only a prefix does (so the base+index arithmetic stays exact); a
+  * long-lived file therefore blocks compaction of everything admitted
+  * after it — rotate whole directories, not random files, to keep the
+  * tail short.
   * Headers are read per batch on the driver (exactly like the batch
   * path); partitions are the same record-aligned binary partitions.
   *
@@ -59,10 +75,24 @@ class PointCloudMicroBatchStream(
 
   import PointCloudMicroBatchStream.FileListOffset
 
-  /** Known files in first-seen order; extended by latestOffset, seeded by
-    * deserializeOffset after a restart (the longer list wins — offsets
-    * are append-only, so length orders them). */
+  /** Tail of the known-file list in first-seen order (global indices
+    * `[base, base + known.size)`); extended by latestOffset, seeded by
+    * deserializeOffset after a restart (the larger TOTAL wins — the list
+    * is append-only and base monotone, so total orders offsets). */
   @volatile private var known: Vector[String] = Vector.empty
+
+  /** Count of compacted entries: files admitted, committed, and since
+    * removed from the source directory, dropped from the list by
+    * compaction. Their global indices `[0, base)` stay allocated. */
+  @volatile private var base: Long = 0L
+
+  /** Highest committed total, advanced ONLY by commit(): compaction must
+    * never drop an entry the engine could still replay from the
+    * write-ahead offset log (deserializeOffset also sees UNcommitted
+    * offsets after a restart, so it cannot advance this). After a
+    * restart this resets to 0 and compaction simply waits for the first
+    * commit of the new run. */
+  @volatile private var committedTotal: Long = 0L
 
   /** Sections read while ADMITTING a file in latestOffset, consumed by
     * planInputPartitions so each admitted file's header is read once per
@@ -76,6 +106,12 @@ class PointCloudMicroBatchStream(
     val v = Option(options.get("maxfilespertrigger")).map(_.toInt)
     // 0 would admit nothing forever while the stream reports healthy
     require(v.forall(_ > 0), s"maxFilesPerTrigger must be positive, got ${v.get}")
+    v
+  }
+
+  private val compactThreshold: Option[Int] = {
+    val v = Option(options.get("compactfilelistthreshold")).map(_.toInt)
+    require(v.forall(_ > 0), s"compactFileListThreshold must be positive, got ${v.get}")
     v
   }
 
@@ -97,7 +133,7 @@ class PointCloudMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
-  override def initialOffset(): Offset = FileListOffset(Vector.empty)
+  override def initialOffset(): Offset = FileListOffset(0L, Vector.empty)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -105,10 +141,11 @@ class PointCloudMicroBatchStream(
 
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = synchronized {
     val seen = known.toSet
-    val listed = listFiles().filterNot(seen)
+    val listed = listFiles()
+    val unseen = listed.filterNot(seen)
     val fresh = availableNowTarget match {
-      case Some(target) => listed.filter(target)
-      case None => listed
+      case Some(target) => unseen.filter(target)
+      case None => unseen
     }
     // admit a file only once its header parses AND the bytes the header
     // promises are all present: a mid-copy file (header landed, data
@@ -145,16 +182,38 @@ class PointCloudMicroBatchStream(
     }
     val add = admitted.result()
     if (add.nonEmpty) known = known ++ add
-    FileListOffset(known)
+    // compact: drop the longest prefix of COMMITTED entries whose files
+    // are gone from the directory (deleted/rotated by the producer) —
+    // they can never be re-listed, so forgetting the names is safe, and
+    // prefix-only keeps fid = base + index exact
+    compactThreshold.foreach { t =>
+      if (known.size > t) {
+        val listedSet = listed.toSet
+        var drop = 0
+        while (drop < known.size && base + drop < committedTotal &&
+               !listedSet.contains(known(drop))) drop += 1
+        if (drop > 0) {
+          logInfo(s"Compacted $drop rotated ${kind.name} file entries out of " +
+            s"the offset list (base ${base} -> ${base + drop}, tail ${known.size - drop})")
+          base += drop
+          known = known.drop(drop)
+        }
+      }
+    }
+    FileListOffset(base, known)
   }
 
   override def deserializeOffset(json: String): Offset = {
     val off = FileListOffset.fromJson(json)
-    synchronized { if (off.files.size > known.size) known = off.files }
+    synchronized {
+      if (off.total > base + known.size) { base = off.base; known = off.files }
+    }
     off
   }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = synchronized {
+    committedTotal = math.max(committedTotal, end.asInstanceOf[FileListOffset].total)
+  }
 
   override def stop(): Unit = ()
 
@@ -166,12 +225,17 @@ class PointCloudMicroBatchStream(
       f.name == PointCloudUtil.FidCol || f.name == PointCloudUtil.PidCol)).json
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val done = start.asInstanceOf[FileListOffset].files.toSet
-    val all = end.asInstanceOf[FileListOffset].files
+    // the list is append-only, so "already processed" is an index
+    // comparison: everything below start's TOTAL was in start (whether
+    // the name survives in its tail or was compacted into its base)
+    val startTotal = start.asInstanceOf[FileListOffset].total
+    val endOff = end.asInstanceOf[FileListOffset]
     val maxBytes = SQLConf.get.filesMaxPartitionBytes
-    all.zipWithIndex.flatMap { case (path, fid) =>
-      // fid = index in the append-only offset list: stable across batches
-      if (done.contains(path)) Nil
+    endOff.files.zipWithIndex.flatMap { case (path, i) =>
+      // fid = GLOBAL index in the append-only offset list (base + tail
+      // index): stable across batches, restarts, and compaction
+      val fid = math.toIntExact(endOff.base + i)
+      if (endOff.base + i < startTotal) Nil
       else try {
         // admitted this run → header already read at admission time;
         // replay after restart falls back to reading it here
@@ -210,18 +274,35 @@ object PointCloudMicroBatchStream {
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
-  /** Append-only known-file list; JSON array in the offset log. */
-  private[connector] case class FileListOffset(files: Vector[String]) extends Offset {
-    override def json(): String = JsonMethods.compact(JsonMethods.render(files))
+  /** Append-only known-file list: `base` entries compacted away (files
+    * rotated out of the source directory after commit) plus the live
+    * tail. Serialized as a bare JSON array while base == 0 — byte-
+    * identical to the pre-compaction format, so old checkpoints replay
+    * and non-compacting streams keep their offset format — and as
+    * `{"base":N,"files":[...]}` once compaction has happened. */
+  private[connector] case class FileListOffset(base: Long, files: Vector[String])
+      extends Offset {
+    def total: Long = base + files.size
+    override def json(): String =
+      if (base == 0L) JsonMethods.compact(JsonMethods.render(files))
+      else JsonMethods.compact(JsonMethods.render(
+        ("base" -> base) ~ ("files" -> files)))
   }
 
   private[connector] object FileListOffset {
+    private def names(vs: List[JValue]): Vector[String] = vs.map {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(s"bad offset element $other")
+    }.toVector
+
     def fromJson(json: String): FileListOffset =
       JsonMethods.parse(json) match {
-        case JArray(vs) => FileListOffset(vs.map {
-          case JString(s) => s
-          case other => throw new IllegalArgumentException(s"bad offset element $other")
-        }.toVector)
+        case JArray(vs) => FileListOffset(0L, names(vs))
+        case obj: JObject =>
+          (obj \ "base", obj \ "files") match {
+            case (JInt(b), JArray(vs)) => FileListOffset(b.toLong, names(vs))
+            case _ => throw new IllegalArgumentException(s"bad offset json $obj")
+          }
         case other => throw new IllegalArgumentException(s"bad offset json $other")
       }
   }

@@ -569,4 +569,59 @@ class StreamingSpec extends SparkTestBase {
       .count().count()
     assert(got == batch && got > 0)
   }
+
+  test("compactFileListThreshold bounds the offset; fids survive compaction and restart") {
+    import graft.pointcloud.syntax._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compactstream").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compactout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-compactckpt").toString
+    def pts(lo: Int) = spark.range(50).select(
+      ($"id" + lo).cast("int").as("x"), lit(0).cast("int").as("y"),
+      lit(0).cast("int").as("z"), lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"), lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"), lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    def addFile(lo: Int, name: String): Unit = {
+      val d = java.nio.file.Files.createTempDirectory("graft-compactsrc").toString
+      pts(lo).coalesce(1).writeLas(d)
+      val f = new java.io.File(d).listFiles().find(_.getName.endsWith(".las")).get
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(dir, name))
+    }
+    def start() = spark.readStream.format("las")
+      .option("compactFileListThreshold", "1").load(dir).select("fid", "x")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    def lastOffsetLine(): String = {
+      val files = new java.io.File(ckpt, "offsets").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      val src = scala.io.Source.fromFile(files.last)
+      try src.getLines().toList.last finally src.close()
+    }
+    addFile(0, "aa.las"); addFile(1000, "bb.las"); addFile(2000, "cc.las")
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      // the producer rotates aa+bb out of the directory; dd lands. The
+      // committed, no-longer-listed prefix compacts to a count and dd
+      // still gets the NEXT global fid (3), not a recycled one.
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "aa.las"))
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "bb.las"))
+      addFile(3000, "dd.las")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val off = lastOffsetLine()
+    assert(off.contains("\"base\":2"), off) // aa+bb compacted to a count
+    assert(!off.contains("aa.las") && !off.contains("bb.las"), off)
+    // restart from the compacted offset: base must be restored so the
+    // next admission continues the global numbering at 4
+    addFile(4000, "ee.las")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val byFid = spark.read.parquet(out).groupBy("fid")
+      .agg(min("x").as("lo"), max("x").as("hi"))
+      .collect().map(r => (r.getInt(0), (r.getInt(1), r.getInt(2)))).toMap
+    assert(byFid == Map(0 -> (0, 49), 1 -> (1000, 1049), 2 -> (2000, 2049),
+      3 -> (3000, 3049), 4 -> (4000, 4049)), byFid.toString)
+  }
 }
