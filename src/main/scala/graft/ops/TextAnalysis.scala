@@ -56,6 +56,11 @@ object TextAnalysis {
     * trainer. */
   def bpeTokenIds(text: Column): Column = graft.functions.bpe.bpe_token_ids(text)
 
+  /** Detokenize an id sequence (space-free inverse of [[bpeTokenIds]];
+    * strict null on any out-of-vocab id — see
+    * [[graft.functions.BpeUtil.decode]]). */
+  def bpeDecode(ids: Column): Column = graft.functions.bpe.bpe_decode(ids)
+
   def stopwordCount(text: Column): Column =
     exprs.count_in_set(tokens(text), Stopwords)
 
@@ -184,6 +189,39 @@ object TextAnalysis {
         expr(s"(__graft_cum - cast(`$tokCol` as bigint)) div $ctxTokens"))
       .drop("__graft_cum")
   }
+
+  /** Reference bigram language model for CCNet-style quality scoring:
+    * the `topK` most frequent word bigrams of a trusted reference slice
+    * (e.g. a wiki-like source) with their counts. The cap is the scale
+    * contract — whatever the reference corpus size, the model is at most
+    * `topK` rows, so scoring can ALWAYS broadcast it; a real CCNet
+    * deployment ships a fixed-size model file for the same reason.
+    * Deterministic under ties (count desc, then bigram). */
+  def bigramLmModel(ref: org.apache.spark.sql.DataFrame, textCol: String,
+      topK: Int): org.apache.spark.sql.DataFrame =
+    ref.select(explode(wordBigrams(col(textCol))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("bg_count"))
+      .sort(col("bg_count").desc, col("bigram"))
+      .limit(topK)
+
+  /** Per-document LM coverage against a [[bigramLmModel]] — the
+    * integer-exact stand-in for perplexity (log-prob sums are
+    * float-summation-order dependent across engines; counts are not):
+    * `n_bigrams` the document's bigram occurrences, `n_known` how many
+    * of them the model has seen, `mass` the summed model counts of the
+    * known ones. Low `n_known`/`n_bigrams` coverage means the document's
+    * word transitions are alien to the reference corpus — the same
+    * signal a perplexity filter thresholds on. Plan: row-local explode →
+    * broadcast-hash left join (the model is capped) → one hash agg; no
+    * shuffle grows with the model. */
+  def lmCoverage(docs: org.apache.spark.sql.DataFrame, model: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), explode_outer(wordBigrams(col(textCol))).as("bigram"))
+      .join(broadcast(model), Seq("bigram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("bigram")).as("n_bigrams"),
+        count(col("bg_count")).as("n_known"),
+        coalesce(sum(col("bg_count")), lit(0L)).as("mass"))
 
   /** Corpus-level document frequency: for each word, in how many
     * documents it appears (`df`) and the fraction of the corpus

@@ -446,6 +446,65 @@ object OpsQueries {
       .limit(25)
   }
 
+  /** tx13's model size cap — small enough to actually CUT the fixture
+    * corpus's bigram vocabulary (so coverage varies per document), and
+    * the broadcast-bound contract at scale. */
+  private[queries] final val Tx13TopK = 400
+
+  /** tx13: CCNet-style LM quality scoring — a bigram language model is
+    * trained on the trusted slice (lang = 'en' documents), capped to the
+    * [[Tx13TopK]] most frequent bigrams (the model stays broadcastable
+    * no matter the reference size), and every document is scored by
+    * coverage against it ([[graft.ops.TextAnalysis.lmCoverage]]):
+    * integer-exact stand-ins for the perplexity a production filter
+    * thresholds on. Census per language: documents, total/known bigram
+    * occurrences, model mass, and how many documents fall under 50%
+    * coverage (the would-be-filtered count; at the fixture's vocabulary
+    * the half-coverage line genuinely splits each language). Ties at the
+    * model's LIMIT boundary are name-broken, so both engines cut the
+    * same 400 rows. */
+  private val tx13: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val model = TextAnalysis.bigramLmModel(
+      docs.filter($"lang" === "en"), "text", Tx13TopK)
+    TextAnalysis.lmCoverage(docs, model, "doc_id", "text")
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("docs"),
+        sum($"n_bigrams").as("bigrams"),
+        sum($"n_known").as("known"),
+        sum($"mass").as("mass"),
+        sum(when($"n_known" * 2 < $"n_bigrams", 1L).otherwise(0L))
+          .as("low_coverage_docs"))
+      .sort($"lang")
+  }
+
+  /** tx14: detokenization round trip — every document is tokenized with
+    * the real merge-table BPE and decoded back
+    * ([[graft.ops.TextAnalysis.bpeDecode]]); the reconstruction is
+    * compared AGAINST THE TEXT ITSELF (space-free: the fixture vocab
+    * carries no word-boundary token, see
+    * [[graft.functions.BpeUtil.decode]]), while the oracle PREDICTS
+    * analytically which documents must round-trip (exactly those made of
+    * letters and spaces — anything else encodes an unknown -1 id, which
+    * strict decode nulls). A second decode over a deliberately corrupted
+    * id stream (id 9999 appended per row) pins the strict-null path at
+    * runtime on every row, mm03-junk style. */
+  private val tx14: Q = (s, d) => {
+    val decoded = TextAnalysis.bpeDecode(TextAnalysis.bpeTokenIds($"text"))
+    val corrupt = TextAnalysis.bpeDecode(
+      concat(TextAnalysis.bpeTokenIds($"text"), array(lit(9999))))
+    Tables.documents(s, d)
+      .select($"lang", $"text", decoded.as("dec"), corrupt.as("cor"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("docs"),
+        sum(length($"dec").cast("long")).as("chars"),
+        sum(when($"dec" === regexp_replace($"text", " ", ""), 1L)
+          .otherwise(0L)).as("roundtrips"),
+        sum(when($"cor".isNull, 1L).otherwise(0L)).as("corrupt_nulls"))
+      .sort($"lang")
+  }
+
   /** mm03: REAL binary decode in the scan pipeline — each document gets a
     * well-formed PNG header payload (dimensions derived from doc_id), and
     * the graft_png_ihdr codegen expression parses width/height/bit-depth/
@@ -644,6 +703,8 @@ object OpsQueries {
     "tx10_sequence_packing" -> tx10,
     "tx11_bpe_census" -> tx11,
     "tx12_bpe_token_freq" -> tx12,
+    "tx13_lm_quality" -> tx13,
+    "tx14_bpe_roundtrip" -> tx14,
     "mm01_multimodal_stub" -> mm01,
     "mm02_frame_sampling" -> mm02,
     "mm03_png_decode" -> mm03,
@@ -1328,6 +1389,39 @@ object OpsQueries {
         |FROM f, n
         |WHERE CAST(df AS DOUBLE) / n_docs >= 0.4
         |ORDER BY df DESC, word""".stripMargin,
+    "tx13_lm_quality" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+         |), bg AS (
+         |  SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS bigram
+         |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+         |), model AS (
+         |  SELECT bigram, COUNT(*) AS c FROM bg WHERE lang = 'en'
+         |  GROUP BY 1 ORDER BY c DESC, bigram LIMIT $Tx13TopK
+         |), scored AS (
+         |  SELECT w.doc_id, w.lang,
+         |    COUNT(b.bigram) AS n_bg, COUNT(m.c) AS n_known,
+         |    COALESCE(SUM(m.c), 0) AS mass
+         |  FROM w LEFT JOIN bg b USING (doc_id) LEFT JOIN model m USING (bigram)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT lang, COUNT(*) AS docs, CAST(SUM(n_bg) AS BIGINT) AS bigrams,
+         |  CAST(SUM(n_known) AS BIGINT) AS known,
+         |  CAST(SUM(mass) AS BIGINT) AS mass,
+         |  CAST(SUM(CASE WHEN n_known * 2 < n_bg THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS low_coverage_docs
+         |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
+    // the analytic twin: a document round-trips iff it is letters+spaces
+    // only (otherwise the encoder emits -1 and strict decode nulls), and
+    // the appended out-of-vocab id nulls EVERY corrupted decode
+    "tx14_bpe_roundtrip" ->
+      """SELECT lang, COUNT(*) AS docs,
+        |  CAST(SUM(CASE WHEN regexp_matches(text, '^[a-z ]*$')
+        |    THEN len(replace(text, ' ', '')) ELSE 0 END) AS BIGINT) AS chars,
+        |  CAST(SUM(CASE WHEN regexp_matches(text, '^[a-z ]*$')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS roundtrips,
+        |  COUNT(*) AS corrupt_nulls
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "mm01_multimodal_stub" -> mm01Oracle,
     "mm02_frame_sampling" ->
       ("SELECT lang, COUNT(*) AS n, CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS bytes " +

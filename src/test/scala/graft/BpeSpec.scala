@@ -94,4 +94,25 @@ class BpeSpec extends SparkTestBase {
     // ctx 4: starts 0, 3, 4 -> seq 0, 0, 1
     assert(packed2 == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
+
+  test("decode is the space-free inverse; strict null on any bad id") {
+    // direct round trip over the corpus (codegen path)
+    val rows = Tables.documents(spark, sfDir).limit(200)
+      .select($"text",
+        bpe.bpe_decode(bpe.bpe_token_ids($"text")).as("dec"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      if (t.forall(c => c == ' ' || (c >= 'a' && c <= 'z')))
+        assert(r.getString(1) == t.replace(" ", ""), s"round trip of '$t'")
+      else assert(r.isNullAt(1), s"unknown chars must null-decode: '$t'")
+    }
+    // strictness: one bad id anywhere nulls the row — never a shrunk text
+    val bad = Seq(Array(0, -1, 2), Array(9999), Array(-1)).toDF("ids")
+      .select(bpe.bpe_decode($"ids").as("d")).collect()
+    assert(bad.forall(_.isNullAt(0)))
+    // empty decodes to empty, not null
+    assert(Seq(Array.empty[Int]).toDF("ids")
+      .select(bpe.bpe_decode($"ids")).head().getString(0) == "")
+  }
 }

@@ -570,4 +570,29 @@ class OpsSpec extends SparkTestBase {
       assert(got == expected, s"batchSize=$bs")
     }
   }
+
+  test("LM coverage: hand-computed counts, topK cap, broadcast plan") {
+    import graft.ops.TextAnalysis
+    val docs = Seq((1L, "a b a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val ref = docs.filter($"doc_id" === 1L)
+    // full model: "a b"×2, "b a"×1
+    val m2 = TextAnalysis.bigramLmModel(ref, "text", 10)
+      .as[(String, Long)].collect().toMap
+    assert(m2 == Map("a b" -> 2L, "b a" -> 1L))
+    val full = TextAnalysis.lmCoverage(docs,
+        TextAnalysis.bigramLmModel(ref, "text", 10), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(full(1L) == ((3L, 3L, 5L))) // a b, b a, a b → mass 2+1+2
+    assert(full(2L) == ((2L, 0L, 0L)))
+    // the cap drops the rarer bigram — count desc, name tiebreak
+    val capped = TextAnalysis.lmCoverage(docs,
+        TextAnalysis.bigramLmModel(ref, "text", 1), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(capped(1L) == ((3L, 2L, 4L)))
+    // the model side must broadcast: scoring never shuffles with it
+    val plan = TextAnalysis.lmCoverage(docs,
+        TextAnalysis.bigramLmModel(ref, "text", 10), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
