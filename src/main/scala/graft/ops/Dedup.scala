@@ -399,6 +399,45 @@ object Dedup {
       .filter(col("c") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (cluster-then-prune, the shape of
+    * Abbas et al. 2023): vectors are assigned to a coarse k-means cell
+    * ([[Clustering.assignCell]] against a pre-trained deterministic
+    * model), and WITHIN each cell every vector with a
+    * cosine-≥-threshold neighbor of smaller id is marked dropped (the
+    * minimal-id representative of each semantic near-dup set survives —
+    * the same survivor rule as the exact/MinHash families, and
+    * order-free: membership depends only on the set, never on
+    * evaluation order). Returns `(id, cell, dropped)` for every input
+    * row.
+    *
+    * Scale shape: the all-pairs term is confined to one cell — ONE
+    * shuffle on the cell key, then a per-cell self-join. With k sized so
+    * cells hold ~n/k vectors, the quadratic work is n²/k spread over k
+    * groups (this is the entire point of SemDeDup over dd06's global
+    * all-pairs); a skew-degenerate giant cell is handled the same way
+    * as any hot join key — split it with a salted sub-bucket on the
+    * SAME pattern as [[graft.ops.Joins.saltedJoin]], at the cost of the
+    * near-dup sets spanning sub-buckets (SemDeDup accepts this recall
+    * loss by design: its dedup is per-cluster, not global). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])], threshold: Double): DataFrame = {
+    // materialized: same inlining guard as kmeans — the cast vector must
+    // not re-inline into each of the k distance kernels
+    val pts = df.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .localCheckpoint(eager = true)
+      .withColumn("cell", Clustering.assignCell(col("v"), centroids))
+      .withColumn("n", sqrt(Similarity.dot(col("v"), col("v"))))
+    val dropped = pts.as("a").join(pts.as("b"),
+        col("a.cell") === col("b.cell") && col("b.id") < col("a.id") &&
+          Similarity.dot(col("a.v"), col("b.v")) /
+            (col("a.n") * col("b.n")) >= threshold)
+      .select(col("a.id").as("id")).distinct()
+    pts.join(dropped.withColumn("dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
+
   /** Embedding near-dup pairs by cosine similarity. Brute-force
     * (all-pairs) — the exact baseline and oracle shape;
     * [[blockedEmbeddingNearDupPairs]] is the scale path. */

@@ -417,6 +417,71 @@ object Multimodal {
     decodeInBatchesAs(df, idCol, payloadCol, batchSize, audioBatchDecode).toDF()
   }
 
+  /** One fixed-length analysis frame of a decoded clip (the featurization
+    * granularity downstream audio models consume): exact integer energy
+    * (`sum_abs`), peak, and the within-frame zero-crossing count
+    * (`(s[i-1] < 0) != (s[i] < 0)` for i inside the frame only — no
+    * cross-frame term, so every frame's features depend on its own
+    * samples alone and the oracle can restate frames independently). */
+  case class AudioFrameFeatures(id: Long, frame: Int, n: Int,
+      sum_abs: Long, peak: Int, crossings: Int)
+
+  /** Framewise feature extraction: [[audioBatchDecode]]'s decode gate
+    * (WAV container, signed little-endian PCM16), restricted to MONO
+    * clips (frame boundaries in interleaved multi-channel data are
+    * channel-dependent; a real featurizer downmixes first), cut into
+    * `frameLen`-sample frames. The trailing partial frame is DROPPED —
+    * fixed-window featurizers pad or drop, and dropping keeps every
+    * emitted frame's statistics full-width comparable. Poison rows cost
+    * one row, as everywhere on the batch seam. */
+  def audioFrameDecode(frameLen: Int)(
+      batch: Seq[(Long, Array[Byte])]): Seq[AudioFrameFeatures] =
+    batch.flatMap { case (id, bytes) =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val ok =
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian && fmt.getChannels == 1
+          if (!ok) Nil
+          else {
+            val data = in.readAllBytes()
+            val nSamples = data.length / 2
+            val nFrames = nSamples / frameLen
+            (0 until nFrames).map { f =>
+              var sum = 0L; var peak = 0; var cross = 0
+              var i = f * frameLen
+              val end = i + frameLen
+              var prev = 0
+              while (i < end) {
+                val v = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+                val a = if (v < 0) -v else v
+                sum += a; if (a > peak) peak = a
+                if (i > f * frameLen && ((prev < 0) != (v < 0))) cross += 1
+                prev = v
+                i += 1
+              }
+              AudioFrameFeatures(id, f, frameLen, sum, peak, cross)
+            }
+          }
+        } finally in.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => Nil
+      }
+    }
+
+  /** [[decodeInBatchesAs]] with [[audioFrameDecode]]. */
+  def frameAudio(df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int, frameLen: Int): DataFrame = {
+    require(frameLen > 0, s"frameAudio needs frameLen > 0, got $frameLen")
+    implicit val enc: org.apache.spark.sql.Encoder[AudioFrameFeatures] =
+      org.apache.spark.sql.Encoders.product[AudioFrameFeatures]
+    decodeInBatchesAs(df, idCol, payloadCol, batchSize,
+      audioFrameDecode(frameLen)).toDF()
+  }
+
   /** The deterministic sample wave shared between mm06's fixture and its
     * oracle: full s16 range, integer-exact. Oracle twin:
     * `(id*31 + i*7) % 65536 - 32768`. */

@@ -124,6 +124,29 @@ object OpsQueries {
       .select($"id_a", $"id_b", round($"containment", 4).as("containment"))
       .sort($"id_a", $"id_b")
 
+  /** dd12's cosine threshold: the corpus's planted near-dups sit at
+    * ~0.45–0.51 (see dd10's derivation), so 0.45 is the line the other
+    * embedding-dedup entries also draw. */
+  private final val Dd12Threshold = 0.45
+
+  /** dd12: SemDeDup-style semantic dedup — cluster-then-prune over the
+    * embedding corpus ([[graft.ops.Dedup.semanticDedup]]): the ss04/ss07
+    * k-means quantizer assigns each vector a cell, and within each cell
+    * any vector with a cosine-≥-threshold smaller-id neighbor is
+    * dropped. Census per cell: members, dropped count, and the SUM of
+    * dropped ids (pinning WHICH vectors were pruned, not just how many).
+    * The oracle re-fits the quantizer with the shared k-means CTEs and
+    * re-derives the drop set from the same order-free rule. */
+  private val dd12: Q = (s, d) =>
+    Dedup.semanticDedup(
+        Tables.embeddings(s, d).filter($"vec_id" =!= 0),
+        "vec_id", "embedding", ivfModel(s, d), Dd12Threshold)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("members"),
+        sum($"dropped".cast("long")).as("dropped"),
+        coalesce(sum(when($"dropped", $"id")), lit(0L)).as("dropped_id_sum"))
+      .sort($"cell")
+
   // ----------------------------------------------------- similarity search
 
   /** ss01: brute-force cosine top-10 neighbors of vec 0 (declarative:
@@ -598,6 +621,25 @@ object OpsQueries {
     * any drift in the RIFF layout, the JDK parse, or the sample loop
     * breaks the hash. Partition-local (encode map → batched decode),
     * no shuffle; doc_id < 300 bounds the fixture cost, not the operator. */
+  /** mm09's frame width (samples per analysis frame). */
+  private[queries] final val Mm09FrameLen = 25
+
+  /** mm09: framewise audio featurization — the step after decode in an
+    * audio pipeline: mm06's WAV fixtures are decoded and cut into
+    * [[Mm09FrameLen]]-sample frames, each yielding exact integer energy,
+    * peak, and within-frame zero-crossing count
+    * ([[graft.ops.Multimodal.frameAudio]]). The oracle regenerates the
+    * tone wave arithmetically and re-derives every frame's statistics
+    * including the sign-change census; the trailing partial frame is
+    * dropped on both sides. Partition-local end to end. */
+  private val mm09: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter($"doc_id" < 300).select($"doc_id")
+    val packed = Multimodal.encodeToneWavs(docs, "doc_id")
+    Multimodal.frameAudio(packed, "doc_id", "payload", 64, Mm09FrameLen)
+      .select($"id".as("doc_id"), $"frame", $"n", $"sum_abs", $"peak", $"crossings")
+      .sort($"doc_id", $"frame")
+  }
+
   private val mm06: Q = (s, d) => {
     val docs = Tables.documents(s, d).filter($"doc_id" < 300).select($"doc_id")
     val packed = Multimodal.encodeToneWavs(docs, "doc_id")
@@ -684,6 +726,7 @@ object OpsQueries {
     "dd09_incremental_dedup" -> dd09,
     "dd10_blocked_embedding" -> dd10,
     "dd11_containment" -> dd11,
+    "dd12_semantic_dedup" -> dd12,
     "ss01_cosine_topk" -> ss01,
     "ss02_lsh_histogram" -> ss02,
     "ss03_ann_topk" -> ss03,
@@ -712,6 +755,7 @@ object OpsQueries {
     "mm05_codec_dispatch" -> mm05,
     "mm08_jpeg_dispatch" -> mm08,
     "mm06_audio_decode" -> mm06,
+    "mm09_audio_frames" -> mm09,
     "mm07_image_resize" -> mm07,
   )
 
@@ -1100,16 +1144,23 @@ object OpsQueries {
     * means, Ss04Iters Lloyd iterations) and then the nProbe-cell cosine
     * re-rank — every fold in the same sequential order as the Spark
     * kernels, so the fitted cells agree bit for bit. */
-  private val ss04Oracle: String = {
-    def sqd(v: String, c: String): String =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        s"[ (($v)[i] - ($c)[i]) * (($v)[i] - ($c)[i]) FOR i IN generate_series(1, 64) ]), " +
-        s"(acc2, x2) -> acc2 + x2)"
+  /** Squared-distance restatement shared by the k-means oracle CTEs. */
+  private def sqlSqd(v: String, c: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"[ (($v)[i] - ($c)[i]) * (($v)[i] - ($c)[i]) FOR i IN generate_series(1, 64) ]), " +
+      s"(acc2, x2) -> acc2 + x2)"
+
+  /** The deterministic-Lloyd re-fit as DuckDB CTEs — ends at `af`
+    * (vec_id, v, cell: the final assignment) and `c$Ss04Iters` (the final
+    * centroids), over `e` (all vectors but the query row 0) and `q` (the
+    * query vector). Shared by every oracle that consumes the
+    * [[ivfModel]] quantizer (ss04/ss07 probe, dd12 semantic dedup). */
+  private val kmeansOracleCtes: String = {
     def listCte(c: String): String =
       s"SELECT list(struct_pack(cell := cell, c := c) ORDER BY cell) AS cs FROM $c"
     def assignCte(l: String): String =
       s"SELECT vec_id, v, list_reduce(list_transform(cs, s -> struct_pack(" +
-        s"d := ${sqd("v", "s.c")}, cell := s.cell)), " +
+        s"d := ${sqlSqd("v", "s.c")}, cell := s.cell)), " +
         s"(acc, x) -> CASE WHEN x.d < acc.d OR (x.d = acc.d AND x.cell < acc.cell) " +
         s"THEN x ELSE acc END).cell AS cell FROM e, $l"
     def meansCte(a: String): String =
@@ -1120,8 +1171,7 @@ object OpsQueries {
       s"a$i AS (${assignCte(s"l${i - 1}")}), c$i AS (${meansCte(s"a$i")}), " +
         s"l$i AS (${listCte(s"c$i")})"
     }.mkString(",\n")
-    val last = Ss04Iters
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
        |  FROM embeddings WHERE vec_id <> 0
        |), q AS (
@@ -1133,13 +1183,16 @@ object OpsQueries {
        |  WHERE rn <= $Ss04Cells
        |), l0 AS (${listCte("c0")}),
        |$iterCtes,
-       |af AS (${assignCte(s"l$last")}),
-       |pc AS (SELECT cell FROM c$last, q ORDER BY ${sqd("qv", "c")}, cell LIMIT $Ss04Probe)
+       |af AS (${assignCte(s"l$Ss04Iters")})""".stripMargin
+  }
+
+  private val ss04Oracle: String =
+    s"""WITH $kmeansOracleCtes,
+       |pc AS (SELECT cell FROM c$Ss04Iters, q ORDER BY ${sqlSqd("qv", "c")}, cell LIMIT $Ss04Probe)
        |SELECT vec_id, ROUND(${sqlCosine("v", "qv", 64)}, 4) AS sim
        |FROM af JOIN pc USING (cell), q
        |ORDER BY ${sqlCosine("v", "qv", 64)} DESC, vec_id
        |LIMIT 5""".stripMargin
-  }
 
   private val ss05Oracle: String =
     s"""WITH q AS (
@@ -1300,6 +1353,20 @@ object OpsQueries {
     "dd09_incremental_dedup" -> dd09Oracle,
     "dd10_blocked_embedding" -> dd10Oracle,
     "dd11_containment" -> dd11Oracle,
+    "dd12_semantic_dedup" ->
+      s"""WITH $kmeansOracleCtes,
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id AS id
+         |  FROM af a JOIN af b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  WHERE ${sqlCosine("a.v", "b.v", 64)} >= $Dd12Threshold
+         |)
+         |SELECT af.cell, COUNT(*) AS members,
+         |  CAST(SUM(CASE WHEN d.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dropped,
+         |  CAST(COALESCE(SUM(CASE WHEN d.id IS NOT NULL THEN af.vec_id END), 0)
+         |    AS BIGINT) AS dropped_id_sum
+         |FROM af LEFT JOIN dropped d ON af.vec_id = d.id
+         |GROUP BY af.cell ORDER BY af.cell""".stripMargin,
     "ss01_cosine_topk" -> ss01Oracle,
     "ss02_lsh_histogram" -> ss02Oracle,
     "ss03_ann_topk" -> ss03Oracle,
@@ -1486,6 +1553,27 @@ object OpsQueries {
         |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
         |  CAST(MAX(ABS(v)) AS INTEGER) AS peak
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the same tone wave, framewise: v at sample i, pv at i-1 (only read
+    // when i is not a frame start), full frames only on both sides
+    "mm09_audio_frames" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, 50 + doc_id % 50 AS n
+         |  FROM documents WHERE doc_id < 300
+         |), s AS (
+         |  SELECT p.doc_id, t.i,
+         |    CAST(t.i // $Mm09FrameLen AS INTEGER) AS frame,
+         |    (p.doc_id * 31 + t.i * 7) % 65536 - 32768 AS v,
+         |    (p.doc_id * 31 + (t.i - 1) * 7) % 65536 - 32768 AS pv
+         |  FROM p, generate_series(0, 98) AS t(i)
+         |  WHERE t.i < (p.n // $Mm09FrameLen) * $Mm09FrameLen
+         |)
+         |SELECT doc_id, frame, CAST(COUNT(*) AS INTEGER) AS n,
+         |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+         |  CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+         |  CAST(SUM(CASE WHEN i % $Mm09FrameLen > 0
+         |    AND ((v < 0) <> (pv < 0)) THEN 1 ELSE 0 END) AS INTEGER)
+         |    AS crossings
+         |FROM s GROUP BY doc_id, frame ORDER BY doc_id, frame""".stripMargin,
     // resize: output dims are the TARGET dims; a solid colour survives
     // nearest-neighbor resampling and the lossless PNG re-encode exactly
     "mm07_image_resize" ->

@@ -571,6 +571,58 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("audio frames: hand-computed features, partial frame dropped, mono gate") {
+    // alternating ±100 with one flat stretch: crossings are countable by eye
+    val samples = Array[Short](100, -100, 100, -100, 100, 100, 100, -100, 100, -100, 50)
+    val wav = Multimodal.encodePcm16Wav(8000, 1, samples)
+    val got = Multimodal.frameAudio(
+        Seq((7L, wav)).toDF("id", "payload"), "id", "payload", 4, 5)
+      .as[Multimodal.AudioFrameFeatures].collect().sortBy(_.frame).toSeq
+    // 11 samples, frameLen 5 → 2 full frames, the trailing 1 dropped
+    assert(got == Seq(
+      Multimodal.AudioFrameFeatures(7L, 0, 5, 500, 100, 4),
+      // frame 1: 100,100,-100,100,-100 → 3 sign changes
+      Multimodal.AudioFrameFeatures(7L, 1, 5, 500, 100, 3)))
+    // stereo clips are gated out (frame boundaries are channel-dependent)
+    val stereo = Multimodal.encodePcm16Wav(8000, 2, samples.take(10))
+    assert(Multimodal.frameAudio(
+      Seq((8L, stereo)).toDF("id", "payload"), "id", "payload", 4, 5).count() == 0)
+    // batch-size invariance across the seam
+    val packed = Multimodal.encodeToneWavs(spark.range(1, 40).toDF("id"), "id")
+    val ref = Multimodal.frameAudio(packed, "id", "payload", 1000, 25)
+      .as[Multimodal.AudioFrameFeatures].collect().sortBy(f => (f.id, f.frame)).toSeq
+    for (bs <- Seq(1, 7)) {
+      val again = Multimodal.frameAudio(packed, "id", "payload", bs, 25)
+        .as[Multimodal.AudioFrameFeatures].collect().sortBy(f => (f.id, f.frame)).toSeq
+      assert(again == ref, s"batchSize=$bs")
+    }
+  }
+
+  test("semantic dedup: min-id survivor within cell, cells never interact") {
+    import graft.ops.Dedup
+    val centroids = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+    val df = Seq(
+      (1L, Array(1.0, 0.0)),   // cell 0, representative
+      (2L, Array(1.0, 0.01)),  // cell 0, cosine≈1 vs id 1 → dropped
+      (3L, Array(0.0, 1.0)),   // cell 1, alone above threshold → kept
+      (6L, Array(0.02, 1.0)),  // cell 1, near id 3 → dropped (3 < 6)
+      (5L, Array(-1.0, 0.9))   // cell 1 (closer to (0,1)), anti-aligned → kept
+    ).toDF("id", "v")
+    val got = Dedup.semanticDedup(df, "id", "v", centroids, 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      1L -> ((0, false)), 2L -> ((0, true)),
+      3L -> ((1, false)), 6L -> ((1, true)), 5L -> ((1, false))))
+    // identical vectors across DIFFERENT cells never see each other:
+    // same vector as id 1 but placed in cell 1 by construction is kept
+    val cross = Seq((1L, Array(1.0, 0.0)), (9L, Array(0.6, 0.8)))
+      .toDF("id", "v")
+    val got2 = Dedup.semanticDedup(cross, "id", "v", centroids, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // cos(v1, v9) = 0.6 ≥ 0.5, but cells differ (0 vs 1) → both kept
+    assert(got2 == Map(1L -> false, 9L -> false))
+  }
+
   test("LM coverage: hand-computed counts, topK cap, broadcast plan") {
     import graft.ops.TextAnalysis
     val docs = Seq((1L, "a b a b"), (2L, "x y z")).toDF("doc_id", "text")
