@@ -258,6 +258,43 @@ object OpsQueries {
       .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
   }
 
+  /** ss08: ANN recall@k, MEASURED — the accuracy contract an ANN
+    * deployment must state. The IVF probe (ss04's quantizer and probe
+    * budget) and the exact cosine ranking both produce top-10 lists for
+    * the query vector; per k ∈ {1, 5, 10}, `hits@k` counts how many of
+    * the exact top-k the probe's top-k recovered. Integer-exact (set
+    * intersection counts, no float recall ratio), and the oracle
+    * re-derives BOTH rankings — exact from raw cosine, approximate
+    * through the shared k-means CTEs — so a silent quality regression in
+    * the quantizer or probe breaks the hash, not just a vibe. */
+  private val ss08: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")))
+      .collect().head.getSeq[Double](0)
+    val q = array(qv.map(lit): _*)
+    val rest = e.filter($"vec_id" =!= 0)
+      .select($"vec_id", Similarity.cosine(
+        transform($"embedding", _.cast("double")), q).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"sim".desc, $"vec_id")
+    val exact = rest.sort($"sim".desc, $"vec_id").limit(10)
+      .withColumn("re", row_number().over(w)).select($"vec_id", $"re")
+    val approx = Clustering.ivfTopK(e.filter($"vec_id" =!= 0), "vec_id",
+        "embedding", ivfModel(s, d), qv, 10, nProbe = Ss04Probe)
+      .withColumn("ra", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"sim".desc, $"id")))
+      .select($"id".as("vec_id"), $"ra")
+    exact.join(approx, "vec_id")
+      .agg(
+        coalesce(sum(when($"re" <= 1 && $"ra" <= 1, 1L).otherwise(0L)), lit(0L))
+          .as("hits_at_1"),
+        coalesce(sum(when($"re" <= 5 && $"ra" <= 5, 1L).otherwise(0L)), lit(0L))
+          .as("hits_at_5"),
+        coalesce(sum(when($"re" <= 10 && $"ra" <= 10, 1L).otherwise(0L)), lit(0L))
+          .as("hits_at_10"))
+  }
+
   /** ss05: multi-probe ANN top-5 — deterministic 4-bit hyperplane coarse
     * quantizer, probing the query's cell + all Hamming-1 cells, exact
     * cosine re-rank. The model-free IVF-family twin of ss04: same probe
@@ -734,6 +771,7 @@ object OpsQueries {
     "ss05_multiprobe_topk" -> ss05,
     "ss06_knn_join" -> ss06,
     "ss07_ivf_served" -> ss07,
+    "ss08_ann_recall" -> ss08,
     "tx01_token_stats" -> tx01,
     "tx02_quality_score" -> tx02,
     "tx03_langid" -> tx03,
@@ -1376,6 +1414,28 @@ object OpsQueries {
     // the served layout is the SAME model + probes + re-rank as ss04,
     // just read through a partition-pruned scan — one oracle, two plans
     "ss07_ivf_served" -> ss04Oracle,
+    "ss08_ann_recall" ->
+      s"""WITH $kmeansOracleCtes,
+         |ex AS (
+         |  SELECT vec_id, ROW_NUMBER() OVER (
+         |    ORDER BY ${sqlCosine("v", "qv", 64)} DESC, vec_id) AS re
+         |  FROM e, q QUALIFY re <= 10
+         |), pc AS (
+         |  SELECT cell FROM c$Ss04Iters, q
+         |  ORDER BY ${sqlSqd("qv", "c")}, cell LIMIT $Ss04Probe
+         |), ap AS (
+         |  SELECT vec_id, ROW_NUMBER() OVER (
+         |    ORDER BY ${sqlCosine("v", "qv", 64)} DESC, vec_id) AS ra
+         |  FROM af JOIN pc USING (cell), q QUALIFY ra <= 10
+         |)
+         |SELECT
+         |  CAST(COALESCE(SUM(CASE WHEN re <= 1 AND ra <= 1 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS hits_at_1,
+         |  CAST(COALESCE(SUM(CASE WHEN re <= 5 AND ra <= 5 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS hits_at_5,
+         |  CAST(COALESCE(SUM(CASE WHEN re <= 10 AND ra <= 10 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS hits_at_10
+         |FROM ex JOIN ap USING (vec_id)""".stripMargin,
     "tx01_token_stats" -> tx01Oracle,
     "tx02_quality_score" -> tx02Oracle,
     "tx03_langid" -> tx03Oracle,
