@@ -213,15 +213,21 @@ object TextAnalysis {
     * word transitions are alien to the reference corpus — the same
     * signal a perplexity filter thresholds on. Plan: row-local explode →
     * broadcast-hash left join (the model is capped) → one hash agg; no
-    * shuffle grows with the model. */
+    * shuffle grows with the model. `carryCols` ride along through the
+    * explode into the group key (a language or source tag the caller
+    * will aggregate by next) — carrying them is free row-local width,
+    * where joining them back afterwards would be a second doc-count-
+    * sized shuffle. */
   def lmCoverage(docs: org.apache.spark.sql.DataFrame, model: org.apache.spark.sql.DataFrame,
-      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
-    docs.select(col(idCol), explode_outer(wordBigrams(col(textCol))).as("bigram"))
+      idCol: String, textCol: String, carryCols: String*): org.apache.spark.sql.DataFrame = {
+    val keys = col(idCol) +: carryCols.map(col)
+    docs.select(keys :+ explode_outer(wordBigrams(col(textCol))).as("bigram"): _*)
       .join(broadcast(model), Seq("bigram"), "left")
-      .groupBy(col(idCol))
+      .groupBy(keys: _*)
       .agg(count(col("bigram")).as("n_bigrams"),
         count(col("bg_count")).as("n_known"),
         coalesce(sum(col("bg_count")), lit(0L)).as("mass"))
+  }
 
   /** Corpus-level document frequency: for each word, in how many
     * documents it appears (`df`) and the fraction of the corpus

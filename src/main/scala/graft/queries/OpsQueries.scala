@@ -527,8 +527,7 @@ object OpsQueries {
     val docs = Tables.documents(s, d)
     val model = TextAnalysis.bigramLmModel(
       docs.filter($"lang" === "en"), "text", Tx13TopK)
-    TextAnalysis.lmCoverage(docs, model, "doc_id", "text")
-      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    TextAnalysis.lmCoverage(docs, model, "doc_id", "text", "lang")
       .groupBy($"lang")
       .agg(count(lit(1)).as("docs"),
         sum($"n_bigrams").as("bigrams"),
