@@ -64,7 +64,7 @@ object Tables {
           // the legacy div-1000 path; an unrelated AnalysisException whose
           // message merely mentions parquet must propagate.
           case e: org.apache.spark.sql.AnalysisException
-              if e.getCondition == "ILLEGAL_PARQUET_TYPE" => false
+              if e.getCondition == "PARQUET_TYPE_ILLEGAL" => false
         }
       tsUnitCache.put(path, java.lang.Boolean.valueOf(isMicros))
       isMicros

@@ -111,8 +111,11 @@ class PointCloudStreamingWrite(
     // delete another run's committed data" guarantee.
     val tokenPrefix = s"epoch-$epochId-q$token-"
     val legacyPrefix = s"epoch-$epochId-part-"
+    // lowercase key: `options` comes from CaseInsensitiveStringMap.asScala
+    // (see the toBatch/toStreaming comment above) — a camelCase lookup
+    // here would NEVER match and silently disable the opt-in
     val sweepLegacy =
-      options.getOrElse("sweepLegacyEpochFiles", "false").toBoolean
+      options.getOrElse("sweeplegacyepochfiles", "false").toBoolean
     val stale = Option(f.listStatus(new Path(path),
       new org.apache.hadoop.fs.PathFilter {
         override def accept(p: Path): Boolean = {

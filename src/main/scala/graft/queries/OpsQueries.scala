@@ -492,13 +492,16 @@ object OpsQueries {
     * stream — explode the id arrays, count, broadcast-join the id→token
     * vocab, top 25. Grades the id assignment ('a'..'z' → 0..25, merge
     * rank r → 26+r) and the merge loop per token, not just per count.
-    * (Corpus-pinned to a-z text: unknown chars would fold into one
-    * id=-1 row here but stay per-char in the oracle.) */
+    * Unknown characters (id -1) are EXCLUDED from the census by
+    * contract on both sides — they carry no vocab string to rank (tx01
+    * and tx14 are where unknown content surfaces); the explicit filter
+    * keeps that true for any corpus, not just a-z-only text. */
   private val tx12: Q = (s, d) => {
     val vocab = s.createDataFrame(graft.functions.BpeVocab.Tokens)
       .toDF("tid", "token")
     Tables.documents(s, d)
       .select(explode(TextAnalysis.bpeTokenIds($"text")).as("tid"))
+      .filter($"tid" =!= -1)
       .groupBy($"tid").agg(count(lit(1)).as("n"))
       .join(broadcast(vocab), "tid")
       .select($"tid", $"token", $"n")
@@ -557,7 +560,9 @@ object OpsQueries {
       .select($"lang", $"text", decoded.as("dec"), corrupt.as("cor"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("docs"),
-        sum(length($"dec").cast("long")).as("chars"),
+        // coalesce: a lang whose every document fails the round trip
+        // sums all-NULL → NULL, but the oracle's CASE-sum says 0
+        coalesce(sum(length($"dec").cast("long")), lit(0L)).as("chars"),
         sum(when($"dec" === regexp_replace($"text", " ", ""), 1L)
           .otherwise(0L)).as("roundtrips"),
         sum(when($"cor".isNull, 1L).otherwise(0L)).as("corrupt_nulls"))
@@ -1501,8 +1506,8 @@ object OpsQueries {
          |  SELECT unnest(list_filter(string_split(seq, '/'), t -> t <> '')) AS tok
          |  FROM occ
          |)
-         |SELECT COALESCE(v.id, -1) AS tid, t.tok AS token, COUNT(*) AS n
-         |FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+         |SELECT v.id AS tid, t.tok AS token, COUNT(*) AS n
+         |FROM toks t JOIN vocab v ON v.tok = t.tok
          |GROUP BY 1, 2 ORDER BY n DESC, token LIMIT 25""".stripMargin,
     "tx07_doc_frequency" ->
       """WITH w AS (

@@ -235,4 +235,23 @@ class FixturesSpec extends SparkTestBase {
     assert(sy.getInt(0) >= 2000 && sy.getInt(1) <= 2200,
       s"streamed events ts outside a plausible epoch: $sy — stream-side conversion broken?")
   }
+
+  test("legacy TIMESTAMP(NANOS) events layout selects the div-1000 path") {
+    // a committed pyarrow-written fixture in the r08-era NANOS layout:
+    // 20 events, one per minute from 2024-01-01T00:00Z, ts stored as
+    // INT64 TIMESTAMP(nanos). This is the regression the ts-unit sniff
+    // exists for — if the guarded error condition ever drifts from what
+    // Spark actually throws for NANOS inference, THIS test fails with
+    // the real condition in the propagated exception instead of the
+    // suite staying silently green on a dead guard.
+    val dir = getClass.getResource("/events-nanos").getPath
+    assert(!Tables.eventsTsIsMicros(spark, dir), "NANOS layout classified as micros")
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    val r = ev.agg(count(lit(1)), min(col("ts")).cast("string"),
+      max(col("ts")).cast("string")).collect()(0)
+    assert(r.getLong(0) == 20L)
+    assert(r.getString(1) == "2024-01-01 00:00:00", r.getString(1))
+    assert(r.getString(2) == "2024-01-01 00:19:00", r.getString(2))
+  }
 }
