@@ -703,6 +703,62 @@ case class KmvDistinct(
   override def prettyName: String = "graft_kmv_distinct"
 }
 
+/** graft_kmv_sketch(hash, k): the KMV sketch ITSELF — the ≤ k smallest
+  * distinct hash values, ascending — rather than [[KmvDistinct]]'s
+  * finalized estimate. The sketch is a VALUE: it can be stored in a
+  * per-partition/per-day rollup row and re-aggregated later by
+  * exploding the arrays into a [[KmvDistinct]] over the union — and
+  * because the global k-min set is contained in the union of per-group
+  * k-min sets, the re-aggregated estimate EQUALS the single-pass
+  * estimate exactly (the lossless-rollup property that makes sketches
+  * the cardinality tool for pre-aggregated cubes at 100 TB; sk05 pins
+  * the equality under the oracle). Same buffer, update, merge and
+  * wire format as [[KmvDistinct]] — only eval differs. */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  private val twin = KmvDistinct(child, k)
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketch =
+    copy(child = newChildren.head)
+  override def checkInputDataTypes(): TypeCheckResult = twin.checkInputDataTypes()
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    twin.createAggregationBuffer()
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = twin.update(buf, input)
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    twin.merge(buf, other)
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    twin.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    twin.deserialize(bytes)
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "graft_kmv_sketch"
+}
+
 /** Column-level entry points for the custom expressions. */
 object exprs {
   def rolling_hash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
@@ -729,4 +785,6 @@ object exprs {
   def png_ihdr(payload: Column): Column = Bridge.column(PngIhdr(Bridge.expression(payload)))
   def kmv_distinct(hash: Column, k: Int): Column =
     Bridge.column(KmvDistinct(Bridge.expression(hash), k).toAggregateExpression())
+  def kmv_sketch(hash: Column, k: Int): Column =
+    Bridge.column(KmvSketch(Bridge.expression(hash), k).toAggregateExpression())
 }

@@ -214,6 +214,40 @@ object TemporalQueries {
           <= lit(3 * Sk04Rsd)).as("within_bound"))
       .sort($"source")
 
+  /** sk05: sketch re-aggregation (the pre-aggregated-cube property) —
+    * each source is sketched SEPARATELY into a KMV value
+    * ([[graft.functions.exprs.kmv_sketch]]: the ≤ k smallest distinct
+    * hashes, the row a daily rollup would persist), then the sketches
+    * are merged WITHOUT re-reading the data (explode the arrays into
+    * one [[graft.functions.exprs.kmv_distinct]]). Because the global
+    * k-min set is contained in the union of per-source k-min sets, the
+    * re-aggregated estimate must EQUAL the single-pass estimate
+    * exactly — `rollup_equals_direct` pins that, the oracle restates
+    * the direct kth/est from raw FNV arithmetic, and `within_bound`
+    * pins the estimate against the exact count. This is why sketches,
+    * not COUNT(DISTINCT), power cardinality on 100 TB cubes: rollup
+    * rows merge losslessly at any level of the hierarchy. */
+  private val sk05: Q = (s, d) => {
+    val hashed = Tables.documents(s, d)
+      .select($"source", exprs.kmv_hash($"text").as("h"), $"text")
+    val perSource = hashed.groupBy($"source")
+      .agg(exprs.kmv_sketch($"h", KmvK).as("sk"))
+    val rollup = perSource
+      .select(explode($"sk").as("h"))
+      .agg(exprs.kmv_distinct($"h", KmvK).as("kmv"))
+      .select($"kmv.kth".as("r_kth"), $"kmv.est".as("r_est"))
+    val direct = hashed
+      .agg(exprs.kmv_distinct($"h", KmvK).as("kmv"),
+        countDistinct($"text").as("exact"),
+        countDistinct($"source").as("n_sources"))
+      .select($"kmv.kth".as("kth"), $"kmv.est".as("est"), $"exact", $"n_sources")
+    direct.crossJoin(broadcast(rollup))
+      .select($"n_sources", $"exact", $"kth", round($"est", 2).as("est"),
+        ($"r_kth" === $"kth" && $"r_est" === $"est").as("rollup_equals_direct"),
+        (abs($"est" - $"exact".cast("double")) / $"exact".cast("double")
+          <= lit(0.5)).as("within_bound"))
+  }
+
   val queries: Map[String, Q] = Map(
     "tp01_asof_join" -> tp01,
     "tp02_interval_join" -> tp02,
@@ -224,6 +258,7 @@ object TemporalQueries {
     "sk02_count_min" -> sk02,
     "sk03_histogram_quantile" -> sk03,
     "sk04_approx_distinct" -> sk04,
+    "sk05_sketch_rollup" -> sk05,
   )
 
   // ------------------------------------------------------------- oracles
@@ -408,5 +443,29 @@ object TemporalQueries {
     "sk04_approx_distinct" ->
       ("SELECT source, COUNT(DISTINCT text) AS exact, TRUE AS within_bound " +
         "FROM documents GROUP BY source ORDER BY source"),
+    // the direct kth/est restated from raw FNV arithmetic (sk01's global
+    // twin); the rollup-equals-direct pin is the KMV containment theorem,
+    // stated as TRUE — the Spark side computes it for real
+    "sk05_sketch_rollup" -> {
+      val est = s"CAST(${KmvK - 1} AS DOUBLE) * 9.223372036854775808e18 / CAST(kth AS DOUBLE)"
+      s"""WITH f AS (
+         |  SELECT text, ${sqlFnv1a64("hx")} AS fh
+         |  FROM (SELECT text, hex(encode(text)) AS hx FROM documents WHERE text IS NOT NULL)
+         |), kx AS (
+         |  SELECT ${sqlKmvFinalize("fh")} AS kh FROM f
+         |), d AS (SELECT DISTINCT kh FROM kx
+         |), r AS (
+         |  SELECT kh, ROW_NUMBER() OVER (ORDER BY kh) AS rn, COUNT(*) OVER () AS nd
+         |  FROM d
+         |), kths AS (SELECT kh AS kth, nd FROM r WHERE rn = least(nd, $KmvK)
+         |), ex AS (
+         |  SELECT COUNT(DISTINCT text) AS exact, COUNT(DISTINCT source) AS n_sources
+         |  FROM documents
+         |)
+         |SELECT ex.n_sources, ex.exact, t.kth,
+         |  ROUND(CASE WHEN t.nd < $KmvK THEN CAST(t.nd AS DOUBLE) ELSE $est END, 2) AS est,
+         |  TRUE AS rollup_equals_direct, TRUE AS within_bound
+         |FROM kths t, ex""".stripMargin
+    },
   )
 }

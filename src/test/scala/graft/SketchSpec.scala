@@ -99,4 +99,30 @@ class SketchSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Sketches.histogramQuantiles(df, "v", 0.0, Seq(0.5)))
   }
+
+  test("kmv_sketch: the sketch value, its rollup, and duplicate-hash safety") {
+    import graft.functions.exprs
+    import org.apache.spark.sql.functions._
+    // sketch of fewer than k distinct hashes IS the sorted distinct set
+    val small = Seq(5L, 3L, 9L, 3L, 7L).toDF("h")
+      .agg(exprs.kmv_sketch($"h", 16)).head().getSeq[Long](0)
+    assert(small == Seq(3L, 5L, 7L, 9L))
+    // more than k: the k smallest, ascending
+    val big = (1L to 100L).toDF("h")
+      .agg(exprs.kmv_sketch($"h", 8)).head().getSeq[Long](0)
+    assert(big == (1L to 8L))
+    // rollup property on the real corpus: per-source sketches exploded
+    // into kmv_distinct give EXACTLY the single-pass (kth, est) — even
+    // though the same text (hence hash) can appear in several sources
+    val hashed = Tables.documents(spark, sfDir)
+      .select($"source", exprs.kmv_hash($"text").as("h"))
+    val direct = hashed.agg(exprs.kmv_distinct($"h", 64).as("kmv"))
+      .select($"kmv.kth", $"kmv.est").head()
+    val rolled = hashed.groupBy($"source")
+      .agg(exprs.kmv_sketch($"h", 64).as("sk"))
+      .select(explode($"sk").as("h"))
+      .agg(exprs.kmv_distinct($"h", 64).as("kmv"))
+      .select($"kmv.kth", $"kmv.est").head()
+    assert(rolled == direct)
+  }
 }
