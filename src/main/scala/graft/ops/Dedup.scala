@@ -438,6 +438,39 @@ object Dedup {
         coalesce(col("dropped"), lit(false)).as("dropped"))
   }
 
+  /** Benchmark-contamination hits: for each corpus document, how many
+    * distinct word `n`-grams it shares with the benchmark set —
+    * the decontamination screen every training run owes its eval suite
+    * (a doc sharing a long n-gram with a benchmark question leaks the
+    * answer into training). Returns `(id, n_hits)` for contaminated
+    * docs only; [[decontaminate]] is the shipping anti-join.
+    *
+    * Plan shape at 100 TB: the benchmark side is an eval suite —
+    * thousands of documents, not billions — so its distinct-gram set
+    * stays broadcast-size by construction; corpus grams are row-local
+    * (shingle explode), meet the broadcast in a map-side hash join, and
+    * one hash agg on the doc id counts the hits. No corpus-sized
+    * shuffle other than the final per-doc count. */
+  def contaminationHits(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(shingles(col(textCol), n)).as("gram")).distinct()
+    corpus
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The decontaminated corpus: `corpus` minus every document sharing at
+    * least one word `n`-gram with `bench` (left anti join against
+    * [[contaminationHits]]). */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val hits = contaminationHits(corpus, bench, idCol, textCol, n)
+    corpus.join(hits, corpus(idCol) === hits("id"), "left_anti")
+  }
+
   /** Embedding near-dup pairs by cosine similarity. Brute-force
     * (all-pairs) — the exact baseline and oracle shape;
     * [[blockedEmbeddingNearDupPairs]] is the scale path. */

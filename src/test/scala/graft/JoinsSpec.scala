@@ -103,6 +103,37 @@ class JoinsSpec extends SparkTestBase {
     assert(math.abs(approx - exact).toDouble / exact < 0.15)
   }
 
+  test("bloom-pruned join equals the plain join and prunes BEFORE the exchange") {
+    val fact = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_extendedprice")
+    val dim = Tables.orders(spark, sfDir)
+      .filter($"o_totalprice" > 400000.0)
+      .select($"o_orderkey")
+    val pruned = Joins.bloomPrunedJoin(fact, dim, "l_orderkey", "o_orderkey")
+    val plain = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+    // exactness: false positives are filtered by the equi-join behind
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(count(lit(1)), sum($"l_extendedprice")).collect().head
+    assert(key(pruned) == key(plain))
+    // the bit-test filter must sit on the fact side, UNDER the join —
+    // pruning before the exchange is the whole point
+    val plan = pruned.queryExecution.executedPlan.toString
+    val planLines = plan.linesIterator.toSeq
+    val filterIdx = planLines.indexWhere(l => l.contains("Filter") && l.contains("xxhash64"))
+    val joinIdx = planLines.indexWhere(l => l.contains("Join"))
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom filter must be below the join in the plan tree:\n$plan")
+    // and it must actually prune: ~20% of orders pass the dim filter, so
+    // a working bloom lets well under half of lineitem through (false
+    // positives only; the bound guards against a pass-everything filter)
+    val factRows = fact.count()
+    val bloomPass = fact.filter(
+      Joins.bloomPredicate(dim, "o_orderkey", $"l_orderkey")).count()
+    assert(bloomPass < factRows / 2, s"bloom passed $bloomPass of $factRows")
+    // the exact-join tail then recovers exactly the plain join's rows
+    assert(pruned.count() == plain.count())
+  }
+
   test("writePerSource names outputs after their source files") {
     val a = Files.createTempDirectory("graft-srcA").toString
     val b = Files.createTempDirectory("graft-srcB").toString

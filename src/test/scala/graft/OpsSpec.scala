@@ -647,4 +647,63 @@ class OpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("contamination hits match a brute-force shingle intersection; bench side broadcasts") {
+    val bench = docs.filter($"doc_id" % 25 === 0)
+    val corpus = docs.filter($"doc_id" % 25 =!= 0)
+    val got = Dedup.contaminationHits(corpus, bench, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: per-doc distinct 8-grams intersected with the pooled
+    // benchmark gram set
+    val benchGrams = bench
+      .select(explode(Dedup.shingles($"text", 8)).as("g"))
+      .distinct().as[String].collect().toSet
+    val expected = corpus.select($"doc_id", Dedup.shingles($"text", 8).as("g"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, g) => id -> g.count(benchGrams).toLong }
+      .filter(_._2 > 0).toMap
+    assert(got == expected)
+    // decontaminate = corpus minus exactly the flagged ids
+    val kept = Dedup.decontaminate(corpus, bench, "doc_id", "text", 8)
+      .select($"doc_id").as[Long].collect().toSet
+    val all = corpus.select($"doc_id").as[Long].collect().toSet
+    assert(kept == all -- expected.keySet)
+    // the benchmark gram set must broadcast — the corpus side never
+    // shuffles to meet an eval suite
+    val plan = Dedup.contaminationHits(corpus, bench, "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("int8 quantization: within half a step of the original, degenerate dims safe") {
+    val (lo, span) = Similarity.quantizationBounds(embs, "embedding", 64)
+    assert(lo.size == 64 && span.forall(_ > 0))
+    val rows = embs
+      .select($"vec_id", $"embedding",
+        Similarity.quantizeInt8($"embedding", lo, span).as("q"))
+      .as[(Long, Seq[Float], Seq[Long])].collect()
+    rows.foreach { case (_, v, q) =>
+      q.foreach(x => assert(x >= -128 && x <= 127))
+      v.indices.foreach { j =>
+        val deq = lo(j) + (q(j) + 128).toDouble * span(j) / 255.0
+        assert(math.abs(deq - v(j)) <= span(j) / 255.0 * 0.5 + 1e-9,
+          s"dim $j: v=${v(j)} deq=$deq span=${span(j)}")
+      }
+    }
+    // a constant dimension quantizes to -128 everywhere instead of NaN
+    val const = spark.range(4).select(array(lit(3.5f), $"id".cast("float")).as("v"))
+    val (clo, cspan) = Similarity.quantizationBounds(const, "v", 2)
+    assert(cspan(0) == 1.0) // guarded span, not 0
+    val cq = const.select(Similarity.quantizeInt8($"v", clo, cspan).as("q"))
+      .as[Seq[Long]].collect()
+    assert(cq.forall(_.head == -128L))
+    // integer dot product is exact and symmetric
+    val a = Seq(1L, -2L, 127L)
+    val b = Seq(-128L, 5L, 2L)
+    val d = spark.range(1)
+      .select(Similarity.intDot(
+        array(a.map(lit): _*), array(b.map(lit): _*)).as("d"))
+      .as[Long].collect().head
+    assert(d == a.zip(b).map { case (x, y) => x * y }.sum)
+  }
 }
