@@ -29,13 +29,17 @@ object Dedup {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct word n-gram shingles of `text`; empty for docs shorter than
-    * the shingle size. */
+    * the shingle size (guarded explicitly: Spark's `sequence(1, 0)` is
+    * the DESCENDING [1, 0], whose `slice(w, 0, n)` throws — the
+    * short-doc branch must never reach the transform). */
   def shingles(text: Column, n: Int = ShingleSize): Column = {
     val w = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(w) - lit(n - 1), lit(0))),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
+    when(size(w) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(w) - lit(n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n))))))
+      .otherwise(typedLit(Seq.empty[String]))
   }
 
   /** Sorted distinct polynomial rolling hashes of the text's shingles

@@ -79,11 +79,25 @@ object Joins {
       factKey: org.apache.spark.sql.Column, mBits: Int = 1 << 17, k: Int = 3): org.apache.spark.sql.Column = {
     require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
     require(k >= 1, s"k must be >= 1, got $k")
+    // xxhash64 is TYPE-sensitive (hash(1:int) != hash(1L)), while the
+    // exact join behind the filter compares under implicit casts — so
+    // both hash inputs are normalized to one type derived from the dim
+    // key (integrals widen to long, fractionals to double, else the dim
+    // type itself). Without this, an int dim vs bigint fact silently
+    // prunes every true match.
+    import org.apache.spark.sql.types._
+    val hashType = dim.schema(dimKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => LongType
+      case FloatType | DoubleType | _: DecimalType => DoubleType
+      case other => other
+    }
+    val dimHashKey = col(dimKey).cast(hashType)
+    val factHashKey = factKey.cast(hashType)
     // distributed bit assembly: explode the k positions per key, OR the
     // per-word masks in one hash agg, collect <= mBits/64 long rows
     val posRows = dim.select(
       explode(array((0 until k).map(i =>
-        pmod(xxhash64(col(dimKey), lit(i)), lit(mBits.toLong))): _*)).as("pos"))
+        pmod(xxhash64(dimHashKey, lit(i)), lit(mBits.toLong))): _*)).as("pos"))
       .select((col("pos") / 64).cast("int").as("w"),
         call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("b"))
       .groupBy(col("w")).agg(bit_or(col("b")).as("bm"))
@@ -92,7 +106,7 @@ object Joins {
     posRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
     val wordsLit = array(words.toIndexedSeq.map(lit): _*)
     (0 until k).map { i =>
-      val pos = pmod(xxhash64(factKey, lit(i)), lit(mBits.toLong))
+      val pos = pmod(xxhash64(factHashKey, lit(i)), lit(mBits.toLong))
       element_at(wordsLit, (pos / 64).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0L
     }.reduce(_ && _)

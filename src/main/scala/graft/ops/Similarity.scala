@@ -135,9 +135,13 @@ object Similarity {
       .agg(min(col("v").cast("double")).as("lo"), max(col("v").cast("double")).as("hi"))
       .collect()
     val lo = new Array[Double](dim)
-    val span = new Array[Double](dim)
+    // unseen dimensions (corpus vectors shorter than `dim`) keep the
+    // guarded identity span instead of a silent divide-by-zero
+    val span = Array.fill(dim)(1.0)
     rows.foreach { r =>
       val j = r.getInt(0)
+      require(j < dim,
+        s"quantizationBounds: vector has >= ${j + 1} dims, caller declared $dim")
       lo(j) = r.getDouble(1)
       val s = r.getDouble(2) - r.getDouble(1)
       span(j) = if (s > 0) s else 1.0

@@ -358,13 +358,9 @@ object OpsQueries {
     val qvec = e.filter($"vec_id" === 0)
       .select(transform($"embedding", _.cast("double")))
       .collect().head.getSeq[Double](0)
-    val qlit = array(qvec.map(lit): _*)
-    val exact = e.filter($"vec_id" =!= 0)
-      .select($"vec_id".as("eid"), Similarity.cosine(
-        transform($"embedding", _.cast("double")), qlit).as("sim"))
-      .sort($"sim".desc, $"eid")
-      .limit(Ss09K)
-      .select($"eid")
+    val exact = Similarity.bruteForceTopK(
+        e.filter($"vec_id" =!= 0), "vec_id", "embedding", qvec, Ss09K)
+      .select($"id".as("eid"))
     scored.join(exact, $"vec_id" === $"eid", "left")
       .select($"vec_id", $"qscore", $"eid".isNotNull.as("in_exact10"))
       .sort($"qscore".desc, $"vec_id")

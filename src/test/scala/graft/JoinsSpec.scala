@@ -111,10 +111,13 @@ class JoinsSpec extends SparkTestBase {
       .select($"o_orderkey")
     val pruned = Joins.bloomPrunedJoin(fact, dim, "l_orderkey", "o_orderkey")
     val plain = fact.join(dim, $"l_orderkey" === $"o_orderkey")
-    // exactness: false positives are filtered by the equi-join behind
-    val key = (df: org.apache.spark.sql.DataFrame) =>
-      df.agg(count(lit(1)), sum($"l_extendedprice")).collect().head
-    assert(key(pruned) == key(plain))
+    // exactness: false positives are filtered by the equi-join behind.
+    // Row-set comparison, not a float SUM — summation order differs
+    // between the two physical plans
+    val rowsOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"l_orderkey", $"l_extendedprice")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(rowsOf(pruned) == rowsOf(plain))
     // the bit-test filter must sit on the fact side, UNDER the join —
     // pruning before the exchange is the whole point
     val plan = pruned.queryExecution.executedPlan.toString
@@ -132,6 +135,15 @@ class JoinsSpec extends SparkTestBase {
     assert(bloomPass < factRows / 2, s"bloom passed $bloomPass of $factRows")
     // the exact-join tail then recovers exactly the plain join's rows
     assert(pruned.count() == plain.count())
+  }
+
+  test("bloom predicate survives mixed int/bigint key types (no false negatives)") {
+    // xxhash64 is type-sensitive; the predicate must normalize both hash
+    // inputs or an int dim vs bigint fact prunes every true match
+    val dim = spark.range(100).select($"id".cast("int").as("dk"))
+    val fact = spark.range(1000).select(($"id" % 200).as("k"))
+    val joined = Joins.bloomPrunedJoin(fact, dim, "k", "dk").count()
+    assert(joined == 500) // 0..99 × 5 occurrences each
   }
 
   test("writePerSource names outputs after their source files") {

@@ -648,6 +648,16 @@ class OpsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("shingles of a doc shorter than n are empty, not a slice(_, 0, n) crash") {
+    // sequence(1, 0) in Spark is the DESCENDING [1, 0]; without the
+    // short-doc guard the transform evaluates slice(w, 0, n) and throws
+    val short = Seq((1L, "a b c"), (2L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val sh = short.select($"doc_id", Dedup.shingles($"text", 8).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).isEmpty)
+    assert(sh(2L) == Seq("w1 w2 w3 w4 w5 w6 w7 w8"))
+  }
+
   test("contamination hits match a brute-force shingle intersection; bench side broadcasts") {
     val bench = docs.filter($"doc_id" % 25 === 0)
     val corpus = docs.filter($"doc_id" % 25 =!= 0)
