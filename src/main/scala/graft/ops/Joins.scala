@@ -76,7 +76,17 @@ object Joins {
     * on any frame that should be pruned by dim membership (a join's
     * fact side, a streaming ingest filter, a second fact table). */
   def bloomPredicate(dim: DataFrame, dimKey: String,
-      factKey: org.apache.spark.sql.Column, mBits: Int = 1 << 17, k: Int = 3): org.apache.spark.sql.Column = {
+      factKey: org.apache.spark.sql.Column, mBits: Int = 1 << 17, k: Int = 3): org.apache.spark.sql.Column =
+    bloomTestFor(dim, dimKey, mBits, k)(factKey)
+
+  /** Builds the Bloom filter from `dim` ONCE and returns a reusable
+    * membership test applicable to any key expression — including a
+    * higher-order-function lambda variable, e.g.
+    * `exists(grams, bloomTestFor(bench, "gram")(_))` for a row-local
+    * "shares any element with the reference set" screen (the streaming
+    * decontamination gate's fast path). */
+  def bloomTestFor(dim: DataFrame, dimKey: String,
+      mBits: Int = 1 << 17, k: Int = 3): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
     require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
     require(k >= 1, s"k must be >= 1, got $k")
     // xxhash64 is TYPE-sensitive (hash(1:int) != hash(1L)), while the
@@ -92,7 +102,6 @@ object Joins {
       case other => other
     }
     val dimHashKey = col(dimKey).cast(hashType)
-    val factHashKey = factKey.cast(hashType)
     // distributed bit assembly: explode the k positions per key, OR the
     // per-word masks in one hash agg, collect <= mBits/64 long rows
     val posRows = dim.select(
@@ -105,11 +114,12 @@ object Joins {
     val words = new Array[Long](mBits / 64)
     posRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
     val wordsLit = array(words.toIndexedSeq.map(lit): _*)
-    (0 until k).map { i =>
-      val pos = pmod(xxhash64(factHashKey, lit(i)), lit(mBits.toLong))
-      element_at(wordsLit, (pos / 64).cast("int") + 1)
-        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0L
-    }.reduce(_ && _)
+    (factKey: org.apache.spark.sql.Column) =>
+      (0 until k).map { i =>
+        val pos = pmod(xxhash64(factKey.cast(hashType), lit(i)), lit(mBits.toLong))
+        element_at(wordsLit, (pos / 64).cast("int") + 1)
+          .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0L
+      }.reduce(_ && _)
   }
 
   /** Approximate distinct count (HyperLogLog++) next to the exact one —

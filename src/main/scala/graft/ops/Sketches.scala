@@ -44,6 +44,30 @@ object Sketches {
       width: Int): org.apache.spark.sql.Column =
     exprs.kmv_hash(concat(r.cast("string"), lit(":"), tok)) % width
 
+  /** Per-key count-min counters — the rollup rows a partitioned corpus
+    * (daily batch, per-source shard) persists: `(key, r, bucket, cnt)`,
+    * same hashing as [[countMinBuild]] so the shards can later merge. */
+  def countMinBuildBy(df: DataFrame, keyCol: String, tokenCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"countMin needs depth/width > 0, got $depth/$width")
+    df.select(col(keyCol).as("key"),
+        posexplode(array(Seq.fill(depth)(col(tokenCol)): _*)).as(Seq("r", "tok")))
+      .select(col("key"), col("r"), cmBucket(col("r"), col("tok"), width).as("bucket"))
+      .groupBy("key", "r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge per-key counter shards into one sketch WITHOUT re-reading the
+    * data: CMS counters are plain sums, so the cell-wise sum of shard
+    * counters EQUALS the single-pass sketch exactly — the lossless
+    * pre-aggregated-cube property that makes CMS rollups composable at
+    * any hierarchy level (the KMV twin is sk05). One hash agg over
+    * shards × depth × width rows — constant work however large the
+    * sharded corpus was. */
+  def countMinMerge(shards: DataFrame, depth: Int, width: Int): CountMinSketch =
+    CountMinSketch(
+      shards.groupBy("r", "bucket").agg(sum(col("cnt")).as("cnt")),
+      depth, width)
+
   /** Point-estimate the frequency of each candidate token from the
     * counters: est(tok) = min over rows r of counter(r, hash_r(tok)) —
     * the classic CMS upper-bound estimate (Cormode & Muthukrishnan,

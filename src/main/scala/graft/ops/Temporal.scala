@@ -185,6 +185,61 @@ object Temporal {
         (max(col(time)) - min(col(time))).as("span"))
   }
 
+  /** Linear-interpolation grid resampling — the smooth twin of the
+    * LOCF resample (tp03): for every `(key, time)` grid point, the value
+    * is interpolated between the key's bracketing observations:
+    * `v = vp + (vn − vp)·(t − tp)/(tn − tp)`. Before a key's first
+    * observation the value is null; after its last it holds (LOCF tail);
+    * a grid point coinciding with an observation returns that
+    * observation exactly (the `t == tp` branch also keeps the
+    * denominator away from zero).
+    *
+    * `obs` must be `(key, time, value)` with one row per (key, time) —
+    * pre-aggregate duplicates (e.g. `max_by(value, id)`) so the bracket
+    * is well-defined. `grid` is `(key, time)`.
+    *
+    * Plan: tag + union both inputs, then TWO window passes over the SAME
+    * (key) partitioning and (time, obs-first) ordering — a running
+    * `last(…, ignoreNulls)` for the previous observation and a
+    * `first(…, ignoreNulls)` over the following frame for the next — so
+    * the whole operator costs ONE shuffle on the key, like asofJoin;
+    * a LATERAL/theta formulation would probe per grid point. Returns
+    * `(key, time, value)` for the grid rows. `time` must be integral.
+    */
+  def resampleLinear(
+      obs: DataFrame,
+      grid: DataFrame,
+      key: String,
+      time: String,
+      valueCol: String): DataFrame = {
+    val u = obs.select(col(key), col(time), lit(1).as("__obs"),
+        col(valueCol).cast("double").as("__v"))
+      .unionByName(grid.select(col(key), col(time), lit(0).as("__obs"),
+        lit(null).cast("double").as("__v")))
+    // obs rows sort BEFORE grid rows at equal times, so a coincident
+    // observation is this grid point's "previous" and t == tp fires
+    val order = Seq(col(time), col("__obs").desc)
+    val wPrev = Window.partitionBy(col(key)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(key)).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsOnly = (c: org.apache.spark.sql.Column) =>
+      when(col("__obs") === 1, c)
+    u.withColumn("__vp", last(obsOnly(col("__v")), ignoreNulls = true).over(wPrev))
+      .withColumn("__tp", last(obsOnly(col(time)), ignoreNulls = true).over(wPrev))
+      .withColumn("__vn", first(obsOnly(col("__v")), ignoreNulls = true).over(wNext))
+      .withColumn("__tn", first(obsOnly(col(time)), ignoreNulls = true).over(wNext))
+      .filter(col("__obs") === 0)
+      .select(col(key), col(time),
+        when(col("__tp").isNull, lit(null).cast("double"))
+          .when(col(time) === col("__tp"), col("__vp"))
+          .when(col("__tn").isNull, col("__vp"))
+          .otherwise(col("__vp") + (col("__vn") - col("__vp")) *
+            (col(time) - col("__tp")).cast("double") /
+            (col("__tn") - col("__tp")).cast("double"))
+          .as("value"))
+  }
+
   /** Banded interval self-join: all ordered pairs (a, b) of rows sharing
     * `key` with `b.time` in (a.time, a.time + band], plus equal-time
     * pairs ordered by `id` so each unordered pair appears exactly once.

@@ -150,8 +150,8 @@ object OpsQueries {
   /** dd13's contamination n-gram width (8 words — the published
     * decontamination screening family) and the benchmark slice: every
     * 25th document stands in for a held-out eval suite. */
-  private final val Dd13Ngram = 8
-  private final val Dd13Mod = 25
+  private[queries] final val Dd13Ngram = 8
+  private[queries] final val Dd13Mod = 25
 
   /** dd13: benchmark decontamination — the screen every training run
     * owes its eval suite: any corpus document sharing a word 8-gram

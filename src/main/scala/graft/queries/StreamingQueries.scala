@@ -220,6 +220,46 @@ object StreamingQueries {
       .sort("doc_id")
   }
 
+  /** st08: streaming DECONTAMINATION gate — dd13's benchmark 8-gram
+    * screen at the ingest front door. The static side is the eval
+    * suite's distinct-gram set (broadcast-size by construction); each
+    * arriving document first passes a ROW-LOCAL Bloom membership screen
+    * over its grams ([[graft.ops.Joins.bloomTestFor]] inside `exists` —
+    * a clean document is dismissed without ever exploding), and only
+    * Bloom-positive docs explode their grams into the exact
+    * stream-static broadcast join that eliminates false positives. The
+    * output census (the admitted clean corpus per language) is exact —
+    * the Bloom can only send extra docs to the join, never hide one —
+    * so the oracle is dd13's contamination rule restated on the clean
+    * side. At 100 TB the gate is the shape that matters: per-row work is
+    * k hashes per gram for the overwhelmingly-clean majority; state-free
+    * (the benchmark is static), unlike st07's corpus-membership gate. */
+  private val st08: Q = (s, d) => {
+    import graft.ops.{Dedup, Joins}
+    val benchGrams = graft.Tables.documents(s, d)
+      .filter(col("doc_id") % OpsQueries.Dd13Mod === 0)
+      .select(explode(Dedup.shingles(col("text"), OpsQueries.Dd13Ngram)).as("gram"))
+      .distinct()
+      .localCheckpoint(eager = true) // static side: bloom build + exact join read it once
+    val bloomHit = Joins.bloomTestFor(benchGrams, "gram", mBits = 1 << 16)
+    val hits = graft.streaming.StreamingDedup.readDocumentStream(s, d)
+      .filter(col("doc_id") % OpsQueries.Dd13Mod =!= 0)
+      .filter(exists(Dedup.shingles(col("text"), OpsQueries.Dd13Ngram), bloomHit))
+      .select(col("doc_id"), explode(
+        Dedup.shingles(col("text"), OpsQueries.Dd13Ngram)).as("gram"))
+      .join(benchGrams, Seq("gram"))
+      .select(col("doc_id"))
+    val out = runToCompletion(hits, "graft_st08", "append")
+    val contaminated = out.distinct()
+    graft.Tables.documents(s, d)
+      .filter(col("doc_id") % OpsQueries.Dd13Mod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("clean_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("clean_tokens"))
+      .sort("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_windowed_stream" -> st01,
     "st02_sessionization" -> st02,
@@ -228,6 +268,7 @@ object StreamingQueries {
     "st05_stream_dedup" -> st05,
     "st06_stream_distinct" -> st06,
     "st07_neardup_gate" -> st07,
+    "st08_decontamination_gate" -> st08,
   )
 
   val oracle: Map[String, String] = Map(
@@ -328,5 +369,28 @@ object StreamingQueries {
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM coll)
          |ORDER BY doc_id""".stripMargin,
+    // dd13's contamination rule, clean side only: the Bloom prefilter
+    // can only add candidates to the exact join, never hide one
+    "st08_decontamination_gate" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+${OpsQueries.Dd13Ngram - 1}], ' ')
+         |                 FOR i IN generate_series(1, len(w) - ${OpsQueries.Dd13Ngram - 1})]) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  WHERE len(w) >= ${OpsQueries.Dd13Ngram}
+         |),
+         |bset AS (SELECT DISTINCT unnest(g) AS gram FROM grams
+         |         WHERE doc_id % ${OpsQueries.Dd13Mod} = 0),
+         |hits AS (
+         |  SELECT DISTINCT e.doc_id
+         |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams
+         |        WHERE doc_id % ${OpsQueries.Dd13Mod} <> 0) e
+         |  JOIN bset USING (gram)
+         |)
+         |SELECT lang, COUNT(*) AS clean_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS clean_tokens
+         |FROM documents d
+         |WHERE d.doc_id % ${OpsQueries.Dd13Mod} <> 0
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

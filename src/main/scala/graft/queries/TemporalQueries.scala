@@ -99,6 +99,34 @@ object TemporalQueries {
       .sort($"user_id", $"grid_us")
   }
 
+  /** tp06: linear-interpolation grid resampling — tp03's smooth twin
+    * ([[graft.ops.Temporal.resampleLinear]]): the same 10 users × hourly
+    * grid, but each grid point interpolates between its bracketing
+    * clicks instead of holding the last one (null before the first
+    * click, LOCF after the last, exact value when the grid hits an
+    * observation). Duplicate same-microsecond clicks pre-aggregate with
+    * the shared greatest-event_id tiebreak so the bracket is
+    * well-defined. One shuffle on the user key (two window passes share
+    * its sort), like the as-of join — never a per-grid-point probe. */
+  private val tp06: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("t_us"), $"value")
+    val obs = clicks.groupBy($"user_id", $"t_us")
+      .agg(max_by($"value", $"event_id").as("v"))
+    val users = clicks.select($"user_id").distinct().sort($"user_id").limit(10)
+    val gridLo = expr(s"(lo + ${Tp03HourUs - 1}) div $Tp03HourUs * $Tp03HourUs")
+    val gridHi = expr(s"hi div $Tp03HourUs * $Tp03HourUs")
+    val grid = ev
+      .agg(min(unix_micros($"ts")).as("lo"), max(unix_micros($"ts")).as("hi"))
+      .select(explode(when(gridLo <= gridHi,
+        sequence(gridLo, gridHi, lit(Tp03HourUs)))).as("t_us"))
+    val g = broadcast(users).crossJoin(broadcast(grid))
+    Temporal.resampleLinear(obs, g, "user_id", "t_us", "v")
+      .select($"user_id", $"t_us".as("grid_us"), round($"value", 6).as("value"))
+      .sort($"user_id", $"grid_us")
+  }
+
   /** tp04's session gap: 30 minutes of inactivity closes a session. */
   private final val Tp04GapUs = 1800L * 1000000L
 
@@ -248,12 +276,42 @@ object TemporalQueries {
           <= lit(0.5)).as("within_bound"))
   }
 
+  /** sk06: count-min re-aggregation — the CMS twin of sk05's
+    * pre-aggregated-cube property: each source shard is sketched
+    * separately ([[graft.ops.Sketches.countMinBuildBy]] — the rollup
+    * rows a sharded corpus persists), the shards merge by CELL-WISE SUM
+    * without re-reading any data, and because CMS counters are plain
+    * sums the merged sketch EQUALS the single-pass sketch exactly.
+    * Graded: the top-20 token estimates from the MERGED sketch next to
+    * the exact counts, plus `rollup_equals_direct` pinning estimate
+    * equality against a single-pass build of the same corpus. */
+  private val sk06: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact"))
+      .sort($"exact".desc, $"tok").limit(CmTopK)
+    val merged = Sketches.countMinMerge(
+      Sketches.countMinBuildBy(toks, "source", "tok", CmDepth, CmWidth),
+      CmDepth, CmWidth)
+    val direct = Sketches.countMinBuild(toks, "tok", CmDepth, CmWidth)
+    val dEst = Sketches.countMinEstimate(direct, exact, "tok")
+      .select($"tok".as("dtok"), $"est".as("d_est"))
+    Sketches.countMinEstimate(merged, exact, "tok")
+      .join(exact, "tok")
+      .join(dEst, $"tok" === $"dtok")
+      .select($"tok", $"est", $"exact",
+        ($"est" === $"d_est").as("rollup_equals_direct"))
+      .sort($"exact".desc, $"tok")
+  }
+
   val queries: Map[String, Q] = Map(
     "tp01_asof_join" -> tp01,
     "tp02_interval_join" -> tp02,
     "tp03_grid_resample" -> tp03,
     "tp04_sessionize" -> tp04,
     "tp05_time_weighted_avg" -> tp05,
+    "tp06_linear_resample" -> tp06,
+    "sk06_countmin_rollup" -> sk06,
     "sk01_kmv_distinct" -> sk01,
     "sk02_count_min" -> sk02,
     "sk03_histogram_quantile" -> sk03,
@@ -390,7 +448,7 @@ object TemporalQueries {
   /** CMS rebuilt in SQL: the same kmv_hash("r:tok") % width bucketing
     * (FNV-1a + finalizer via the shared HUGEINT helpers), counters from a
     * GROUP BY, estimates from the same min-over-rows lookup. */
-  private val sk02Oracle: String = {
+  private def cmOracle(extraCols: String): String = {
     def hashed(src: String, keep: String): Seq[String] = Seq(
       s"SELECT $keep r, hex(encode(CAST(r AS VARCHAR) || ':' || tok)) AS hx FROM $src",
       s"SELECT $keep r, ${sqlFnv1a64("hx")} AS fh",
@@ -406,10 +464,55 @@ object TemporalQueries {
        |a1 AS ($a1), a2 AS ($a2 FROM a1), a3 AS ($a3 FROM a2),
        |counters AS (SELECT r, bucket, COUNT(*) AS cnt FROM a3 GROUP BY r, bucket),
        |c1 AS ($c1), c2 AS ($c2 FROM c1), c3 AS ($c3 FROM c2)
-       |SELECT tok, MIN(COALESCE(cnt, 0)) AS est, exact
+       |SELECT tok, MIN(COALESCE(cnt, 0)) AS est, exact$extraCols
        |FROM c3 LEFT JOIN counters USING (r, bucket)
        |GROUP BY tok, exact ORDER BY exact DESC, tok""".stripMargin
   }
+
+  private val sk02Oracle: String = cmOracle("")
+
+  /** tp06: the interpolation restated over the same union-and-window
+    * formulation the operator uses (obs-before-grid ordering at equal
+    * times; prev via running last IGNORE NULLS, next via following-frame
+    * first). */
+  private val tp06Oracle: String =
+    s"""WITH clicks AS (
+       |  SELECT user_id, epoch_us(ts) AS t_us, arg_max(value, event_id) AS v
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+       |), users AS (
+       |  SELECT DISTINCT user_id FROM clicks ORDER BY user_id LIMIT 10
+       |), span AS (
+       |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+       |), grid AS (
+       |  SELECT unnest(generate_series(
+       |    (lo + ${Tp03HourUs - 1}) // $Tp03HourUs * $Tp03HourUs,
+       |    hi // $Tp03HourUs * $Tp03HourUs, $Tp03HourUs)) AS t FROM span
+       |), pts AS (
+       |  SELECT u.user_id, g.t, 0 AS obs, CAST(NULL AS DOUBLE) AS v
+       |  FROM users u CROSS JOIN grid g
+       |  UNION ALL
+       |  SELECT c.user_id, c.t_us, 1, c.v FROM clicks c JOIN users u USING (user_id)
+       |), w AS (
+       |  SELECT user_id, t, obs,
+       |    last_value(CASE WHEN obs = 1 THEN v END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY t, obs DESC ROWS UNBOUNDED PRECEDING) AS vp,
+       |    last_value(CASE WHEN obs = 1 THEN t END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY t, obs DESC ROWS UNBOUNDED PRECEDING) AS tp,
+       |    first_value(CASE WHEN obs = 1 THEN v END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY t, obs DESC
+       |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+       |    first_value(CASE WHEN obs = 1 THEN t END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY t, obs DESC
+       |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+       |  FROM pts
+       |)
+       |SELECT user_id, t AS grid_us,
+       |  ROUND(CASE WHEN tp IS NULL THEN NULL
+       |    WHEN t = tp THEN vp
+       |    WHEN tn IS NULL THEN vp
+       |    ELSE vp + (vn - vp) * CAST(t - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE)
+       |  END, 6) AS value
+       |FROM w WHERE obs = 0 ORDER BY user_id, grid_us""".stripMargin
 
   /** Same histogram arithmetic; `exact` is the shared global-rank
     * formulation (ROW_NUMBER at ceil(q*n)), not DuckDB's quantile_disc,
@@ -435,6 +538,10 @@ object TemporalQueries {
     "tp03_grid_resample" -> tp03Oracle,
     "tp04_sessionize" -> tp04Oracle,
     "tp05_time_weighted_avg" -> tp05Oracle,
+    "tp06_linear_resample" -> tp06Oracle,
+    // single-pass CMS arithmetic; merged-equals-direct is the
+    // counter-additivity theorem, stated TRUE — Spark computes it
+    "sk06_countmin_rollup" -> cmOracle(", TRUE AS rollup_equals_direct"),
     "sk01_kmv_distinct" -> sk01Oracle,
     "sk02_count_min" -> sk02Oracle,
     "sk03_histogram_quantile" -> sk03Oracle,

@@ -125,4 +125,16 @@ class SketchSpec extends SparkTestBase {
       .select($"kmv.kth", $"kmv.est").head()
     assert(rolled == direct)
   }
+
+  test("count-min shard merge equals the single-pass sketch counter for counter") {
+    val toks = Tables.documents(spark, sfDir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+    val merged = graft.ops.Sketches.countMinMerge(
+      graft.ops.Sketches.countMinBuildBy(toks, "source", "tok", 4, 128), 4, 128)
+    val direct = graft.ops.Sketches.countMinBuild(toks, "tok", 4, 128)
+    def cells(s: graft.ops.Sketches.CountMinSketch) = s.counters.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // counters are plain sums → the cell-wise shard merge is LOSSLESS
+    assert(cells(merged) == cells(direct))
+  }
 }

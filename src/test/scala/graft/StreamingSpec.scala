@@ -655,4 +655,42 @@ class StreamingSpec extends SparkTestBase {
     assert(byFid == Map(0 -> (0, 49), 1 -> (1000, 1049), 2 -> (2000, 2049),
       3 -> (3000, 3049), 4 -> (4000, 4049)), byFid.toString)
   }
+
+  test("decontamination gate: bloom prefilter hides no contaminated doc; exact join broadcasts") {
+    import graft.ops.{Dedup, Joins}
+    import org.apache.spark.sql.functions.{exists, explode}
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter($"doc_id" % 25 === 0)
+    val corpus = docs.filter($"doc_id" % 25 =!= 0)
+    val benchGrams = bench
+      .select(explode(Dedup.shingles($"text", 8)).as("gram")).distinct()
+      .localCheckpoint(eager = true)
+    val bloomHit = Joins.bloomTestFor(benchGrams, "gram", mBits = 1 << 16)
+    // batch twin of st08's streaming side: identical operators, so the
+    // plan shape and the no-false-negative property pin the gate
+    def contaminatedIds(withBloom: Boolean) = {
+      val base = if (withBloom)
+        corpus.filter(exists(Dedup.shingles($"text", 8), bloomHit))
+      else corpus
+      base.select($"doc_id", explode(Dedup.shingles($"text", 8)).as("gram"))
+        .join(benchGrams, Seq("gram"))
+        .select($"doc_id").distinct()
+        .as[Long].collect().toSet
+    }
+    // a Bloom filter has false positives only — the exact join output
+    // must be identical with and without the prefilter
+    assert(contaminatedIds(withBloom = true) == contaminatedIds(withBloom = false))
+    val gated = corpus.filter(exists(Dedup.shingles($"text", 8), bloomHit))
+      .select($"doc_id", explode(Dedup.shingles($"text", 8)).as("gram"))
+      .join(benchGrams, Seq("gram"))
+    val plan = gated.queryExecution.executedPlan.toString
+    // the exact join broadcasts the benchmark grams, and the row-local
+    // bloom screen (xxhash64 bit tests inside exists) sits under it
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val lines = plan.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    val bloomIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("xxhash64"))
+    assert(bloomIdx > joinIdx && joinIdx >= 0,
+      s"bloom screen must sit under the broadcast join:\n$plan")
+  }
 }

@@ -128,6 +128,23 @@ class TemporalSpec extends SparkTestBase {
     assert(rows(2L) == ((1L, null, 0L)))
   }
 
+  test("resampleLinear: hand-computed brackets, null head, LOCF tail, one exchange") {
+    // user 1: obs (t=10, v=1.0), (t=20, v=3.0)
+    //   grid 5 → null (before first), 10 → 1.0 (coincides), 15 → 2.0
+    //   (midpoint), 25 → 3.0 (LOCF after last)
+    val obs = Seq((1L, 10L, 1.0), (1L, 20L, 3.0)).toDF("k", "t", "v")
+    val grid = Seq((1L, 5L), (1L, 10L), (1L, 15L), (1L, 25L)).toDF("k", "t")
+    val out = Temporal.resampleLinear(obs, grid, "k", "t", "v")
+    // the union-and-window formulation costs ONE exchange on the key
+    // (plan read before execution — a finalized AQE string repeats the
+    // tree under both Initial and Final sections)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    val got = out.collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(got == Map(5L -> null, 10L -> 1.0, 15L -> 2.0, 25L -> 3.0))
+  }
+
   test("KMV distinct estimate tracks the exact count and is partition-invariant") {
     // 5000 rows, ~1200 distinct values: k=64 engages the estimator
     val rnd = new scala.util.Random(7)
