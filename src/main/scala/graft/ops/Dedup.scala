@@ -475,6 +475,45 @@ object Dedup {
     corpus.join(hits, corpus(idCol) === hits("id"), "left_anti")
   }
 
+  /** Per-document duplicated-span statistics — the gram-granular form of
+    * EXACT SUBSTRING deduplication (the Lee et al. 2022 "Deduplicating
+    * Training Data" screen: text spans appearing more than once in the
+    * corpus are memorization fuel and should be trimmed or down-weighted).
+    * A span here is a word `n`-gram WITH repeats (the occurrence
+    * multiset, `graft_word_ngrams` — a doc repeating its own boilerplate
+    * is duplication too, which distinct shingles would hide). For each
+    * document with at least one gram: `total_grams` its occurrence
+    * count, `dup_grams` how many of those occurrences are of a gram seen
+    * more than once corpus-wide. `dup_grams / total_grams` is the
+    * duplicated-text fraction a trimming pass thresholds on.
+    *
+    * Plan shape at 100 TB — three key-partitioned exchanges, each with
+    * map-side partial aggregation, no broadcast of anything corpus-sized:
+    *  1. row-local gram explode → hash agg on (gram, doc) — collapses a
+    *     doc's repeated grams before anything else sees them;
+    *  2. hash agg on gram → corpus occurrence totals (the suffix-array
+    *     equivalent at gram granularity: constant memory per gram);
+    *  3. equi-join the per-doc counts back to the totals on gram (both
+    *     sides already hash-partitioned by gram from their aggregates,
+    *     so AQE reuses the layout) → hash agg on doc.
+    * `carryCols` ride along through the explode into the group keys
+    * (same rationale as lmCoverage: row-local width beats a second
+    * doc-count-sized join). */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int, carryCols: String*): DataFrame = {
+    val keys = col(idCol).as("id") +: carryCols.map(col)
+    val occ = df.select(keys :+ explode(exprs.word_ngrams(col(textCol), n)).as("gram"): _*)
+    val perDocGram = occ
+      .groupBy(col("id") +: carryCols.map(col) :+ col("gram"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val gramTotals = perDocGram
+      .groupBy(col("gram")).agg(sum(col("cnt")).as("tot"))
+    perDocGram.join(gramTotals, Seq("gram"))
+      .groupBy(col("id") +: carryCols.map(col): _*)
+      .agg(sum(col("cnt")).as("total_grams"),
+        sum(when(col("tot") > 1, col("cnt")).otherwise(0L)).as("dup_grams"))
+  }
+
   /** Embedding near-dup pairs by cosine similarity. Brute-force
     * (all-pairs) — the exact baseline and oracle shape;
     * [[blockedEmbeddingNearDupPairs]] is the scale path. */

@@ -122,6 +122,42 @@ object Joins {
       }.reduce(_ && _)
   }
 
+  /** Range-lookup join: attach to every fact row the dimension interval
+    * containing its point (`lo <= point < hi`) — the IP→geo / price→tier
+    * / time→fiscal-window enrichment every pipeline runs. Spark's native
+    * plan for an inequality join against a broadcast dimension is
+    * BroadcastNestedLoopJoin — every fact row scans EVERY interval. This
+    * operator turns it into a broadcast HASH join: each interval
+    * explodes into the `binWidth`-sized bins it covers (dimension-side
+    * work, interval_span/binWidth rows each), the fact side computes its
+    * bin row-locally, and the equi-join on the bin meets only the
+    * handful of intervals sharing it; the exact range predicate rides on
+    * the join condition. ZERO shuffles at any fact size. Size `binWidth`
+    * near the typical interval width (one-ish bins per interval); for a
+    * dimension too big to broadcast the same bin-explode degrades to one
+    * ordinary shuffled equi-join on the bin.
+    *
+    * Interval bounds must be NONNEGATIVE integers (the bin cover uses
+    * `div`, which truncates toward zero — a negative `lo` would round
+    * the wrong way; `hi` is exclusive, so a range ending on a bin
+    * boundary does not cover that bin); the point may be fractional.
+    * Empty intervals (lo >= hi) match nothing. */
+  def rangeLookupJoin(fact: DataFrame, dim: DataFrame, pointCol: String,
+      loCol: String, hiCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"rangeLookupJoin needs binWidth > 0, got $binWidth")
+    require(!fact.columns.contains("__bin") && !dim.columns.contains("__bin"),
+      "rangeLookupJoin uses '__bin' as a temporary column; rename that input column")
+    val bins = dim.withColumn("__bin",
+      explode(when(col(loCol) < col(hiCol),
+        sequence(expr(s"cast(`$loCol` as bigint) div $binWidth"),
+          expr(s"(cast(`$hiCol` as bigint) - 1) div $binWidth")))))
+    val factBin = floor(col(pointCol) / binWidth).cast("long")
+    fact.join(broadcast(bins),
+        factBin === bins("__bin") &&
+          col(pointCol) >= bins(loCol) && col(pointCol) < bins(hiCol))
+      .drop("__bin")
+  }
+
   /** Approximate distinct count (HyperLogLog++) next to the exact one —
     * the constant-memory path for 100 TB cardinality questions. */
   def approxDistinct(df: DataFrame, colName: String, rsd: Double = 0.05): DataFrame =

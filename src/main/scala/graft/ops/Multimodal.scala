@@ -337,6 +337,112 @@ object Multimodal {
       .toDF(idCol, "payload")
   }
 
+  // ---- perceptual hash: dHash image near-dup through the seam (mm10) ----
+
+  /** dHash grid: DHashW horizontal comparisons per row over DHashH rows —
+    * the hash is DHashW·DHashH = 56 bits (bit 63 deliberately unused:
+    * the oracle's BIGINT shift arithmetic must never overflow). The
+    * downsample target is (DHashW+1) × DHashH luma samples. */
+  final val DHashW = 8
+  final val DHashH = 7
+
+  /** mm10's fixture pattern: the luma of grid cell (gx, gy) for pattern
+    * seed `base` — shared verbatim with the oracle's arithmetic. */
+  def patternPixel(base: Long, gx: Int, gy: Int): Int =
+    ((base * 7 + gx * 13 + gy * 29) % 256).toInt
+
+  /** Encode one patterned PNG: a ((DHashW+1)·scale) × (DHashH·scale)
+    * image whose scale×scale blocks carry [[patternPixel]] values on all
+    * three channels. The deterministic non-solid fixture mm10's
+    * perceptual hash needs (a solid colour dHashes to all-zero). */
+  def encodePatternPng(base: Long, scale: Int): Array[Byte] = {
+    imageIoNoCache
+    val w = (DHashW + 1) * scale
+    val h = DHashH * scale
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = patternPixel(base, x / scale, y / scale)
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(im, "png", out), "no png writer in this JVM")
+    out.toByteArray
+  }
+
+  /** Row-wise [[encodePatternPng]] of (id, base) columns into an
+    * (idCol, payload) frame — mm10's fixture side. Partition-local. */
+  def encodePatternPngs(df: DataFrame, idCol: String, baseCol: String,
+      scale: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(baseCol).cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, base) => (id, encodePatternPng(base, scale)) }
+      .toDF(idCol, "payload")
+  }
+
+  /** One image's 56-bit perceptual difference hash. */
+  case class DHashRow(id: Long, dhash: Long)
+
+  /** Batch dHash: decode (any installed codec), nearest-neighbor
+    * downsample to the (DHashW+1) × DHashH luma grid (sample at
+    * (x·W/(DHashW+1), y·H/DHashH) — every output sample is a copied
+    * input pixel, no kernel arithmetic), luma = (r+g+b)/3 integer
+    * division, then bit (y·8+x) set iff luma(x+1,y) > luma(x,y). The
+    * standard image near-dup signature: identical pixels hash equal,
+    * brightness-shifted/re-encoded variants hash close (Hamming).
+    * Payloads no codec claims drop, costing one row. */
+  def imageBatchDHash(batch: Seq[(Long, Array[Byte])]): Seq[DHashRow] = {
+    imageIoNoCache
+    batch.flatMap { case (id, bytes) =>
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      img.map { im =>
+        val w = im.getWidth
+        val h = im.getHeight
+        val gw = DHashW + 1
+        val luma = Array.ofDim[Int](gw, DHashH)
+        var gy = 0
+        while (gy < DHashH) {
+          var gx = 0
+          while (gx < gw) {
+            val p = im.getRGB(gx * w / gw, gy * h / DHashH)
+            luma(gx)(gy) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+            gx += 1
+          }
+          gy += 1
+        }
+        var hash = 0L
+        gy = 0
+        while (gy < DHashH) {
+          var x = 0
+          while (x < DHashW) {
+            if (luma(x + 1)(gy) > luma(x)(gy)) hash |= 1L << (gy * 8 + x)
+            x += 1
+          }
+          gy += 1
+        }
+        DHashRow(id, hash)
+      }
+    }
+  }
+
+  /** [[decodeInBatchesAs]] with [[imageBatchDHash]]. */
+  def dhashImages(df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[DHashRow] =
+      org.apache.spark.sql.Encoders.product[DHashRow]
+    decodeInBatchesAs(df, idCol, payloadCol, batchSize, imageBatchDHash).toDF()
+  }
+
   // ---- audio: real PCM WAV decode through the same batch seam (mm06) ----
 
   /** Sample-level features of one decoded audio clip. All integer-exact

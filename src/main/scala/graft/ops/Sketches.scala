@@ -85,6 +85,63 @@ object Sketches {
       .groupBy("tok")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** KMV set-overlap estimate between two groups' distinct-key sets —
+    * the "how much does shard A's vocabulary/content overlap shard B's"
+    * question a corpus census answers WITHOUT a distinct-key join: each
+    * side is summarized to its k minimum hash values
+    * (`exprs.kmv_sketch`, the constant-size rollup row sk05 persists),
+    * and the Beyer et al. 2007 estimator reads everything off those two
+    * sketches: S = the k-min set of the union, ρ̂ = |S ∩ minK(A) ∩
+    * minK(B)| / |S| estimates the Jaccard similarity, and ρ̂ · est(∪)
+    * estimates the distinct intersection. Deterministic for fixed data
+    * (hash order statistics — no seeds, no partition dependence).
+    *
+    * Scale: two map-side-combined hash aggregates over the hashed keys
+    * (per-group sketches + the union sketch), then a one-row
+    * broadcast-crossed projection; nothing downstream of the aggregates
+    * grows with the data. The exact columns (distinct per side / shared
+    * keys) are the verification baseline a test-scale run grades — at
+    * 100 TB one runs ONLY the sketch half. Returns one row:
+    * (est_a, est_b, est_union, shared_kmin, jaccard, est_inter,
+    * exact_a, exact_b, exact_inter). */
+  def kmvOverlap(df: DataFrame, groupCol: String, keyCol: String,
+      gA: String, gB: String, k: Int): DataFrame = {
+    require(k > 0, s"kmvOverlap needs k > 0, got $k")
+    val hashed = df.filter(col(groupCol).isin(gA, gB))
+      .select(col(groupCol).as("g"), col(keyCol).as("key"),
+        exprs.kmv_hash(col(keyCol)).as("h"))
+    def side(g: String, name: String) = hashed.filter(col("g") === g)
+      .agg(exprs.kmv_sketch(col("h"), k).as(s"sk_$name"),
+        exprs.kmv_distinct(col("h"), k).as("kmv"))
+      .select(col(s"sk_$name"), col("kmv.est").as(s"est_$name"))
+    val union = hashed
+      .agg(exprs.kmv_sketch(col("h"), k).as("sk_u"),
+        exprs.kmv_distinct(col("h"), k).as("kmv"))
+      .select(col("sk_u"), col("kmv.est").as("est_union"))
+    val exact = hashed.select(col("g"), col("key")).distinct()
+      .groupBy(col("key")).agg(count(lit(1)).as("ng"))
+      .agg(sum(when(col("ng") === 2, 1L).otherwise(0L)).as("exact_inter"),
+        count(lit(1)).as("exact_union"))
+    val exactSides = hashed.agg(
+      countDistinct(when(col("g") === gA, col("key"))).as("exact_a"),
+      countDistinct(when(col("g") === gB, col("key"))).as("exact_b"))
+    val shared = size(array_intersect(col("sk_u"),
+      array_intersect(col("sk_a"), col("sk_b"))))
+    side(gA, "a").crossJoin(broadcast(side(gB, "b")))
+      .crossJoin(broadcast(union))
+      .crossJoin(broadcast(exact))
+      .crossJoin(broadcast(exactSides))
+      .select(
+        round(col("est_a"), 2).as("est_a"),
+        round(col("est_b"), 2).as("est_b"),
+        round(col("est_union"), 2).as("est_union"),
+        shared.as("shared_kmin"),
+        round(shared.cast("double") / size(col("sk_u")), 4).as("jaccard"),
+        round(shared.cast("double") / size(col("sk_u")) * col("est_union"), 2)
+          .as("est_inter"),
+        col("exact_a"), col("exact_b"), col("exact_inter"))
+  }
+
   /** Cumulative fixed-width histogram of `valueCol` in `vals` (already
     * projected to a `b` bucket and `v` value column): one map-side-
     * combined aggregation, then running/total counts over the occupied-

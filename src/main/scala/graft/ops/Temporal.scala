@@ -185,6 +185,45 @@ object Temporal {
         (max(col(time)) - min(col(time))).as("span"))
   }
 
+  /** Fixed-interval OHLC downsampling (open/high/low/close bars — the
+    * canonical time-series compaction: per key and `barWidth`-sized time
+    * bucket, the first and last observed value plus the extremes and
+    * count). `open`/`close` are argmin/argmax picks under the total
+    * (time, id) order — `min_by`/`max_by` over a STRUCT ordering key, so
+    * equal-time ties are deterministic on any engine and any
+    * partitioning.
+    *
+    * ONE exchange: a single aggregate on (key, bucket) with map-side
+    * partial min_by/max_by/min/max/count — no window. (Struct-keyed
+    * min_by buffers aren't hash-agg mutable, so Spark plans
+    * SortAggregate; its sorts are per-partition on the small group key,
+    * never a global order — pinned by TemporalSpec.) That is the 100 TB
+    * shape: bars are constant-size state per group however many raw
+    * rows a bucket holds, and the partial aggregation collapses each
+    * map partition before the shuffle. `time` must be an integral epoch
+    * column; `barWidth` shares its unit. */
+  def ohlcBars(
+      df: DataFrame,
+      key: String,
+      time: String,
+      id: String,
+      valueCol: String,
+      barWidth: Long): DataFrame = {
+    require(barWidth > 0, s"ohlcBars needs barWidth > 0, got $barWidth")
+    // same collision hazard as sessionize's __prev: withColumn replaces
+    require(!df.columns.contains("__bucket"),
+      "ohlcBars uses '__bucket' as a temporary column; rename that input column")
+    val ord = struct(col(time), col(id))
+    df.withColumn("__bucket", expr(s"`$time` div $barWidth * $barWidth"))
+      .groupBy(col(key), col("__bucket").as("bucket"))
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** Linear-interpolation grid resampling — the smooth twin of the
     * LOCF resample (tp03): for every `(key, time)` grid point, the value
     * is interpolated between the key's bracketing observations:

@@ -229,6 +229,34 @@ object TextAnalysis {
         coalesce(sum(col("bg_count")), lit(0L)).as("mass"))
   }
 
+  /** PII patterns shared verbatim with the oracle — (name, regex,
+    * redaction token), applied in order. The regex subset is chosen to
+    * mean the same thing in Java's engine and RE2-style engines
+    * (character classes, bounded repeats, no backrefs/lookaround), so
+    * Spark's codegen'd regexp_replace/regexp_count and DuckDB's
+    * regexp_replace(..., 'g')/regexp_extract_all agree byte for byte.
+    * The list is the scrubbing CONTRACT (what a compliance pass removes
+    * before training), not a claim of linguistic coverage. */
+  final val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+", "<EMAIL>"),
+    ("phone", "\\+1-555-[0-9]+", "<PHONE>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+
+  /** Per-pattern PII match counts of `text`, in [[PiiPatterns]] order —
+    * row-local codegen'd regexp_count columns (the detection census a
+    * privacy review reads before any redaction ships). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (name, re, _) =>
+      name -> regexp_count(text, lit(re)) }
+
+  /** `text` with every [[PiiPatterns]] match replaced by its redaction
+    * token, patterns applied in list order (email before ip, so a
+    * dotted-quad inside an already-redacted email can't double-fire).
+    * Row-local, no shuffle — the map stage of a corpus scrub. */
+  def piiScrub(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, re, token)) =>
+      regexp_replace(c, re, token) }
+
   /** Corpus-level document frequency: for each word, in how many
     * documents it appears (`df`) and the fraction of the corpus
     * (`df_frac`) — the data-driven stopword/boilerplate discovery pass

@@ -179,6 +179,32 @@ object OpsQueries {
       .sort($"lang")
   }
 
+  /** dd14's span width (8 words, the dd13 decontamination width) and the
+    * trim threshold: a doc more than half of whose gram occurrences are
+    * corpus-duplicated is flagged heavy. */
+  private[queries] final val Dd14Ngram = 8
+  private[queries] final val Dd14Heavy = 2
+
+  /** dd14: duplicated-span census — the gram-granular exact-substring
+    * dedup screen ([[graft.ops.Dedup.duplicatedSpanStats]], Lee et al.
+    * 2022 shape): per language, how many documents carry at least one
+    * 8-gram, their total gram occurrences, how many of those occurrences
+    * are corpus-duplicated (a gram seen >1× anywhere, including within
+    * one doc), and how many documents are more than half duplicated
+    * text — the rows a trimming pass would rewrite. Integer-exact end
+    * to end. Docs shorter than 8 words carry no span evidence and are
+    * out of scope on both sides. */
+  private val dd14: Q = (s, d) =>
+    Dedup.duplicatedSpanStats(
+        Tables.documents(s, d), "doc_id", "text", Dd14Ngram, "lang")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("docs"),
+        sum($"total_grams").as("total_grams"),
+        sum($"dup_grams").as("dup_grams"),
+        sum(when($"dup_grams" * Dd14Heavy > $"total_grams", 1L)
+          .otherwise(0L)).as("heavy_docs"))
+      .sort($"lang")
+
   // ----------------------------------------------------- similarity search
 
   /** ss01: brute-force cosine top-10 neighbors of vec 0 (declarative:
@@ -377,6 +403,28 @@ object OpsQueries {
       .collect().head.getSeq[Double](0)
     Similarity.multiProbeTopK(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
         64, qv, 5, planes = 4)
+      .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
+  }
+
+  /** ss10: metadata-FILTERED ANN — the vector-store feature every
+    * retrieval deployment needs ("nearest neighbors WHERE label
+    * matches"): the metadata predicate is applied BEFORE bucketing and
+    * scoring (pre-filter), so the search always returns k qualifying
+    * results from the restricted index slice — a post-filter of an
+    * unfiltered top-k would under-deliver k whenever the predicate is
+    * selective. Composition, not new machinery: the filter pushes into
+    * the parquet scan under [[graft.ops.Similarity.multiProbeTopK]]'s
+    * row-local bucketing, so the filtered search costs LESS than the
+    * unfiltered one. The oracle is ss05's restatement with the same
+    * predicate. */
+  private val ss10: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")))
+      .collect().head.getSeq[Double](0)
+    Similarity.multiProbeTopK(
+        e.filter($"vec_id" =!= 0 && $"label" % 2 === 0),
+        "vec_id", "embedding", 64, qv, 5, planes = 4)
       .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
   }
 
@@ -678,6 +726,56 @@ object OpsQueries {
       .sort($"lang")
   }
 
+  /** tx16's deterministic PII injection — the corpus has no digits or
+    * '@' (pinned by the base-clean census columns), so every detection
+    * is attributable to the injection and the expected counts are pure
+    * doc_id arithmetic. Both engines build the SAME augmented text. */
+  private def tx16Inject(text: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(text,
+      when(id % 3 === 0,
+        concat(lit(" contact user"), id.cast("string"), lit("@mail.example")))
+        .otherwise(lit("")),
+      when(id % 4 === 1,
+        concat(lit(" call +1-555-"), (id % 10000).cast("string")))
+        .otherwise(lit("")),
+      when(id % 5 === 2,
+        concat(lit(" from 10."), (id % 256).cast("string"), lit(".0.1")))
+        .otherwise(lit("")))
+
+  /** tx16: PII detection + redaction census
+    * ([[graft.ops.TextAnalysis.piiCounts]]/[[piiScrub]]) — the
+    * compliance scrub a training corpus runs before anything ships:
+    * emails, phone numbers and dotted-quad IPs are counted and replaced
+    * with redaction tokens, entirely row-locally (codegen'd regexes, no
+    * shuffle until the one census hash-agg). PII is INJECTED
+    * deterministically from doc_id (the driver corpus carries none — a
+    * base_clean count pins that assumption every run), so the oracle
+    * knows exactly what must be found; `clean_chars` grades the
+    * redacted text's length, pinning that replacement happened and
+    * nothing else changed. */
+  private val tx16: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select($"lang", $"text", tx16Inject($"text", $"doc_id").as("itext"))
+    val counts = TextAnalysis.piiCounts($"itext")
+    val injected = docs.select($"lang",
+      counts.head._2.as("emails"),
+      counts(1)._2.as("phones"),
+      counts(2)._2.as("ips"),
+      length(TextAnalysis.piiScrub($"itext")).as("clean_len"),
+      TextAnalysis.piiCounts($"text").map(_._2).reduce(_ + _).as("base_hits"))
+    injected.groupBy($"lang")
+      .agg(count(lit(1)).as("docs"),
+        sum($"emails".cast("long")).as("emails"),
+        sum($"phones".cast("long")).as("phones"),
+        sum($"ips".cast("long")).as("ips"),
+        sum(when($"emails" + $"phones" + $"ips" > 0, 1L).otherwise(0L))
+          .as("redacted_docs"),
+        sum($"clean_len".cast("long")).as("clean_chars"),
+        sum($"base_hits".cast("long")).as("base_hits"))
+      .sort($"lang")
+  }
+
   /** mm03: REAL binary decode in the scan pipeline — each document gets a
     * well-formed PNG header payload (dimensions derived from doc_id), and
     * the graft_png_ihdr codegen expression parses width/height/bit-depth/
@@ -855,6 +953,37 @@ object OpsQueries {
       .sort($"doc_id")
   }
 
+  /** mm10's fixture block scale (each luma-grid cell is a 3×3 pixel
+    * block, so the hasher's downsample does real work) and the pattern
+    * group width: doc_id % 50 seeds the pattern, giving ~6-member
+    * exact-duplicate groups in the 300-doc slice. */
+  private[queries] final val Mm10Scale = 3
+  private[queries] final val Mm10Groups = 50
+
+  /** mm10: perceptual-hash image dedup — the IMAGE near-dup screen a
+    * multimodal corpus runs (the visual twin of dd01/dd03): patterned
+    * PNG fixtures (pattern seed doc_id % 50, so distinct docs carry
+    * pixel-identical images) flow through the REAL codec path
+    * ([[graft.ops.Multimodal.dhashImages]]: ImageIO decode →
+    * nearest-neighbor downsample → 56-bit dHash), then ONE hash
+    * aggregate on the hash buckets the corpus into duplicate groups
+    * with a min-id survivor — the same survivor rule as the text dedup
+    * family. Fully partition-local until that single constant-width
+    * shuffle. PNG is lossless and the pattern deterministic, so the
+    * oracle re-derives every hash bit arithmetically from doc_id; a
+    * drift in the encoder, the codec round trip, the downsample
+    * geometry, or the bit layout breaks the hash match. */
+  private val mm10: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter($"doc_id" < 300)
+      .select($"doc_id", ($"doc_id" % Mm10Groups).as("base"))
+    val packed = Multimodal.encodePatternPngs(docs, "doc_id", "base", Mm10Scale)
+    Multimodal.dhashImages(packed, "doc_id", "payload", 64)
+      .groupBy($"dhash")
+      .agg(min($"id").as("survivor"), count(lit(1)).as("n_dups"))
+      .select($"survivor", $"dhash", $"n_dups")
+      .sort($"survivor")
+  }
+
   /** mm02: frame-sampling pipeline — every 10th document's payload,
     * aggregated per language (the video frame-sample shape on rows). */
   private val mm02: Q = (s, d) =>
@@ -878,6 +1007,7 @@ object OpsQueries {
     "dd11_containment" -> dd11,
     "dd12_semantic_dedup" -> dd12,
     "dd13_decontaminate" -> dd13,
+    "dd14_span_dedup" -> dd14,
     "ss01_cosine_topk" -> ss01,
     "ss02_lsh_histogram" -> ss02,
     "ss03_ann_topk" -> ss03,
@@ -887,6 +1017,7 @@ object OpsQueries {
     "ss07_ivf_served" -> ss07,
     "ss08_ann_recall" -> ss08,
     "ss09_quantized_ann" -> ss09,
+    "ss10_filtered_ann" -> ss10,
     "tx01_token_stats" -> tx01,
     "tx02_quality_score" -> tx02,
     "tx03_langid" -> tx03,
@@ -902,6 +1033,7 @@ object OpsQueries {
     "tx13_lm_quality" -> tx13,
     "tx14_bpe_roundtrip" -> tx14,
     "tx15_mix_plan" -> tx15,
+    "tx16_pii_scrub" -> tx16,
     "mm01_multimodal_stub" -> mm01,
     "mm02_frame_sampling" -> mm02,
     "mm03_png_decode" -> mm03,
@@ -911,6 +1043,7 @@ object OpsQueries {
     "mm06_audio_decode" -> mm06,
     "mm09_audio_frames" -> mm09,
     "mm07_image_resize" -> mm07,
+    "mm10_phash_dedup" -> mm10,
   )
 
   // ------------------------------------------------------------- oracles
@@ -1547,11 +1680,52 @@ object OpsQueries {
          |FROM documents d LEFT JOIN hits h USING (doc_id)
          |WHERE d.doc_id % $Dd13Mod <> 0
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the occurrence MULTISET (no list_distinct — contrast dd13): a doc's
+    // own repeats both count as occurrences and make the gram duplicated
+    "dd14_span_dedup" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, lang, array_to_string(w[i:i+${Dd14Ngram - 1}], ' ') AS gram
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         |       LATERAL (SELECT unnest(generate_series(1, len(w) - ${Dd14Ngram - 1})) AS i) t
+         |), pdg AS (
+         |  SELECT doc_id, lang, gram, COUNT(*) AS cnt FROM occ GROUP BY doc_id, lang, gram
+         |), gt AS (
+         |  SELECT gram, SUM(cnt) AS tot FROM pdg GROUP BY gram
+         |), pd AS (
+         |  SELECT doc_id, lang, SUM(cnt) AS total_grams,
+         |    SUM(CASE WHEN tot > 1 THEN cnt ELSE 0 END) AS dup_grams
+         |  FROM pdg JOIN gt USING (gram) GROUP BY doc_id, lang
+         |)
+         |SELECT lang, COUNT(*) AS docs,
+         |  CAST(SUM(total_grams) AS BIGINT) AS total_grams,
+         |  CAST(SUM(dup_grams) AS BIGINT) AS dup_grams,
+         |  CAST(SUM(CASE WHEN dup_grams * $Dd14Heavy > total_grams THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS heavy_docs
+         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
     "ss01_cosine_topk" -> ss01Oracle,
     "ss02_lsh_histogram" -> ss02Oracle,
     "ss03_ann_topk" -> ss03Oracle,
     "ss04_ivf_topk" -> ss04Oracle,
     "ss05_multiprobe_topk" -> ss05Oracle,
+    // ss05's restatement with the metadata predicate applied before the
+    // probe — pre-filter semantics stated definitionally
+    "ss10_filtered_ann" ->
+      s"""WITH q AS (
+         |  SELECT embedding AS qv, ${sqlBucket("embedding", 4)} AS qb
+         |  FROM embeddings WHERE vec_id = 0
+         |), p AS (
+         |  SELECT qb AS pb FROM q
+         |  UNION ALL SELECT xor(qb, 1) FROM q
+         |  UNION ALL SELECT xor(qb, 2) FROM q
+         |  UNION ALL SELECT xor(qb, 4) FROM q
+         |  UNION ALL SELECT xor(qb, 8) FROM q
+         |)
+         |SELECT vec_id, ROUND(${sqlCosine("e.embedding", "q.qv", 64)}, 4) AS sim
+         |FROM embeddings e CROSS JOIN q
+         |WHERE vec_id <> 0 AND label % 2 = 0
+         |  AND ${sqlBucket("e.embedding", 4)} IN (SELECT pb FROM p)
+         |ORDER BY ${sqlCosine("e.embedding", "q.qv", 64)} DESC, vec_id
+         |LIMIT 5""".stripMargin,
     "ss06_knn_join" -> ss06Oracle,
     // the served layout is the SAME model + probes + re-rank as ss04,
     // just read through a partition-pruned scan — one oracle, two plans
@@ -1687,6 +1861,44 @@ object OpsQueries {
          |  ROUND(CAST(least(avail, target) AS DOUBLE) / avail, 4) AS rate,
          |  CAST(target - least(avail, target) AS BIGINT) AS deficit
          |FROM p ORDER BY lang""".stripMargin,
+    // the scrub restated against DuckDB's RE2 engine — an independent
+    // regex implementation, same patterns (built from PiiPatterns, so
+    // the contract can't drift); base_hits pins the corpus carries no
+    // PII of its own
+    "tx16_pii_scrub" -> {
+      val (_, emailRe, emailTok) = TextAnalysis.PiiPatterns(0)
+      val (_, phoneRe, phoneTok) = TextAnalysis.PiiPatterns(1)
+      val (_, ipRe, ipTok) = TextAnalysis.PiiPatterns(2)
+      s"""WITH it AS (
+         |  SELECT lang, text, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example' ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 1 THEN ' call +1-555-' || CAST(doc_id % 10000 AS VARCHAR) ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END
+         |    AS itext
+         |  FROM documents
+         |), c AS (
+         |  SELECT lang,
+         |    len(regexp_extract_all(itext, '$emailRe')) AS emails,
+         |    len(regexp_extract_all(itext, '$phoneRe')) AS phones,
+         |    len(regexp_extract_all(itext, '$ipRe')) AS ips,
+         |    length(regexp_replace(regexp_replace(regexp_replace(itext,
+         |      '$emailRe', '$emailTok', 'g'), '$phoneRe', '$phoneTok', 'g'),
+         |      '$ipRe', '$ipTok', 'g')) AS clean_len,
+         |    len(regexp_extract_all(text, '$emailRe'))
+         |      + len(regexp_extract_all(text, '$phoneRe'))
+         |      + len(regexp_extract_all(text, '$ipRe')) AS base_hits
+         |  FROM it
+         |)
+         |SELECT lang, COUNT(*) AS docs,
+         |  CAST(SUM(emails) AS BIGINT) AS emails,
+         |  CAST(SUM(phones) AS BIGINT) AS phones,
+         |  CAST(SUM(ips) AS BIGINT) AS ips,
+         |  CAST(SUM(CASE WHEN emails + phones + ips > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS redacted_docs,
+         |  CAST(SUM(clean_len) AS BIGINT) AS clean_chars,
+         |  CAST(SUM(base_hits) AS BIGINT) AS base_hits
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "tx12_bpe_token_freq" ->
       s"""WITH RECURSIVE
          |$bpeOracleCtes, vocab(id, tok) AS (
@@ -1842,5 +2054,24 @@ object OpsQueries {
         "CAST((doc_id * 3) % 256 AS DOUBLE) AS g_mean, " +
         "CAST((doc_id * 7) % 256 AS DOUBLE) AS b_mean " +
         "FROM documents WHERE doc_id < 300 ORDER BY doc_id"),
+    // every hash bit re-derived arithmetically from the shared pattern
+    // (base*7 + gx*13 + gy*29) % 256 — lossless PNG + copied-pixel
+    // downsample means the real codec path must reproduce it exactly
+    "mm10_phash_dedup" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, doc_id % $Mm10Groups AS base
+         |  FROM documents WHERE doc_id < 300
+         |), h AS (
+         |  SELECT doc_id,
+         |    bit_or(CASE WHEN (base*7 + (x+1)*13 + y*29) % 256
+         |                   > (base*7 + x*13 + y*29) % 256
+         |      THEN CAST(1 AS BIGINT) << (y*8 + x) ELSE CAST(0 AS BIGINT) END) AS dhash
+         |  FROM b,
+         |    generate_series(0, ${Multimodal.DHashW - 1}) AS gx(x),
+         |    generate_series(0, ${Multimodal.DHashH - 1}) AS gy(y)
+         |  GROUP BY doc_id
+         |)
+         |SELECT MIN(doc_id) AS survivor, dhash, COUNT(*) AS n_dups
+         |FROM h GROUP BY dhash ORDER BY survivor""".stripMargin,
   )
 }

@@ -424,10 +424,12 @@ object Relational {
       .sort($"n_name")
   }
 
-  /** jn03's dim-side predicate — selective enough (~2% of orders) that
-    * pruning fact rows BEFORE their shuffle is the win the Bloom filter
-    * exists for. */
-  private final val Jn03PriceFloor = 500000.0
+  /** jn03's dim-side predicate — selective enough (~2% of orders; the
+    * driver data's o_totalprice tops out just under 500k at every SF)
+    * that pruning fact rows BEFORE their shuffle is the win the Bloom
+    * filter exists for. 500000.0 previously selected ZERO orders, making
+    * the entry vacuously green — RelationalSpec's rows>0 smoke caught it. */
+  private final val Jn03PriceFloor = 490000.0
 
   /** jn03: [[graft.ops.Joins.bloomPrunedJoin]] — the explicit runtime
     * Bloom-filter semi-join reduction (what AQE's InjectRuntimeFilter
@@ -445,11 +447,45 @@ object Relational {
     val dim = Tables.orders(s, d)
       .filter($"o_totalprice" > Jn03PriceFloor)
       .select($"o_orderkey", $"o_orderpriority")
+    // rev via an exact integer 1e-4 sum + ONE division (the tp04 cents
+    // pattern): ROUND(SUM(double), 2) is aggregation-order dependent and
+    // flipped a 2-dp boundary between engines at sf0.1; price and
+    // discount are 2-dp, so the product is an exact 4-dp integer
     graft.ops.Joins.bloomPrunedJoin(fact, dim, "l_orderkey", "o_orderkey")
       .groupBy($"o_orderkey", $"o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("rev"))
+        round(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 10000)
+          .cast("bigint")).cast("double") / 10000.0, 2).as("rev"))
       .sort($"o_orderkey")
+  }
+
+  /** jn04's price tiers — deliberately NON-uniform widths (so the bin
+    * trick is doing real work, not renaming a uniform histogram) covering
+    * the data's whole l_extendedprice span, plus the bin width. */
+  private final val Jn04Tiers = Seq(
+    (0L, 2000L, "t0_budget"), (2000L, 10000L, "t1_low"),
+    (10000L, 30000L, "t2_mid"), (30000L, 70000L, "t3_high"),
+    (70000L, 120000L, "t4_premium"))
+  private final val Jn04Bin = 2000L
+
+  /** jn04: [[graft.ops.Joins.rangeLookupJoin]] — the broadcast
+    * interval-lookup enrichment (price → tier here; IP → geo, ts →
+    * fiscal window in production): non-uniform tier intervals are
+    * bin-exploded so the lookup plans as a broadcast HASH join with the
+    * exact range predicate on the join condition — never the
+    * BroadcastNestedLoopJoin Spark gives a naive inequality join
+    * (JoinsSpec pins both halves of that claim). Census per tier with
+    * the exact-cents revenue pattern. The oracle is the naive BETWEEN
+    * join, correct by construction. */
+  private val jn04: Q = (s, d) => {
+    val tiers = s.createDataFrame(Jn04Tiers).toDF("lo", "hi", "tier")
+    val fact = Tables.lineitem(s, d).select($"l_extendedprice".as("price"))
+    graft.ops.Joins.rangeLookupJoin(fact, tiers, "price", "lo", "hi", Jn04Bin)
+      .groupBy($"tier")
+      .agg(count(lit(1)).as("n"),
+        (sum(round($"price" * 100).cast("bigint")).cast("double") / 100.0)
+          .as("rev"))
+      .sort($"tier")
   }
 
   val queries: Map[String, Q] = Map(
@@ -486,6 +522,7 @@ object Relational {
     "jn01_bucketed_join" -> jn01,
     "jn02_salted_join" -> jn02,
     "jn03_bloom_join" -> jn03,
+    "jn04_range_lookup" -> jn04,
   )
 
   val oracle: Map[String, String] = Map(
@@ -578,10 +615,20 @@ object Relational {
     // — the oracle is the PLAIN join
     "jn03_bloom_join" ->
       s"""SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_items,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS rev
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > $Jn03PriceFloor
         |GROUP BY o_orderkey, o_orderpriority
         |ORDER BY o_orderkey""".stripMargin,
+    // the naive BETWEEN join — correct by construction; binning never
+    // changes membership (the exact predicate rides the join)
+    "jn04_range_lookup" ->
+      s"""WITH tiers(lo, hi, tier) AS (VALUES ${Jn04Tiers
+           .map { case (l, h, t) => s"($l, $h, '$t')" }.mkString(", ")})
+        |SELECT tier, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS rev
+        |FROM lineitem JOIN tiers
+        |  ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
   )
 }

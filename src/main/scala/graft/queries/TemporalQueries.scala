@@ -165,6 +165,22 @@ object TemporalQueries {
       .sort($"user_id")
   }
 
+  /** tp07: hourly OHLC bars per user over click values
+    * ([[graft.ops.Temporal.ohlcBars]]) — the time-series compaction
+    * every metrics store runs: open/close picked under the total
+    * (t_us, event_id) order via min_by/max_by STRUCT keys, extremes and
+    * count alongside, all in ONE map-side-combined hash aggregate (no
+    * window, no sort — constant state per bar at any scale). The oracle
+    * re-derives open/close with ROW_NUMBER windows — a different
+    * formulation of the same argmin/argmax, so a tie-handling or
+    * bucketing drift breaks the hash. */
+  private val tp07: Q = (s, d) => {
+    val clicks = Tables.events(s, d).filter($"event_type" === "click")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("t_us"), $"value")
+    Temporal.ohlcBars(clicks, "user_id", "t_us", "event_id", "value", Tp03HourUs)
+      .sort($"user_id", $"bucket")
+  }
+
   /** sk02's sketch shape: 4 hash rows × 512 buckets (16 KiB of counters
     * however large the corpus), estimating the 20 most frequent tokens. */
   private final val CmDepth = 4
@@ -304,6 +320,23 @@ object TemporalQueries {
       .sort($"exact".desc, $"tok")
   }
 
+  /** sk07: KMV set-overlap estimate ([[graft.ops.Sketches.kmvOverlap]],
+    * Beyer et al. 2007) — the bigram VOCABULARIES of two corpus shards
+    * (sources src0–9 vs src10–19) compared entirely through their
+    * constant-size k-min sketches: per-side distinct estimates, the
+    * union estimate, the shared-k-min Jaccard estimate and the derived
+    * intersection estimate, next to the exact counts the oracle states
+    * independently. The estimator columns are deterministic hash order
+    * statistics, so the oracle re-derives them from raw FNV arithmetic
+    * (the sk01 helpers) — an estimator drift breaks the hash. */
+  private val sk07: Q = (s, d) => {
+    val grams = graft.Tables.documents(s, d).select(
+      when(expr("cast(substr(source, 4, 8) as int)") < 10, "A")
+        .otherwise("B").as("g"),
+      explode(exprs.word_ngrams($"text", 2)).as("bg"))
+    Sketches.kmvOverlap(grams, "g", "bg", "A", "B", KmvK)
+  }
+
   val queries: Map[String, Q] = Map(
     "tp01_asof_join" -> tp01,
     "tp02_interval_join" -> tp02,
@@ -311,12 +344,14 @@ object TemporalQueries {
     "tp04_sessionize" -> tp04,
     "tp05_time_weighted_avg" -> tp05,
     "tp06_linear_resample" -> tp06,
+    "tp07_ohlc_bars" -> tp07,
     "sk06_countmin_rollup" -> sk06,
     "sk01_kmv_distinct" -> sk01,
     "sk02_count_min" -> sk02,
     "sk03_histogram_quantile" -> sk03,
     "sk04_approx_distinct" -> sk04,
     "sk05_sketch_rollup" -> sk05,
+    "sk07_kmv_overlap" -> sk07,
   )
 
   // ------------------------------------------------------------- oracles
@@ -539,6 +574,28 @@ object TemporalQueries {
     "tp04_sessionize" -> tp04Oracle,
     "tp05_time_weighted_avg" -> tp05Oracle,
     "tp06_linear_resample" -> tp06Oracle,
+    // open/close re-derived with ROW_NUMBER windows (a different
+    // argmin/argmax formulation than the Spark min_by/max_by aggregate)
+    "tp07_ohlc_bars" ->
+      s"""WITH c AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS t_us, value,
+         |    epoch_us(ts) // $Tp03HourUs * $Tp03HourUs AS bucket
+         |  FROM events WHERE event_type = 'click'
+         |), r AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+         |      ORDER BY t_us, event_id) AS rn_a,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+         |      ORDER BY t_us DESC, event_id DESC) AS rn_d
+         |  FROM c
+         |)
+         |SELECT user_id, bucket,
+         |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |  MAX(value) AS high, MIN(value) AS low,
+         |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |  COUNT(*) AS n
+         |FROM r GROUP BY user_id, bucket
+         |ORDER BY user_id, bucket""".stripMargin,
     // single-pass CMS arithmetic; merged-equals-direct is the
     // counter-additivity theorem, stated TRUE — Spark computes it
     "sk06_countmin_rollup" -> cmOracle(", TRUE AS rollup_equals_direct"),
@@ -573,6 +630,59 @@ object TemporalQueries {
          |  ROUND(CASE WHEN t.nd < $KmvK THEN CAST(t.nd AS DOUBLE) ELSE $est END, 2) AS est,
          |  TRUE AS rollup_equals_direct, TRUE AS within_bound
          |FROM kths t, ex""".stripMargin
+    },
+    // the Beyer et al. estimator re-derived from raw FNV arithmetic:
+    // per-side/union k-min sets as hash rank statistics, the shared-k-min
+    // Jaccard, and the exact counts computed independently over the keys
+    "sk07_kmv_overlap" -> {
+      def estOf(kth: String, nd: String) =
+        s"CASE WHEN $nd < $KmvK THEN CAST($nd AS DOUBLE) " +
+          s"ELSE CAST(${KmvK - 1} AS DOUBLE) * 9.223372036854775808e18 / CAST($kth AS DOUBLE) END"
+      s"""WITH bg AS (
+         |  SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'A' ELSE 'B' END AS g,
+         |    ws[i] || ' ' || ws[i+1] AS key
+         |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         |    LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+         |), f AS (
+         |  SELECT g, key, ${sqlFnv1a64("hx")} AS fh
+         |  FROM (SELECT g, key, hex(encode(key)) AS hx FROM bg)
+         |), kx AS (
+         |  SELECT g, key, ${sqlKmvFinalize("fh")} AS kh FROM f
+         |), dk AS (SELECT DISTINCT g, kh FROM kx
+         |), ra AS (
+         |  SELECT kh, ROW_NUMBER() OVER (ORDER BY kh) AS rn, COUNT(*) OVER () AS nd
+         |  FROM dk WHERE g = 'A'
+         |), rb AS (
+         |  SELECT kh, ROW_NUMBER() OVER (ORDER BY kh) AS rn, COUNT(*) OVER () AS nd
+         |  FROM dk WHERE g = 'B'
+         |), ru AS (
+         |  SELECT kh, ROW_NUMBER() OVER (ORDER BY kh) AS rn, COUNT(*) OVER () AS nd
+         |  FROM (SELECT DISTINCT kh FROM dk)
+         |), stats AS (
+         |  SELECT
+         |    (SELECT ${estOf("kh", "nd")} FROM ra WHERE rn = least(nd, $KmvK)) AS est_a,
+         |    (SELECT ${estOf("kh", "nd")} FROM rb WHERE rn = least(nd, $KmvK)) AS est_b,
+         |    (SELECT ${estOf("kh", "nd")} FROM ru WHERE rn = least(nd, $KmvK)) AS est_u,
+         |    (SELECT least(max(nd), $KmvK) FROM ru) AS su,
+         |    (SELECT COUNT(*) FROM ru
+         |     WHERE rn <= $KmvK
+         |       AND kh IN (SELECT kh FROM ra WHERE rn <= $KmvK)
+         |       AND kh IN (SELECT kh FROM rb WHERE rn <= $KmvK)) AS shared
+         |), ex AS (
+         |  SELECT
+         |    (SELECT COUNT(DISTINCT key) FROM bg WHERE g = 'A') AS exact_a,
+         |    (SELECT COUNT(DISTINCT key) FROM bg WHERE g = 'B') AS exact_b,
+         |    (SELECT COUNT(*) FROM (
+         |       SELECT key FROM bg WHERE g = 'A'
+         |       INTERSECT SELECT key FROM bg WHERE g = 'B')) AS exact_inter
+         |)
+         |SELECT ROUND(est_a, 2) AS est_a, ROUND(est_b, 2) AS est_b,
+         |  ROUND(est_u, 2) AS est_union,
+         |  CAST(shared AS INT) AS shared_kmin,
+         |  ROUND(CAST(shared AS DOUBLE) / su, 4) AS jaccard,
+         |  ROUND(CAST(shared AS DOUBLE) / su * est_u, 2) AS est_inter,
+         |  exact_a, exact_b, CAST(exact_inter AS BIGINT) AS exact_inter
+         |FROM stats, ex""".stripMargin
     },
   )
 }

@@ -146,6 +146,35 @@ class JoinsSpec extends SparkTestBase {
     assert(joined == 500) // 0..99 × 5 occurrences each
   }
 
+  test("rangeLookupJoin equals the brute-force BETWEEN join and plans a hash join") {
+    // random points + deliberately non-uniform intervals, incl. an empty
+    // one (must match nothing) and boundary-exact points
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 500).map(i => (i.toLong, rnd.nextInt(1000).toDouble))
+      .toDF("id", "p")
+    val dim = Seq((0L, 100L, "a"), (100L, 450L, "b"), (450L, 451L, "c"),
+      (500L, 500L, "empty"), (600L, 1000L, "d")).toDF("lo", "hi", "tier")
+    val got = Joins.rangeLookupJoin(pts, dim, "p", "lo", "hi", 128L)
+      .select($"id", $"tier").as[(Long, String)].collect().sorted.toSeq
+    val brute = pts.join(dim, $"p" >= $"lo" && $"p" < $"hi")
+      .select($"id", $"tier").as[(Long, String)].collect().sorted.toSeq
+    assert(got == brute)
+    // lo inclusive, hi exclusive at the exact boundary
+    val edge = Seq((1L, 100.0), (2L, 449.9999), (3L, 450.0)).toDF("id", "p")
+    val e = Joins.rangeLookupJoin(edge, dim, "p", "lo", "hi", 128L)
+      .select($"id", $"tier").as[(Long, String)].collect().toMap
+    assert(e == Map(1L -> "b", 2L -> "b", 3L -> "c"))
+    // the whole point: a broadcast HASH join on the bin, never the
+    // nested-loop scan-every-interval plan
+    val plan = Joins.rangeLookupJoin(pts, dim, "p", "lo", "hi", 128L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    intercept[IllegalArgumentException] {
+      Joins.rangeLookupJoin(pts, dim, "p", "lo", "hi", 0L)
+    }
+  }
+
   test("writePerSource names outputs after their source files") {
     val a = Files.createTempDirectory("graft-srcA").toString
     val b = Files.createTempDirectory("graft-srcB").toString

@@ -137,4 +137,23 @@ class SketchSpec extends SparkTestBase {
     // counters are plain sums → the cell-wise shard merge is LOSSLESS
     assert(cells(merged) == cells(direct))
   }
+
+  test("kmvOverlap: exact columns exact, estimator tracks known overlap, partition-invariant") {
+    // A = k0..k1499, B = k1000..k2499: |A|=|B|=1500, |A∩B|=500, |A∪B|=2500
+    val rows = ((0 until 1500).map(i => ("A", s"k$i")) ++
+      (1000 until 2500).map(i => ("B", s"k$i"))).toDF("g", "key")
+    val r = Sketches.kmvOverlap(rows, "g", "key", "A", "B", 64).collect().head
+    assert(r.getAs[Long]("exact_a") == 1500L)
+    assert(r.getAs[Long]("exact_b") == 1500L)
+    assert(r.getAs[Long]("exact_inter") == 500L)
+    // k=64 on 1.5k/2.5k sets: generous tolerances, deterministic values
+    assert(math.abs(r.getAs[Double]("est_a") - 1500) / 1500 < 0.5, r.toString)
+    assert(math.abs(r.getAs[Double]("est_union") - 2500) / 2500 < 0.5, r.toString)
+    val j = r.getAs[Double]("jaccard")
+    assert(j > 0.05 && j < 0.45, s"jaccard $j should track 0.2") // true J = 500/2500
+    // hash order statistics: identical under any partitioning
+    val r2 = Sketches.kmvOverlap(rows.repartition(7), "g", "key", "A", "B", 64)
+      .collect().head
+    assert(r.toSeq == r2.toSeq)
+  }
 }

@@ -114,6 +114,39 @@ class TemporalSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("ohlcBars: hand-computed bars, tie-broken open/close, one exchange") {
+    // key A, bucket 0: t=10 holds an equal-time tie (ids 1 vs 2 — open
+    // must pick id 1's value); t=90 closes the bar. bucket 100 has one row.
+    val ev = Seq(
+      (1L, "A", 10L, 5.0), (2L, "A", 10L, 7.0), (3L, "A", 90L, 1.0),
+      (4L, "A", 150L, 4.0),
+      (5L, "B", 20L, 2.0)).toDF("id", "k", "t", "v")
+    val bars = Temporal.ohlcBars(ev, "k", "t", "id", "v", 100L)
+      .orderBy("k", "bucket")
+      .select("k", "bucket", "open", "high", "low", "close", "n")
+      .as[(String, Long, Double, Double, Double, Double, Long)]
+      .collect().toSeq
+    assert(bars == Seq(
+      ("A", 0L, 5.0, 7.0, 1.0, 1.0, 3L),
+      ("A", 100L, 4.0, 4.0, 4.0, 4.0, 1L),
+      ("B", 0L, 2.0, 2.0, 2.0, 2.0, 1L)), bars.toString)
+
+    // one map-side-combined aggregate: exactly one exchange, partials
+    // before it, no window pass (struct-keyed min_by buffers aren't
+    // hash-agg mutable, so Spark plans SortAggregate — the sorts are
+    // per-partition on the tiny group key, not a global order)
+    val plan = Temporal.ohlcBars(ev, "k", "t", "id", "v", 100L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+    assert(plan.contains("partial_min_by"), plan)
+    assert(!plan.contains("Window"), plan)
+
+    intercept[IllegalArgumentException] {
+      Temporal.ohlcBars(ev, "k", "t", "id", "v", 0L)
+    }
+  }
+
   test("timeWeightedAvg matches the hand-computed step integral") {
     // key 1: v=10 holds 4 ticks, v=20 holds 6 ticks, v=30 ends the span
     //   twa = (10*4 + 20*6) / 10 = 16.0, span = 10, n = 3
