@@ -487,15 +487,19 @@ object Dedup {
     * more than once corpus-wide. `dup_grams / total_grams` is the
     * duplicated-text fraction a trimming pass thresholds on.
     *
-    * Plan shape at 100 TB — three key-partitioned exchanges, each with
-    * map-side partial aggregation, no broadcast of anything corpus-sized:
-    *  1. row-local gram explode → hash agg on (gram, doc) — collapses a
-    *     doc's repeated grams before anything else sees them;
-    *  2. hash agg on gram → corpus occurrence totals (the suffix-array
-    *     equivalent at gram granularity: constant memory per gram);
-    *  3. equi-join the per-doc counts back to the totals on gram (both
-    *     sides already hash-partitioned by gram from their aggregates,
-    *     so AQE reuses the layout) → hash agg on doc.
+    * Plan shape at 100 TB — TWO key-partitioned exchanges over ONE
+    * evaluation of the gram stream, no broadcast of anything
+    * corpus-sized (plan-audited):
+    *  1. row-local gram explode → map-side partial (doc, gram) collapse
+    *     → one exchange hash-partitioned on gram alone, which satisfies
+    *     BOTH the (doc, gram) final aggregate (gram ⊆ its keys) and the
+    *     corpus-total WINDOW sum over the gram partition (the
+    *     suffix-array equivalent at gram granularity). A window, not a
+    *     self-join: the join form evaluates the exploded-gram subtree
+    *     twice and invites a broadcast of the gram-totals side, which
+    *     is corpus-sized. A hot gram's window partition is its doc
+    *     list — the same reducer skew either shape pays.
+    *  2. hash agg on doc for the per-document fractions.
     * `carryCols` ride along through the explode into the group keys
     * (same rationale as lmCoverage: row-local width beats a second
     * doc-count-sized join). */
@@ -506,9 +510,8 @@ object Dedup {
     val perDocGram = occ
       .groupBy(col("id") +: carryCols.map(col) :+ col("gram"): _*)
       .agg(count(lit(1)).as("cnt"))
-    val gramTotals = perDocGram
-      .groupBy(col("gram")).agg(sum(col("cnt")).as("tot"))
-    perDocGram.join(gramTotals, Seq("gram"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    perDocGram.withColumn("tot", sum(col("cnt")).over(w))
       .groupBy(col("id") +: carryCols.map(col): _*)
       .agg(sum(col("cnt")).as("total_grams"),
         sum(when(col("tot") > 1, col("cnt")).otherwise(0L)).as("dup_grams"))
