@@ -260,8 +260,32 @@ object StreamingQueries {
       .sort("lang")
   }
 
+  /** st09's bar width in microseconds (1-hour tumbling bars — matches
+    * the `window(ts, "1 hour")` epoch-aligned buckets). */
+  private final val St09BarUs = 3600L * 1000000L
+
+  /** st09: streaming OHLC bars ([[graft.streaming.EventStreams.ohlcBars]])
+    * — the live metrics-store compaction, tp07's streaming twin: per
+    * (hour bar, user) open/high/low/close/count over click values, with
+    * open/close picked under the total (time, id) order by mergeable
+    * min_by/max_by state so micro-batch boundaries can never change a
+    * bar. Complete mode for the deterministic verification run; the
+    * oracle re-derives open/close with ROW_NUMBER windows exactly like
+    * tp07's, so the streaming state merge is graded value-identical to
+    * the batch aggregate. */
+  private val st09: Q = (s, d) => {
+    val ev = EventStreams.readEventStream(s, d)
+      .filter(col("event_type") === "click")
+    val out = runToCompletion(
+      EventStreams.ohlcBars(ev, "1 hour"), "graft_st09", "complete")
+    out.select(col("user_id"), unix_micros(col("window.start")).as("bar_us"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+      .sort("user_id", "bar_us")
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_windowed_stream" -> st01,
+    "st09_stream_ohlc" -> st09,
     "st02_sessionization" -> st02,
     "st03_session_window" -> st03,
     "st04_stream_join" -> st04,
@@ -272,6 +296,28 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // tp07's ROW_NUMBER open/close re-derivation over the same hourly
+    // buckets — the streaming state merge must equal the batch aggregate
+    "st09_stream_ohlc" ->
+      s"""WITH c AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS t_us, value,
+         |    epoch_us(ts) // $St09BarUs * $St09BarUs AS bar_us
+         |  FROM events WHERE event_type = 'click'
+         |), r AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, bar_us
+         |      ORDER BY t_us, event_id) AS rn_a,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, bar_us
+         |      ORDER BY t_us DESC, event_id DESC) AS rn_d
+         |  FROM c
+         |)
+         |SELECT user_id, bar_us,
+         |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |  MAX(value) AS high, MIN(value) AS low,
+         |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |  COUNT(*) AS n
+         |FROM r GROUP BY user_id, bar_us
+         |ORDER BY user_id, bar_us""".stripMargin,
     "st01_windowed_stream" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
