@@ -489,24 +489,29 @@ object Dedup {
     *
     * Plan shape at 100 TB — TWO key-partitioned exchanges over ONE
     * evaluation of the gram stream, no broadcast of anything
-    * corpus-sized (plan-audited):
-    *  1. row-local gram explode → map-side partial (doc, gram) collapse
-    *     → one exchange hash-partitioned on gram alone, which satisfies
-    *     BOTH the (doc, gram) final aggregate (gram ⊆ its keys) and the
-    *     corpus-total WINDOW sum over the gram partition (the
-    *     suffix-array equivalent at gram granularity). A window, not a
-    *     self-join: the join form evaluates the exploded-gram subtree
-    *     twice and invites a broadcast of the gram-totals side, which
-    *     is corpus-sized. A hot gram's window partition is its doc
-    *     list — the same reducer skew either shape pays.
+    * corpus-sized (pinned by OpsSpec):
+    *  1. the exploded occurrence stream is explicitly hash-partitioned
+    *     on gram ONCE; that single layout serves the (doc, gram)
+    *     collapse (gram ⊆ its keys), and the corpus-total WINDOW sum
+    *     over the gram partition (the suffix-array equivalent at gram
+    *     granularity). A window, not a totals self-join: the join form
+    *     evaluates the exploded-gram subtree twice and invites a
+    *     broadcast of the gram-totals side, which is corpus-sized.
     *  2. hash agg on doc for the per-document fractions.
-    * `carryCols` ride along through the explode into the group keys
-    * (same rationale as lmCoverage: row-local width beats a second
-    * doc-count-sized join). */
+    * Tradeoff made explicit: partitioning the RAW occurrence stream
+    * forgoes the map-side (doc, gram) pre-collapse, which only pays
+    * when documents repeat the same n-gram internally — rare at
+    * 8-gram width in natural text, and letting Catalyst place that
+    * collapse first costs a third full-size exchange (measured). A hot
+    * gram's window partition is its doc list — the same reducer skew
+    * either shape pays. `carryCols` ride along through the explode into
+    * the group keys (same rationale as lmCoverage: row-local width
+    * beats a second doc-count-sized join). */
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
       n: Int, carryCols: String*): DataFrame = {
     val keys = col(idCol).as("id") +: carryCols.map(col)
     val occ = df.select(keys :+ explode(exprs.word_ngrams(col(textCol), n)).as("gram"): _*)
+      .repartition(col("gram"))
     val perDocGram = occ
       .groupBy(col("id") +: carryCols.map(col) :+ col("gram"): _*)
       .agg(count(lit(1)).as("cnt"))

@@ -141,6 +141,9 @@ object Joins {
     * `div`, which truncates toward zero — a negative `lo` would round
     * the wrong way; `hi` is exclusive, so a range ending on a bin
     * boundary does not cover that bin); the point may be fractional.
+    * An INTEGRAL point column keeps exact integer division end to end —
+    * a double-division bin would silently mis-bin values above 2^53
+    * (epoch nanoseconds!) and drop their matches (pinned by JoinsSpec).
     * Empty intervals (lo >= hi) match nothing. */
   def rangeLookupJoin(fact: DataFrame, dim: DataFrame, pointCol: String,
       loCol: String, hiCol: String, binWidth: Long): DataFrame = {
@@ -151,7 +154,12 @@ object Joins {
       explode(when(col(loCol) < col(hiCol),
         sequence(expr(s"cast(`$loCol` as bigint) div $binWidth"),
           expr(s"(cast(`$hiCol` as bigint) - 1) div $binWidth")))))
-    val factBin = floor(col(pointCol) / binWidth).cast("long")
+    import org.apache.spark.sql.types._
+    val factBin = fact.schema(pointCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        expr(s"cast(`$pointCol` as bigint) div $binWidth")
+      case _ => floor(col(pointCol) / binWidth).cast("long")
+    }
     fact.join(broadcast(bins),
         factBin === bins("__bin") &&
           col(pointCol) >= bins(loCol) && col(pointCol) < bins(hiCol))

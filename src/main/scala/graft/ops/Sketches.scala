@@ -96,50 +96,50 @@ object Sketches {
     * estimates the distinct intersection. Deterministic for fixed data
     * (hash order statistics — no seeds, no partition dependence).
     *
-    * Scale: two map-side-combined hash aggregates over the hashed keys
-    * (per-group sketches + the union sketch), then a one-row
-    * broadcast-crossed projection; nothing downstream of the aggregates
-    * grows with the data. The exact columns (distinct per side / shared
-    * keys) are the verification baseline a test-scale run grades — at
-    * 100 TB one runs ONLY the sketch half. Returns one row:
+    * Scale: exactly TWO passes over the hashed keys, both
+    * map-side-combined (pinned by SketchSpec). Pass 1 computes all six
+    * sketch values in ONE global aggregate — the per-side sketches read
+    * conditional inputs (`when(g = A, h)`; the KMV update skips nulls),
+    * so no per-side re-scan exists. Pass 2 is the exact baseline: one
+    * hash agg on the key (per-key side-membership flags), then a global
+    * rollup. At 100 TB one runs ONLY pass 1 — the exact columns are the
+    * verification baseline a test-scale run grades. Returns one row:
     * (est_a, est_b, est_union, shared_kmin, jaccard, est_inter,
-    * exact_a, exact_b, exact_inter). */
+    * exact_a, exact_b, exact_union, exact_inter). */
   def kmvOverlap(df: DataFrame, groupCol: String, keyCol: String,
       gA: String, gB: String, k: Int): DataFrame = {
     require(k > 0, s"kmvOverlap needs k > 0, got $k")
     val hashed = df.filter(col(groupCol).isin(gA, gB))
       .select(col(groupCol).as("g"), col(keyCol).as("key"),
         exprs.kmv_hash(col(keyCol)).as("h"))
-    def side(g: String, name: String) = hashed.filter(col("g") === g)
-      .agg(exprs.kmv_sketch(col("h"), k).as(s"sk_$name"),
-        exprs.kmv_distinct(col("h"), k).as("kmv"))
-      .select(col(s"sk_$name"), col("kmv.est").as(s"est_$name"))
-    val union = hashed
-      .agg(exprs.kmv_sketch(col("h"), k).as("sk_u"),
-        exprs.kmv_distinct(col("h"), k).as("kmv"))
-      .select(col("sk_u"), col("kmv.est").as("est_union"))
-    val exact = hashed.select(col("g"), col("key")).distinct()
-      .groupBy(col("key")).agg(count(lit(1)).as("ng"))
-      .agg(sum(when(col("ng") === 2, 1L).otherwise(0L)).as("exact_inter"),
-        count(lit(1)).as("exact_union"))
-    val exactSides = hashed.agg(
-      countDistinct(when(col("g") === gA, col("key"))).as("exact_a"),
-      countDistinct(when(col("g") === gB, col("key"))).as("exact_b"))
+    val sk = hashed.agg(
+      exprs.kmv_sketch(when(col("g") === gA, col("h")), k).as("sk_a"),
+      exprs.kmv_sketch(when(col("g") === gB, col("h")), k).as("sk_b"),
+      exprs.kmv_sketch(col("h"), k).as("sk_u"),
+      exprs.kmv_distinct(when(col("g") === gA, col("h")), k).as("kmv_a"),
+      exprs.kmv_distinct(when(col("g") === gB, col("h")), k).as("kmv_b"),
+      exprs.kmv_distinct(col("h"), k).as("kmv_u"))
+    val exact = hashed
+      .groupBy(col("key"))
+      .agg(max(when(col("g") === gA, 1).otherwise(0)).as("in_a"),
+        max(when(col("g") === gB, 1).otherwise(0)).as("in_b"))
+      .agg(sum(col("in_a")).cast("long").as("exact_a"),
+        sum(col("in_b")).cast("long").as("exact_b"),
+        count(lit(1)).as("exact_union"),
+        sum(when(col("in_a") + col("in_b") === 2, 1L).otherwise(0L))
+          .as("exact_inter"))
     val shared = size(array_intersect(col("sk_u"),
       array_intersect(col("sk_a"), col("sk_b"))))
-    side(gA, "a").crossJoin(broadcast(side(gB, "b")))
-      .crossJoin(broadcast(union))
-      .crossJoin(broadcast(exact))
-      .crossJoin(broadcast(exactSides))
+    sk.crossJoin(broadcast(exact))
       .select(
-        round(col("est_a"), 2).as("est_a"),
-        round(col("est_b"), 2).as("est_b"),
-        round(col("est_union"), 2).as("est_union"),
+        round(col("kmv_a.est"), 2).as("est_a"),
+        round(col("kmv_b.est"), 2).as("est_b"),
+        round(col("kmv_u.est"), 2).as("est_union"),
         shared.as("shared_kmin"),
         round(shared.cast("double") / size(col("sk_u")), 4).as("jaccard"),
-        round(shared.cast("double") / size(col("sk_u")) * col("est_union"), 2)
+        round(shared.cast("double") / size(col("sk_u")) * col("kmv_u.est"), 2)
           .as("est_inter"),
-        col("exact_a"), col("exact_b"), col("exact_inter"))
+        col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"))
   }
 
   /** Cumulative fixed-width histogram of `valueCol` in `vals` (already

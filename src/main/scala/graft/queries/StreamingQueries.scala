@@ -296,28 +296,9 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
-    // tp07's ROW_NUMBER open/close re-derivation over the same hourly
-    // buckets — the streaming state merge must equal the batch aggregate
-    "st09_stream_ohlc" ->
-      s"""WITH c AS (
-         |  SELECT user_id, event_id, epoch_us(ts) AS t_us, value,
-         |    epoch_us(ts) // $St09BarUs * $St09BarUs AS bar_us
-         |  FROM events WHERE event_type = 'click'
-         |), r AS (
-         |  SELECT *,
-         |    ROW_NUMBER() OVER (PARTITION BY user_id, bar_us
-         |      ORDER BY t_us, event_id) AS rn_a,
-         |    ROW_NUMBER() OVER (PARTITION BY user_id, bar_us
-         |      ORDER BY t_us DESC, event_id DESC) AS rn_d
-         |  FROM c
-         |)
-         |SELECT user_id, bar_us,
-         |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
-         |  MAX(value) AS high, MIN(value) AS low,
-         |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
-         |  COUNT(*) AS n
-         |FROM r GROUP BY user_id, bar_us
-         |ORDER BY user_id, bar_us""".stripMargin,
+    // the SHARED OHLC grading contract (TemporalQueries.ohlcOracleSql):
+    // the streaming state merge must equal tp07's batch aggregate
+    "st09_stream_ohlc" -> TemporalQueries.ohlcOracleSql("bar_us", St09BarUs),
     "st01_windowed_stream" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sv

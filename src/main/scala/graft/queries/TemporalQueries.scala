@@ -567,6 +567,33 @@ object TemporalQueries {
        |ORDER BY t.q""".stripMargin
   }
 
+  /** The OHLC grading contract, shared by tp07 (batch) and st09
+    * (streaming) so the two entries can never drift: open/close
+    * re-derived with ROW_NUMBER windows (a different argmin/argmax
+    * formulation than the Spark min_by/max_by aggregate) over
+    * `barUs`-wide buckets of click events; the bucket column is emitted
+    * as `bucketAlias`. */
+  private[queries] def ohlcOracleSql(bucketAlias: String, barUs: Long): String =
+    s"""WITH c AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS t_us, value,
+       |    epoch_us(ts) // $barUs * $barUs AS $bucketAlias
+       |  FROM events WHERE event_type = 'click'
+       |), r AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, $bucketAlias
+       |      ORDER BY t_us, event_id) AS rn_a,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, $bucketAlias
+       |      ORDER BY t_us DESC, event_id DESC) AS rn_d
+       |  FROM c
+       |)
+       |SELECT user_id, $bucketAlias,
+       |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       |  MAX(value) AS high, MIN(value) AS low,
+       |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       |  COUNT(*) AS n
+       |FROM r GROUP BY user_id, $bucketAlias
+       |ORDER BY user_id, $bucketAlias""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "tp01_asof_join" -> tp01Oracle,
     "tp02_interval_join" -> tp02Oracle,
@@ -574,28 +601,7 @@ object TemporalQueries {
     "tp04_sessionize" -> tp04Oracle,
     "tp05_time_weighted_avg" -> tp05Oracle,
     "tp06_linear_resample" -> tp06Oracle,
-    // open/close re-derived with ROW_NUMBER windows (a different
-    // argmin/argmax formulation than the Spark min_by/max_by aggregate)
-    "tp07_ohlc_bars" ->
-      s"""WITH c AS (
-         |  SELECT user_id, event_id, epoch_us(ts) AS t_us, value,
-         |    epoch_us(ts) // $Tp03HourUs * $Tp03HourUs AS bucket
-         |  FROM events WHERE event_type = 'click'
-         |), r AS (
-         |  SELECT *,
-         |    ROW_NUMBER() OVER (PARTITION BY user_id, bucket
-         |      ORDER BY t_us, event_id) AS rn_a,
-         |    ROW_NUMBER() OVER (PARTITION BY user_id, bucket
-         |      ORDER BY t_us DESC, event_id DESC) AS rn_d
-         |  FROM c
-         |)
-         |SELECT user_id, bucket,
-         |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
-         |  MAX(value) AS high, MIN(value) AS low,
-         |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
-         |  COUNT(*) AS n
-         |FROM r GROUP BY user_id, bucket
-         |ORDER BY user_id, bucket""".stripMargin,
+    "tp07_ohlc_bars" -> ohlcOracleSql("bucket", Tp03HourUs),
     // single-pass CMS arithmetic; merged-equals-direct is the
     // counter-additivity theorem, stated TRUE — Spark computes it
     "sk06_countmin_rollup" -> cmOracle(", TRUE AS rollup_equals_direct"),
@@ -672,6 +678,7 @@ object TemporalQueries {
          |  SELECT
          |    (SELECT COUNT(DISTINCT key) FROM bg WHERE g = 'A') AS exact_a,
          |    (SELECT COUNT(DISTINCT key) FROM bg WHERE g = 'B') AS exact_b,
+         |    (SELECT COUNT(DISTINCT key) FROM bg) AS exact_union,
          |    (SELECT COUNT(*) FROM (
          |       SELECT key FROM bg WHERE g = 'A'
          |       INTERSECT SELECT key FROM bg WHERE g = 'B')) AS exact_inter
@@ -681,7 +688,8 @@ object TemporalQueries {
          |  CAST(shared AS INT) AS shared_kmin,
          |  ROUND(CAST(shared AS DOUBLE) / su, 4) AS jaccard,
          |  ROUND(CAST(shared AS DOUBLE) / su * est_u, 2) AS est_inter,
-         |  exact_a, exact_b, CAST(exact_inter AS BIGINT) AS exact_inter
+         |  exact_a, exact_b, exact_union,
+         |  CAST(exact_inter AS BIGINT) AS exact_inter
          |FROM stats, ex""".stripMargin
     },
   )

@@ -170,6 +170,13 @@ class JoinsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // integral points keep exact integer binning: 2^60 + 95 is not
+    // representable as a double (ulp = 256 there), so a double-division
+    // bin would land one bin low and silently drop the match
+    val bigBase = 1L << 60
+    val bigPts = Seq((1L, bigBase + 95L)).toDF("id", "p")
+    val bigDim = Seq((bigBase + 64L, bigBase + 128L, "hi_tier")).toDF("lo", "hi", "tier")
+    assert(Joins.rangeLookupJoin(bigPts, bigDim, "p", "lo", "hi", 64L).count() == 1)
     intercept[IllegalArgumentException] {
       Joins.rangeLookupJoin(pts, dim, "p", "lo", "hi", 0L)
     }

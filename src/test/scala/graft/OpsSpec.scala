@@ -702,6 +702,14 @@ class OpsSpec extends SparkTestBase {
       got.toString)
     // doc 4 (no bigram) carries no span evidence and must not appear
     assert(!got.contains(4L))
+    // plan pin: TWO key exchanges (gram, then doc) over ONE evaluation
+    // of the gram stream — no totals self-join, no duplicate subtree
+    val plan = Dedup.duplicatedSpanStats(docs3, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
+    assert("LocalTableScan".r.findAllMatchIn(plan).length == 1, plan)
+    assert(!plan.contains("Join"), plan)
   }
 
   test("pii scrub: counts and redaction on crafted strings, clean text unharmed") {

@@ -145,7 +145,14 @@ class SketchSpec extends SparkTestBase {
     val r = Sketches.kmvOverlap(rows, "g", "key", "A", "B", 64).collect().head
     assert(r.getAs[Long]("exact_a") == 1500L)
     assert(r.getAs[Long]("exact_b") == 1500L)
+    assert(r.getAs[Long]("exact_union") == 2500L)
     assert(r.getAs[Long]("exact_inter") == 500L)
+    // two passes over the input, not five: one scan feeds the combined
+    // sketch aggregate (conditional inputs), one the exact baseline
+    val plan = Sketches.kmvOverlap(rows, "g", "key", "A", "B", 64)
+      .queryExecution.executedPlan.toString
+    val scans = "LocalTableScan".r.findAllMatchIn(plan).length
+    assert(scans == 2, s"expected 2 input scans, got $scans:\n$plan")
     // k=64 on 1.5k/2.5k sets: generous tolerances, deterministic values
     assert(math.abs(r.getAs[Double]("est_a") - 1500) / 1500 < 0.5, r.toString)
     assert(math.abs(r.getAs[Double]("est_union") - 2500) / 2500 < 0.5, r.toString)
