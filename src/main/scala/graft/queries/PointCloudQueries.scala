@@ -541,7 +541,38 @@ object PointCloudQueries {
       .sort($"grp")
   }
 
+  /** pc20's grid: coordinates fold into a dense 0..999 span first
+    * (sf-independent — the raw keys only fill their 0..1e6 span at
+    * large SF, and a grid over empty span would be one vacuous cell),
+    * then 100-unit cells → a populated 10×10 grid at every SF. */
+  private final val Pc20Span = 1000L
+  private final val Pc20Cell = 100L
+
+  /** pc20: elevation grid — the DEM/ground-extraction pass every LiDAR
+    * pipeline runs (the 2.5D twin of pc06's 3D voxel ops): points flow
+    * through the REAL LAS round trip, then ONE map-side-combined hash
+    * aggregate on the (x, y) grid cell yields per-cell point count,
+    * minimum z (the ground estimate), maximum z and relief. Integer
+    * arithmetic end to end; the oracle computes the same grid from the
+    * source parquet, so a hash match proves the LAS encode/decode AND
+    * the grid arithmetic. At 100 TB this is one shuffle of
+    * constant-size cell rows. */
+  private val pc20: Q = (s, d) => {
+    val pts = lasPointFrame(s, d)
+    val dir = tmpDir("pc20", d)
+    pts.writeLas(dir, Map("scale" -> "0.001"))
+    s.read.las(dir)
+      .groupBy(expr(s"cast(x as bigint) % $Pc20Span div $Pc20Cell").as("gx"),
+        expr(s"cast(y as bigint) % $Pc20Span div $Pc20Cell").as("gy"))
+      .agg(count(lit(1)).as("n"),
+        min($"z").as("ground"),
+        max($"z").as("top"),
+        (max($"z") - min($"z")).as("relief"))
+      .sort($"gx", $"gy")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pc20_elevation_grid" -> pc20,
     "pc01_las_roundtrip" -> pc01,
     "pc02_ply_roundtrip" -> pc02,
     "pc03_xyz_roundtrip" -> pc03,
@@ -564,6 +595,17 @@ object PointCloudQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same grid arithmetic over the source parquet: a hash match proves
+    // the LAS round trip AND the cell aggregation
+    "pc20_elevation_grid" ->
+      s"""SELECT CAST(l_orderkey % 1000000 AS BIGINT) % $Pc20Span // $Pc20Cell AS gx,
+         |  CAST(l_partkey % 1000000 AS BIGINT) % $Pc20Span // $Pc20Cell AS gy,
+         |  COUNT(*) AS n,
+         |  MIN(CAST(l_suppkey % 1000000 AS INT)) AS ground,
+         |  MAX(CAST(l_suppkey % 1000000 AS INT)) AS top,
+         |  MAX(CAST(l_suppkey % 1000000 AS INT))
+         |    - MIN(CAST(l_suppkey % 1000000 AS INT)) AS relief
+         |FROM lineitem GROUP BY gx, gy ORDER BY gx, gy""".stripMargin,
     // CAST wraps the aggregate itself: DuckDB SUM(BIGINT) yields HUGEINT, which the
     // driver's pandas bridge floats — values equal but hash differs without the cast.
     "pc01_las_roundtrip" ->
