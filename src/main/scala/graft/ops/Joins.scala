@@ -137,32 +137,49 @@ object Joins {
     * dimension too big to broadcast the same bin-explode degrades to one
     * ordinary shuffled equi-join on the bin.
     *
-    * Interval bounds must be NONNEGATIVE integers (the bin cover uses
-    * `div`, which truncates toward zero — a negative `lo` would round
-    * the wrong way; `hi` is exclusive, so a range ending on a bin
-    * boundary does not cover that bin); the point may be fractional.
-    * An INTEGRAL point column keeps exact integer division end to end —
-    * a double-division bin would silently mis-bin values above 2^53
-    * (epoch nanoseconds!) and drop their matches (pinned by JoinsSpec).
-    * Empty intervals (lo >= hi) match nothing. */
+    * Interval bounds are integral but may be NEGATIVE: both the bin
+    * cover and the integral fact path bin with exact FLOOR division
+    * (`(x - pmod(x, w)) div w` — `x - pmod` is an exact multiple of
+    * `w`, so the truncating `div` equals floor there), matching the
+    * fractional path's `floor()`, so a point in a negative interval
+    * bins into the interval's cover instead of one cell away. `hi` is
+    * exclusive, so a range ending on a bin boundary does not cover that
+    * bin. An INTEGRAL point column keeps exact integer arithmetic end
+    * to end — a double-division bin would silently mis-bin values above
+    * 2^53 (epoch nanoseconds!) and drop their matches (pinned by
+    * JoinsSpec, as is negative binning). Empty intervals (lo >= hi)
+    * match nothing.
+    *
+    * `joinType` is `"inner"` by default — fact rows whose point falls
+    * in no interval (or is null) are DROPPED. Pass `"left_outer"` for
+    * the keep-unmatched enrichment shape (IP→geo where unknown IPs
+    * survive with null geo columns); any other type is rejected, since
+    * right/full semantics over the bin-exploded dimension would
+    * duplicate unmatched intervals per covered bin. */
   def rangeLookupJoin(fact: DataFrame, dim: DataFrame, pointCol: String,
-      loCol: String, hiCol: String, binWidth: Long): DataFrame = {
+      loCol: String, hiCol: String, binWidth: Long,
+      joinType: String = "inner"): DataFrame = {
     require(binWidth > 0, s"rangeLookupJoin needs binWidth > 0, got $binWidth")
+    require(Set("inner", "left_outer", "left").contains(joinType),
+      s"rangeLookupJoin supports inner/left_outer, got $joinType")
     require(!fact.columns.contains("__bin") && !dim.columns.contains("__bin"),
       "rangeLookupJoin uses '__bin' as a temporary column; rename that input column")
+    def floorDiv(x: String) =
+      s"(($x) - pmod(($x), $binWidth)) div $binWidth"
     val bins = dim.withColumn("__bin",
       explode(when(col(loCol) < col(hiCol),
-        sequence(expr(s"cast(`$loCol` as bigint) div $binWidth"),
-          expr(s"(cast(`$hiCol` as bigint) - 1) div $binWidth")))))
+        sequence(expr(floorDiv(s"cast(`$loCol` as bigint)")),
+          expr(floorDiv(s"cast(`$hiCol` as bigint) - 1"))))))
     import org.apache.spark.sql.types._
     val factBin = fact.schema(pointCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        expr(s"cast(`$pointCol` as bigint) div $binWidth")
+        expr(floorDiv(s"cast(`$pointCol` as bigint)"))
       case _ => floor(col(pointCol) / binWidth).cast("long")
     }
     fact.join(broadcast(bins),
         factBin === bins("__bin") &&
-          col(pointCol) >= bins(loCol) && col(pointCol) < bins(hiCol))
+          col(pointCol) >= bins(loCol) && col(pointCol) < bins(hiCol),
+        joinType)
       .drop("__bin")
   }
 

@@ -105,7 +105,13 @@ object Sketches {
     * rollup. At 100 TB one runs ONLY pass 1 — the exact columns are the
     * verification baseline a test-scale run grades. Returns one row:
     * (est_a, est_b, est_union, shared_kmin, jaccard, est_inter,
-    * exact_a, exact_b, exact_union, exact_inter). */
+    * exact_a, exact_b, exact_union, exact_inter).
+    *
+    * Degenerate input (neither group present after the filter): the
+    * per-side/union estimates are a true 0 (the cardinality of an empty
+    * set), but `jaccard`/`est_inter` have a 0/0 denominator and are
+    * returned as EXPLICIT nulls — the similarity of two empty sets is
+    * undefined, and a silent 0 would read as "provably disjoint". */
   def kmvOverlap(df: DataFrame, groupCol: String, keyCol: String,
       gA: String, gB: String, k: Int): DataFrame = {
     require(k > 0, s"kmvOverlap needs k > 0, got $k")
@@ -136,8 +142,12 @@ object Sketches {
         round(col("kmv_b.est"), 2).as("est_b"),
         round(col("kmv_u.est"), 2).as("est_union"),
         shared.as("shared_kmin"),
-        round(shared.cast("double") / size(col("sk_u")), 4).as("jaccard"),
-        round(shared.cast("double") / size(col("sk_u")) * col("kmv_u.est"), 2)
+        when(size(col("sk_u")) === 0, lit(null))
+          .otherwise(round(shared.cast("double") / size(col("sk_u")), 4))
+          .as("jaccard"),
+        when(size(col("sk_u")) === 0, lit(null))
+          .otherwise(round(
+            shared.cast("double") / size(col("sk_u")) * col("kmv_u.est"), 2))
           .as("est_inter"),
         col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"))
   }

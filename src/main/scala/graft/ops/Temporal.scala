@@ -201,7 +201,10 @@ object Temporal {
     * shape: bars are constant-size state per group however many raw
     * rows a bucket holds, and the partial aggregation collapses each
     * map partition before the shuffle. `time` must be an integral epoch
-    * column; `barWidth` shares its unit. */
+    * column; `barWidth` shares its unit. Bucketing is FLOOR-division
+    * (`t - pmod(t, w)` — exact integer arithmetic), so negative
+    * (pre-1970) epochs land in their true bar, matching the oracle's
+    * `//` semantics, instead of rounding toward zero. */
   def ohlcBars(
       df: DataFrame,
       key: String,
@@ -214,7 +217,7 @@ object Temporal {
     require(!df.columns.contains("__bucket"),
       "ohlcBars uses '__bucket' as a temporary column; rename that input column")
     val ord = struct(col(time), col(id))
-    df.withColumn("__bucket", expr(s"`$time` div $barWidth * $barWidth"))
+    df.withColumn("__bucket", expr(s"`$time` - pmod(`$time`, $barWidth)"))
       .groupBy(col(key), col("__bucket").as("bucket"))
       .agg(
         min_by(col(valueCol), ord).as("open"),

@@ -240,18 +240,33 @@ object TextAnalysis {
   final val PiiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+", "<EMAIL>"),
     ("phone", "\\+1-555-[0-9]+", "<PHONE>"),
-    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("card", "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}", "<CARD>"),
+    ("iban", "[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}", "<IBAN>"))
 
   /** Per-pattern PII match counts of `text`, in [[PiiPatterns]] order —
     * row-local codegen'd regexp_count columns (the detection census a
-    * privacy review reads before any redaction ships). */
+    * privacy review reads before any redaction ships).
+    *
+    * Counts use SCRUB semantics: pattern i is counted on the text with
+    * patterns 0..i-1 already redacted — exactly the text [[piiScrub]]
+    * hands pattern i — so the census always agrees with what the scrub
+    * redacts. An overlapping span (a dotted quad inside an email local
+    * part, say) counts ONCE, for the first pattern that claims it;
+    * counting every pattern on the raw text instead would double-count
+    * it and report more hits than redactions. */
   def piiCounts(text: Column): Seq[(String, Column)] =
-    PiiPatterns.map { case (name, re, _) =>
-      name -> regexp_count(text, lit(re)) }
+    PiiPatterns.foldLeft((Seq.empty[(String, Column)], text)) {
+      case ((acc, t), (name, re, token)) =>
+        (acc :+ (name -> regexp_count(t, lit(re))),
+          regexp_replace(t, re, token))
+    }._1
 
   /** `text` with every [[PiiPatterns]] match replaced by its redaction
     * token, patterns applied in list order (email before ip, so a
-    * dotted-quad inside an already-redacted email can't double-fire).
+    * dotted-quad inside an already-redacted email can't double-fire;
+    * [[piiCounts]] counts on the same progressively-scrubbed text, so
+    * census and redactions agree span for span).
     * Row-local, no shuffle — the map stage of a corpus scrub. */
   def piiScrub(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (c, (_, re, token)) =>

@@ -726,10 +726,12 @@ object OpsQueries {
       .sort($"lang")
   }
 
-  /** tx16's deterministic PII injection — the corpus has no digits or
-    * '@' (pinned by the base-clean census columns), so every detection
-    * is attributable to the injection and the expected counts are pure
-    * doc_id arithmetic. Both engines build the SAME augmented text. */
+  /** tx16's deterministic PII injection — the corpus has no digits, '@'
+    * or uppercase (pinned by the base-clean census columns), so every
+    * detection is attributable to the injection and the expected counts
+    * are pure doc_id arithmetic. Both engines build the SAME augmented
+    * text. Five families, one per [[TextAnalysis.PiiPatterns]] entry,
+    * on coprime doc_id residues so the per-doc combinations vary. */
   private def tx16Inject(text: org.apache.spark.sql.Column,
       id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(text,
@@ -741,38 +743,48 @@ object OpsQueries {
         .otherwise(lit("")),
       when(id % 5 === 2,
         concat(lit(" from 10."), (id % 256).cast("string"), lit(".0.1")))
+        .otherwise(lit("")),
+      when(id % 6 === 3,
+        concat(lit(" card 4111-"), lpad((id % 10000).cast("string"), 4, "0"),
+          lit("-2222-"), lpad(((id * 3) % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 7 === 4,
+        concat(lit(" iban DE"), lpad((id % 100).cast("string"), 2, "0"),
+          lit("BANK"), lpad((id % 1000000).cast("string"), 10, "0")))
         .otherwise(lit("")))
 
   /** tx16: PII detection + redaction census
     * ([[graft.ops.TextAnalysis.piiCounts]]/[[piiScrub]]) — the
     * compliance scrub a training corpus runs before anything ships:
-    * emails, phone numbers and dotted-quad IPs are counted and replaced
-    * with redaction tokens, entirely row-locally (codegen'd regexes, no
-    * shuffle until the one census hash-agg). PII is INJECTED
-    * deterministically from doc_id (the driver corpus carries none — a
-    * base_clean count pins that assumption every run), so the oracle
-    * knows exactly what must be found; `clean_chars` grades the
+    * emails, phone numbers, dotted-quad IPs, 16-digit card shapes and
+    * IBAN shapes are counted and replaced with redaction tokens,
+    * entirely row-locally (codegen'd regexes, no shuffle until the one
+    * census hash-agg). Census columns are GENERATED from
+    * [[TextAnalysis.PiiPatterns]] (name + "s"), so adding a pattern
+    * family extends this entry and its oracle mechanically. PII is
+    * INJECTED deterministically from doc_id (the driver corpus carries
+    * none — a base_hits count pins that assumption every run), so the
+    * oracle knows exactly what must be found; `clean_chars` grades the
     * redacted text's length, pinning that replacement happened and
     * nothing else changed. */
   private val tx16: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select($"lang", $"text", tx16Inject($"text", $"doc_id").as("itext"))
     val counts = TextAnalysis.piiCounts($"itext")
-    val injected = docs.select($"lang",
-      counts.head._2.as("emails"),
-      counts(1)._2.as("phones"),
-      counts(2)._2.as("ips"),
-      length(TextAnalysis.piiScrub($"itext")).as("clean_len"),
-      TextAnalysis.piiCounts($"text").map(_._2).reduce(_ + _).as("base_hits"))
+    val injected = docs.select(
+      $"lang" +:
+        counts.map { case (n, c) => c.as(n + "s") } :+
+        length(TextAnalysis.piiScrub($"itext")).as("clean_len") :+
+        TextAnalysis.piiCounts($"text").map(_._2).reduce(_ + _).as("base_hits"): _*)
+    val perPattern =
+      counts.map { case (n, _) => sum(col(n + "s").cast("long")).as(n + "s") }
     injected.groupBy($"lang")
       .agg(count(lit(1)).as("docs"),
-        sum($"emails".cast("long")).as("emails"),
-        sum($"phones".cast("long")).as("phones"),
-        sum($"ips".cast("long")).as("ips"),
-        sum(when($"emails" + $"phones" + $"ips" > 0, 1L).otherwise(0L))
-          .as("redacted_docs"),
-        sum($"clean_len".cast("long")).as("clean_chars"),
-        sum($"base_hits".cast("long")).as("base_hits"))
+        perPattern ++ Seq(
+          sum(when(counts.map { case (n, _) => col(n + "s") }.reduce(_ + _) > 0,
+            1L).otherwise(0L)).as("redacted_docs"),
+          sum($"clean_len".cast("long")).as("clean_chars"),
+          sum($"base_hits".cast("long")).as("base_hits")): _*)
       .sort($"lang")
   }
 
@@ -1862,38 +1874,44 @@ object OpsQueries {
          |  CAST(target - least(avail, target) AS BIGINT) AS deficit
          |FROM p ORDER BY lang""".stripMargin,
     // the scrub restated against DuckDB's RE2 engine — an independent
-    // regex implementation, same patterns (built from PiiPatterns, so
-    // the contract can't drift); base_hits pins the corpus carries no
-    // PII of its own
+    // regex implementation, same patterns (GENERATED from PiiPatterns,
+    // so the contract can't drift and a new family extends the SQL
+    // mechanically); counts use the same scrub semantics as piiCounts
+    // (pattern i counted on the text with patterns 0..i-1 redacted);
+    // base_hits pins the corpus carries no PII of its own
     "tx16_pii_scrub" -> {
-      val (_, emailRe, emailTok) = TextAnalysis.PiiPatterns(0)
-      val (_, phoneRe, phoneTok) = TextAnalysis.PiiPatterns(1)
-      val (_, ipRe, ipTok) = TextAnalysis.PiiPatterns(2)
+      val pats = TextAnalysis.PiiPatterns
+      // itext with patterns 0..n-1 redacted, as nested DuckDB SQL
+      def scrubUpTo(n: Int): String =
+        pats.take(n).foldLeft("itext") { case (sql, (_, re, tok)) =>
+          s"regexp_replace($sql, '$re', '$tok', 'g')" }
+      val countSql = pats.zipWithIndex.map { case ((name, re, _), i) =>
+        s"    len(regexp_extract_all(${scrubUpTo(i)}, '$re')) AS ${name}s," }
+        .mkString("\n")
+      val baseSql = pats.map { case (_, re, _) =>
+        s"len(regexp_extract_all(text, '$re'))" }.mkString(" + ")
+      val sumSql = pats.map { case (name, _, _) =>
+        s"  CAST(SUM(${name}s) AS BIGINT) AS ${name}s," }.mkString("\n")
+      val anySql = pats.map { case (name, _, _) => s"${name}s" }.mkString(" + ")
       s"""WITH it AS (
          |  SELECT lang, text, text
          |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example' ELSE '' END
          |    || CASE WHEN doc_id % 4 = 1 THEN ' call +1-555-' || CAST(doc_id % 10000 AS VARCHAR) ELSE '' END
          |    || CASE WHEN doc_id % 5 = 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END
+         |    || CASE WHEN doc_id % 6 = 3 THEN ' card 4111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-2222-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 4 THEN ' iban DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || 'BANK' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 10, '0') ELSE '' END
          |    AS itext
          |  FROM documents
          |), c AS (
          |  SELECT lang,
-         |    len(regexp_extract_all(itext, '$emailRe')) AS emails,
-         |    len(regexp_extract_all(itext, '$phoneRe')) AS phones,
-         |    len(regexp_extract_all(itext, '$ipRe')) AS ips,
-         |    length(regexp_replace(regexp_replace(regexp_replace(itext,
-         |      '$emailRe', '$emailTok', 'g'), '$phoneRe', '$phoneTok', 'g'),
-         |      '$ipRe', '$ipTok', 'g')) AS clean_len,
-         |    len(regexp_extract_all(text, '$emailRe'))
-         |      + len(regexp_extract_all(text, '$phoneRe'))
-         |      + len(regexp_extract_all(text, '$ipRe')) AS base_hits
+         |$countSql
+         |    length(${scrubUpTo(pats.size)}) AS clean_len,
+         |    $baseSql AS base_hits
          |  FROM it
          |)
          |SELECT lang, COUNT(*) AS docs,
-         |  CAST(SUM(emails) AS BIGINT) AS emails,
-         |  CAST(SUM(phones) AS BIGINT) AS phones,
-         |  CAST(SUM(ips) AS BIGINT) AS ips,
-         |  CAST(SUM(CASE WHEN emails + phones + ips > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |$sumSql
+         |  CAST(SUM(CASE WHEN $anySql > 0 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS redacted_docs,
          |  CAST(SUM(clean_len) AS BIGINT) AS clean_chars,
          |  CAST(SUM(base_hits) AS BIGINT) AS base_hits

@@ -233,7 +233,15 @@ object StreamingQueries {
     * so the oracle is dd13's contamination rule restated on the clean
     * side. At 100 TB the gate is the shape that matters: per-row work is
     * k hashes per gram for the overwhelmingly-clean majority; state-free
-    * (the benchmark is static), unlike st07's corpus-membership gate. */
+    * (the benchmark is static), unlike st07's corpus-membership gate.
+    *
+    * The shingle kernel is DELIBERATELY evaluated twice on the stream
+    * side — once inside the `exists` Bloom screen, once in the explode
+    * for Bloom-positives. Both are row-local; only the rare positives
+    * pay the second pass. Caching the array between the two operators
+    * would force a materialization boundary BEFORE the stateless screen
+    * — a shuffle-or-persist the clean majority never needed — so do not
+    * "optimize" the recompute away. */
   private val st08: Q = (s, d) => {
     import graft.ops.{Dedup, Joins}
     val benchGrams = graft.Tables.documents(s, d)

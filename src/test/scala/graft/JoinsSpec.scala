@@ -180,6 +180,39 @@ class JoinsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Joins.rangeLookupJoin(pts, dim, "p", "lo", "hi", 0L)
     }
+    intercept[IllegalArgumentException] {
+      Joins.rangeLookupJoin(pts, dim, "p", "lo", "hi", 128L, joinType = "full_outer")
+    }
+  }
+
+  test("rangeLookupJoin: negative bounds bin by floor division; left_outer keeps unmatched") {
+    // interval [-150, -50) spans bins {-2, -1} under floor division; a
+    // truncating div would cover {-1, 0} and lose the point at -150.
+    // Integral AND fractional fact paths must agree on the cover.
+    val dim = Seq((-150L, -50L, "neg"), (50L, 150L, "pos")).toDF("lo", "hi", "tier")
+    val ptsL = Seq((1L, -150L), (2L, -51L), (3L, -50L), (4L, 50L), (5L, 0L))
+      .toDF("id", "p")
+    val gotL = Joins.rangeLookupJoin(ptsL, dim, "p", "lo", "hi", 100L)
+      .select($"id", $"tier").as[(Long, String)].collect().toMap
+    assert(gotL == Map(1L -> "neg", 2L -> "neg", 4L -> "pos"), gotL.toString)
+    val ptsD = Seq((1L, -150.0), (2L, -50.0001), (3L, -49.9999))
+      .toDF("id", "p")
+    val gotD = Joins.rangeLookupJoin(ptsD, dim, "p", "lo", "hi", 100L)
+      .select($"id", $"tier").as[(Long, String)].collect().toMap
+    assert(gotD == Map(1L -> "neg", 2L -> "neg"), gotD.toString)
+    // brute-force equivalence across a dense negative/positive sweep
+    val sweep = (-400 until 400).map(i => (i.toLong, i.toLong)).toDF("id", "p")
+    val got = Joins.rangeLookupJoin(sweep, dim, "p", "lo", "hi", 64L)
+      .select($"id", $"tier").as[(Long, String)].collect().sorted.toSeq
+    val brute = sweep.join(dim, $"p" >= $"lo" && $"p" < $"hi")
+      .select($"id", $"tier").as[(Long, String)].collect().sorted.toSeq
+    assert(got == brute)
+    // left_outer: every fact row survives; unmatched carry null dim cols
+    val outer = Joins.rangeLookupJoin(ptsL, dim, "p", "lo", "hi", 100L,
+        joinType = "left_outer")
+      .select($"id", $"tier").as[(Long, Option[String])].collect().toMap
+    assert(outer == Map(1L -> Some("neg"), 2L -> Some("neg"), 3L -> None,
+      4L -> Some("pos"), 5L -> None), outer.toString)
   }
 
   test("writePerSource names outputs after their source files") {

@@ -728,6 +728,26 @@ class OpsSpec extends SparkTestBase {
     assert(got(2) == ((3L, 2, 0, 0, "two mails <EMAIL> and <EMAIL>")))
   }
 
+  test("pii scrub: card and iban families; overlapping spans count once (scrub semantics)") {
+    val rows = Seq(
+      (1L, "pay 4111-1111-1111-1111 to DE89BANK0000001234 now"),
+      // the dotted quad sits INSIDE the email local part: the email
+      // pattern claims the whole span first, so ip counts 0 and the
+      // census agrees with the single redaction the scrub performs
+      (2L, "mail 1.2.3.4@x.co today"),
+      (3L, "bare 1.2.3.4 stays an ip")).toDF("id", "text")
+    val counts = TextAnalysis.piiCounts($"text")
+    val byName = counts.toMap
+    val got = rows.select($"id",
+        byName("email").as("em"), byName("ip").as("ip"),
+        byName("card").as("cd"), byName("iban").as("ib"),
+        TextAnalysis.piiScrub($"text").as("clean"))
+      .as[(Long, Int, Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 0, 0, 1, 1, "pay <CARD> to <IBAN> now")), got(0).toString)
+    assert(got(1) == ((2L, 1, 0, 0, 0, "mail <EMAIL> today")), got(1).toString)
+    assert(got(2) == ((3L, 0, 1, 0, 0, "bare <IP> stays an ip")), got(2).toString)
+  }
+
   test("dHash: codec path equals the pattern arithmetic, scale-invariant, junk drops") {
     def referenceHash(base: Long): Long = {
       var h = 0L

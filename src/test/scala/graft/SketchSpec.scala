@@ -162,5 +162,14 @@ class SketchSpec extends SparkTestBase {
     val r2 = Sketches.kmvOverlap(rows.repartition(7), "g", "key", "A", "B", 64)
       .collect().head
     assert(r.toSeq == r2.toSeq)
+
+    // degenerate: neither group present → similarity columns are
+    // explicit nulls (undefined, not "provably disjoint"), cardinality
+    // estimates a true 0
+    val e = Sketches.kmvOverlap(rows, "g", "key", "X", "Y", 64).collect().head
+    assert(e.isNullAt(e.fieldIndex("jaccard")), e.toString)
+    assert(e.isNullAt(e.fieldIndex("est_inter")), e.toString)
+    assert(e.getAs[Double]("est_a") == 0.0 && e.getAs[Long]("exact_union") == 0L,
+      e.toString)
   }
 }

@@ -145,6 +145,17 @@ class TemporalSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Temporal.ohlcBars(ev, "k", "t", "id", "v", 0L)
     }
+
+    // pre-1970 epochs bucket by FLOOR division: t=-10 belongs to bar
+    // -100 (floor), not bar 0 (truncation) — and the bar that opens at
+    // -100 must not swallow t=0's row
+    val neg = Seq((1L, "A", -10L, 3.0), (2L, "A", -100L, 9.0), (3L, "A", 0L, 1.0))
+      .toDF("id", "k", "t", "v")
+    val negBars = Temporal.ohlcBars(neg, "k", "t", "id", "v", 100L)
+      .orderBy("bucket").select("bucket", "open", "close", "n")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(negBars == Seq((-100L, 9.0, 3.0, 2L), (0L, 1.0, 1.0, 1L)),
+      negBars.toString)
   }
 
   test("timeWeightedAvg matches the hand-computed step integral") {
