@@ -522,6 +522,37 @@ object Dedup {
         sum(when(col("tot") > 1, col("cnt")).otherwise(0L)).as("dup_grams"))
   }
 
+  /** The span-trimmed corpus — [[duplicatedSpanStats]]'s shipping
+    * transform, completing the measure→act pair exactly as
+    * [[decontaminate]] ships [[contaminationHits]]: drop every document
+    * whose duplicated-span fraction exceeds `maxDupNum / maxDupDen`
+    * (`dup_grams * maxDupDen > total_grams * maxDupNum` — integer
+    * arithmetic, no float fraction), keep everything else INCLUDING
+    * documents too short to carry any `n`-gram: absence of span
+    * evidence is not evidence of duplication, and a training mix that
+    * silently dropped every short document would skew hard.
+    *
+    * This is the drop-document form of the Lee et al. 2022 pass (the
+    * conservative corpus-level act: excising individual grams mid-text
+    * would splice unrelated sentences together and is a per-span
+    * editorial decision, not an engine one). Plan shape at 100 TB: the
+    * census's two key-partitioned exchanges produce the heavy-doc id
+    * set — typically a small fraction of the corpus by construction
+    * (it is the trim target) — then ONE left-anti equi-join on the doc
+    * id ships the survivors; AQE broadcasts the heavy side when it
+    * fits, and the join degrades to a plain shuffled anti-join when a
+    * pathological threshold makes it corpus-sized. */
+  def dropDuplicatedDocs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDupNum: Long, maxDupDen: Long): DataFrame = {
+    require(n > 0, s"dropDuplicatedDocs needs n > 0, got $n")
+    require(maxDupDen > 0 && maxDupNum >= 0,
+      s"dropDuplicatedDocs needs a nonnegative threshold fraction, got $maxDupNum/$maxDupDen")
+    val heavy = duplicatedSpanStats(df, idCol, textCol, n)
+      .filter(col("dup_grams") * maxDupDen > col("total_grams") * maxDupNum)
+      .select(col("id"))
+    df.join(heavy, df(idCol) === heavy("id"), "left_anti")
+  }
+
   /** Embedding near-dup pairs by cosine similarity. Brute-force
     * (all-pairs) — the exact baseline and oracle shape;
     * [[blockedEmbeddingNearDupPairs]] is the scale path. */

@@ -205,6 +205,23 @@ object OpsQueries {
           .otherwise(0L)).as("heavy_docs"))
       .sort($"lang")
 
+  /** dd15: the span-trimmed corpus — dd14's census paired with its
+    * shipping transform ([[graft.ops.Dedup.dropDuplicatedDocs]]):
+    * documents more than half of whose 8-gram occurrences are
+    * corpus-duplicated (exactly dd14's `heavy_docs` rows) are dropped;
+    * everything else, INCLUDING sub-8-word documents with no span
+    * evidence, survives. The graded census is the artifact a training
+    * run consumes: per language, surviving documents and their token
+    * inventory. Cross-checkable against dd14 by construction —
+    * survivors with grams = dd14 docs − heavy_docs. */
+  private val dd15: Q = (s, d) =>
+    Dedup.dropDuplicatedDocs(
+        Tables.documents(s, d), "doc_id", "text", Dd14Ngram, 1L, Dd14Heavy)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("docs"),
+        sum(size(Dedup.tokens($"text")).cast("long")).as("tokens"))
+      .sort($"lang")
+
   // ----------------------------------------------------- similarity search
 
   /** ss01: brute-force cosine top-10 neighbors of vec 0 (declarative:
@@ -1020,6 +1037,7 @@ object OpsQueries {
     "dd12_semantic_dedup" -> dd12,
     "dd13_decontaminate" -> dd13,
     "dd14_span_dedup" -> dd14,
+    "dd15_span_trim" -> dd15,
     "ss01_cosine_topk" -> ss01,
     "ss02_lsh_histogram" -> ss02,
     "ss03_ann_topk" -> ss03,
@@ -1714,6 +1732,30 @@ object OpsQueries {
          |  CAST(SUM(CASE WHEN dup_grams * $Dd14Heavy > total_grams THEN 1 ELSE 0 END) AS BIGINT)
          |    AS heavy_docs
          |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
+    // dd14's CTEs one HAVING away: the heavy set is dd14's heavy_docs
+    // rule verbatim; the survivor census left-anti-joins it and keeps
+    // sub-8-word documents (absent from pd) by the IS NULL branch
+    "dd15_span_trim" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, array_to_string(w[i:i+${Dd14Ngram - 1}], ' ') AS gram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |       LATERAL (SELECT unnest(generate_series(1, len(w) - ${Dd14Ngram - 1})) AS i) t
+         |), pdg AS (
+         |  SELECT doc_id, gram, COUNT(*) AS cnt FROM occ GROUP BY doc_id, gram
+         |), gt AS (
+         |  SELECT gram, SUM(cnt) AS tot FROM pdg GROUP BY gram
+         |), heavy AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, SUM(cnt) AS total_grams,
+         |      SUM(CASE WHEN tot > 1 THEN cnt ELSE 0 END) AS dup_grams
+         |    FROM pdg JOIN gt USING (gram) GROUP BY doc_id
+         |  ) WHERE dup_grams * $Dd14Heavy > total_grams
+         |)
+         |SELECT lang, COUNT(*) AS docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         |FROM documents d LEFT JOIN heavy h USING (doc_id)
+         |WHERE h.doc_id IS NULL
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "ss01_cosine_topk" -> ss01Oracle,
     "ss02_lsh_histogram" -> ss02Oracle,
     "ss03_ann_topk" -> ss03Oracle,

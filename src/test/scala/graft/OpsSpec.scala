@@ -712,6 +712,29 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("dropDuplicatedDocs: heavy docs dropped, boundary fraction and short docs kept") {
+    // word-bigram width: docs 1/2 are verbatim copies (every gram
+    // corpus-duplicated → fraction 1 → dropped); doc 3 is unique; doc 4
+    // is shorter than n and carries NO span evidence (must survive);
+    // doc 5 sits EXACTLY at the 1/2 threshold ("a b" dup via 1/2, "b x"
+    // dup via doc 6) and must be kept — the cut is strictly greater;
+    // doc 6's single gram is fully duplicated → dropped
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "e f g h"),
+      (4L, "x"), (5L, "a b x q r"), (6L, "b x")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicatedDocs(docs, "doc_id", "text", 2, 1L, 2L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(3L, 4L, 5L), out.toString)
+    // threshold 0/1 drops every doc with ANY duplicated gram, keeps the
+    // gram-free short doc
+    val strict = Dedup.dropDuplicatedDocs(docs, "doc_id", "text", 2, 0L, 1L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(strict == Seq(3L, 4L), strict.toString)
+    intercept[IllegalArgumentException] {
+      Dedup.dropDuplicatedDocs(docs, "doc_id", "text", 2, 1L, 0L)
+    }
+  }
+
   test("pii scrub: counts and redaction on crafted strings, clean text unharmed") {
     val rows = Seq(
       (1L, "mail bob.smith@site.org or call +1-555-1234 from 192.168.0.1"),
