@@ -40,7 +40,11 @@ object StreamingQueries {
     * default disk-backed temp dir charges each micro-batch a filesystem
     * round trip. Falls back to the JVM temp dir elsewhere. */
   private[queries] def runToCompletion(df: DataFrame, name: String,
-      mode: String): DataFrame = runToCompletion(df, name, mode, None)
+      mode: String): DataFrame = runToCompletion(df, name, mode, None, None)
+
+  private[queries] def runToCompletion(df: DataFrame, name: String,
+      mode: String, midStream: Option[() => Unit]): DataFrame =
+    runToCompletion(df, name, mode, midStream, None)
 
   /** Like [[runToCompletion]], but with an optional mid-stream action:
     * after the first drain, `land()` runs (typically copying new source
@@ -48,10 +52,19 @@ object StreamingQueries {
     * files LANDING while the query is live, the actual continuous-ingest
     * shape. Uses the default trigger rather than AvailableNow, which
     * snapshots the available data at start and would never see the
-    * landed files. */
+    * landed files.
+    *
+    * `providerClass`, when set, selects the state-store backend for
+    * THIS query (fixed into its fresh checkpoint at start, restored
+    * after) — how st10 grades the RocksDB provider the 100 TB state
+    * story defers to, against the same oracle as the heap run. */
   private[queries] def runToCompletion(df: DataFrame, name: String,
-      mode: String, midStream: Option[() => Unit]): DataFrame = {
+      mode: String, midStream: Option[() => Unit],
+      providerClass: Option[String]): DataFrame = {
     val spark = df.sparkSession
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    providerClass.foreach(spark.conf.set(providerKey, _))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevMaint = spark.conf.getOption("spark.sql.streaming.stateStore.maintenanceInterval")
     spark.conf.set("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
@@ -80,6 +93,10 @@ object StreamingQueries {
     } finally {
       // explicit checkpoints aren't force-deleted; best-effort tmpfs cleanup
       ckptDir.foreach(graft.Fs.deleteRecursively)
+      if (providerClass.isDefined) prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       prevMaint match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", v)
@@ -164,16 +181,31 @@ object StreamingQueries {
     * of letting it grow forever). The events table has unique event_ids,
     * so the oracle is the full per-type census — what matters is that
     * the stateful dedup emits each id exactly once. */
-  private val st05: Q = (s, d) => {
+  private def st05Pipeline(s: SparkSession, d: String, name: String,
+      providerClass: Option[String]): DataFrame = {
     val ev = EventStreams.readEventStream(s, d)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     val agg = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
     // complete-mode aggregate above the dedup so every group emits
-    val out = runToCompletion(agg, "graft_st05", "complete")
+    val out = runToCompletion(agg, name, "complete", None, providerClass)
     out.select(col("event_type"), col("n"), col("sv")).sort("event_type")
   }
+
+  private val st05: Q = (s, d) => st05Pipeline(s, d, "graft_st05", None)
+
+  /** st10: st05's stateful dedup + aggregate graded ON THE ROCKSDB
+    * state store — the disk-backed provider a 100 TB continuous
+    * pipeline actually deploys (heap state caps at executor memory;
+    * RocksDB spills per-partition state to local SSD with bounded
+    * block-cache memory). Same pipeline, same oracle, down to the
+    * value: the provider is a deployment knob, never a semantics knob,
+    * and this entry makes that claim a graded fact rather than a spec
+    * aside. Two stateful operators exercise the store (the
+    * watermark-bounded dedup buffer and the complete-mode aggregate). */
+  private val st10: Q = (s, d) => st05Pipeline(s, d, "graft_st10", Some(
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
 
   /** st06's sketch size (shared with its oracle). */
   private final val St06K = 64
@@ -301,7 +333,16 @@ object StreamingQueries {
     "st06_stream_distinct" -> st06,
     "st07_neardup_gate" -> st07,
     "st08_decontamination_gate" -> st08,
+    "st10_rocksdb_dedup" -> st10,
   )
+
+  /** The st05 dedup census contract, shared verbatim by st10 (the
+    * RocksDB-provider twin) so the two entries can never drift. */
+  private val st05Oracle: String =
+    """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+      |FROM (SELECT DISTINCT ON (event_id) event_type, value FROM events
+      |      ORDER BY event_id)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the SHARED OHLC grading contract (TemporalQueries.ohlcOracleSql):
@@ -362,11 +403,10 @@ object StreamingQueries {
         | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 12 HOUR
         |ORDER BY s.user_id, signup_us, purchase_us
         |LIMIT 500""".stripMargin,
-    "st05_stream_dedup" ->
-      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
-        |FROM (SELECT DISTINCT ON (event_id) event_type, value FROM events
-        |      ORDER BY event_id)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "st05_stream_dedup" -> st05Oracle,
+    // identical contract on the RocksDB provider: backend choice must
+    // never change a value
+    "st10_rocksdb_dedup" -> st05Oracle,
     "st06_stream_distinct" -> {
       // same sketch arithmetic as sk01's oracle, over user_id strings
       val est = s"CAST(${St06K - 1} AS DOUBLE) * 9.223372036854775808e18 / CAST(kth AS DOUBLE)"
