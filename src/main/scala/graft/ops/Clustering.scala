@@ -133,6 +133,33 @@ object Clustering {
       .limit(k)
   }
 
+  /** Persist a trained centroid model as a tiny (k rows) parquet of
+    * `(cell, centroid)` — an IVF deployment trains ONCE and serves the
+    * model forever; refitting per process re-spends the k-means passes
+    * and, against a corpus that changed since the layout was written,
+    * silently serves a DIFFERENT quantization than the one the stored
+    * cells were partitioned by. Deterministic Lloyd plus the 1e-6 mean
+    * rounding make save→load EXACTLY the fitted model (doubles
+    * round-trip parquet bit-for-bit), so a loaded-model query is graded
+    * against the refit oracle with zero tolerance ([[loadCentroids]],
+    * ss11). One file: the model is k×dim driver-scale state, the same
+    * class of artifact as any broadcast ML model. */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[(Int, Seq[Double])], path: String): Unit = {
+    import spark.implicits._
+    centroids.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCentroids]] model, cells ascending — bit-identical to
+    * the fitted Seq by the round-trip contract above. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(path).select(col("cell"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+
   /** The nProbe cells nearest the query vector, nearest first, ties to
     * the lowest cell — shared by the direct and served probe paths (and
     * restated by the ss04 oracle's `pc` CTE). */

@@ -445,6 +445,41 @@ object OpsQueries {
       .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
   }
 
+  /** ss11: the PERSISTED IVF model — a served deployment trains the
+    * quantizer once, writes it next to the cell-partitioned layout, and
+    * every query process LOADS it ([[graft.ops.Clustering.saveCentroids]]
+    * / [[loadCentroids]]) instead of re-spending the k-means passes.
+    * This entry saves the shared [[ivfModel]] to a k-row parquet (once
+    * per dataset), loads it back, and serves ss04's query through the
+    * LOADED model. Two pins: a driver-side require that
+    * load(save(m)) == m bit-for-bit every graded run (deterministic
+    * Lloyd + 1e-6 mean rounding + parquet's exact double round-trip
+    * make that checkable with zero tolerance), and ss04's refit oracle
+    * on the result — a loaded model that drifted from the refit breaks
+    * the hash, not just a vibe. */
+  private val savedModels =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ss11: Q = (s, d) => {
+    val path = savedModels.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_model")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.Fs.deleteRecursively(dir)))
+      val p = dir.resolve("centroids").toString
+      Clustering.saveCentroids(s, ivfModel(s, d), p)
+      p
+    })
+    val loaded = Clustering.loadCentroids(s, path)
+    require(loaded == ivfModel(s, d),
+      "loaded IVF centroids drifted from the fitted model")
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")))
+      .collect().head.getSeq[Double](0)
+    Clustering.ivfTopK(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        loaded, qv, 5, nProbe = Ss04Probe)
+      .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
+  }
+
   /** ss06: batched k-NN join — vectors 1..20 each find their top-3
     * LSH-bucket neighbors in the rest of the corpus, in ONE plan (bucket
     * equi-join + per-query window rank). The production shape: no
@@ -1048,6 +1083,7 @@ object OpsQueries {
     "ss08_ann_recall" -> ss08,
     "ss09_quantized_ann" -> ss09,
     "ss10_filtered_ann" -> ss10,
+    "ss11_ivf_persisted" -> ss11,
     "tx01_token_stats" -> tx01,
     "tx02_quality_score" -> tx02,
     "tx03_langid" -> tx03,
@@ -1760,6 +1796,9 @@ object OpsQueries {
     "ss02_lsh_histogram" -> ss02Oracle,
     "ss03_ann_topk" -> ss03Oracle,
     "ss04_ivf_topk" -> ss04Oracle,
+    // the loaded-model serve must equal the refit bit-for-bit, so the
+    // refit oracle grades it unchanged
+    "ss11_ivf_persisted" -> ss04Oracle,
     "ss05_multiprobe_topk" -> ss05Oracle,
     // ss05's restatement with the metadata predicate applied before the
     // probe — pre-filter semantics stated definitionally

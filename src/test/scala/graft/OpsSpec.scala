@@ -109,6 +109,29 @@ class OpsSpec extends SparkTestBase {
     assert(cells.values.sum == corpus.count())
   }
 
+  test("saveCentroids/loadCentroids: the fitted model round-trips bit-for-bit") {
+    val corpus = embs.filter($"vec_id" =!= 0)
+    val model = Clustering.kmeans(corpus, "vec_id", "embedding", 64, 8, 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-model")
+    try {
+      val path = dir.resolve("centroids").toString
+      Clustering.saveCentroids(spark, model, path)
+      val loaded = Clustering.loadCentroids(spark, path)
+      // EXACT Seq equality — deterministic Lloyd + 1e-6 mean rounding +
+      // parquet's lossless double round-trip leave zero tolerance
+      assert(loaded == model)
+      // serving through the loaded model is serving through the model
+      val qv = embs.filter($"vec_id" === 0)
+        .select(transform($"embedding", _.cast("double")))
+        .as[Seq[Double]].head()
+      val a = Clustering.ivfTopK(corpus, "vec_id", "embedding", model, qv, 5, nProbe = 2)
+        .collect().map(_.toSeq).toSeq
+      val b = Clustering.ivfTopK(corpus, "vec_id", "embedding", loaded, qv, 5, nProbe = 2)
+        .collect().map(_.toSeq).toSeq
+      assert(a == b)
+    } finally graft.Fs.deleteRecursively(dir)
+  }
+
   test("cell-partitioned IVF layout: probes prune partitions, results unchanged") {
     val corpus = embs.filter($"vec_id" =!= 0)
     val qv = embs.filter($"vec_id" === 0)
