@@ -34,6 +34,10 @@ import org.apache.spark.sql.SparkSession
   * regenerates /root/testdata per round and physical layout drifted
   * before (r09: events.ts NANOS→MICROS); two rounds' numbers are only
   * comparable when their fingerprints match.
+  *
+  * After the timed passes, an `sf1_probe` block records one pass of the
+  * heaviest document families over a word-tagged 10× replication of the
+  * corpus — the scale trend line (see the inline comment at the probe).
   */
 object Bench {
 
@@ -182,6 +186,80 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => " "; case c => c.toString
     } + "\""
+    // ---- sf1 scale probe: the heaviest document families once at 10×
+    // the SF dir's corpus — a TREND LINE for skew the per-round SF can't
+    // surface (reducer skew, candidate-pair blowup, state growth), not a
+    // gate and not part of the headline total. The corpus is scaled
+    // honestly: replica i>0 tags EVERY word with "r<i>", so grams,
+    // MinHash signatures and LSH buckets are distinct ACROSS replicas
+    // (no cross-replica candidate pairs — exact-copy replication would
+    // explode LSH buckets quadratically and measure a data-shape
+    // artifact, not scale) while each replica keeps the base corpus's
+    // internal duplication structure: 10 independent shards of the same
+    // distribution, the actual 10× shape. doc_id offsets by 1e9 per
+    // replica (divisible by 25, preserving the dd13/st08 benchmark-slice
+    // residues). Runs AFTER the timed passes; any failure is recorded in
+    // the artifact, never fatal. SPARK_GRAFT_SF1_PROBE=0 skips (dev
+    // loops); a prefix-filtered run probes only matching queries.
+    val probeNames = Seq("dd03_minhash_lsh", "dd14_span_dedup",
+      "tx08_curation", "st08_decontamination_gate").filter(names.contains)
+    val probeJson: String =
+      if (probeNames.isEmpty || sys.env.get("SPARK_GRAFT_SF1_PROBE").contains("0")) ""
+      else try {
+        import org.apache.spark.sql.functions._
+        val scale = 10
+        val tGen = System.nanoTime()
+        val dir = java.nio.file.Files.createTempDirectory("graft_sf1_probe")
+        Runtime.getRuntime.addShutdownHook(
+          new Thread(() => graft.Fs.deleteRecursively(dir)))
+        val base = Tables.documents(spark, sfDir)
+        val scaled = (0 until scale).map { i =>
+          if (i == 0) base
+          else base.select(
+              (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+              array_join(transform(split(col("text"), " "),
+                w => concat(lit(s"r$i"), w)), " ").as("text"),
+              col("lang"), col("source"))
+            .withColumn("n_chars", length(col("text")))
+        }.reduce(_ unionByName _)
+        val outTmp = dir.resolve("docs_out")
+        scaled.coalesce(1).write.mode("overwrite").parquet(outTmp.toString)
+        // one flat file named documents.parquet — the driver's table
+        // layout, which the batch reader AND the streaming source's
+        // pathGlobFilter both expect
+        val part = {
+          val s = java.nio.file.Files.list(outTmp)
+          try s.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally s.close()
+        }
+        java.nio.file.Files.move(part, dir.resolve("documents.parquet"))
+        graft.Fs.deleteRecursively(outTmp)
+        val rows = spark.read.parquet(dir.resolve("documents.parquet").toString).count()
+        val genSec = (System.nanoTime() - tGen) / 1e9
+        val pErrs = scala.collection.mutable.LinkedHashMap[String, String]()
+        val pTimes = probeNames.map { name =>
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(spark, dir.toString).count() }
+          catch { case t: Throwable =>
+            pErrs.getOrElseUpdate(name,
+              t.getClass.getSimpleName + ": " +
+                Option(t.getMessage).getOrElse("").takeWhile(_ != '\n').take(120))
+          }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        val pq = pTimes.map { case (k, v) =>
+          "\"" + k + "\":" + (if (pErrs.contains(k)) "null" else ms(v).toString)
+        }.mkString("{", ",", "}")
+        val pe =
+          if (pErrs.isEmpty) ""
+          else pErrs.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+            .mkString(""","errors":{""", ",", "}")
+        s""","sf1_probe":{"scale":$scale,"rows":$rows,"gen_sec":${ms(genSec)},"queries":$pq$pe}"""
+      } catch { case t: Throwable =>
+        s""","sf1_probe":{"error":${jstr(t.getClass.getSimpleName + ": " +
+          Option(t.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))}}"""
+      }
     val errJson =
       if (errs.isEmpty) ""
       else errs.map { case (k, v) => jstr(k) + ":" + jstr(v) }
@@ -196,7 +274,7 @@ object Bench {
         s""""total_min":$totalMin,"run_totals":$runTotals,""" +
         s""""calib":$calibJson,"calib_mt":$calibMtJson,""" +
         s""""rows":$rowsJson,"schema_hash":"$schemaHash",""" +
-        s""""queries":$qs,"queries_min":$qsMin$errJson$filterJson,"sf":"$sfDir"}"""
+        s""""queries":$qs,"queries_min":$qsMin$errJson$filterJson$probeJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       line.getBytes("UTF-8"))
     catch { case _: Exception => } // the stdout line below still carries it
