@@ -223,7 +223,15 @@ object Bench {
             .withColumn("n_chars", length(col("text")))
         }.reduce(_ unionByName _)
         val outTmp = dir.resolve("docs_out")
-        scaled.coalesce(1).write.mode("overwrite").parquet(outTmp.toString)
+        // SMALL row groups (512 KiB): a single-row-group file pins every
+        // scan stage to ONE task (parquet can't split inside a row
+        // group) and the probe would measure single-core scaling — a
+        // test-layout artifact. A 100 TB corpus arrives as thousands of
+        // files; many small row groups in one file emulate that
+        // many-split shape for batch AND streaming reads alike.
+        scaled.coalesce(1).write.mode("overwrite")
+          .option("parquet.block.size", (512 * 1024).toString)
+          .parquet(outTmp.toString)
         // one flat file named documents.parquet — the driver's table
         // layout, which the batch reader AND the streaming source's
         // pathGlobFilter both expect
@@ -238,7 +246,13 @@ object Bench {
         val rows = spark.read.parquet(dir.resolve("documents.parquet").toString).count()
         val genSec = (System.nanoTime() - tGen) / 1e9
         val pErrs = scala.collection.mutable.LinkedHashMap[String, String]()
-        val pTimes = probeNames.map { name =>
+        // split the small row groups into per-core partitions (default
+        // 128 MiB maxPartitionBytes would re-bundle the whole file into
+        // one split); restored right after the probe loop
+        val mpbKey = "spark.sql.files.maxPartitionBytes"
+        val prevMpb = spark.conf.get(mpbKey)
+        spark.conf.set(mpbKey, (512 * 1024).toString)
+        val pTimes = try probeNames.map { name =>
           val t0 = System.nanoTime()
           try { SparkEntry.queries(name)(spark, dir.toString).count() }
           catch { case t: Throwable =>
@@ -247,7 +261,7 @@ object Bench {
                 Option(t.getMessage).getOrElse("").takeWhile(_ != '\n').take(120))
           }
           name -> (System.nanoTime() - t0) / 1e9
-        }
+        } finally spark.conf.set(mpbKey, prevMpb)
         val pq = pTimes.map { case (k, v) =>
           "\"" + k + "\":" + (if (pErrs.contains(k)) "null" else ms(v).toString)
         }.mkString("{", ",", "}")

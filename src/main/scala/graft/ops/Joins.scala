@@ -87,6 +87,11 @@ object Joins {
     * decontamination gate's fast path). */
   def bloomTestFor(dim: DataFrame, dimKey: String,
       mBits: Int = 1 << 17, k: Int = 3): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    // Sizing rule: ~12 bits per dim key at k = 3 gives a ~1% false
+    // positive rate; see bloomBitsFor. A filter sized for the test-SF
+    // key count SATURATES when the dim grows (n ≈ m ⇒ every probe
+    // passes and the "screen" forwards everything) — callers whose dim
+    // side scales should measure it and size accordingly, not hardcode.
     require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
     require(k >= 1, s"k must be >= 1, got $k")
     // xxhash64 is TYPE-sensitive (hash(1:int) != hash(1L)), while the
@@ -113,13 +118,37 @@ object Joins {
       .collect()
     val words = new Array[Long](mBits / 64)
     posRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
-    val wordsLit = array(words.toIndexedSeq.map(lit): _*)
+    // ONE ArrayType literal node (mBits/8 bytes of plan payload), not
+    // mBits/64 scalar literals: a filter sized for millions of keys
+    // (10-12 bits per key) must not explode the expression tree
+    val wordsLit = typedLit(words.toIndexedSeq)
     (factKey: org.apache.spark.sql.Column) =>
       (0 until k).map { i =>
         val pos = pmod(xxhash64(factKey.cast(hashType), lit(i)), lit(mBits.toLong))
         element_at(wordsLit, (pos / 64).cast("int") + 1)
           .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0L
       }.reduce(_ && _)
+  }
+
+  /** Bloom size (bits, multiple of 64) for `nKeys` dimension keys.
+    * `bitsPerKey` sets the false-positive design point: the default 12
+    * gives ~1% per-PROBE fp at k = 3 — right when each fact row makes
+    * ONE probe (jn03's key join). When one row makes MANY probes (an
+    * `exists` over a document's ~50 grams, st08), the per-probe fp
+    * COMPOUNDS: 1% per gram is 1−0.99^50 ≈ 40% per document and the
+    * screen degenerates to a pass-through — size 24 bits/key and k = 8
+    * there (per-probe fp ≈ 4e-5, per-50-gram-document ≈ 0.2%).
+    * Floor 2^16 (a trivially small filter is all padding anyway), cap
+    * 2^26 (8 MiB of plan payload — beyond that the dim side belongs in
+    * a broadcast join, not a screen). The measure-then-size step costs
+    * one count job over the (cached) dim side and is what keeps a
+    * statically-sized screen from silently saturating when the
+    * reference set grows 10× (the sf1 probe caught exactly that). */
+  def bloomBitsFor(nKeys: Long, bitsPerKey: Int = 12): Int = {
+    require(nKeys >= 0, s"bloomBitsFor needs nKeys >= 0, got $nKeys")
+    require(bitsPerKey > 0, s"bloomBitsFor needs bitsPerKey > 0, got $bitsPerKey")
+    val want = math.min(1L << 26, math.max(1L << 16, nKeys * bitsPerKey))
+    (((want + 63) / 64) * 64).toInt
   }
 
   /** Range-lookup join: attach to every fact row the dimension interval

@@ -281,7 +281,16 @@ object StreamingQueries {
       .select(explode(Dedup.shingles(col("text"), OpsQueries.Dd13Ngram)).as("gram"))
       .distinct()
       .localCheckpoint(eager = true) // static side: bloom build + exact join read it once
-    val bloomHit = Joins.bloomTestFor(benchGrams, "gram", mBits = 1 << 16)
+    // measure-then-size, at the DOCUMENT design point: the screen's
+    // unit is an exists() over a doc's ~50 grams, so a per-gram fp of
+    // 1% compounds to a ~40% per-doc pass rate and the screen
+    // degenerates to a pass-through (the sf1 probe surfaced exactly
+    // that: 18k Bloom-positives for 190 truly contaminated docs, every
+    // one paying the explode+join). 24 bits/gram with k = 8 holds the
+    // per-doc fp near 0.2% at any benchmark size; the one count job
+    // runs on the checkpointed gram set.
+    val bloomHit = Joins.bloomTestFor(benchGrams, "gram",
+      mBits = Joins.bloomBitsFor(benchGrams.count(), bitsPerKey = 24), k = 8)
     val hits = graft.streaming.StreamingDedup.readDocumentStream(s, d)
       .filter(col("doc_id") % OpsQueries.Dd13Mod =!= 0)
       .filter(exists(Dedup.shingles(col("text"), OpsQueries.Dd13Ngram), bloomHit))

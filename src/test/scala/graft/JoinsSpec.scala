@@ -146,6 +146,16 @@ class JoinsSpec extends SparkTestBase {
     assert(joined == 500) // 0..99 × 5 occurrences each
   }
 
+  test("bloomBitsFor: ~12 bits per key, floored, capped, multiple of 64") {
+    assert(Joins.bloomBitsFor(0) == (1 << 16))
+    assert(Joins.bloomBitsFor(1000) == (1 << 16)) // under the floor
+    val n = 300000L
+    val m = Joins.bloomBitsFor(n)
+    assert(m % 64 == 0 && m >= n * 12 && m < n * 12 + 64, m.toString)
+    assert(Joins.bloomBitsFor(Long.MaxValue / 16) == (1 << 26)) // cap
+    intercept[IllegalArgumentException](Joins.bloomBitsFor(-1))
+  }
+
   test("rangeLookupJoin equals the brute-force BETWEEN join and plans a hash join") {
     // random points + deliberately non-uniform intervals, incl. an empty
     // one (must match nothing) and boundary-exact points
