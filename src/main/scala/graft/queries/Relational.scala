@@ -447,11 +447,17 @@ object Relational {
     val dim = Tables.orders(s, d)
       .filter($"o_totalprice" > Jn03PriceFloor)
       .select($"o_orderkey", $"o_orderpriority")
+    // measure-then-size (the st08 lesson): a statically-sized filter
+    // saturates when the dim slice grows with the data; the count is
+    // one pushed-down-filter scan job. Single probe per fact row, so
+    // the default 12 bits/key (~1% fp) design point is right here.
+    val mBits = graft.ops.Joins.bloomBitsFor(dim.count())
     // rev via an exact integer 1e-4 sum + ONE division (the tp04 cents
     // pattern): ROUND(SUM(double), 2) is aggregation-order dependent and
     // flipped a 2-dp boundary between engines at sf0.1; price and
     // discount are 2-dp, so the product is an exact 4-dp integer
-    graft.ops.Joins.bloomPrunedJoin(fact, dim, "l_orderkey", "o_orderkey")
+    graft.ops.Joins.bloomPrunedJoin(fact, dim, "l_orderkey", "o_orderkey",
+        mBits = mBits)
       .groupBy($"o_orderkey", $"o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
         round(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 10000)
