@@ -129,11 +129,11 @@ object Sketches {
       .groupBy(col("key"))
       .agg(max(when(col("g") === gA, 1).otherwise(0)).as("in_a"),
         max(when(col("g") === gB, 1).otherwise(0)).as("in_b"))
-      .agg(sum(col("in_a")).cast("long").as("exact_a"),
-        sum(col("in_b")).cast("long").as("exact_b"),
+      .agg(coalesce(sum(col("in_a")).cast("long"), lit(0L)).as("exact_a"),
+        coalesce(sum(col("in_b")).cast("long"), lit(0L)).as("exact_b"),
         count(lit(1)).as("exact_union"),
-        sum(when(col("in_a") + col("in_b") === 2, 1L).otherwise(0L))
-          .as("exact_inter"))
+        coalesce(sum(when(col("in_a") + col("in_b") === 2, 1L).otherwise(0L)),
+          lit(0L)).as("exact_inter"))
     val shared = size(array_intersect(col("sk_u"),
       array_intersect(col("sk_a"), col("sk_b"))))
     sk.crossJoin(broadcast(exact))

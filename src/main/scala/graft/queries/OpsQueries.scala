@@ -783,7 +783,10 @@ object OpsQueries {
     * detection is attributable to the injection and the expected counts
     * are pure doc_id arithmetic. Both engines build the SAME augmented
     * text. Five families, one per [[TextAnalysis.PiiPatterns]] entry,
-    * on coprime doc_id residues so the per-doc combinations vary. */
+    * on PAIRWISE-COPRIME moduli (3, 4, 5, 7, 11) so by CRT every one of
+    * the 2^5 presence combinations occurs in a large-enough corpus —
+    * in particular card-without-email docs exist, exercising the card
+    * regex on a text no earlier scrub touched. */
   private def tx16Inject(text: org.apache.spark.sql.Column,
       id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(text,
@@ -796,11 +799,11 @@ object OpsQueries {
       when(id % 5 === 2,
         concat(lit(" from 10."), (id % 256).cast("string"), lit(".0.1")))
         .otherwise(lit("")),
-      when(id % 6 === 3,
+      when(id % 7 === 3,
         concat(lit(" card 4111-"), lpad((id % 10000).cast("string"), 4, "0"),
           lit("-2222-"), lpad(((id * 3) % 10000).cast("string"), 4, "0")))
         .otherwise(lit("")),
-      when(id % 7 === 4,
+      when(id % 11 === 4,
         concat(lit(" iban DE"), lpad((id % 100).cast("string"), 2, "0"),
           lit("BANK"), lpad((id % 1000000).cast("string"), 10, "0")))
         .otherwise(lit("")))
@@ -1979,8 +1982,8 @@ object OpsQueries {
          |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example' ELSE '' END
          |    || CASE WHEN doc_id % 4 = 1 THEN ' call +1-555-' || CAST(doc_id % 10000 AS VARCHAR) ELSE '' END
          |    || CASE WHEN doc_id % 5 = 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END
-         |    || CASE WHEN doc_id % 6 = 3 THEN ' card 4111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-2222-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ELSE '' END
-         |    || CASE WHEN doc_id % 7 = 4 THEN ' iban DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || 'BANK' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 10, '0') ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 3 THEN ' card 4111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-2222-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 4 THEN ' iban DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || 'BANK' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 10, '0') ELSE '' END
          |    AS itext
          |  FROM documents
          |), c AS (

@@ -444,13 +444,17 @@ object Relational {
   private val jn03: Q = (s, d) => {
     val fact = Tables.lineitem(s, d)
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    // checkpointed: the slice is read three times (size count, Bloom
+    // bit assembly, join build side) — without it each is a fresh
+    // orders scan
     val dim = Tables.orders(s, d)
       .filter($"o_totalprice" > Jn03PriceFloor)
       .select($"o_orderkey", $"o_orderpriority")
+      .localCheckpoint(eager = true)
     // measure-then-size (the st08 lesson): a statically-sized filter
     // saturates when the dim slice grows with the data; the count is
-    // one pushed-down-filter scan job. Single probe per fact row, so
-    // the default 12 bits/key (~1% fp) design point is right here.
+    // one job over the checkpointed slice. Single probe per fact row,
+    // so the default 12 bits/key (~1% fp) design point is right here.
     val mBits = graft.ops.Joins.bloomBitsFor(dim.count())
     // rev via an exact integer 1e-4 sum + ONE division (the tp04 cents
     // pattern): ROUND(SUM(double), 2) is aggregation-order dependent and

@@ -572,11 +572,15 @@ object TemporalQueries {
     * re-derived with ROW_NUMBER windows (a different argmin/argmax
     * formulation than the Spark min_by/max_by aggregate) over
     * `barUs`-wide buckets of click events; the bucket column is emitted
-    * as `bucketAlias`. */
+    * as `bucketAlias`. Bucketing is FLOOR division stated as exact
+    * modulo arithmetic (`t - pmod(t, w)`), mirroring the Spark side —
+    * NOT DuckDB's `//`, which truncates toward zero on BIGINT
+    * ((-150)//100 = -1, verified) and would bucket pre-1970 epochs one
+    * bar high. */
   private[queries] def ohlcOracleSql(bucketAlias: String, barUs: Long): String =
     s"""WITH c AS (
        |  SELECT user_id, event_id, epoch_us(ts) AS t_us, value,
-       |    epoch_us(ts) // $barUs * $barUs AS $bucketAlias
+       |    epoch_us(ts) - ((epoch_us(ts) % $barUs) + $barUs) % $barUs AS $bucketAlias
        |  FROM events WHERE event_type = 'click'
        |), r AS (
        |  SELECT *,

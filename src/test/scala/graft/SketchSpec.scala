@@ -171,5 +171,9 @@ class SketchSpec extends SparkTestBase {
     assert(e.isNullAt(e.fieldIndex("est_inter")), e.toString)
     assert(e.getAs[Double]("est_a") == 0.0 && e.getAs[Long]("exact_union") == 0L,
       e.toString)
+    // every exact cardinality is a TRUE (non-null) 0 — a sum over the
+    // empty groupBy would otherwise leak NULL into three of the four
+    for (c <- Seq("exact_a", "exact_b", "exact_inter"))
+      assert(!e.isNullAt(e.fieldIndex(c)) && e.getAs[Long](c) == 0L, c)
   }
 }
