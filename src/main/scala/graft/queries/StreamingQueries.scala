@@ -241,16 +241,29 @@ object StreamingQueries {
     * smallest-first chain semantics provably equal under in-order
     * arrival. The streaming twin of dd09's batch screen — corpus
     * growth screens only new arrivals, never re-scans. */
-  private val st07: Q = (s, d) => {
+  private def st07Pipeline(s: SparkSession, d: String, name: String,
+      providerClass: Option[String]): DataFrame = {
     val hits = graft.streaming.StreamingDedup.bandGate(
       graft.streaming.StreamingDedup.readDocumentStream(s, d), "doc_id", "text").toDF()
-    val out = runToCompletion(hits, "graft_st07", "append")
+    val out = runToCompletion(hits, name, "append", None, providerClass)
     val coll = out.filter(col("hit")).select(col("id")).distinct()
     graft.Tables.documents(s, d)
       .join(coll, col("doc_id") === col("id"), "left_anti")
       .select(col("doc_id"), col("lang"))
       .sort("doc_id")
   }
+
+  private val st07: Q = (s, d) => st07Pipeline(s, d, "graft_st07", None)
+
+  /** st11: st07's near-dup admission gate graded on ROCKSDB — the
+    * CUSTOM-state complement to st10: st05/st10 exercise Spark's
+    * built-in dedup/aggregation state encodings, while the band gate
+    * keeps arbitrary user state (one long per LSH bucket) under
+    * `flatMapGroupsWithState`, the riskier provider seam a bespoke
+    * streaming operator actually depends on. Same pipeline, same
+    * oracle, value-identical or the hash breaks. */
+  private val st11: Q = (s, d) => st07Pipeline(s, d, "graft_st11", Some(
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
 
   /** st08: streaming DECONTAMINATION gate — dd13's benchmark 8-gram
     * screen at the ingest front door. The static side is the eval
@@ -343,6 +356,7 @@ object StreamingQueries {
     "st07_neardup_gate" -> st07,
     "st08_decontamination_gate" -> st08,
     "st10_rocksdb_dedup" -> st10,
+    "st11_rocksdb_gate" -> st11,
   )
 
   /** The st05 dedup census contract, shared verbatim by st10 (the
@@ -352,6 +366,20 @@ object StreamingQueries {
       |FROM (SELECT DISTINCT ON (event_id) event_type, value FROM events
       |      ORDER BY event_id)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** The st07 admission-census contract, shared verbatim by st11 (the
+    * RocksDB-provider twin of the custom-state gate): a doc collides
+    * iff ANY smaller-id doc shares one of its band buckets (same
+    * bucket CTEs as the dd03 oracle). */
+  private val st07Oracle: String =
+    s"""WITH ${OpsQueries.bandExplodedCtes},
+       |coll AS (
+       |  SELECT DISTINCT a.id FROM exploded a
+       |  JOIN exploded b ON a.band = b.band AND a.key = b.key AND b.id < a.id
+       |)
+       |SELECT doc_id, lang FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM coll)
+       |ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the SHARED OHLC grading contract (TemporalQueries.ohlcOracleSql):
@@ -444,15 +472,9 @@ object StreamingQueries {
     // the declarative restatement of the gate's chain rule: a doc
     // collides iff ANY smaller-id doc shares one of its band buckets
     // (same bucket CTEs as the dd03 oracle)
-    "st07_neardup_gate" ->
-      s"""WITH ${OpsQueries.bandExplodedCtes},
-         |coll AS (
-         |  SELECT DISTINCT a.id FROM exploded a
-         |  JOIN exploded b ON a.band = b.band AND a.key = b.key AND b.id < a.id
-         |)
-         |SELECT doc_id, lang FROM documents
-         |WHERE doc_id NOT IN (SELECT id FROM coll)
-         |ORDER BY doc_id""".stripMargin,
+    "st07_neardup_gate" -> st07Oracle,
+    // identical contract for the custom band state on RocksDB
+    "st11_rocksdb_gate" -> st07Oracle,
     // dd13's contamination rule, clean side only: the Bloom prefilter
     // can only add candidates to the exact join, never hide one
     "st08_decontamination_gate" ->
