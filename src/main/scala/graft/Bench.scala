@@ -37,7 +37,9 @@ import org.apache.spark.sql.SparkSession
   *
   * After the timed passes, an `sf1_probe` block records one pass of the
   * heaviest document families over a word-tagged 10× replication of the
-  * corpus — the scale trend line (see the inline comment at the probe).
+  * corpus, and of the embedding families over a densely-perturbed 10×
+  * replication — the scale trend line (see the probe's inline
+  * comments).
   */
 object Bench {
 
@@ -202,7 +204,9 @@ object Bench {
     // the artifact, never fatal. SPARK_GRAFT_SF1_PROBE=0 skips (dev
     // loops); a prefix-filtered run probes only matching queries.
     val probeNames = Seq("dd03_minhash_lsh", "dd14_span_dedup",
-      "tx08_curation", "st08_decontamination_gate").filter(names.contains)
+      "tx08_curation", "st08_decontamination_gate",
+      "dd10_blocked_embedding", "dd12_semantic_dedup", "ss06_knn_join")
+      .filter(names.contains)
     val probeJson: String =
       if (probeNames.isEmpty || sys.env.get("SPARK_GRAFT_SF1_PROBE").contains("0")) ""
       else try {
@@ -212,8 +216,31 @@ object Bench {
         val dir = java.nio.file.Files.createTempDirectory("graft_sf1_probe")
         Runtime.getRuntime.addShutdownHook(
           new Thread(() => graft.Fs.deleteRecursively(dir)))
+        // one flat file named <table>.parquet — the driver's table
+        // layout, which the batch reader AND the streaming source's
+        // pathGlobFilter both expect — with SMALL row groups (512 KiB):
+        // a single-row-group file pins every scan stage to ONE task
+        // (parquet can't split inside a row group) and the probe would
+        // measure single-core scaling, a test-layout artifact. A 100 TB
+        // corpus arrives as thousands of files; many small row groups
+        // in one file emulate that many-split shape for batch AND
+        // streaming reads alike.
+        def writeFlat(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+          val outTmp = dir.resolve(table + "_out")
+          df.coalesce(1).write.mode("overwrite")
+            .option("parquet.block.size", (512 * 1024).toString)
+            .parquet(outTmp.toString)
+          val part = {
+            val s = java.nio.file.Files.list(outTmp)
+            try s.filter(_.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get()
+            finally s.close()
+          }
+          java.nio.file.Files.move(part, dir.resolve(table + ".parquet"))
+          graft.Fs.deleteRecursively(outTmp)
+        }
         val base = Tables.documents(spark, sfDir)
-        val scaled = (0 until scale).map { i =>
+        writeFlat((0 until scale).map { i =>
           if (i == 0) base
           else base.select(
               (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
@@ -221,29 +248,30 @@ object Bench {
                 w => concat(lit(s"r$i"), w)), " ").as("text"),
               col("lang"), col("source"))
             .withColumn("n_chars", length(col("text")))
-        }.reduce(_ unionByName _)
-        val outTmp = dir.resolve("docs_out")
-        // SMALL row groups (512 KiB): a single-row-group file pins every
-        // scan stage to ONE task (parquet can't split inside a row
-        // group) and the probe would measure single-core scaling — a
-        // test-layout artifact. A 100 TB corpus arrives as thousands of
-        // files; many small row groups in one file emulate that
-        // many-split shape for batch AND streaming reads alike.
-        scaled.coalesce(1).write.mode("overwrite")
-          .option("parquet.block.size", (512 * 1024).toString)
-          .parquet(outTmp.toString)
-        // one flat file named documents.parquet — the driver's table
-        // layout, which the batch reader AND the streaming source's
-        // pathGlobFilter both expect
-        val part = {
-          val s = java.nio.file.Files.list(outTmp)
-          try s.filter(_.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally s.close()
-        }
-        java.nio.file.Files.move(part, dir.resolve("documents.parquet"))
-        graft.Fs.deleteRecursively(outTmp)
-        val rows = spark.read.parquet(dir.resolve("documents.parquet").toString).count()
+        }.reduce(_ unionByName _), "documents")
+        // embeddings replicate by COMPONENT ROTATION (replica i reads
+        // component (j + 5i) mod 64): the base vectors are unit-norm
+        // and near-orthogonal, so a shared permutation preserves every
+        // intra-replica inner product (each replica contributes the
+        // base's near-dup pair structure — output grows LINEARLY) while
+        // rotated vectors are near-orthogonal across replicas and hash
+        // to unrelated LSH buckets/cells — a faithful "10× more vectors
+        // from the same distribution". A small perturbation instead
+        // would make every base vector a 10-member near-dup clique and
+        // the probe would measure that output explosion, not the
+        // engine; tried, rejected.
+        val ebase = Tables.embeddings(spark, sfDir)
+        writeFlat((0 until scale).map { i =>
+          if (i == 0) ebase
+          else ebase.select(
+            (col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+            transform(col("embedding"), (_, j) =>
+              element_at(col("embedding"), (j + lit(5 * i)) % 64 + 1)
+                .cast("float")).as("embedding"),
+            col("label"))
+        }.reduce(_ unionByName _), "embeddings")
+        val rows = spark.read.parquet(dir.resolve("documents.parquet").toString).count() +
+          spark.read.parquet(dir.resolve("embeddings.parquet").toString).count()
         val genSec = (System.nanoTime() - tGen) / 1e9
         val pErrs = scala.collection.mutable.LinkedHashMap[String, String]()
         // split the small row groups into per-core partitions (default

@@ -371,7 +371,21 @@ object Dedup {
     * threshold: high-cosine near-dups (≥0.9) block well at few wide
     * tables (2×8); weak-similarity thresholds need more, narrower tables
     * (e.g. 6×4) to keep recall. Contrast [[embeddingNearDupPairs]], the
-    * exact O(n²) baseline. */
+    * exact O(n²) baseline.
+    *
+    * Scaling law (measured by the bench's sf1 probe): candidate pairs
+    * for random non-neighbors grow as `bands · 2^-rows · n²` — at FIXED
+    * (bands, rows) the bucket density, and with it the verify cost,
+    * is quadratic in corpus size (10× vectors ⇒ ~12× wall observed,
+    * candidate-bound). Growing a deployment re-tunes the index, it
+    * does not keep test-scale constants: raise `rows` (each plane
+    * halves random collisions) and restore recall with proportionally
+    * more `bands` along the recall curve above, or switch to the
+    * cell-confined [[semanticDedup]] shape whose quadratic term is
+    * bounded per k-means cell with k chosen ∝ corpus size. This is the
+    * LSH twin of the Bloom sizing rule in
+    * [[graft.ops.Joins.bloomBitsFor]]: index geometry is a function of
+    * measured corpus size, never a constant. */
   def blockedEmbeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
