@@ -37,8 +37,8 @@ import org.apache.spark.sql.SparkSession
   *
   * After the timed passes, an `sf1_probe` block records one pass of the
   * heaviest document families over a word-tagged 10× replication of the
-  * corpus, and of the embedding families over a densely-perturbed 10×
-  * replication — the scale trend line (see the probe's inline
+  * corpus, and of the embedding families over a rotation-replicated
+  * 10× corpus — the scale trend line (see the probe's inline
   * comments).
   */
 object Bench {
@@ -274,6 +274,15 @@ object Bench {
           spark.read.parquet(dir.resolve("embeddings.parquet").toString).count()
         val genSec = (System.nanoTime() - tGen) / 1e9
         val pErrs = scala.collection.mutable.LinkedHashMap[String, String]()
+        // untimed: build the probe dir's memoized IVF quantizer (ss04's
+        // model feeds dd12) BEFORE the timed loop, mirroring the main
+        // warmup — otherwise dd12's probe time includes a cold k-means
+        // fit while the graded-SF time it trends against excludes it,
+        // and the trend line misreads index construction as dedup
+        // scaling
+        if (probeNames.exists(_.startsWith("dd12")))
+          try SparkEntry.queries("ss04_ivf_topk")(spark, dir.toString).count()
+          catch { case _: Throwable => } // dd12 itself will surface the error
         // split the small row groups into per-core partitions (default
         // 128 MiB maxPartitionBytes would re-bundle the whole file into
         // one split); restored right after the probe loop
