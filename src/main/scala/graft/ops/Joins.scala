@@ -61,8 +61,9 @@ object Joins {
     * (the distributed build is one hash agg to ≤ mBits/64 word rows,
     * collected — the same constant-size driver state as a broadcast
     * var); the fact side pays `k` hashes + `k` bit tests per row inside
-    * codegen. Size `mBits` ≳ 10× the dim-side key count for a ~1% false
-    * positive rate with k = 3.
+    * codegen. Size `mBits` from the MEASURED dim-side key count via
+    * [[bloomBitsFor]] (~12 bits per key ⇒ ~1% fp at k = 3); a constant
+    * sized at test scale saturates when the dim grows.
     */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, rightKey: String, mBits: Int = 1 << 17, k: Int = 3): DataFrame =

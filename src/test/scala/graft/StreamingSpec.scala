@@ -680,6 +680,27 @@ class StreamingSpec extends SparkTestBase {
     // a Bloom filter has false positives only — the exact join output
     // must be identical with and without the prefilter
     assert(contaminatedIds(withBloom = true) == contaminatedIds(withBloom = false))
+    // SATURATION soundness: a deliberately tiny (64-bit) filter is a
+    // near-pass-through; the output must STILL be exact — false
+    // positives cost work, never correctness
+    val tiny = Joins.bloomTestFor(benchGrams, "gram", mBits = 64)
+    val tinyIds = corpus.filter(exists(Dedup.shingles($"text", 8), tiny))
+      .select($"doc_id", explode(Dedup.shingles($"text", 8)).as("gram"))
+      .join(benchGrams, Seq("gram")).select($"doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(tinyIds == contaminatedIds(withBloom = false))
+    // EFFICACY at the shipped doc-level sizing (the sf1-probe
+    // regression guard): per-gram fp compounds over a doc's ~50 grams,
+    // so the sized screen must dismiss the clean majority — positives
+    // may exceed truly contaminated docs only by a small fp margin,
+    // never degenerate to pass-through
+    val sized = Joins.bloomTestFor(benchGrams, "gram",
+      mBits = Joins.bloomBitsFor(benchGrams.count(), bitsPerKey = 24), k = 8)
+    val positives = corpus.filter(exists(Dedup.shingles($"text", 8), sized)).count()
+    val contaminated = contaminatedIds(withBloom = false).size
+    val cleanDocs = corpus.count() - contaminated
+    assert(positives - contaminated <= math.max(5L, cleanDocs / 20),
+      s"sized bloom passed $positives of ${corpus.count()} (true: $contaminated)")
     val gated = corpus.filter(exists(Dedup.shingles($"text", 8), bloomHit))
       .select($"doc_id", explode(Dedup.shingles($"text", 8)).as("gram"))
       .join(benchGrams, Seq("gram"))
