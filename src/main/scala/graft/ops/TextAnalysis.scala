@@ -242,7 +242,15 @@ object TextAnalysis {
     ("phone", "\\+1-555-[0-9]+", "<PHONE>"),
     ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
     ("card", "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}", "<CARD>"),
-    ("iban", "[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}", "<IBAN>"))
+    ("iban", "[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}", "<IBAN>"),
+    // government-id (SSN-shaped 3-2-4): ordered AFTER card so 4-4-4-4
+    // digit groups are claimed by the card family first — on the
+    // scrubbed text a card's groups can never re-fire as an SSN
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    // locale-aware phone (UK-style +44-AA-NNNNNNN), distinct from the
+    // NANP +1-555 family above: a scrub contract that only knows one
+    // country's phone shape ships PII for every other locale
+    ("ukphone", "\\+44-[0-9]{2}-[0-9]{7}", "<UKPHONE>"))
 
   /** Per-pattern PII match counts of `text`, in [[PiiPatterns]] order —
     * row-local codegen'd regexp_count columns (the detection census a

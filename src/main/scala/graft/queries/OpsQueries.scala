@@ -782,11 +782,11 @@ object OpsQueries {
     * or uppercase (pinned by the base-clean census columns), so every
     * detection is attributable to the injection and the expected counts
     * are pure doc_id arithmetic. Both engines build the SAME augmented
-    * text. Five families, one per [[TextAnalysis.PiiPatterns]] entry,
-    * on PAIRWISE-COPRIME moduli (3, 4, 5, 7, 11) so by CRT every one of
-    * the 2^5 presence combinations occurs in a large-enough corpus —
-    * in particular card-without-email docs exist, exercising the card
-    * regex on a text no earlier scrub touched. */
+    * text. Seven families, one per [[TextAnalysis.PiiPatterns]] entry,
+    * on PAIRWISE-COPRIME moduli (3, 4, 5, 7, 11, 13, 17) so by CRT
+    * every one of the 2^7 presence combinations occurs in a
+    * large-enough corpus — in particular card-without-email docs exist,
+    * exercising the card regex on a text no earlier scrub touched. */
   private def tx16Inject(text: org.apache.spark.sql.Column,
       id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(text,
@@ -806,13 +806,22 @@ object OpsQueries {
       when(id % 11 === 4,
         concat(lit(" iban DE"), lpad((id % 100).cast("string"), 2, "0"),
           lit("BANK"), lpad((id % 1000000).cast("string"), 10, "0")))
+        .otherwise(lit("")),
+      when(id % 13 === 5,
+        concat(lit(" ssn "), lpad((id % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((id % 100).cast("string"), 2, "0"),
+          lit("-"), lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 17 === 6,
+        concat(lit(" ring +44-20-"), lpad((id % 10000000).cast("string"), 7, "0")))
         .otherwise(lit("")))
 
   /** tx16: PII detection + redaction census
     * ([[graft.ops.TextAnalysis.piiCounts]]/[[piiScrub]]) — the
     * compliance scrub a training corpus runs before anything ships:
-    * emails, phone numbers, dotted-quad IPs, 16-digit card shapes and
-    * IBAN shapes are counted and replaced with redaction tokens,
+    * emails, NANP and UK-style phone numbers, dotted-quad IPs, 16-digit
+    * card shapes, IBAN shapes and SSN-shaped government ids are counted
+    * and replaced with redaction tokens,
     * entirely row-locally (codegen'd regexes, no shuffle until the one
     * census hash-agg). Census columns are GENERATED from
     * [[TextAnalysis.PiiPatterns]] (name + "s"), so adding a pattern
@@ -1965,15 +1974,22 @@ object OpsQueries {
     // base_hits pins the corpus carries no PII of its own
     "tx16_pii_scrub" -> {
       val pats = TextAnalysis.PiiPatterns
-      // itext with patterns 0..n-1 redacted, as nested DuckDB SQL
-      def scrubUpTo(n: Int): String =
-        pats.take(n).foldLeft("itext") { case (sql, (_, re, tok)) =>
+      // col with patterns 0..n-1 redacted, as nested DuckDB SQL
+      def scrubColUpTo(col: String, n: Int): String =
+        pats.take(n).foldLeft(col) { case (sql, (_, re, tok)) =>
           s"regexp_replace($sql, '$re', '$tok', 'g')" }
+      def scrubUpTo(n: Int): String = scrubColUpTo("itext", n)
       val countSql = pats.zipWithIndex.map { case ((name, re, _), i) =>
         s"    len(regexp_extract_all(${scrubUpTo(i)}, '$re')) AS ${name}s," }
         .mkString("\n")
-      val baseSql = pats.map { case (_, re, _) =>
-        s"len(regexp_extract_all(text, '$re'))" }.mkString(" + ")
+      // base_hits under the SAME progressive-scrub semantics as the
+      // Spark side's piiCounts(text) — pattern i counted on text with
+      // patterns 0..i-1 redacted — so one shared definition grades the
+      // corpus-is-clean pin (independent raw-text counts would disagree
+      // on overlapping spans and misreport a dirty corpus as an engine
+      // mismatch)
+      val baseSql = pats.zipWithIndex.map { case ((_, re, _), i) =>
+        s"len(regexp_extract_all(${scrubColUpTo("text", i)}, '$re'))" }.mkString(" + ")
       val sumSql = pats.map { case (name, _, _) =>
         s"  CAST(SUM(${name}s) AS BIGINT) AS ${name}s," }.mkString("\n")
       val anySql = pats.map { case (name, _, _) => s"${name}s" }.mkString(" + ")
@@ -1984,6 +2000,8 @@ object OpsQueries {
          |    || CASE WHEN doc_id % 5 = 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END
          |    || CASE WHEN doc_id % 7 = 3 THEN ' card 4111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-2222-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ELSE '' END
          |    || CASE WHEN doc_id % 11 = 4 THEN ' iban DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || 'BANK' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 10, '0') ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 5 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |    || CASE WHEN doc_id % 17 = 6 THEN ' ring +44-20-' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0') ELSE '' END
          |    AS itext
          |  FROM documents
          |), c AS (
