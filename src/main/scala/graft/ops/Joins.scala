@@ -66,7 +66,7 @@ object Joins {
     * sized at test scale saturates when the dim grows.
     */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
-      factKey: String, rightKey: String, mBits: Int = 1 << 17, k: Int = 3): DataFrame =
+      factKey: String, rightKey: String, mBits: Long = 1L << 17, k: Int = 3): DataFrame =
     fact.filter(bloomPredicate(dim, rightKey, col(factKey), mBits, k))
       .join(dim, col(factKey) === col(rightKey))
 
@@ -77,7 +77,7 @@ object Joins {
     * on any frame that should be pruned by dim membership (a join's
     * fact side, a streaming ingest filter, a second fact table). */
   def bloomPredicate(dim: DataFrame, dimKey: String,
-      factKey: org.apache.spark.sql.Column, mBits: Int = 1 << 17, k: Int = 3): org.apache.spark.sql.Column =
+      factKey: org.apache.spark.sql.Column, mBits: Long = 1L << 17, k: Int = 3): org.apache.spark.sql.Column =
     bloomTestFor(dim, dimKey, mBits, k)(factKey)
 
   /** Builds the Bloom filter from `dim` ONCE and returns a reusable
@@ -87,13 +87,15 @@ object Joins {
     * "shares any element with the reference set" screen (the streaming
     * decontamination gate's fast path). */
   def bloomTestFor(dim: DataFrame, dimKey: String,
-      mBits: Int = 1 << 17, k: Int = 3): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+      mBits: Long = 1L << 17, k: Int = 3): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
     // Sizing rule: ~12 bits per dim key at k = 3 gives a ~1% false
     // positive rate; see bloomBitsFor. A filter sized for the test-SF
     // key count SATURATES when the dim grows (n ≈ m ⇒ every probe
     // passes and the "screen" forwards everything) — callers whose dim
-    // side scales should measure it and size accordingly, not hardcode.
+    // side scales should measure it and size accordingly, not hardcode
+    // ([[bloomScreenFor]] is that policy packaged).
     require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
+    require(mBits / 64 <= Int.MaxValue, s"mBits/64 must fit an array, got $mBits")
     require(k >= 1, s"k must be >= 1, got $k")
     // xxhash64 is TYPE-sensitive (hash(1:int) != hash(1L)), while the
     // exact join behind the filter compares under implicit casts — so
@@ -112,12 +114,12 @@ object Joins {
     // per-word masks in one hash agg, collect <= mBits/64 long rows
     val posRows = dim.select(
       explode(array((0 until k).map(i =>
-        pmod(xxhash64(dimHashKey, lit(i)), lit(mBits.toLong))): _*)).as("pos"))
+        pmod(xxhash64(dimHashKey, lit(i)), lit(mBits))): _*)).as("pos"))
       .select((col("pos") / 64).cast("int").as("w"),
         call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("b"))
       .groupBy(col("w")).agg(bit_or(col("b")).as("bm"))
       .collect()
-    val words = new Array[Long](mBits / 64)
+    val words = new Array[Long]((mBits / 64).toInt)
     posRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
     // ONE ArrayType literal node (mBits/8 bytes of plan payload), not
     // mBits/64 scalar literals: a filter sized for millions of keys
@@ -125,7 +127,7 @@ object Joins {
     val wordsLit = typedLit(words.toIndexedSeq)
     (factKey: org.apache.spark.sql.Column) =>
       (0 until k).map { i =>
-        val pos = pmod(xxhash64(factKey.cast(hashType), lit(i)), lit(mBits.toLong))
+        val pos = pmod(xxhash64(factKey.cast(hashType), lit(i)), lit(mBits))
         element_at(wordsLit, (pos / 64).cast("int") + 1)
           .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0L
       }.reduce(_ && _)
@@ -139,17 +141,58 @@ object Joins {
     * COMPOUNDS: 1% per gram is 1−0.99^50 ≈ 40% per document and the
     * screen degenerates to a pass-through — size 24 bits/key and k = 8
     * there (per-probe fp ≈ 4e-5, per-50-gram-document ≈ 0.2%).
-    * Floor 2^16 (a trivially small filter is all padding anyway), cap
-    * 2^26 (8 MiB of plan payload — beyond that the dim side belongs in
-    * a broadcast join, not a screen). The measure-then-size step costs
-    * one count job over the (cached) dim side and is what keeps a
+    * Floor 2^16 (a trivially small filter is all padding anyway);
+    * `maxBits` caps the plan payload, default 2^26 (8 MiB). The words
+    * literal rides the ONE-PER-STAGE broadcast of the serialized task
+    * binary — a broadcast-join-class cost, not a per-task tax — so a
+    * caller whose reference set outgrows the default cap can raise it
+    * into the same budget it would grant a broadcast join
+    * ([[ScreenMaxBits]]); a filter CAPPED below nKeys·bitsPerKey has a
+    * degraded per-probe fp and should escalate instead
+    * ([[bloomScreenFor]]). The measure-then-size step costs one count
+    * job over the (cached) dim side and is what keeps a
     * statically-sized screen from silently saturating when the
     * reference set grows 10× (the sf1 probe caught exactly that). */
-  def bloomBitsFor(nKeys: Long, bitsPerKey: Int = 12): Int = {
+  def bloomBitsFor(nKeys: Long, bitsPerKey: Int = 12,
+      maxBits: Long = 1L << 26): Long = {
     require(nKeys >= 0, s"bloomBitsFor needs nKeys >= 0, got $nKeys")
     require(bitsPerKey > 0, s"bloomBitsFor needs bitsPerKey > 0, got $bitsPerKey")
-    val want = math.min(1L << 26, math.max(1L << 16, nKeys * bitsPerKey))
-    (((want + 63) / 64) * 64).toInt
+    require(maxBits >= (1L << 16) && maxBits % 64 == 0,
+      s"bloomBitsFor needs maxBits >= 2^16, a multiple of 64, got $maxBits")
+    // compare before multiplying: nKeys * bitsPerKey can overflow Long,
+    // and an overflowed-negative product would select the 2^16 FLOOR —
+    // the saturated-filter outcome this function exists to prevent
+    val want =
+      if (nKeys > maxBits / bitsPerKey) maxBits
+      else math.max(1L << 16, nKeys * bitsPerKey)
+    ((want + 63) / 64) * 64
+  }
+
+  /** The plan-payload budget for a Bloom screen whose reference set
+    * outgrows [[bloomBitsFor]]'s 8 MiB default cap: 2^30 bits = 128 MiB
+    * of words literal, one per-stage broadcast — the budget class of a
+    * large broadcast join. At 24 bits/key that holds the design fp up
+    * to ~44M reference keys. */
+  final val ScreenMaxBits: Long = 1L << 30
+
+  /** Measure-then-size-or-ESCALATE — the complete Bloom screen policy:
+    * counts `dim`'s keys, and either returns the membership test sized
+    * to the design fp ([[bloomTestFor]] at `bitsPerKey`/`k`), or `None`
+    * when even `maxBits` cannot hold `bitsPerKey` bits per key — the
+    * filter would run at a DEGRADED fp that compounds toward
+    * pass-through under many-probes-per-row units, so the caller must
+    * escalate to its exact join (which a reference set of that size —
+    * beyond ~44M keys at the [[ScreenMaxBits]] budget — needs anyway)
+    * rather than pay k hashes per probe for a screen that dismisses
+    * nothing. Returns the measured count alongside, so callers can log
+    * the escalation instead of silently changing plan shape. */
+  def bloomScreenFor(dim: DataFrame, dimKey: String, bitsPerKey: Int,
+      k: Int, maxBits: Long = 1L << 26):
+      (Long, Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]) = {
+    val n = dim.count()
+    if (n > maxBits / bitsPerKey) (n, None)
+    else (n, Some(bloomTestFor(dim, dimKey,
+      bloomBitsFor(n, bitsPerKey, maxBits), k)))
   }
 
   /** Range-lookup join: attach to every fact row the dimension interval

@@ -62,6 +62,13 @@ object StreamingQueries {
       mode: String, midStream: Option[() => Unit],
       providerClass: Option[String]): DataFrame = {
     val spark = df.sparkSession
+    // SESSION-GLOBAL conf mutation (same pattern as shuffle.partitions
+    // below): set → run → restore assumes the graded queries run ONE AT
+    // A TIME in this session — a streaming query started concurrently
+    // during the window would silently pick up this provider. The
+    // driver's grading loop is single-threaded; a concurrent harness
+    // would need these queries built on spark.newSession() so the
+    // override stays session-local.
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
     providerClass.foreach(spark.conf.set(providerKey, _))
@@ -294,19 +301,25 @@ object StreamingQueries {
       .select(explode(Dedup.shingles(col("text"), OpsQueries.Dd13Ngram)).as("gram"))
       .distinct()
       .localCheckpoint(eager = true) // static side: bloom build + exact join read it once
-    // measure-then-size, at the DOCUMENT design point: the screen's
-    // unit is an exists() over a doc's ~50 grams, so a per-gram fp of
-    // 1% compounds to a ~40% per-doc pass rate and the screen
-    // degenerates to a pass-through (the sf1 probe surfaced exactly
-    // that: 18k Bloom-positives for 190 truly contaminated docs, every
-    // one paying the explode+join). 24 bits/gram with k = 8 holds the
-    // per-doc fp near 0.2% at any benchmark size; the one count job
-    // runs on the checkpointed gram set.
-    val bloomHit = Joins.bloomTestFor(benchGrams, "gram",
-      mBits = Joins.bloomBitsFor(benchGrams.count(), bitsPerKey = 24), k = 8)
-    val hits = graft.streaming.StreamingDedup.readDocumentStream(s, d)
+    // measure-then-size-or-escalate, at the DOCUMENT design point: the
+    // screen's unit is an exists() over a doc's ~50 grams, so a
+    // per-gram fp of 1% compounds to a ~40% per-doc pass rate and the
+    // screen degenerates to a pass-through (the sf1 probe surfaced
+    // exactly that: 18k Bloom-positives for 190 truly contaminated
+    // docs, every one paying the explode+join). 24 bits/gram with k = 8
+    // holds the per-doc fp near 0.2% up to the ScreenMaxBits budget
+    // (~44M grams — a benchmark-suite set, not a corpus); a reference
+    // set beyond it ESCALATES to the exact join alone (screen = None):
+    // a capped filter's fp would compound back toward pass-through and
+    // its k hashes per gram would buy nothing. Either way the output
+    // is exact — the screen only ever forwards extra docs to the join.
+    val (_, screen) = Joins.bloomScreenFor(benchGrams, "gram",
+      bitsPerKey = 24, k = 8, maxBits = Joins.ScreenMaxBits)
+    val stream = graft.streaming.StreamingDedup.readDocumentStream(s, d)
       .filter(col("doc_id") % OpsQueries.Dd13Mod =!= 0)
-      .filter(exists(Dedup.shingles(col("text"), OpsQueries.Dd13Ngram), bloomHit))
+    val screened = screen.fold(stream)(test =>
+      stream.filter(exists(Dedup.shingles(col("text"), OpsQueries.Dd13Ngram), test)))
+    val hits = screened
       .select(col("doc_id"), explode(
         Dedup.shingles(col("text"), OpsQueries.Dd13Ngram)).as("gram"))
       .join(benchGrams, Seq("gram"))

@@ -153,7 +153,40 @@ class JoinsSpec extends SparkTestBase {
     val m = Joins.bloomBitsFor(n)
     assert(m % 64 == 0 && m >= n * 12 && m < n * 12 + 64, m.toString)
     assert(Joins.bloomBitsFor(Long.MaxValue / 16) == (1 << 26)) // cap
+    // nKeys*bitsPerKey would overflow Long: the cap must win, not the
+    // floor (an overflowed-negative product used to select 2^16 — the
+    // saturated filter the function exists to prevent)
+    assert(Joins.bloomBitsFor(Long.MaxValue - 1) == (1 << 26))
+    assert(Joins.bloomBitsFor(Long.MaxValue - 1, 24, Joins.ScreenMaxBits)
+      == Joins.ScreenMaxBits)
+    // a raised maxBits holds the full design sizing past the old cap
+    assert(Joins.bloomBitsFor(10000000L, 24, Joins.ScreenMaxBits) == 240000000L)
     intercept[IllegalArgumentException](Joins.bloomBitsFor(-1))
+  }
+
+  test("bloomScreenFor: sizes at design fp past the 2^26 default cap; escalates beyond budget") {
+    // n ≫ the default cap's ~2.8M-key capacity at 24 bits/key: under
+    // the ScreenMaxBits budget the screen must still be SELECTIVE (the
+    // done-criterion: dismiss the clean majority, not just stay sound)
+    val n = 4000000L
+    val dim = spark.range(n).select($"id".as("key"))
+    val (measured, screen) = Joins.bloomScreenFor(dim, "key",
+      bitsPerKey = 24, k = 8, maxBits = Joins.ScreenMaxBits)
+    assert(measured == n && screen.isDefined)
+    // disjoint probe keys (shifted far past the member range): at 24
+    // bits/key + k=8 the per-probe fp is ~4e-5, so of 100k clean keys
+    // at most a handful may pass
+    val clean = spark.range(100000).select(($"id" + 1000000000L).as("k"))
+    val falsePos = clean.filter(screen.get($"k")).count()
+    assert(falsePos < 100, s"screen passed $falsePos of 100000 clean keys")
+    // and members are never missed (no false negatives, spot slice)
+    val members = spark.range(5000).select(($"id" * 800L).as("k"))
+    assert(members.filter(screen.get($"k")).count() == 5000)
+    // beyond the budget: escalate (None) instead of shipping a filter
+    // whose degraded fp compounds to a pass-through
+    val (m2, s2) = Joins.bloomScreenFor(dim, "key",
+      bitsPerKey = 24, k = 8, maxBits = 1L << 16)
+    assert(m2 == n && s2.isEmpty)
   }
 
   test("rangeLookupJoin equals the brute-force BETWEEN join and plans a hash join") {
