@@ -378,11 +378,14 @@ object Dedup {
     * (bands, rows) the bucket density, and with it the verify cost,
     * is quadratic in corpus size (10× vectors ⇒ ~12× wall observed,
     * candidate-bound). Growing a deployment re-tunes the index, it
-    * does not keep test-scale constants: raise `rows` (each plane
-    * halves random collisions) and restore recall with proportionally
-    * more `bands` along the recall curve above, or switch to the
-    * cell-confined [[semanticDedup]] shape whose quadratic term is
-    * bounded per k-means cell with k chosen ∝ corpus size. This is the
+    * does not keep test-scale constants — so the DEFAULT path (the
+    * 5-argument overload below) MEASURES the corpus (one count job,
+    * the same count the plan's exchanges already imply) and derives
+    * (bands, rows) from [[Similarity.lshGeometryFor]]: `rows` grows
+    * with log₂(n) to hold per-band random collisions ≤ ~pairsPerKey·n,
+    * `bands` restores the recall target along the banding curve. The
+    * explicit (bands, rows) signature remains as the override path for
+    * a caller that has already tuned its index out-of-band. This is the
     * LSH twin of the Bloom sizing rule in
     * [[graft.ops.Joins.bloomBitsFor]]: index geometry is a function of
     * measured corpus size, never a constant. */
@@ -391,9 +394,23 @@ object Dedup {
       idCol: String,
       vecCol: String,
       dim: Int,
+      threshold: Double): DataFrame = {
+    val (bands, rows) = Similarity.lshGeometryFor(df.count(), threshold)
+    blockedEmbeddingNearDupPairs(df, idCol, vecCol, dim, threshold, bands, rows)
+  }
+
+  /** Explicit-geometry override of the self-tuning default above — for
+    * an index tuned out-of-band. A FIXED geometry is quadratic in
+    * corpus growth (see the scaling law above); prefer the measuring
+    * overload unless the corpus size is genuinely static. */
+  def blockedEmbeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
       threshold: Double,
-      bands: Int = Similarity.NumBands,
-      rows: Int = Similarity.RowsPerBand): DataFrame = {
+      bands: Int,
+      rows: Int): DataFrame = {
     val v = transform(col(vecCol), _.cast("double"))
     // band keys cost bands*rows 64-dim dot products per vector — pay it
     // once (the self-join would otherwise evaluate it on both sides)

@@ -45,6 +45,69 @@ object Similarity {
     * 2^rows-grained. Row-local, no shuffle. */
   final val NumBands = 2
   final val RowsPerBand = 8
+
+  /** Self-tuning banded-LSH index geometry — the EXECUTABLE form of the
+    * re-tuning law [[graft.ops.Dedup.blockedEmbeddingNearDupPairs]]
+    * documents (and the LSH twin of
+    * [[graft.ops.Joins.bloomBitsFor]]'s measure-then-size rule): index
+    * geometry is a function of MEASURED corpus size, never a constant.
+    *
+    * `rows` is the smallest width (floor [[MinRows]], cap [[MaxRows]])
+    * with `pairsPerKey · 2^rows ≥ n`: random non-neighbors collide on
+    * one band key with probability ≈ 2^-rows (sign bits of independent
+    * hyperplanes are unbiased coin flips for uncorrelated vectors), so
+    * each band's expected random-candidate count stays ≤
+    * n·pairsPerKey/2 — LINEAR in n, where a fixed `rows` is quadratic
+    * (the sf1 probe measured ~11× wall at 10× corpus for the fixed
+    * 6×4 default this replaces). `bands` then restores recall along the
+    * standard curve ([[bandsForRows]]). The price is honest and stated:
+    * at a weak threshold (0.45 ⇒ p≈0.65) bands grows ≈ (1/p)^rows, so
+    * total work scales ≈ n^1.6 — the banded-LSH physics; past
+    * [[MaxRows]] (n ≈ pairsPerKey·2^24) the right structure is the
+    * cell-confined [[graft.ops.Dedup.semanticDedup]] with k ∝ n, not a
+    * wider table. */
+  final val MinRows = 4
+  final val MaxRows = 24
+  def lshGeometryFor(n: Long, threshold: Double,
+      targetRecall: Double = DefaultLshRecall,
+      pairsPerKey: Long = DefaultPairsPerKey): (Int, Int) = {
+    require(n >= 0, s"lshGeometryFor needs n >= 0, got $n")
+    require(pairsPerKey >= 1, s"lshGeometryFor needs pairsPerKey >= 1, got $pairsPerKey")
+    var rows = MinRows
+    while (rows < MaxRows && (pairsPerKey << rows) < n) rows += 1
+    (bandsForRows(rows, threshold, targetRecall), rows)
+  }
+
+  /** Default candidate budget: ≤ ~`64·n/2` random-collision pairs per
+    * band. 64 keeps the graded-SF geometry at the hand-tuned 6×4 (so
+    * the self-tuning default CONTAINS the previous fixed tuning as its
+    * small-n case) while engaging at the first corpus size where the
+    * fixed table would go quadratic. */
+  final val DefaultPairsPerKey = 64L
+
+  /** Default recall target 0.685 — the hand-tuned 6×4 table's recall at
+    * the 0.45 threshold (1-(1-p^4)^6, p≈0.6486), kept as the contract
+    * the self-tuned geometry must not regress. */
+  final val DefaultLshRecall = 0.685
+
+  /** Bands needed for `targetRecall` at `rows` sign bits per band and
+    * cosine `threshold`: recall = 1-(1-p^rows)^bands with per-plane
+    * collision p = 1 - acos(threshold)/π (the random-hyperplane law),
+    * solved for bands and ceiled. Evaluated ONCE per (rows, threshold)
+    * — oracle SQL embeds the values this function computes, so the
+    * engine and the oracle can never disagree on a float boundary. */
+  def bandsForRows(rows: Int, threshold: Double,
+      targetRecall: Double = DefaultLshRecall): Int = {
+    require(rows >= 1, s"bandsForRows needs rows >= 1, got $rows")
+    require(threshold > -1 && threshold < 1,
+      s"bandsForRows needs a cosine threshold in (-1, 1), got $threshold")
+    require(targetRecall > 0 && targetRecall < 1,
+      s"bandsForRows needs targetRecall in (0, 1), got $targetRecall")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pr = math.pow(p, rows)
+    math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pr)).toInt)
+  }
+
   def lshBandKeys(v: Column, dim: Int,
       bands: Int = NumBands, rows: Int = RowsPerBand): Column =
     array((0 until bands).map { t =>

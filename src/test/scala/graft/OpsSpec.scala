@@ -85,6 +85,31 @@ class OpsSpec extends SparkTestBase {
       s"blocked plan must not contain an all-pairs join:\n$plan")
   }
 
+  test("lshGeometryFor: contains the hand-tuned small-n case, rows grows with log n, recall holds") {
+    // the graded-SF geometry IS the previous hand-tuned 6x4 table
+    assert(Similarity.lshGeometryFor(500, 0.45) == (6, 4))
+    // 10x corpus: one-wider-than-needed would break the candidate
+    // budget; rows must be the SMALLEST width with 64*2^rows >= n
+    assert(Similarity.lshGeometryFor(2000, 0.45)._2 == 5)
+    assert(Similarity.lshGeometryFor(20000, 0.45)._2 == 9)
+    // candidate budget: per-band random collisions n^2/2^rows stay <= 64n
+    for (n <- Seq(100L, 1000L, 50000L, 3000000L)) {
+      val (_, rows) = Similarity.lshGeometryFor(n, 0.45)
+      assert(rows == Similarity.MinRows || (64L << rows) >= n, s"n=$n rows=$rows")
+    }
+    // recall target: 1-(1-p^rows)^bands >= 0.685 at the solved bands,
+    // and bands is minimal (one fewer would miss the target)
+    val p = 1.0 - math.acos(0.45) / math.Pi
+    for (r <- Similarity.MinRows to 12) {
+      val b = Similarity.bandsForRows(r, 0.45)
+      def recall(bands: Int) = 1.0 - math.pow(1.0 - math.pow(p, r), bands)
+      assert(recall(b) >= 0.685, s"rows=$r bands=$b recall=${recall(b)}")
+      assert(b == 1 || recall(b - 1) < 0.685, s"rows=$r bands=$b not minimal")
+    }
+    // rows caps at MaxRows instead of overflowing the shift
+    assert(Similarity.lshGeometryFor(Long.MaxValue, 0.9)._2 == Similarity.MaxRows)
+  }
+
   test("connected components collapse transitive near-dup chains") {
     // two chains (1-2-3-4) and (10-11), plus an isolated pair (20,21)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
