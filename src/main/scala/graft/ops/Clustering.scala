@@ -110,12 +110,24 @@ object Clustering {
     * [[ivfTopKServed]]. */
   def writePartitionedByCell(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Double])], path: String): Unit =
+    writePartitionedByCell(df, idCol, vecCol, centroids, path, "overwrite")
+
+  /** [[writePartitionedByCell]] with an explicit save mode — pass
+    * `"append"` to grow a served layout with a NEW batch of vectors
+    * assigned by the SAME (persisted, train-once) model, without
+    * refitting or rewriting the existing cells: appended files land
+    * inside the matching `cell=` directories, so partition pruning and
+    * [[ivfTopKServed]] see one seamless index (ss12). At 100 TB this is
+    * the ingest shape — an index rebuild per batch would re-shuffle the
+    * whole corpus, while the append touches only the new rows. */
+  def writePartitionedByCell(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])], path: String, mode: String): Unit =
     df.select(col(idCol).as("id"), col(vecCol).as("embedding"),
         transform(col(vecCol), _.cast("double")).as("__v"))
       .localCheckpoint(eager = true) // same inlining guard as kmeans
       .withColumn("cell", assignCell(col("__v"), centroids))
       .drop("__v")
-      .write.partitionBy("cell").mode("overwrite").parquet(path)
+      .write.partitionBy("cell").mode(mode).parquet(path)
 
   /** ANN top-k against a [[writePartitionedByCell]] layout: the cell
     * filter prunes partitions at planning time (PartitionFilters on the

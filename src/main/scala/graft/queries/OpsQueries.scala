@@ -485,6 +485,70 @@ object OpsQueries {
       .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
   }
 
+  /** ss12: the APPEND path of the served-IVF story — the one thing
+    * ss07/ss11 don't prove: that the train-once model survives CORPUS
+    * GROWTH. The quantizer fits on the OLD slice only (vec_id % 5 ≠ 1),
+    * persists, and the layout is written from it; then a NEW batch
+    * (vec_id % 5 = 1) is assigned through the LOADED model — no refit,
+    * no rewrite of existing cells, just appended files inside the
+    * matching `cell=` directories — and ss04's query is served over the
+    * combined layout. The oracle re-fits on the old slice and assigns
+    * the UNION through the trained centroids
+    * ([[kmeansOracleCtesFor]]'s assign-slice form), so a refit that
+    * sneaked into the append path, or an appended vector quantized by a
+    * drifted model, breaks the hash. At 100 TB this is the ingest
+    * shape: per-batch index rebuilds re-shuffle the whole corpus, the
+    * append touches only the new rows. */
+  private val appendLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val ss12: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val oldSlice = e.filter($"vec_id" =!= 0 && $"vec_id" % 5 =!= 1)
+    val newBatch = e.filter($"vec_id" =!= 0 && $"vec_id" % 5 === 1)
+    val (modelPath, layoutPath) = appendLayouts.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.Fs.deleteRecursively(dir)))
+      val mp = dir.resolve("centroids").toString
+      val lp = dir.resolve("layout").toString
+      val fitted = Clustering.kmeans(oldSlice, "vec_id", "embedding",
+        64, Ss04Cells, Ss04Iters)
+      Clustering.saveCentroids(s, fitted, mp)
+      // both writes go through the LOADED model — the layout must be
+      // the artifact a fresh serving process (which has only the file)
+      // would build, never the in-memory fit
+      val loaded = Clustering.loadCentroids(s, mp)
+      require(loaded == fitted,
+        "loaded IVF centroids drifted from the fitted model")
+      Clustering.writePartitionedByCell(
+        oldSlice, "vec_id", "embedding", loaded, lp)
+      Clustering.writePartitionedByCell(
+        newBatch, "vec_id", "embedding", loaded, lp, "append")
+      (mp, lp)
+    })
+    val loaded = Clustering.loadCentroids(s, modelPath)
+    val qv = e.filter($"vec_id" === 0)
+      .select(transform($"embedding", _.cast("double")))
+      .collect().head.getSeq[Double](0)
+    // two graded facts in one uniform (part, a, b) schema: the served
+    // top-5 over the combined layout ('serve' rows), and the per-cell
+    // census of the layout itself — total members and HOW MANY ARE
+    // APPENDED ('cell_k' rows). The census is what makes the append
+    // non-vacuous: the query vector's neighbors are mostly old-slice
+    // vectors, so a silently-empty append could hash-match a top-k-only
+    // result; it cannot match the census.
+    val served = Clustering.ivfTopKServed(s, layoutPath, loaded, qv, 5,
+        nProbe = Ss04Probe)
+      .select(lit("serve").as("part"), $"id".as("a"), round($"sim", 4).as("b"))
+    val census = s.read.parquet(layoutPath)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"id" % 5 === 1, 1L).otherwise(0L)).as("nn"))
+      .select(concat(lit("cell_"), $"cell").as("part"),
+        $"n".as("a"), $"nn".cast("double").as("b"))
+    served.unionByName(census).sort($"part", $"a")
+  }
+
   /** ss06: batched k-NN join — vectors 1..20 each find their top-3
     * LSH-bucket neighbors in the rest of the corpus, in ONE plan (bucket
     * equi-join + per-query window rank). The production shape: no
@@ -1101,6 +1165,7 @@ object OpsQueries {
     "ss09_quantized_ann" -> ss09,
     "ss10_filtered_ann" -> ss10,
     "ss11_ivf_persisted" -> ss11,
+    "ss12_ivf_append" -> ss12,
     "tx01_token_stats" -> tx01,
     "tx02_quality_score" -> tx02,
     "tx03_langid" -> tx03,
@@ -1552,14 +1617,24 @@ object OpsQueries {
     * centroids), over `e` (all vectors but the query row 0) and `q` (the
     * query vector). Shared by every oracle that consumes the
     * [[ivfModel]] quantizer (ss04/ss07 probe, dd12 semantic dedup). */
-  private val kmeansOracleCtes: String = {
+  private val kmeansOracleCtes: String = kmeansOracleCtesFor("vec_id <> 0", None)
+
+  /** [[kmeansOracleCtes]] generalized for ss12's train-once-append
+    * shape: the fit CTEs run over the `trainWhere` slice, and when
+    * `assignWhere` is set the FINAL assignment `af` runs over that
+    * (larger) slice with the trained centroids — the oracle restatement
+    * of assigning an appended batch through a model it was never fitted
+    * on. `None` keeps the classic fit-set assignment (and the exact
+    * CTE text every pre-ss12 consumer graded against). */
+  private def kmeansOracleCtesFor(trainWhere: String,
+      assignWhere: Option[String]): String = {
     def listCte(c: String): String =
       s"SELECT list(struct_pack(cell := cell, c := c) ORDER BY cell) AS cs FROM $c"
-    def assignCte(l: String): String =
+    def assignCte(l: String, src: String = "e"): String =
       s"SELECT vec_id, v, list_reduce(list_transform(cs, s -> struct_pack(" +
         s"d := ${sqlSqd("v", "s.c")}, cell := s.cell)), " +
         s"(acc, x) -> CASE WHEN x.d < acc.d OR (x.d = acc.d AND x.cell < acc.cell) " +
-        s"THEN x ELSE acc END).cell AS cell FROM e, $l"
+        s"THEN x ELSE acc END).cell AS cell FROM $src, $l"
     def meansCte(a: String): String =
       s"SELECT cell, list(m ORDER BY j) AS c FROM (" +
         s"SELECT cell, j, ROUND(AVG(v[j]), 6) AS m FROM $a, " +
@@ -1568,19 +1643,25 @@ object OpsQueries {
       s"a$i AS (${assignCte(s"l${i - 1}")}), c$i AS (${meansCte(s"a$i")}), " +
         s"l$i AS (${listCte(s"c$i")})"
     }.mkString(",\n")
+    val eaCte = assignWhere.map(w =>
+      s""", ea AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+         |  FROM embeddings WHERE $w
+         |)""".stripMargin).getOrElse("")
+    val afSrc = if (assignWhere.isDefined) "ea" else "e"
     s"""e AS (
        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
-       |  FROM embeddings WHERE vec_id <> 0
+       |  FROM embeddings WHERE $trainWhere
        |), q AS (
        |  SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
        |  FROM embeddings WHERE vec_id = 0
-       |), c0 AS (
+       |)$eaCte, c0 AS (
        |  SELECT rn - 1 AS cell, v AS c FROM (
        |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, v FROM e) t
        |  WHERE rn <= $Ss04Cells
        |), l0 AS (${listCte("c0")}),
        |$iterCtes,
-       |af AS (${assignCte(s"l$Ss04Iters")})""".stripMargin
+       |af AS (${assignCte(s"l$Ss04Iters", afSrc)})""".stripMargin
   }
 
   private val ss04Oracle: String =
@@ -1590,6 +1671,26 @@ object OpsQueries {
        |FROM af JOIN pc USING (cell), q
        |ORDER BY ${sqlCosine("v", "qv", 64)} DESC, vec_id
        |LIMIT 5""".stripMargin
+
+  /** ss12's oracle: the fit runs over the OLD slice only, the final
+    * assignment over the whole corpus — exactly the append semantics
+    * (new vectors quantized by a model that never saw them). */
+  private val ss12Oracle: String =
+    s"""WITH ${kmeansOracleCtesFor("vec_id <> 0 AND vec_id % 5 <> 1", Some("vec_id <> 0"))},
+       |pc AS (SELECT cell FROM c$Ss04Iters, q ORDER BY ${sqlSqd("qv", "c")}, cell LIMIT $Ss04Probe),
+       |serve AS (
+       |  SELECT 'serve' AS part, vec_id AS a, ROUND(${sqlCosine("v", "qv", 64)}, 4) AS b
+       |  FROM af JOIN pc USING (cell), q
+       |  ORDER BY ${sqlCosine("v", "qv", 64)} DESC, vec_id
+       |  LIMIT 5
+       |), census AS (
+       |  SELECT 'cell_' || CAST(cell AS VARCHAR) AS part, COUNT(*) AS a,
+       |    CAST(SUM(CASE WHEN vec_id % 5 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS b
+       |  FROM af GROUP BY cell
+       |)
+       |SELECT part, a, b FROM serve
+       |UNION ALL SELECT part, a, b FROM census
+       |ORDER BY part, a""".stripMargin
 
   private val ss05Oracle: String =
     s"""WITH q AS (
@@ -1843,6 +1944,7 @@ object OpsQueries {
     // the loaded-model serve must equal the refit bit-for-bit, so the
     // refit oracle grades it unchanged
     "ss11_ivf_persisted" -> ss04Oracle,
+    "ss12_ivf_append" -> ss12Oracle,
     "ss05_multiprobe_topk" -> ss05Oracle,
     // ss05's restatement with the metadata predicate applied before the
     // probe — pre-filter semantics stated definitionally
