@@ -37,9 +37,10 @@ import org.apache.spark.sql.SparkSession
   *
   * After the timed passes, an `sf1_probe` block records one pass of the
   * heaviest document families over a word-tagged 10× replication of the
-  * corpus, and of the embedding families over a rotation-replicated
-  * 10× corpus — the scale trend line (see the probe's inline
-  * comments).
+  * corpus, the embedding families over a rotation-replicated 10×
+  * corpus, the RocksDB stateful-dedup family over id-offset 10× events
+  * (state growth), and the LAS write family over 10× lineitem (sink
+  * path) — the scale trend line (see the probe's inline comments).
   */
 object Bench {
 
@@ -203,9 +204,15 @@ object Bench {
     // residues). Runs AFTER the timed passes; any failure is recorded in
     // the artifact, never fatal. SPARK_GRAFT_SF1_PROBE=0 skips (dev
     // loops); a prefix-filtered run probes only matching queries.
+    // st10: RocksDB state growth (1M dedup keys at 10×) — a superlinear
+    // state term was invisible while the probe covered only batch/gate
+    // families. pc01: the point-cloud WRITE path (LAS write + read-back
+    // + agg over 6M points) — the one family whose cost is dominated by
+    // the sink, not the scan.
     val probeNames = Seq("dd03_minhash_lsh", "dd14_span_dedup",
       "tx08_curation", "st08_decontamination_gate",
-      "dd10_blocked_embedding", "dd12_semantic_dedup", "ss06_knn_join")
+      "dd10_blocked_embedding", "dd12_semantic_dedup", "ss06_knn_join",
+      "st10_rocksdb_dedup", "pc01_las_roundtrip")
       .filter(names.contains)
     val probeJson: String =
       if (probeNames.isEmpty || sys.env.get("SPARK_GRAFT_SF1_PROBE").contains("0")) ""
@@ -270,8 +277,38 @@ object Bench {
                 .cast("float")).as("embedding"),
             col("label"))
         }.reduce(_ unionByName _), "embeddings")
+        // events (st10's source) and lineitem (pc01's source) replicate
+        // by plain id-offset: the streaming dedup keys on event_id, so
+        // offsetting it grows the STATE keyspace 10× (the thing the
+        // probe exists to trend); event times stay identical — 10× rows
+        // per watermark window is the honest shape of a denser stream.
+        // Timestamp columns are written as TIMESTAMP(MICROS) explicitly:
+        // the ts-unit sniff refuses INT96, and the driver's own layout
+        // is INT64 micros.
+        val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+        val prevTsType = spark.conf.get(tsTypeKey)
+        try {
+          spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+          val evbase = Tables.events(spark, sfDir)
+          writeFlat((0 until scale).map { i =>
+            if (i == 0) evbase
+            else evbase.select(
+              (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+              col("ts"),
+              (col("user_id") + lit(i.toLong * 1000000000L)).as("user_id"),
+              col("event_type"), col("value"), col("props"))
+          }.reduce(_ unionByName _), "events")
+          val libase = Tables.lineitem(spark, sfDir)
+          writeFlat((0 until scale).map { i =>
+            if (i == 0) libase
+            else libase.withColumn("l_orderkey",
+              col("l_orderkey") + lit(i.toLong * 1000000000L))
+          }.reduce(_ unionByName _), "lineitem")
+        } finally spark.conf.set(tsTypeKey, prevTsType)
         val rows = spark.read.parquet(dir.resolve("documents.parquet").toString).count() +
-          spark.read.parquet(dir.resolve("embeddings.parquet").toString).count()
+          spark.read.parquet(dir.resolve("embeddings.parquet").toString).count() +
+          spark.read.parquet(dir.resolve("events.parquet").toString).count() +
+          spark.read.parquet(dir.resolve("lineitem.parquet").toString).count()
         val genSec = (System.nanoTime() - tGen) / 1e9
         val pErrs = scala.collection.mutable.LinkedHashMap[String, String]()
         // untimed: build the probe dir's memoized IVF quantizer (ss04's
