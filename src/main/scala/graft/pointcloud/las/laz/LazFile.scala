@@ -1,0 +1,192 @@
+package graft.pointcloud.las.laz
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** LAZ container pieces (public LASzip/LAZ specification): the `laszip
+  * encoded` VLR describing compressor/chunking/items, the compressed
+  * chunk table, and whole-chunk encode/decode over the item codecs.
+  *
+  * File layout: LAS header (point-format byte's high bit set) + VLRs
+  * (including the LAZ VLR) + at offset-to-point-data an i64 absolute
+  * offset to the chunk table + the chunks back to back + the chunk
+  * table. Each chunk opens with its first point RAW and continues with
+  * arithmetic-coded points; chunk state is fully reset per chunk, so a
+  * chunk is the independent split unit a record-aligned planner can
+  * hand an executor.
+  */
+private[las] object LazFile {
+
+  final val VlrUserId = "laszip encoded"
+  final val VlrRecordId = 22204
+  /** pointwise-chunked — the compressor for point formats 0-5. */
+  final val CompressorChunked = 2
+  final val DefaultChunkSize = 50000
+
+  /** One LAZ VLR item: (type, size, version). */
+  case class LazItem(itemType: Int, size: Int, version: Int)
+
+  case class LazVlr(compressor: Int, coder: Int, chunkSize: Int, items: Seq[LazItem]) {
+    def recordLength: Int = items.map(_.size).sum
+  }
+
+  /** Items for a LAS point format (the subset this codec supports).
+    * Formats 2-5's RGB/wavepacket items are not implemented — callers
+    * reject those up front with a clear error. */
+  def itemsFor(format: Byte): Seq[LazItem] = format match {
+    case 0 => Seq(LazItem(LazItemCodec.TypePoint10, 20, 2))
+    case 1 => Seq(LazItem(LazItemCodec.TypePoint10, 20, 2),
+      LazItem(LazItemCodec.TypeGpsTime11, 8, 2))
+    case f => throw new IllegalArgumentException(
+      s"LAZ write supports point formats 0 and 1, got format $f")
+  }
+
+  def codecsFor(items: Seq[LazItem]): Array[LazItemCodec] = items.map {
+    case LazItem(LazItemCodec.TypePoint10, 20, _) => new Point10Codec
+    case LazItem(LazItemCodec.TypeGpsTime11, 8, _) => new GpsTime11Codec
+    case it => throw new IllegalArgumentException(
+      s"unsupported LAZ item type ${it.itemType} (size ${it.size}) — " +
+        "this reader implements POINT10 and GPSTIME11")
+  }.toArray
+
+  /** Serialize the LAZ VLR payload (34 + 6·items bytes, little-endian). */
+  def vlrPayload(vlr: LazVlr): Array[Byte] = {
+    val out = new Array[Byte](34 + 6 * vlr.items.size)
+    val buf = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(vlr.compressor.toShort)
+    buf.putShort(vlr.coder.toShort)
+    buf.put(2.toByte).put(4.toByte) // version major.minor of the scheme
+    buf.putShort(0) // revision
+    buf.putInt(0) // options
+    buf.putInt(vlr.chunkSize)
+    buf.putLong(-1L) // number of special EVLRs (none)
+    buf.putLong(-1L) // offset to special EVLRs
+    buf.putShort(vlr.items.size.toShort)
+    vlr.items.foreach { it =>
+      buf.putShort(it.itemType.toShort)
+      buf.putShort(it.size.toShort)
+      buf.putShort(it.version.toShort)
+    }
+    out
+  }
+
+  def parseVlrPayload(bytes: Array[Byte]): LazVlr = {
+    require(bytes.length >= 34, s"LAZ VLR payload too short: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val compressor = buf.getShort(0) & 0xFFFF
+    val coder = buf.getShort(2) & 0xFFFF
+    val chunkSize = buf.getInt(12)
+    val numItems = buf.getShort(32) & 0xFFFF
+    require(bytes.length >= 34 + 6 * numItems,
+      s"LAZ VLR payload truncated: $numItems items in ${bytes.length} bytes")
+    val items = (0 until numItems).map { i =>
+      LazItem(buf.getShort(34 + 6 * i) & 0xFFFF,
+        buf.getShort(36 + 6 * i) & 0xFFFF,
+        buf.getShort(38 + 6 * i) & 0xFFFF)
+    }
+    LazVlr(compressor, coder, chunkSize, items)
+  }
+
+  /** Standard 54-byte VLR container header + payload. */
+  def vlrRecord(payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](54 + payload.length)
+    val buf = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    val uid = VlrUserId.getBytes("US-ASCII")
+    var j = 0
+    while (j < uid.length) { buf.put(2 + j, uid(j)); j += 1 }
+    buf.putShort(18, VlrRecordId.toShort)
+    buf.putShort(20, payload.length.toShort)
+    System.arraycopy(payload, 0, out, 54, payload.length)
+    out
+  }
+
+  /** Chunk table payload: u32 version (0), u32 chunk count, then the
+    * per-chunk compressed byte counts delta-coded through an
+    * [[IntegerCompressor]] (32 bits, 2 contexts, context 1, previous
+    * count as predictor — the published layout). */
+  def chunkTableBytes(chunkByteCounts: Seq[Long]): Array[Byte] = {
+    val enc = new ArithmeticEncoder
+    val ic = new IntegerCompressor(32, 2)
+    var prev = 0
+    chunkByteCounts.foreach { c =>
+      require(c <= Int.MaxValue, s"chunk of $c bytes exceeds the format's u32 count")
+      ic.compress(enc, prev, c.toInt, 1)
+      prev = c.toInt
+    }
+    enc.done()
+    val coded = enc.result()
+    val out = new Array[Byte](8 + coded.length)
+    val buf = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(0) // version
+    buf.putInt(chunkByteCounts.size)
+    System.arraycopy(coded, 0, out, 8, coded.length)
+    out
+  }
+
+  /** Parse a chunk table payload → per-chunk compressed byte counts. */
+  def parseChunkTable(bytes: Array[Byte]): Array[Long] = {
+    require(bytes.length >= 8, s"chunk table too short: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val version = buf.getInt(0)
+    require(version == 0, s"unsupported chunk table version $version")
+    val n = buf.getInt(4)
+    require(n >= 0, s"negative chunk count $n")
+    val dec = new ArithmeticDecoder(bytes, 8, bytes.length)
+    val ic = new IntegerCompressor(32, 2)
+    val counts = new Array[Long](n)
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      prev = ic.decompress(dec, prev, 1)
+      counts(i) = prev.toLong & 0xFFFFFFFFL
+      i += 1
+    }
+    counts
+  }
+
+  /** Encode one chunk: raw first point, then coded points; returns the
+    * chunk's bytes. `records` is `count` back-to-back records of
+    * `stride` bytes starting at `off`. */
+  def encodeChunk(codecs: Array[LazItemCodec], records: Array[Byte], off: Int,
+      count: Int, stride: Int): Array[Byte] = {
+    require(count > 0, "encodeChunk needs at least one point")
+    require(codecs.map(_.size).sum == stride,
+      s"item sizes ${codecs.map(_.size).mkString("+")} must tile the $stride-byte record")
+    val enc = new ArithmeticEncoder
+    var itemOff = off
+    codecs.foreach { c => c.init(records, itemOff); itemOff += c.size }
+    var i = 1
+    while (i < count) {
+      var p = off + i * stride
+      codecs.foreach { c => c.write(enc, records, p); p += c.size }
+      i += 1
+    }
+    enc.done()
+    val coded = enc.result()
+    val out = new Array[Byte](stride + coded.length)
+    System.arraycopy(records, off, out, 0, stride)
+    System.arraycopy(coded, 0, out, stride, coded.length)
+    out
+  }
+
+  /** Decode one chunk of `count` points from `chunk` into a records
+    * array (`count * stride` bytes). */
+  def decodeChunk(codecs: Array[LazItemCodec], chunk: Array[Byte],
+      count: Int, stride: Int): Array[Byte] = {
+    require(count > 0, "decodeChunk needs at least one point")
+    require(codecs.map(_.size).sum == stride,
+      s"item sizes ${codecs.map(_.size).mkString("+")} must tile the $stride-byte record")
+    require(chunk.length >= stride, s"chunk of ${chunk.length} bytes holds no raw first point")
+    val out = new Array[Byte](count * stride)
+    System.arraycopy(chunk, 0, out, 0, stride)
+    var itemOff = 0
+    codecs.foreach { c => c.init(out, itemOff); itemOff += c.size }
+    val dec = new ArithmeticDecoder(chunk, stride, chunk.length)
+    var i = 1
+    while (i < count) {
+      var p = i * stride
+      codecs.foreach { c => c.read(dec, out, p); p += c.size }
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,163 @@
+package graft.pointcloud.las.laz
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Codec-level round-trip pins for the LAZ entropy core and item codecs.
+  * These run below the connector: every adversarial sequence must decode
+  * back bit-exactly, across all model/state branches. */
+class LazCodecSpec extends AnyFunSuite {
+
+  test("arithmetic coder: interleaved bit/symbol/raw-bit streams round-trip") {
+    val rnd = new scala.util.Random(42)
+    // a mixed script of (kind, value) ops, decoded with identically
+    // evolving models — the decoder must reproduce every value
+    val nOps = 20000
+    val script = Array.tabulate(nOps) { _ =>
+      rnd.nextInt(4) match {
+        case 0 => (0, rnd.nextInt(2)) // bit
+        case 1 => (1, rnd.nextInt(33)) // small symbol model
+        case 2 => (2, rnd.nextInt(516)) // big symbol model (decoder table)
+        case 3 => (3, rnd.nextInt()) // raw 32 bits
+      }
+    }
+    val enc = new ArithmeticEncoder
+    val bmE = new BitModel
+    val smE = new SymbolModel(33)
+    val bigE = new SymbolModel(516)
+    script.foreach {
+      case (0, v) => enc.encodeBit(bmE, v)
+      case (1, v) => enc.encodeSymbol(smE, v)
+      case (2, v) => enc.encodeSymbol(bigE, v)
+      case (3, v) => enc.writeBits(32, v.toLong & 0xFFFFFFFFL)
+    }
+    enc.done()
+    val bytes = enc.result()
+    val dec = new ArithmeticDecoder(bytes, 0, bytes.length)
+    val bmD = new BitModel
+    val smD = new SymbolModel(33)
+    val bigD = new SymbolModel(516)
+    script.foreach {
+      case (0, v) => assert(dec.decodeBit(bmD) == v)
+      case (1, v) => assert(dec.decodeSymbol(smD) == v)
+      case (2, v) => assert(dec.decodeSymbol(bigD) == v)
+      case (3, v) => assert(dec.readBits(32) == (v.toLong & 0xFFFFFFFFL))
+    }
+  }
+
+  test("integer compressor: adversarial correctors round-trip at 16 and 32 bits") {
+    val vals32 = Array(0, 1, -1, 2, -2, 3, 127, -128, 255, -256, 65535, -65536,
+      1 << 20, -(1 << 20), Int.MaxValue, Int.MinValue, Int.MinValue + 1,
+      123456789, -987654321) ++ Array.fill(5000)(new scala.util.Random(7).nextInt())
+    val encIc = new IntegerCompressor(32, 3)
+    val enc = new ArithmeticEncoder
+    var pred = 0
+    vals32.foreach { v => encIc.compress(enc, pred, v, 1); pred = v }
+    enc.done()
+    val bytes = enc.result()
+    val decIc = new IntegerCompressor(32, 3)
+    val dec = new ArithmeticDecoder(bytes, 0, bytes.length)
+    pred = 0
+    vals32.foreach { v =>
+      val got = decIc.decompress(dec, pred, 1)
+      assert(got == v, s"32-bit corrector $v decoded as $got")
+      pred = v
+    }
+    // 16-bit domain wraps modulo 2^16 (the intensity compressor)
+    val vals16 = Array(0, 1, 65535, 32768, 32767, 12345, 54321, 65535, 0)
+    val e16 = new IntegerCompressor(16, 1)
+    val enc2 = new ArithmeticEncoder
+    pred = 0
+    vals16.foreach { v => e16.compress(enc2, pred, v, 0); pred = v }
+    enc2.done()
+    val b2 = enc2.result()
+    val d16 = new IntegerCompressor(16, 1)
+    val dec2 = new ArithmeticDecoder(b2, 0, b2.length)
+    pred = 0
+    vals16.foreach { v =>
+      val got = d16.decompress(dec2, pred, 0)
+      assert(got == v, s"16-bit value $v decoded as $got")
+      pred = v
+    }
+  }
+
+  private def fmt0Record(x: Int, y: Int, z: Int, intensity: Int, flags: Int,
+      cls: Int, sar: Int, ud: Int, psid: Int): Array[Byte] = {
+    val b = new Array[Byte](20)
+    LazItemCodec.putI32(b, 0, x); LazItemCodec.putI32(b, 4, y); LazItemCodec.putI32(b, 8, z)
+    LazItemCodec.putU16(b, 12, intensity)
+    b(14) = flags.toByte; b(15) = cls.toByte; b(16) = sar.toByte; b(17) = ud.toByte
+    LazItemCodec.putU16(b, 18, psid)
+    b
+  }
+
+  test("POINT10 chunk: scan-shaped and adversarial points round-trip bit-exactly") {
+    val rnd = new scala.util.Random(11)
+    var x = 100000; var y = 2000000; var z = 50
+    val pts = Array.tabulate(4000) { i =>
+      // mostly scan-line deltas, occasional jumps, varied return contexts
+      if (i % 97 == 0) { x += rnd.nextInt(1 << 20) - (1 << 19); y -= rnd.nextInt(1 << 18) }
+      else { x += rnd.nextInt(60) - 20; y += rnd.nextInt(8) - 4 }
+      z += rnd.nextInt(11) - 5
+      val r = 1 + rnd.nextInt(5)
+      val n = math.max(r, 1 + rnd.nextInt(5))
+      val flags = (r & 7) | ((n & 7) << 3) | (rnd.nextInt(2) << 6) | (rnd.nextInt(2) << 7)
+      fmt0Record(x, y, z, rnd.nextInt(4000), flags, rnd.nextInt(32),
+        rnd.nextInt(256), rnd.nextInt(8), 17 + (if (rnd.nextInt(50) == 0) rnd.nextInt(3) else 0))
+    }
+    val records = pts.flatten.toArray
+    val chunk = LazFile.encodeChunk(Array(new Point10Codec), records, 0, pts.length, 20)
+    assert(chunk.length < records.length,
+      s"scan-shaped points must compress (raw ${records.length}, laz ${chunk.length})")
+    val back = LazFile.decodeChunk(Array(new Point10Codec), chunk, pts.length, 20)
+    assert(java.util.Arrays.equals(back, records))
+  }
+
+  test("POINT10 + GPSTIME11 chunk: constant, linear, multi-rate and jumping times round-trip") {
+    val rnd = new scala.util.Random(13)
+    var t = 123456.789
+    val pts = Array.tabulate(6000) { i =>
+      val base = fmt0Record(1000 + i, 2000 + (i % 13), 30, i % 1000,
+        ((1 + i % 3) & 7) | (((1 + i % 3) & 7) << 3), 2, 0, 0, 1)
+      // exercise every gps branch: constant runs, two interleaved rates,
+      // tiny jitter (multi 0/negative), and rare full-reset jumps
+      if (i % 500 == 499) t += 1e9 + rnd.nextDouble()
+      else if (i % 7 == 0) t += 0.0
+      else if (i % 2 == 0) t += 0.001
+      else t += 0.01 * (1 + (rnd.nextInt(5) - 2) * 0.1)
+      val b = new Array[Byte](28)
+      System.arraycopy(base, 0, b, 0, 20)
+      LazItemCodec.putI64(b, 20, java.lang.Double.doubleToLongBits(t))
+      b
+    }
+    val records = pts.flatten.toArray
+    val codecsE: Array[LazItemCodec] = Array(new Point10Codec, new GpsTime11Codec)
+    val chunk = LazFile.encodeChunk(codecsE, records, 0, pts.length, 28)
+    val codecsD: Array[LazItemCodec] = Array(new Point10Codec, new GpsTime11Codec)
+    val back = LazFile.decodeChunk(codecsD, chunk, pts.length, 28)
+    assert(java.util.Arrays.equals(back, records))
+    assert(chunk.length < records.length)
+  }
+
+  test("chunk table and LAZ VLR payload round-trip; golden container fields") {
+    val counts = Seq(52341L, 49877L, 51002L, 1203L)
+    val table = LazFile.chunkTableBytes(counts)
+    // golden header fields: u32 version 0, u32 chunk count, little-endian
+    assert(table(0) == 0 && table(1) == 0 && table(2) == 0 && table(3) == 0)
+    assert((table(4) & 0xFF) == counts.size && table(5) == 0)
+    assert(LazFile.parseChunkTable(table).toSeq == counts)
+
+    val vlr = LazFile.LazVlr(LazFile.CompressorChunked, 0, 50000, LazFile.itemsFor(1))
+    val payload = LazFile.vlrPayload(vlr)
+    // golden: compressor 2 (pointwise chunked), coder 0 (arithmetic),
+    // chunk size at offset 12, item count 2 at offset 32,
+    // items (POINT10, 20, v2) and (GPSTIME11, 8, v2)
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getShort(0) == 2 && bb.getShort(2) == 0)
+    assert(bb.getInt(12) == 50000)
+    assert(bb.getShort(32) == 2)
+    assert(bb.getShort(34) == 6 && bb.getShort(36) == 20 && bb.getShort(38) == 2)
+    assert(bb.getShort(40) == 7 && bb.getShort(42) == 8 && bb.getShort(44) == 2)
+    val parsed = LazFile.parseVlrPayload(payload)
+    assert(parsed == vlr)
+  }
+}
