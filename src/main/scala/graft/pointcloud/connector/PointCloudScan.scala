@@ -57,8 +57,13 @@ class PointCloudScanBuilder(
     */
   override def pushFilters(filters: Array[SourceFilter]): Array[SourceFilter] = {
     skipFilters = filters
+    // LAZ sections decode whole chunks anyway (a record predicate saves
+    // no entropy-decode work), and the record readers evaluate pushed
+    // filters on RAW record bytes — keep everything residual when any
+    // section is compressed; header-bbox file skip still applies
     val (push, residual) =
-      if (kind == FormatKind.Xyz) (Array.empty[SourceFilter], filters)
+      if (kind == FormatKind.Xyz || resolved.sections.exists(_.laz.isDefined))
+        (Array.empty[SourceFilter], filters)
       else filters.partition(RecordPredicate.pushable(_, tableSchema))
     recordFilters = push
     residual
@@ -357,14 +362,16 @@ class PointCloudScan(
       val s = sf.section
       if (kind == FormatKind.Xyz) {
         Seq(XyzPartition(s.location, sf.fid, xyzSchemaJson))
-      } else {
-        val perPartition = math.max(1L, maxBytes / math.max(1, s.stride))
-        val schemaJson = s.schema.json
-        (0L until s.count by perPartition).map { start =>
-          val n = math.min(perPartition, s.count - start)
-          BinaryPartition(s.location, s.offset, start, n, s.stride,
-            s.littleEndian, sf.fid, schemaJson)
-        }
+      } else sf.laz match {
+        case Some(lz) => LazPlanning.partitions(s, sf.fid, lz, maxBytes)
+        case None =>
+          val perPartition = math.max(1L, maxBytes / math.max(1, s.stride))
+          val schemaJson = s.schema.json
+          (0L until s.count by perPartition).map { start =>
+            val n = math.min(perPartition, s.count - start)
+            BinaryPartition(s.location, s.offset, start, n, s.stride,
+              s.littleEndian, sf.fid, schemaJson)
+          }
       }
     }.toArray
     if (limit < 0) all
@@ -378,6 +385,10 @@ class PointCloudScan(
           val take = math.min(b.numRecords, remaining)
           remaining -= take
           b.copy(numRecords = take)
+        case lp: LazPartition =>
+          val take = math.min(lp.numRecords, remaining)
+          remaining -= take
+          lp.truncatedTo(take)
         case other => other
       }.toArray
     }
@@ -405,6 +416,81 @@ case class BinaryPartition(
 case class XyzPartition(location: String, fid: Int, schemaJson: String)
   extends InputPartition
 
+/** A run of whole LAZ chunks of one compressed file — the chunk is the
+  * smallest independently decodable unit (all codec state resets at a
+  * chunk boundary), so it plays the role whole records play for raw
+  * sections: partitions are CHUNK-aligned, sized by compressed bytes
+  * against maxPartitionBytes, and a 100-TB .laz corpus fans out across
+  * executors exactly like its uncompressed twin. `chunkCounts` carries
+  * decoded points per chunk (the last may be truncated by a pushed
+  * limit — decode simply stops early mid-chunk). */
+case class LazPartition(
+    location: String,
+    fid: Int,
+    format: Byte,
+    stride: Int,
+    startRecord: Long,
+    chunkOffsets: Array[Long],
+    chunkBytes: Array[Long],
+    chunkCounts: Array[Long],
+    sectionSchemaJson: String) extends InputPartition {
+
+  def numRecords: Long = chunkCounts.sum
+
+  /** Leading chunks covering exactly `take` records (pushed limit). */
+  def truncatedTo(take: Long): LazPartition = {
+    var remaining = take
+    var n = 0
+    while (n < chunkCounts.length && remaining > 0) {
+      remaining -= math.min(chunkCounts(n), remaining)
+      n += 1
+    }
+    val counts = chunkCounts.take(n)
+    if (n > 0) {
+      val covered = counts.init.sum
+      counts(n - 1) = math.min(counts(n - 1), take - covered)
+    }
+    copy(chunkOffsets = chunkOffsets.take(n), chunkBytes = chunkBytes.take(n),
+      chunkCounts = counts)
+  }
+}
+
+/** Shared LAZ split planning (batch scan + streaming source). */
+private[connector] object LazPlanning {
+  def partitions(s: graft.pointcloud.Section, fid: Int,
+      lz: graft.pointcloud.las.laz.LazInfo, maxBytes: Long): Seq[LazPartition] = {
+    val schemaJson = s.schema.json
+    val out = Seq.newBuilder[LazPartition]
+    var i = 0
+    var off = lz.firstChunkOffset
+    while (i < lz.numChunks) {
+      val first = i
+      val firstOff = off
+      var bytes = 0L
+      while (i < lz.numChunks && (i == first || bytes + lz.chunkBytes(i) <= maxBytes)) {
+        bytes += lz.chunkBytes(i)
+        off += lz.chunkBytes(i)
+        i += 1
+      }
+      val offs = new Array[Long](i - first)
+      val bts = new Array[Long](i - first)
+      val cnts = new Array[Long](i - first)
+      var k = first
+      var o = firstOff
+      while (k < i) {
+        offs(k - first) = o
+        bts(k - first) = lz.chunkBytes(k)
+        cnts(k - first) = lz.chunkCount(k, s.count)
+        o += lz.chunkBytes(k)
+        k += 1
+      }
+      out += LazPartition(s.location, fid, lz.format, lz.stride,
+        lz.chunkSize.toLong * first, offs, bts, cnts, schemaJson)
+    }
+    out.result()
+  }
+}
+
 class PointCloudReaderFactory(
     readSchemaJson: String,
     tableSchemaJson: String = null,
@@ -415,6 +501,7 @@ class PointCloudReaderFactory(
     val readSchema = DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
     partition match {
       case p: BinaryPartition => new BinarySectionReader(p, readSchema, predicate(p))
+      case p: LazPartition => new LazSectionReader(p, readSchema)
       case p: XyzPartition => new XyzReader(p, readSchema)
     }
   }
@@ -492,6 +579,62 @@ class BinarySectionReader(p: BinaryPartition, readSchema: StructType,
   }
 
   override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
+
+/** Decodes a run of LAZ chunks: each chunk's compressed bytes are read
+  * whole (they are the IO unit the chunk table bounds), entropy-decoded
+  * into raw LAS record bytes, and handed to the SAME RecordDecoder the
+  * uncompressed reader uses — schema casts, fid/pid synthesis and column
+  * pruning are shared, so a .laz scan differs from .las only in the
+  * decode step. Sequential within a chunk by construction (prediction
+  * state chains point to point); parallel ACROSS chunks/partitions. */
+class LazSectionReader(p: LazPartition, readSchema: StructType)
+  extends PartitionReader[InternalRow] {
+
+  private val sectionSchema = DataType.fromJson(p.sectionSchemaJson).asInstanceOf[StructType]
+  private val section = Section(p.location, 0, p.numRecords,
+    littleEndian = true, sectionSchema, p.stride)
+  private val decoder = new RecordDecoder(section, readSchema, p.fid)
+  private val chunkDecoder = new graft.pointcloud.las.laz.LazChunkDecoder(p.format)
+  require(chunkDecoder.stride == p.stride,
+    s"${p.location}: codec stride ${chunkDecoder.stride} != section stride ${p.stride}")
+
+  private val path = new Path(p.location)
+  private val in = path.getFileSystem(new Configuration()).open(path)
+
+  private var chunkIdx = -1
+  private var records: Array[Byte] = _
+  private var buf: ByteBuffer = _
+  private var idxInChunk = 0
+  private var countInChunk = 0
+  private var pid = p.startRecord - 1
+
+  override def next(): Boolean = {
+    while (idxInChunk >= countInChunk) {
+      chunkIdx += 1
+      if (chunkIdx >= p.chunkOffsets.length) return false
+      val count = p.chunkCounts(chunkIdx)
+      if (count > 0) {
+        val compressed = new Array[Byte](p.chunkBytes(chunkIdx).toInt)
+        in.seek(p.chunkOffsets(chunkIdx))
+        in.readFully(compressed)
+        records = chunkDecoder.decode(compressed, count.toInt)
+        buf = ByteBuffer.wrap(records).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        idxInChunk = 0
+        countInChunk = count.toInt
+      }
+    }
+    pid += 1
+    true
+  }
+
+  override def get(): InternalRow = {
+    val row = decoder.decode(buf, idxInChunk * p.stride, pid)
+    idxInChunk += 1
+    row
+  }
+
   override def close(): Unit = in.close()
 }
 

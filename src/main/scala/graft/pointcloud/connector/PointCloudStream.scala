@@ -100,7 +100,7 @@ class PointCloudMicroBatchStream(
     * cost). Entries are removed on use — memory stays bounded by the
     * admitted-but-not-yet-planned window, not the corpus. */
   private val pendingSections =
-    scala.collection.mutable.HashMap.empty[String, Seq[graft.pointcloud.Section]]
+    scala.collection.mutable.HashMap.empty[String, Seq[FileSection]]
 
   private val maxFilesPerTrigger: Option[Int] = {
     val v = Option(options.get("maxfilespertrigger")).map(_.toInt)
@@ -162,8 +162,12 @@ class PointCloudMicroBatchStream(
       val path = it.next()
       try {
         val sections = provider.streamSections(path, options)
+        // LAZ sections prove their own completeness: the chunk table
+        // lives at the END of the file and its parse validates the
+        // chunk-region byte sum, so a mid-copy file already failed above
         val need = sections.iterator
-          .filter(_.count >= 0).map(s => s.offset + s.byteSize)
+          .filter(fs => fs.laz.isEmpty && fs.section.count >= 0)
+          .map(fs => fs.section.offset + fs.section.byteSize)
           .foldLeft(0L)(math.max)
         if (need > 0L) {
           val p = new Path(path)
@@ -245,16 +249,21 @@ class PointCloudMicroBatchStream(
           // text sections have no header count: one partition per file,
           // exactly like the batch planner — the file is already the unit
           // of streaming progress, so per-file granularity is natural here
-          sections.map(s => XyzPartition(s.location, fid, xyzSchemaJson))
-        } else sections.flatMap { section =>
-          val perPartition = math.max(1L, maxBytes / math.max(1, section.stride))
-          // render once per section: splits share the String instance so a
-          // multi-split task serializes one copy (see PointCloudScan)
-          val schemaJson = section.schema.json
-          (0L until section.count by perPartition).map { startRec =>
-            val n = math.min(perPartition, section.count - startRec)
-            BinaryPartition(section.location, section.offset, startRec, n,
-              section.stride, section.littleEndian, fid, schemaJson)
+          sections.map(fs => XyzPartition(fs.section.location, fid, xyzSchemaJson))
+        } else sections.flatMap { fs =>
+          val section = fs.section
+          fs.laz match {
+            case Some(lz) => LazPlanning.partitions(section, fid, lz, maxBytes)
+            case None =>
+              val perPartition = math.max(1L, maxBytes / math.max(1, section.stride))
+              // render once per section: splits share the String instance so a
+              // multi-split task serializes one copy (see PointCloudScan)
+              val schemaJson = section.schema.json
+              (0L until section.count by perPartition).map { startRec =>
+                val n = math.min(perPartition, section.count - startRec)
+                BinaryPartition(section.location, section.offset, startRec, n,
+                  section.stride, section.littleEndian, fid, schemaJson)
+              }
           }
         }
       } catch {

@@ -25,10 +25,18 @@ object PointCloudProvider {
   final val HeaderCacheMaxEntries = 100000
 }
 
-/** Which point-cloud format a table speaks. */
-sealed abstract class FormatKind(val name: String, val extension: String)
+/** Which point-cloud format a table speaks. `extension` names the
+  * default write suffix; `extensions` is everything the reader lists —
+  * the LAS table reads `.las` and LASzip-compressed `.laz` side by side
+  * (the reference REJECTS compressed input,
+  * FixedLengthBinarySectionInputFormat.scala:48-56). */
+sealed abstract class FormatKind(val name: String, val extension: String) {
+  def extensions: Set[String] = Set(extension)
+}
 object FormatKind {
-  case object Las extends FormatKind("las", ".las")
+  case object Las extends FormatKind("las", ".las") {
+    override val extensions: Set[String] = Set(".las", ".laz")
+  }
   case object Ply extends FormatKind("ply", ".ply")
   case object Xyz extends FormatKind("xyz", ".xyz")
 }
@@ -39,10 +47,12 @@ case class LasStats(pMin: Array[Double], pMax: Array[Double],
     scale: Array[Double], offset: Array[Double]) extends Serializable
 
 /** A section plus the index of its source file in the input path list
-  * (the `fid` virtual-column value, BinarySectionRelation.scala:174-176)
-  * and any header stats for pushdown. */
+  * (the `fid` virtual-column value, BinarySectionRelation.scala:174-176),
+  * any header stats for pushdown, and — for LASzip-compressed files —
+  * the chunk layout the planner cuts splits on. */
 case class SectionWithFid(section: Section, fid: Int,
-    lasStats: Option[LasStats] = None) extends Serializable
+    lasStats: Option[LasStats] = None,
+    laz: Option[graft.pointcloud.las.laz.LazInfo] = None) extends Serializable
 
 /** Driver-side resolved view of a point-cloud dataset: expanded file list,
   * per-file sections, merged data schema. */
@@ -93,11 +103,11 @@ abstract class PointCloudProvider extends TableProvider
     val element = options.getOrDefault("element", "vertex")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(PointCloudProvider.HeaderReadParallelism, files.size)))
-    val perFile: Seq[Seq[(Section, Option[LasStats])]] =
+    val perFile: Seq[Seq[FileSection]] =
       try {
         files.map { p =>
-          pool.submit(new java.util.concurrent.Callable[Seq[(Section, Option[LasStats])]] {
-            override def call(): Seq[(Section, Option[LasStats])] = {
+          pool.submit(new java.util.concurrent.Callable[Seq[FileSection]] {
+            override def call(): Seq[FileSection] = {
               val ck = p + "\u0001" + element
               val hit = headerCache.get(ck)
               if (hit != null) hit
@@ -119,7 +129,7 @@ abstract class PointCloudProvider extends TableProvider
       } finally pool.shutdown()
     val secs = mutable.ArrayBuffer.empty[SectionWithFid]
     perFile.zipWithIndex.foreach { case (sections, fid) =>
-      secs ++= sections.map { case (sec, stats) => SectionWithFid(sec, fid, stats) }
+      secs ++= sections.map(fs => SectionWithFid(fs.section, fid, fs.lasStats, fs.laz))
     }
     val dataSchema =
       if (secs.nonEmpty) SchemaMerge.mergeAll(secs.map(_.section.schema).toSeq)
@@ -135,12 +145,12 @@ abstract class PointCloudProvider extends TableProvider
     * in place under the same path — the same contract as the resolve
     * cache above (use a fresh provider/session to re-read). */
   private val headerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Section, Option[LasStats])]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[FileSection]]()
 
   /** Per-file header parse → sections (one for LAS, one per chosen element
     * for PLY; XYZ overrides with a pseudo-section). */
   protected def readSections(path: String, options: CaseInsensitiveStringMap,
-      conf: Configuration): Seq[(Section, Option[LasStats])]
+      conf: Configuration): Seq[FileSection]
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PointCloudUtil.writeSchema(options).getOrElse {
@@ -169,16 +179,22 @@ abstract class PointCloudProvider extends TableProvider
 
   /** Per-file sections for the streaming source (header read per batch). */
   private[connector] def streamSections(path: String,
-      options: CaseInsensitiveStringMap): Seq[Section] =
-    readSections(path, options, new Configuration()).map(_._1)
+      options: CaseInsensitiveStringMap): Seq[FileSection] =
+    readSections(path, options, new Configuration())
 }
+
+/** One resolved section of one file: the record geometry plus any
+  * header stats (LAS bbox pushdown) and compressed-chunk layout (LAZ). */
+case class FileSection(section: Section,
+    lasStats: Option[LasStats] = None,
+    laz: Option[graft.pointcloud.las.laz.LazInfo] = None) extends Serializable
 
 class LasProvider extends PointCloudProvider {
   override def kind: FormatKind = FormatKind.Las
   override def shortName(): String = "las"
 
   override protected def readSections(path: String, options: CaseInsensitiveStringMap,
-      conf: Configuration): Seq[(Section, Option[LasStats])] = {
+      conf: Configuration): Seq[FileSection] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
@@ -190,9 +206,24 @@ class LasProvider extends PointCloudProvider {
         in.readFully(b)
         b
       }
-      val extras = LasExtraBytes.extraFields(header, readAt)
+      // LASzip-compressed: resolve the chunk layout instead of extra
+      // bytes (the laz codec covers base formats 0/1 only; anything it
+      // cannot decode throws here → the provider's skip-unreadable
+      // warning, same contract as a corrupt header)
+      val laz =
+        if (header.compressed)
+          Some(graft.pointcloud.las.laz.Laz.infoFor(header, readAt,
+            fs.getFileStatus(p).getLen))
+        else None
+      val extras =
+        if (header.compressed) Array.empty[StructField]
+        else LasExtraBytes.extraFields(header, readAt)
       val h = header.copy(extraFields = extras)
-      val sec = h.toSection
+      val sec = laz match {
+        // section offset = first chunk; stride = DECODED record length
+        case Some(lz) => h.toSection.copy(offset = lz.firstChunkOffset)
+        case None => h.toSection
+      }
       // stamp the header's coordinate scale/offset on x/y/z so
       // withCoordinates can reconstruct world coordinates as plain
       // column arithmetic (SURVEY §1.5: metadata instead of UDTs)
@@ -202,8 +233,8 @@ class LasProvider extends PointCloudProvider {
         else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
           .putDouble("scale", h.scale(axis)).putDouble("offset", h.offset(axis)).build())
       }
-      Seq((sec.copy(schema = StructType(stamped)),
-        Some(LasStats(h.pMin, h.pMax, h.scale, h.offset))))
+      Seq(FileSection(sec.copy(schema = StructType(stamped)),
+        Some(LasStats(h.pMin, h.pMax, h.scale, h.offset)), laz))
     } finally in.close()
   }
 }
@@ -213,13 +244,13 @@ class PlyProvider extends PointCloudProvider {
   override def shortName(): String = "ply"
 
   override protected def readSections(path: String, options: CaseInsensitiveStringMap,
-      conf: Configuration): Seq[(Section, Option[LasStats])] = {
+      conf: Configuration): Seq[FileSection] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     val header = try PlyHeader.read(path, in) finally in.close()
     val element = options.getOrDefault("element", "vertex")
-    header.sections.get(element).map((_, None)).toSeq
+    header.sections.get(element).map(FileSection(_)).toSeq
   }
 }
 
@@ -231,12 +262,12 @@ class XyzProvider extends PointCloudProvider {
     * byte (xyz/XyzRelation.scala:28-42), all nullable because text lines
     * may omit trailing fields. Record count is unknown until scan. */
   override protected def readSections(path: String, options: CaseInsensitiveStringMap,
-      conf: Configuration): Seq[(Section, Option[LasStats])] = {
+      conf: Configuration): Seq[FileSection] = {
     val schema = PointCloudUtil.writeSchema(options)
       .map(s => StructType(s.fields.filterNot(f =>
         f.name == PointCloudUtil.FidCol || f.name == PointCloudUtil.PidCol)))
       .getOrElse(XyzProvider.defaultSchema)
-    Seq((Section(path, 0, -1, littleEndian = true, schema), None))
+    Seq(FileSection(Section(path, 0, -1, littleEndian = true, schema)))
   }
 }
 
@@ -306,8 +337,10 @@ object PointCloudUtil {
           fs.listStatus(st.getPath).toSeq
             .filter(f => f.isFile && {
               val n = f.getPath.getName
-              !n.startsWith("_") && !n.startsWith(".") &&
-                n.toLowerCase.endsWith(kind.extension)
+              !n.startsWith("_") && !n.startsWith(".") && {
+                val lower = n.toLowerCase
+                kind.extensions.exists(lower.endsWith)
+              }
             })
             .map(_.getPath.toString).sorted
         } else Seq(st.getPath.toString)

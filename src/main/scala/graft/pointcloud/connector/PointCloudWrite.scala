@@ -120,7 +120,7 @@ class PointCloudStreamingWrite(
       new org.apache.hadoop.fs.PathFilter {
         override def accept(p: Path): Boolean = {
           val n = p.getName
-          n.endsWith(kind.extension) &&
+          kind.extensions.exists(n.endsWith) &&
             (n.startsWith(tokenPrefix) ||
               (sweepLegacy && n.startsWith(legacyPrefix)))
         }
@@ -196,8 +196,8 @@ class PointCloudBatchWrite(
     if (truncate) {
       // overwrite semantics: clear previous outputs of this format
       Option(f.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
-        val n = st.getPath.getName
-        if (n.toLowerCase.endsWith(kind.extension) || n.startsWith(".graft-tmp-")) {
+        val n = st.getPath.getName.toLowerCase
+        if (kind.extensions.exists(n.endsWith) || n.startsWith(".graft-tmp-")) {
           f.delete(st.getPath, true)
         }
       }
@@ -430,14 +430,49 @@ class LasDataWriter(
     options.get("minor").orElse(options.get("version").map(_.split('.').last)).map(_.toByte)
       .getOrElse(if (extraFields.nonEmpty) 4.toByte else 2.toByte)
 
+  // `compress=laz`: LASzip-compressed output (.laz) — records buffer
+  // into fixed-size chunks, each chunk entropy-coded and streamed to the
+  // task body; the header/VLR/chunk-table assemble at commit. The raw
+  // record bytes the chunk encoder consumes are EXACTLY what the .las
+  // path writes, so both sinks share RecordEncoder and the stats pass.
+  private val compressLaz = options.get("compress").exists(_.equalsIgnoreCase("laz"))
+  if (compressLaz) {
+    require(graft.pointcloud.las.laz.Laz.supportsFormat(format),
+      s"LAZ write supports point formats 0 and 1, got format $format")
+    require(extraFields.isEmpty,
+      "LAZ write does not support ExtraBytes fields; drop the extra columns " +
+        "or write uncompressed .las")
+  }
+  private val lazChunkSize: Int =
+    options.get("laz.chunksize").map(_.toInt)
+      .getOrElse(graft.pointcloud.las.laz.Laz.DefaultChunkSize)
+  require(lazChunkSize > 0, s"laz.chunkSize must be positive, got $lazChunkSize")
+
   private val conf = new Configuration()
   private val base = baseName.getOrElse(f"part-$partitionId%05d-$taskId")
-  private val finalPath = new Path(dir, s"$base.las")
+  private val finalPath = new Path(dir, s"$base.${if (compressLaz) "laz" else "las"}")
   private val tmpPath = new Path(dir, s".graft-tmp-$queryId/$base-$partitionId-$taskId.pdr")
   private val fs = finalPath.getFileSystem(conf)
   private val body = new DataOutputStream(new BufferedOutputStream(fs.create(tmpPath, true), 1 << 16))
 
   private val encoder = new RecordEncoder(fileSchema, inputSchema, littleEndian = true)
+
+  // chunk state (laz only): records accumulate raw, flush per chunk
+  private val lazEncoder =
+    if (compressLaz) new graft.pointcloud.las.laz.LazChunkEncoder(format) else null
+  private val chunkBuf: Array[Byte] =
+    if (compressLaz) new Array[Byte](lazChunkSize * encoder.recordLength) else null
+  private var chunkFill = 0
+  private val chunkByteCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+  private def flushChunk(): Unit = {
+    if (chunkFill > 0) {
+      val chunk = lazEncoder.encode(chunkBuf, 0, chunkFill)
+      body.write(chunk)
+      chunkByteCounts += chunk.length.toLong
+      chunkFill = 0
+    }
+  }
 
   // streaming stats
   private var count = 0L
@@ -454,7 +489,14 @@ class LasDataWriter(
   private val returnMask: Int = if (format <= 5) 0x7 else 0xf
 
   override def write(row: InternalRow): Unit = {
-    body.write(encoder.encode(row))
+    if (compressLaz) {
+      System.arraycopy(encoder.encode(row), 0, chunkBuf,
+        chunkFill * encoder.recordLength, encoder.recordLength)
+      chunkFill += 1
+      if (chunkFill == lazChunkSize) flushChunk()
+    } else {
+      body.write(encoder.encode(row))
+    }
     var a = 0
     while (a < 3) {
       val o = xyzOrd(a)
@@ -473,9 +515,12 @@ class LasDataWriter(
   }
 
   override def commit(): WriterCommitMessage = {
+    if (compressLaz) flushChunk()
     body.close()
     val vlrBytes: Array[Byte] =
-      if (extraFields.nonEmpty) LasExtraBytes.writeVlr(extraFields) else Array.empty
+      if (compressLaz) graft.pointcloud.las.laz.Laz.vlrRecordBytes(format, lazChunkSize)
+      else if (extraFields.nonEmpty) LasExtraBytes.writeVlr(extraFields)
+      else Array.empty
     val minor: Byte = if (count > Int.MaxValue) 4 else minorOpt
     val headerSize = LasHeader.headerSize(minor).toInt
     val header = LasHeader(
@@ -493,7 +538,8 @@ class LasDataWriter(
       versionMinor = minor,
       vlrCount = if (vlrBytes.nonEmpty) 1 else 0,
       pdrLengthRaw = encoder.recordLength.toShort,
-      extraFields = extraFields)
+      extraFields = extraFields,
+      compressed = compressLaz)
 
     // assemble header+body in the temp dir, then RENAME into place: the
     // final name appears atomically, so a crash mid-commit can never
@@ -503,12 +549,22 @@ class LasDataWriter(
     try {
       header.write(out)
       if (vlrBytes.nonEmpty) out.write(vlrBytes)
+      if (compressLaz) {
+        // i64 absolute chunk-table offset, then chunks, then the table
+        val tableOffset = (headerSize + vlrBytes.length).toLong + 8 +
+          chunkByteCounts.sum
+        val ob = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(tableOffset)
+        out.write(ob.array())
+      }
       val in = fs.open(tmpPath)
       try {
         val buf = new Array[Byte](1 << 20)
         var n = in.read(buf)
         while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
       } finally in.close()
+      if (compressLaz)
+        out.write(graft.pointcloud.las.laz.Laz.chunkTable(chunkByteCounts.toSeq))
     } finally out.close()
     // a crashed earlier attempt may have left a stale file under the
     // final name (keyed writes derive it from the KEY, not the taskId);

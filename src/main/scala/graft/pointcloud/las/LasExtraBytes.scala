@@ -32,7 +32,15 @@ object LasExtraBytes {
     LongType, LongType,       // 7 u64, 8 i64
     FloatType, DoubleType)    // 9 float, 10 double
 
-  private case class Vlr(userId: String, recordId: Int, payloadOffset: Long, payloadLength: Long)
+  private[las] case class Vlr(userId: String, recordId: Int, payloadOffset: Long, payloadLength: Long)
+
+  /** Payloads of every (E)VLR matching (userId, recordId) — shared with
+    * the LAZ reader, which looks up the `laszip encoded` record. */
+  private[las] def findVlrPayloads(header: LasHeader, readAt: ReadAt,
+      userId: String, recordId: Int): Seq[Array[Byte]] =
+    readVlrs(header, readAt)
+      .filter(v => v.userId == userId && v.recordId == recordId)
+      .map(v => readAt(v.payloadOffset, v.payloadLength.toInt))
 
   /** Walk the VLR chain after the header (54-byte record headers) and the
     * EVLR chain (60-byte record headers, 64-bit lengths). */

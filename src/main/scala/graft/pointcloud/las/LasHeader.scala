@@ -40,7 +40,11 @@ case class LasHeader(
     waveformOffset: Long = 0,
     evlrOffset: Long = 0,
     evlrCount: Int = 0,
-    extraFields: Array[StructField] = Array.empty) {
+    extraFields: Array[StructField] = Array.empty,
+    /** LAZ flag: the stored point-format byte had its high bit set
+      * (LASzip convention for compressed point data). `pdrFormat` is
+      * always the CLEAN format; the bit is re-applied on write. */
+    compressed: Boolean = false) {
 
   def headerSize: Short = LasHeader.headerSize(versionMinor)
   def pdrOffset: Int = if (pdrOffsetRaw > 0) pdrOffsetRaw else headerSize.toInt
@@ -77,7 +81,7 @@ case class LasHeader(
     buf.putShort(headerSize)
     buf.putInt(pdrOffset)
     buf.putInt(vlrCount)
-    buf.put(pdrFormat)
+    buf.put((if (compressed) pdrFormat | 0x80 else pdrFormat.toInt).toByte)
     buf.putShort(pdrLength)
     buf.putInt(legacy(pdrCount))
     var i = 0
@@ -191,7 +195,9 @@ object LasHeader {
     val versionMajor = buf.get(24)
     val versionMinor = buf.get(25)
     val vlrCount = buf.getInt(100)
-    val pdrFormat = (buf.get(104) & 0x3f).toByte // mask off LAZ compression bits
+    val pdrFormatRaw = buf.get(104) & 0xff
+    val pdrFormat = (pdrFormatRaw & 0x3f).toByte // mask off LAZ compression bits
+    val compressed = (pdrFormatRaw & 0x80) != 0 // LASzip-compressed point data
     val pdrLengthRaw = buf.getShort(105)
     var pdrCount: Long = buf.getInt(107).toLong & 0xffffffffL
     val returnCounts = new Array[Long](15)
@@ -245,6 +251,7 @@ object LasHeader {
       creationYear = buf.getShort(92),
       waveformOffset = waveformOffset,
       evlrOffset = evlrOffset,
-      evlrCount = evlrCount)
+      evlrCount = evlrCount,
+      compressed = compressed)
   }
 }

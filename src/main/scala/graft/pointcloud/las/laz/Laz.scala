@@ -1,0 +1,114 @@
+package graft.pointcloud.las.laz
+
+import graft.pointcloud.las.{LasExtraBytes, LasHeader}
+
+/** Driver-side description of one LAZ file's compressed layout — what
+  * the planner needs to cut CHUNK-ALIGNED splits (a LAZ chunk resets all
+  * codec state, so it is the smallest independently decodable unit, the
+  * compressed analogue of the record-aligned split). */
+case class LazInfo(
+    format: Byte,
+    chunkSize: Int,
+    stride: Int,
+    firstChunkOffset: Long,
+    chunkBytes: Array[Long]) extends Serializable {
+  def numChunks: Int = chunkBytes.length
+  /** File offset of chunk `i`. */
+  def chunkOffset(i: Int): Long = {
+    var off = firstChunkOffset
+    var k = 0
+    while (k < i) { off += chunkBytes(k); k += 1 }
+    off
+  }
+  /** Decoded point count of chunk `i`, given the file's total count. */
+  def chunkCount(i: Int, totalPoints: Long): Long =
+    if (i < numChunks - 1) chunkSize.toLong
+    else math.max(0L, totalPoints - chunkSize.toLong * (numChunks - 1))
+}
+
+/** Public entry points of the LAZ codec for the connector and writer:
+  * resolve a compressed file's chunk layout, and encode/decode whole
+  * chunks between raw LAS record bytes and the compressed stream. The
+  * raw-record interface is what lets every existing LAS semantic
+  * (schema, casts, fid/pid, predicate evaluation, vectorized twin) stay
+  * unchanged: a decoded chunk IS a run of ordinary LAS records. */
+object Laz {
+
+  val DefaultChunkSize: Int = LazFile.DefaultChunkSize
+
+  /** Parse the laszip VLR + chunk table of a compressed LAS file.
+    * `fileLen` bounds the chunk-table read; `readAt` is the same
+    * random-access closure the ExtraBytes reader uses. Throws (→ the
+    * provider's skip-unreadable warning) on layouts this codec does not
+    * implement: non-chunked compressors, formats above 1, extra bytes. */
+  def infoFor(header: LasHeader, readAt: LasExtraBytes.ReadAt, fileLen: Long): LazInfo = {
+    val payloads = LasExtraBytes.findVlrPayloads(header, readAt,
+      LazFile.VlrUserId, LazFile.VlrRecordId)
+    require(payloads.nonEmpty,
+      s"${header.location}: compressed LAS carries no laszip VLR")
+    val vlr = LazFile.parseVlrPayload(payloads.head)
+    require(vlr.compressor == LazFile.CompressorChunked,
+      s"${header.location}: unsupported LAZ compressor ${vlr.compressor} " +
+        "(only pointwise-chunked, 2, is implemented)")
+    require(vlr.coder == 0,
+      s"${header.location}: unsupported LAZ coder ${vlr.coder} (only arithmetic, 0)")
+    require(vlr.chunkSize > 0,
+      s"${header.location}: non-positive LAZ chunk size ${vlr.chunkSize} " +
+        "(variable-size chunking is not implemented)")
+    LazFile.codecsFor(vlr.items) // validates the item list is decodable
+    val stride = vlr.recordLength
+    require(stride == header.pdrLength.toInt,
+      s"${header.location}: LAZ items cover $stride bytes but the header " +
+        s"declares ${header.pdrLength}-byte records (extra bytes are not implemented)")
+    val tableOffBytes = readAt(header.pdrOffset.toLong, 8)
+    val tableOffset = java.nio.ByteBuffer.wrap(tableOffBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
+    require(tableOffset > header.pdrOffset && tableOffset <= fileLen - 8,
+      s"${header.location}: chunk table offset $tableOffset outside the file (len $fileLen)")
+    val counts = LazFile.parseChunkTable(
+      readAt(tableOffset, (fileLen - tableOffset).toInt))
+    val dataBytes = tableOffset - (header.pdrOffset.toLong + 8)
+    require(counts.sum == dataBytes,
+      s"${header.location}: chunk table sums to ${counts.sum} bytes " +
+        s"but the chunk region holds $dataBytes")
+    val needChunks =
+      if (header.pdrCount == 0) 0
+      else ((header.pdrCount - 1) / vlr.chunkSize + 1).toInt
+    require(counts.length == needChunks,
+      s"${header.location}: ${counts.length} chunks for ${header.pdrCount} points " +
+        s"at chunk size ${vlr.chunkSize} (expected $needChunks)")
+    LazInfo(header.pdrFormat, vlr.chunkSize, stride, header.pdrOffset.toLong + 8, counts)
+  }
+
+  /** The laszip VLR record (54-byte container header + payload) for a
+    * write of `format` at `chunkSize`. */
+  def vlrRecordBytes(format: Byte, chunkSize: Int): Array[Byte] =
+    LazFile.vlrRecord(LazFile.vlrPayload(
+      LazFile.LazVlr(LazFile.CompressorChunked, 0, chunkSize, LazFile.itemsFor(format))))
+
+  /** Serialized chunk table (written after the last chunk). */
+  def chunkTable(chunkByteCounts: Seq[Long]): Array[Byte] =
+    LazFile.chunkTableBytes(chunkByteCounts)
+
+  /** True when this codec can compress `format` (base record, no extras). */
+  def supportsFormat(format: Byte): Boolean = format == 0 || format == 1
+}
+
+/** Chunk decoder with reusable per-format codec state (init resets per
+  * chunk). One instance per reader task; not thread-safe. */
+final class LazChunkDecoder(format: Byte) {
+  private val codecs = LazFile.codecsFor(LazFile.itemsFor(format))
+  val stride: Int = codecs.map(_.size).sum
+  /** Decode `count` points from one compressed chunk into raw records. */
+  def decode(chunk: Array[Byte], count: Int): Array[Byte] =
+    LazFile.decodeChunk(codecs, chunk, count, stride)
+}
+
+/** Chunk encoder with reusable codec state; one per writer task. */
+final class LazChunkEncoder(format: Byte) {
+  private val codecs = LazFile.codecsFor(LazFile.itemsFor(format))
+  val stride: Int = codecs.map(_.size).sum
+  /** Encode `count` records (raw LAS layout) into one compressed chunk. */
+  def encode(records: Array[Byte], off: Int, count: Int): Array[Byte] =
+    LazFile.encodeChunk(codecs, records, off, count, stride)
+}

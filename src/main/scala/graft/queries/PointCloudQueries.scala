@@ -571,7 +571,34 @@ object PointCloudQueries {
       .sort($"gx", $"gy")
   }
 
+  /** pc21: the LAZ (compressed LAS) round trip graded end-to-end —
+    * lineitem → format-1 points (GPS time exercises the second item
+    * codec) → `.laz` written through the chunked LASzip sink (8192-point
+    * chunks, so the graded path crosses many chunk boundaries and the
+    * chunk-aligned split planner) → read back through the SAME
+    * `read.las` table → exact census. The oracle computes the census
+    * from the source rows, so a hash match proves the entire
+    * entropy-coded cycle (header bit, laszip VLR, chunk table, POINT10 +
+    * GPSTIME11 codecs, chunk-aligned scan) is lossless. The reference
+    * REJECTS compressed input
+    * (FixedLengthBinarySectionInputFormat.scala:48-56) — this entry is
+    * capability beyond its surface. */
+  private val pc21: Q = (s, d) => {
+    val pts = lasPointFrame(s, d).withColumn("time",
+      $"x".cast("double") * 0.001 + $"y".cast("double"))
+    val dir = tmpDir("pc21", d)
+    pts.writeLaz(dir, Map("scale" -> "0.001", "laz.chunkSize" -> "8192"))
+    s.read.las(dir).agg(
+      count(lit(1)).as("n"),
+      sum($"x".cast("bigint")).as("sx"),
+      min($"x").as("mnx"), max($"x").as("mxx"),
+      sum($"y".cast("bigint")).as("sy"),
+      sum($"intensity".cast("bigint")).as("si"),
+      min($"time").as("mnt"), max($"time").as("mxt"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "pc21_laz_roundtrip" -> pc21,
     "pc20_elevation_grid" -> pc20,
     "pc01_las_roundtrip" -> pc01,
     "pc02_ply_roundtrip" -> pc02,
@@ -595,6 +622,22 @@ object PointCloudQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // pc01's census + the format-1 GPS-time min/max (double arithmetic is
+    // the same IEEE expression on both engines; min/max avoid float
+    // summation order) — computed from the source rows, proving the
+    // compressed round trip lossless
+    "pc21_laz_roundtrip" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | MIN(CAST(l_orderkey % 1000000 AS INT)) AS mnx,
+        | MAX(CAST(l_orderkey % 1000000 AS INT)) AS mxx,
+        | CAST(SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS BIGINT) AS sy,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si,
+        | MIN(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mnt,
+        | MAX(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mxt
+        |FROM lineitem""".stripMargin,
     // same grid arithmetic over the source parquet: a hash match proves
     // the LAS round trip AND the cell aggregation
     "pc20_elevation_grid" ->

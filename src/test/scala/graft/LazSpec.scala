@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.pointcloud.syntax._
+import org.apache.spark.sql.functions._
+
+/** End-to-end LAZ (compressed LAS) connector tests: write .laz through
+  * the sink, read it back through the same `spark.read.las` table, and
+  * require bit-exact agreement with the uncompressed twin — the
+  * self-round-trip gate (no .laz fixtures exist in this environment;
+  * see the laz package scaladoc for what that does and does not prove).
+  */
+class LazSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  /** Scan-shaped format-0 points: mostly-local x/y deltas, a few jumps. */
+  private def fmt0Points(n: Int) =
+    spark.range(n).select(
+      ((col("id") * 13) % 2000 + (col("id") / 500) * 100000).cast("int").as("x"),
+      ((col("id") * 7) % 300).cast("int").as("y"),
+      ((col("id") % 50) - 25).cast("int").as("z"),
+      (col("id") % 4096).cast("short").as("intensity"),
+      ((col("id") % 5 + 1) + ((col("id") % 5 + 1).cast("int") * 8)).cast("byte").as("flags"),
+      (col("id") % 32).cast("byte").as("classification"),
+      (col("id") % 90 - 45).cast("byte").as("angle"),
+      lit(0).cast("byte").as("user"),
+      (col("id") % 3).cast("short").as("source"))
+
+  private def collectAll(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.filterNot(c => c == "fid" || c == "pid").sorted
+    df.select(cols.map(col).toIndexedSeq: _*)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString(","))
+  }
+
+  test("LAZ round trip equals the uncompressed scan bit for bit (format 0, multi-chunk)") {
+    val pts = fmt0Points(30000)
+    val lasDir = tmpDir("laz-raw")
+    val lazDir = tmpDir("laz-cmp")
+    pts.writeLas(lasDir, Map("scale" -> "0.01"))
+    // 4k-point chunks => 8 chunks per task file: the multi-chunk path
+    pts.writeLaz(lazDir, Map("scale" -> "0.01", "laz.chunkSize" -> "4096"))
+    val raw = spark.read.las(lasDir)
+    val laz = spark.read.las(lazDir)
+    assert(laz.count() == 30000)
+    assert(collectAll(laz) == collectAll(raw))
+    // compression is real: the .laz payload beats the raw .las bytes
+    def bytes(dir: String, ext: String) =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(ext)).map(_.length).sum
+    val rawBytes = bytes(lasDir, ".las")
+    val lazBytes = bytes(lazDir, ".laz")
+    assert(lazBytes < rawBytes / 2,
+      s"expected >2x compression on scan-shaped points, got $rawBytes -> $lazBytes")
+  }
+
+  test("LAZ format 1 (GPS time) round trips, including constant and jumping times") {
+    val pts = fmt0Points(8000).withColumn("time",
+      (col("x").cast("double") * 0.001 + floor(col("y") / 100) * 1.0e6).as("time"))
+    val lasDir = tmpDir("laz1-raw")
+    val lazDir = tmpDir("laz1-cmp")
+    pts.writeLas(lasDir)
+    pts.writeLaz(lazDir, Map("laz.chunkSize" -> "1000"))
+    val raw = spark.read.las(lasDir)
+    val laz = spark.read.las(lazDir)
+    assert(collectAll(laz) == collectAll(raw))
+    assert(laz.schema("time").dataType == org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("LAZ container: format bit, laszip VLR, chunk table offset are spec-shaped") {
+    val lazDir = tmpDir("laz-golden")
+    fmt0Points(5000).coalesce(1).writeLaz(lazDir, Map("laz.chunkSize" -> "2000"))
+    val f = new java.io.File(lazDir).listFiles().filter(_.getName.endsWith(".laz")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // point-format byte carries the LASzip compressed bit
+    assert((bytes(104) & 0x80) != 0, "format byte must flag compression")
+    assert((bytes(104) & 0x3f) == 0)
+    // one VLR: the laszip record (user id at +2, record id 22204 at +18)
+    val headerSize = bb.getShort(94)
+    assert(bb.getInt(100) == 1, "exactly one VLR (laszip)")
+    val uid = new String(bytes.slice(headerSize + 2, headerSize + 16).takeWhile(_ != 0))
+    assert(uid == "laszip encoded", uid)
+    assert((bb.getShort(headerSize + 18) & 0xFFFF) == 22204)
+    // offset-to-point-data points at the i64 chunk-table offset; the
+    // table starts with u32 version 0 + u32 chunk count 3 (5000 @ 2000)
+    val pdrOffset = bb.getInt(96)
+    val tableOffset = bb.getLong(pdrOffset)
+    assert(tableOffset > pdrOffset + 8 && tableOffset < bytes.length)
+    assert(bb.getInt(tableOffset.toInt) == 0, "chunk table version")
+    assert(bb.getInt(tableOffset.toInt + 4) == 3, "chunk count for 5000 points @ 2000")
+  }
+
+  test("LAZ scans keep header-aggregate and limit pushdown; record filters stay residual") {
+    val lazDir = tmpDir("laz-push")
+    fmt0Points(10000).writeLaz(lazDir, Map("laz.chunkSize" -> "1024"))
+    val laz = spark.read.las(lazDir)
+    // COUNT answered from headers (no data IO): plan is the header-agg scan
+    val cnt = laz.groupBy().count()
+    assert(cnt.queryExecution.executedPlan.toString.contains("header-aggregate"),
+      cnt.queryExecution.executedPlan.toString)
+    assert(cnt.head().getLong(0) == 10000)
+    // pushed limit truncates chunk partitions instead of scanning all
+    assert(laz.limit(700).count() == 700)
+    // a predicate still answers correctly (residual evaluation)
+    val filtered = laz.filter($"x" > 100000).count()
+    val expected = fmt0Points(10000).filter($"x" > 100000).count()
+    assert(filtered == expected)
+  }
+
+  test("a .laz landing in a streamed LAS directory is ingested chunk-aligned") {
+    val dir = tmpDir("laz-stream")
+    val out = tmpDir("laz-stream-out")
+    fmt0Points(6000).coalesce(1).writeLaz(dir, Map("laz.chunkSize" -> "1000"))
+    val stream = spark.readStream
+      .schema(spark.read.las(dir).schema)
+      .format("las").load(dir)
+    val q = stream.select($"x", $"y", $"z").writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("laz-stream-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 6000)
+    assert(got.agg(sum($"x".cast("long"))).head().getLong(0) ==
+      fmt0Points(6000).agg(sum($"x".cast("long"))).head().getLong(0))
+  }
+}
