@@ -596,9 +596,7 @@ class LazSectionReader(p: LazPartition, readSchema: StructType)
   private val section = Section(p.location, 0, p.numRecords,
     littleEndian = true, sectionSchema, p.stride)
   private val decoder = new RecordDecoder(section, readSchema, p.fid)
-  private val chunkDecoder = new graft.pointcloud.las.laz.LazChunkDecoder(p.format)
-  require(chunkDecoder.stride == p.stride,
-    s"${p.location}: codec stride ${chunkDecoder.stride} != section stride ${p.stride}")
+  private val chunkDecoder = new graft.pointcloud.las.laz.LazChunkDecoder(p.format, p.stride)
 
   private val path = new Path(p.location)
   private val in = path.getFileSystem(new Configuration()).open(path)

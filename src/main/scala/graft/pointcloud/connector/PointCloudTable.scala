@@ -206,18 +206,17 @@ class LasProvider extends PointCloudProvider {
         in.readFully(b)
         b
       }
-      // LASzip-compressed: resolve the chunk layout instead of extra
-      // bytes (the laz codec covers base formats 0/1 only; anything it
-      // cannot decode throws here → the provider's skip-unreadable
-      // warning, same contract as a corrupt header)
+      // LASzip-compressed: additionally resolve the chunk layout (a
+      // layout this codec cannot decode throws here → the provider's
+      // skip-unreadable warning, same contract as a corrupt header);
+      // ExtraBytes fields parse identically either way — under
+      // compression their tail rides as the BYTE item
       val laz =
         if (header.compressed)
           Some(graft.pointcloud.las.laz.Laz.infoFor(header, readAt,
             fs.getFileStatus(p).getLen))
         else None
-      val extras =
-        if (header.compressed) Array.empty[StructField]
-        else LasExtraBytes.extraFields(header, readAt)
+      val extras = LasExtraBytes.extraFields(header, readAt)
       val h = header.copy(extraFields = extras)
       val sec = laz match {
         // section offset = first chunk; stride = DECODED record length

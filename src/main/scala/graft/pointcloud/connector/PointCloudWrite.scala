@@ -438,10 +438,10 @@ class LasDataWriter(
   private val compressLaz = options.get("compress").exists(_.equalsIgnoreCase("laz"))
   if (compressLaz) {
     require(graft.pointcloud.las.laz.Laz.supportsFormat(format),
-      s"LAZ write supports point formats 0 and 1, got format $format")
-    require(extraFields.isEmpty,
-      "LAZ write does not support ExtraBytes fields; drop the extra columns " +
-        "or write uncompressed .las")
+      s"LAZ write supports point formats 0-3, got format $format")
+    // ExtraBytes columns ride as the BYTE item; their field layout must
+    // be byte-typed-size-derivable like the uncompressed path already
+    // guarantees via the ExtraBytes VLR
   }
   private val lazChunkSize: Int =
     options.get("laz.chunksize").map(_.toInt)
@@ -459,7 +459,9 @@ class LasDataWriter(
 
   // chunk state (laz only): records accumulate raw, flush per chunk
   private val lazEncoder =
-    if (compressLaz) new graft.pointcloud.las.laz.LazChunkEncoder(format) else null
+    if (compressLaz)
+      new graft.pointcloud.las.laz.LazChunkEncoder(format, encoder.recordLength)
+    else null
   private val chunkBuf: Array[Byte] =
     if (compressLaz) new Array[Byte](lazChunkSize * encoder.recordLength) else null
   private var chunkFill = 0
@@ -517,10 +519,14 @@ class LasDataWriter(
   override def commit(): WriterCommitMessage = {
     if (compressLaz) flushChunk()
     body.close()
-    val vlrBytes: Array[Byte] =
-      if (compressLaz) graft.pointcloud.las.laz.Laz.vlrRecordBytes(format, lazChunkSize)
-      else if (extraFields.nonEmpty) LasExtraBytes.writeVlr(extraFields)
-      else Array.empty
+    val extrasVlr: Array[Byte] =
+      if (extraFields.nonEmpty) LasExtraBytes.writeVlr(extraFields) else Array.empty
+    val (vlrBytes, numVlrs) =
+      if (compressLaz) {
+        val lazVlr = graft.pointcloud.las.laz.Laz.vlrRecordBytes(format, lazChunkSize,
+          encoder.recordLength - LasHeader.recordLength(format))
+        (lazVlr ++ extrasVlr, 1 + (if (extraFields.nonEmpty) 1 else 0))
+      } else (extrasVlr, if (extraFields.nonEmpty) 1 else 0)
     val minor: Byte = if (count > Int.MaxValue) 4 else minorOpt
     val headerSize = LasHeader.headerSize(minor).toInt
     val header = LasHeader(
@@ -536,7 +542,7 @@ class LasDataWriter(
       returnCounts = returnCounts,
       pdrOffsetRaw = headerSize + vlrBytes.length,
       versionMinor = minor,
-      vlrCount = if (vlrBytes.nonEmpty) 1 else 0,
+      vlrCount = numVlrs,
       pdrLengthRaw = encoder.recordLength.toShort,
       extraFields = extraFields,
       compressed = compressLaz)

@@ -55,11 +55,19 @@ object Laz {
     require(vlr.chunkSize > 0,
       s"${header.location}: non-positive LAZ chunk size ${vlr.chunkSize} " +
         "(variable-size chunking is not implemented)")
-    LazFile.codecsFor(vlr.items) // validates the item list is decodable
     val stride = vlr.recordLength
     require(stride == header.pdrLength.toInt,
       s"${header.location}: LAZ items cover $stride bytes but the header " +
-        s"declares ${header.pdrLength}-byte records (extra bytes are not implemented)")
+        s"declares ${header.pdrLength}-byte records")
+    // the decoder derives its codec chain from (format, stride), so the
+    // file's item sequence must BE the canonical one for that format —
+    // any other layout (e.g. time stored as opaque bytes) would decode
+    // into the wrong fields silently
+    val extra = stride - graft.pointcloud.las.LasHeader.recordLength(header.pdrFormat)
+    val expected = LazFile.itemsFor(header.pdrFormat, extra)
+    require(vlr.items == expected,
+      s"${header.location}: LAZ item sequence ${vlr.items} does not match the " +
+        s"canonical layout $expected for format ${header.pdrFormat}")
     val tableOffBytes = readAt(header.pdrOffset.toLong, 8)
     val tableOffset = java.nio.ByteBuffer.wrap(tableOffBytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
@@ -81,33 +89,41 @@ object Laz {
   }
 
   /** The laszip VLR record (54-byte container header + payload) for a
-    * write of `format` at `chunkSize`. */
-  def vlrRecordBytes(format: Byte, chunkSize: Int): Array[Byte] =
+    * write of `format` at `chunkSize` with `extraBytes` tail bytes. */
+  def vlrRecordBytes(format: Byte, chunkSize: Int, extraBytes: Int = 0): Array[Byte] =
     LazFile.vlrRecord(LazFile.vlrPayload(
-      LazFile.LazVlr(LazFile.CompressorChunked, 0, chunkSize, LazFile.itemsFor(format))))
+      LazFile.LazVlr(LazFile.CompressorChunked, 0, chunkSize,
+        LazFile.itemsFor(format, extraBytes))))
 
   /** Serialized chunk table (written after the last chunk). */
   def chunkTable(chunkByteCounts: Seq[Long]): Array[Byte] =
     LazFile.chunkTableBytes(chunkByteCounts)
 
-  /** True when this codec can compress `format` (base record, no extras). */
-  def supportsFormat(format: Byte): Boolean = format == 0 || format == 1
+  /** True when this codec can compress `format` (0-3; 4/5 carry
+    * wavepacket items, which are not implemented). */
+  def supportsFormat(format: Byte): Boolean = format >= 0 && format <= 3
 }
 
-/** Chunk decoder with reusable per-format codec state (init resets per
-  * chunk). One instance per reader task; not thread-safe. */
-final class LazChunkDecoder(format: Byte) {
-  private val codecs = LazFile.codecsFor(LazFile.itemsFor(format))
-  val stride: Int = codecs.map(_.size).sum
+/** Chunk decoder with reusable codec state (init resets per chunk):
+  * `stride` beyond the format's base record decodes as an opaque BYTE
+  * item (the ExtraBytes tail). One instance per reader task; not
+  * thread-safe. */
+final class LazChunkDecoder(format: Byte, val stride: Int) {
+  private val codecs = LazFile.codecsFor(LazFile.itemsFor(format,
+    stride - graft.pointcloud.las.LasHeader.recordLength(format)))
+  require(codecs.map(_.size).sum == stride,
+    s"LAZ items do not tile a $stride-byte format-$format record")
   /** Decode `count` points from one compressed chunk into raw records. */
   def decode(chunk: Array[Byte], count: Int): Array[Byte] =
     LazFile.decodeChunk(codecs, chunk, count, stride)
 }
 
 /** Chunk encoder with reusable codec state; one per writer task. */
-final class LazChunkEncoder(format: Byte) {
-  private val codecs = LazFile.codecsFor(LazFile.itemsFor(format))
-  val stride: Int = codecs.map(_.size).sum
+final class LazChunkEncoder(format: Byte, val stride: Int) {
+  private val codecs = LazFile.codecsFor(LazFile.itemsFor(format,
+    stride - graft.pointcloud.las.LasHeader.recordLength(format)))
+  require(codecs.map(_.size).sum == stride,
+    s"LAZ items do not tile a $stride-byte format-$format record")
   /** Encode `count` records (raw LAS layout) into one compressed chunk. */
   def encode(records: Array[Byte], off: Int, count: Int): Array[Byte] =
     LazFile.encodeChunk(codecs, records, off, count, stride)

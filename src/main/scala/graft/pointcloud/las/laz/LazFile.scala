@@ -29,23 +29,34 @@ private[las] object LazFile {
     def recordLength: Int = items.map(_.size).sum
   }
 
-  /** Items for a LAS point format (the subset this codec supports).
-    * Formats 2-5's RGB/wavepacket items are not implemented — callers
-    * reject those up front with a clear error. */
-  def itemsFor(format: Byte): Seq[LazItem] = format match {
-    case 0 => Seq(LazItem(LazItemCodec.TypePoint10, 20, 2))
-    case 1 => Seq(LazItem(LazItemCodec.TypePoint10, 20, 2),
-      LazItem(LazItemCodec.TypeGpsTime11, 8, 2))
-    case f => throw new IllegalArgumentException(
-      s"LAZ write supports point formats 0 and 1, got format $f")
+  /** Items for a LAS point format plus `extraBytes` tail bytes (the
+    * subset this codec supports: formats 0–3; 4/5 carry wavepacket
+    * items, which are not implemented). */
+  def itemsFor(format: Byte, extraBytes: Int = 0): Seq[LazItem] = {
+    val base = format match {
+      case 0 => Seq(LazItem(LazItemCodec.TypePoint10, 20, 2))
+      case 1 => Seq(LazItem(LazItemCodec.TypePoint10, 20, 2),
+        LazItem(LazItemCodec.TypeGpsTime11, 8, 2))
+      case 2 => Seq(LazItem(LazItemCodec.TypePoint10, 20, 2),
+        LazItem(LazItemCodec.TypeRgb12, 6, 2))
+      case 3 => Seq(LazItem(LazItemCodec.TypePoint10, 20, 2),
+        LazItem(LazItemCodec.TypeGpsTime11, 8, 2),
+        LazItem(LazItemCodec.TypeRgb12, 6, 2))
+      case f => throw new IllegalArgumentException(
+        s"LAZ supports point formats 0-3, got format $f")
+    }
+    if (extraBytes > 0) base :+ LazItem(LazItemCodec.TypeByte, extraBytes, 2)
+    else base
   }
 
   def codecsFor(items: Seq[LazItem]): Array[LazItemCodec] = items.map {
     case LazItem(LazItemCodec.TypePoint10, 20, _) => new Point10Codec
     case LazItem(LazItemCodec.TypeGpsTime11, 8, _) => new GpsTime11Codec
+    case LazItem(LazItemCodec.TypeRgb12, 6, _) => new Rgb12Codec
+    case LazItem(LazItemCodec.TypeByte, n, _) if n > 0 => new BytesCodec(n)
     case it => throw new IllegalArgumentException(
       s"unsupported LAZ item type ${it.itemType} (size ${it.size}) — " +
-        "this reader implements POINT10 and GPSTIME11")
+        "this reader implements POINT10, GPSTIME11, RGB12 and BYTE")
   }.toArray
 
   /** Serialize the LAZ VLR payload (34 + 6·items bytes, little-endian). */

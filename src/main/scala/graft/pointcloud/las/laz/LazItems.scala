@@ -204,6 +204,131 @@ private[las] final class Point10Codec extends LazItemCodec {
   }
 }
 
+/** RGB12: the 6-byte r/g/b u16 triple of formats 2/3/5. The public v2
+  * scheme codes each of the six bytes as a model-coded delta, with a
+  * change-mask symbol up front: bit k flags byte k changed, bit 6 flags
+  * "g/b differ from r" — a grayscale point codes its r bytes only and
+  * the decoder copies them across. Green predicts from last-green
+  * shifted by red's delta; blue from last-blue shifted by the averaged
+  * r/g deltas (clamped to byte range before the model delta). */
+private[las] final class Rgb12Codec extends LazItemCodec {
+  import LazItemCodec._
+
+  override def size: Int = 6
+
+  private val mByteUsed = new SymbolModel(128)
+  private val mRgbDiff = Array.fill(6)(new SymbolModel(256))
+  private val lastRgb = new Array[Int](3)
+
+  override def init(first: Array[Byte], off: Int): Unit = {
+    mByteUsed.reset()
+    mRgbDiff.foreach(_.reset())
+    lastRgb(0) = u16(first, off)
+    lastRgb(1) = u16(first, off + 2)
+    lastRgb(2) = u16(first, off + 4)
+  }
+
+  private def clamp(x: Int): Int = if (x < 0) 0 else if (x > 255) 255 else x
+
+  override def read(dec: ArithmeticDecoder, out: Array[Byte], off: Int): Unit = {
+    val sym = dec.decodeSymbol(mByteUsed)
+    val lrl = lastRgb(0) & 0xFF; val lrh = lastRgb(0) >>> 8
+    val lgl = lastRgb(1) & 0xFF; val lgh = lastRgb(1) >>> 8
+    val lbl = lastRgb(2) & 0xFF; val lbh = lastRgb(2) >>> 8
+    val rl = if ((sym & 1) != 0) (dec.decodeSymbol(mRgbDiff(0)) + lrl) & 0xFF else lrl
+    val rh = if ((sym & 2) != 0) (dec.decodeSymbol(mRgbDiff(1)) + lrh) & 0xFF else lrh
+    var gl = rl; var gh = rh; var bl = rl; var bh = rh
+    if ((sym & 64) != 0) {
+      val diffL = rl - lrl
+      gl = if ((sym & 4) != 0) (dec.decodeSymbol(mRgbDiff(2)) + clamp(diffL + lgl)) & 0xFF else lgl
+      bl = if ((sym & 16) != 0)
+        (dec.decodeSymbol(mRgbDiff(4)) + clamp((diffL + gl - lgl) / 2 + lbl)) & 0xFF
+      else lbl
+      val diffH = rh - lrh
+      gh = if ((sym & 8) != 0) (dec.decodeSymbol(mRgbDiff(3)) + clamp(diffH + lgh)) & 0xFF else lgh
+      bh = if ((sym & 32) != 0)
+        (dec.decodeSymbol(mRgbDiff(5)) + clamp((diffH + gh - lgh) / 2 + lbh)) & 0xFF
+      else lbh
+    }
+    lastRgb(0) = (rh << 8) | rl
+    lastRgb(1) = (gh << 8) | gl
+    lastRgb(2) = (bh << 8) | bl
+    putU16(out, off, lastRgb(0))
+    putU16(out, off + 2, lastRgb(1))
+    putU16(out, off + 4, lastRgb(2))
+  }
+
+  override def write(enc: ArithmeticEncoder, cur: Array[Byte], off: Int): Unit = {
+    val r = u16(cur, off); val g = u16(cur, off + 2); val b = u16(cur, off + 4)
+    val rl = r & 0xFF; val rh = r >>> 8
+    val gl = g & 0xFF; val gh = g >>> 8
+    val bl = b & 0xFF; val bh = b >>> 8
+    val lrl = lastRgb(0) & 0xFF; val lrh = lastRgb(0) >>> 8
+    val lgl = lastRgb(1) & 0xFF; val lgh = lastRgb(1) >>> 8
+    val lbl = lastRgb(2) & 0xFF; val lbh = lastRgb(2) >>> 8
+    val rgbDiffer = g != r || b != r
+    var sym = 0
+    if (rl != lrl) sym |= 1
+    if (rh != lrh) sym |= 2
+    if (rgbDiffer) {
+      sym |= 64
+      if (gl != lgl) sym |= 4
+      if (gh != lgh) sym |= 8
+      if (bl != lbl) sym |= 16
+      if (bh != lbh) sym |= 32
+    }
+    enc.encodeSymbol(mByteUsed, sym)
+    if ((sym & 1) != 0) enc.encodeSymbol(mRgbDiff(0), (rl - lrl) & 0xFF)
+    if ((sym & 2) != 0) enc.encodeSymbol(mRgbDiff(1), (rh - lrh) & 0xFF)
+    if ((sym & 64) != 0) {
+      val diffL = rl - lrl
+      if ((sym & 4) != 0) enc.encodeSymbol(mRgbDiff(2), (gl - clamp(diffL + lgl)) & 0xFF)
+      if ((sym & 16) != 0)
+        enc.encodeSymbol(mRgbDiff(4), (bl - clamp((diffL + gl - lgl) / 2 + lbl)) & 0xFF)
+      val diffH = rh - lrh
+      if ((sym & 8) != 0) enc.encodeSymbol(mRgbDiff(3), (gh - clamp(diffH + lgh)) & 0xFF)
+      if ((sym & 32) != 0)
+        enc.encodeSymbol(mRgbDiff(5), (bh - clamp((diffH + gh - lgh) / 2 + lbh)) & 0xFF)
+    }
+    lastRgb(0) = r; lastRgb(1) = g; lastRgb(2) = b
+  }
+}
+
+/** BYTE: `n` opaque extra bytes per record (the ExtraBytes tail under
+  * compression) — each byte position delta-coded through its own
+  * 256-symbol model (the public v2 scheme). */
+private[las] final class BytesCodec(n: Int) extends LazItemCodec {
+  require(n > 0, s"BYTE item needs a positive size, got $n")
+
+  override def size: Int = n
+
+  private val models = Array.fill(n)(new SymbolModel(256))
+  private val lastBytes = new Array[Byte](n)
+
+  override def init(first: Array[Byte], off: Int): Unit = {
+    models.foreach(_.reset())
+    System.arraycopy(first, off, lastBytes, 0, n)
+  }
+
+  override def read(dec: ArithmeticDecoder, out: Array[Byte], off: Int): Unit = {
+    var i = 0
+    while (i < n) {
+      lastBytes(i) = ((dec.decodeSymbol(models(i)) + lastBytes(i)) & 0xFF).toByte
+      out(off + i) = lastBytes(i)
+      i += 1
+    }
+  }
+
+  override def write(enc: ArithmeticEncoder, cur: Array[Byte], off: Int): Unit = {
+    var i = 0
+    while (i < n) {
+      enc.encodeSymbol(models(i), (cur(off + i) - lastBytes(i)) & 0xFF)
+      lastBytes(i) = cur(off + i)
+      i += 1
+    }
+  }
+}
+
 /** GPSTIME11: the 8-byte f64 GPS time of formats 1/3–5, coded over its
   * raw bit pattern with the public multi-sequence delta scheme: up to
   * four interleaved time sequences, each predicting the next value as

@@ -69,6 +69,44 @@ class LazSpec extends SparkTestBase {
     assert(laz.schema("time").dataType == org.apache.spark.sql.types.DoubleType)
   }
 
+  test("LAZ formats 2/3 (RGB) round trip, including grayscale and color runs") {
+    // format 3: time + rgb; grayscale stretches (r==g==b) exercise the
+    // copy-across branch, colored spans the per-channel deltas
+    val pts = fmt0Points(6000)
+      .withColumn("time", col("x").cast("double") * 0.5)
+      .withColumn("red", (col("x") % 1000).cast("short"))
+      .withColumn("green",
+        when(col("y") % 3 === 0, (col("x") % 1000)).otherwise(col("y") % 700).cast("short"))
+      .withColumn("blue",
+        when(col("y") % 3 === 0, (col("x") % 1000)).otherwise(col("y") % 500).cast("short"))
+    val lasDir = tmpDir("laz3-raw")
+    val lazDir = tmpDir("laz3-cmp")
+    pts.writeLas(lasDir)
+    pts.writeLaz(lazDir, Map("laz.chunkSize" -> "1500"))
+    assert(collectAll(spark.read.las(lazDir)) == collectAll(spark.read.las(lasDir)))
+    // format 2: rgb without time
+    val pts2 = pts.drop("time")
+    val lazDir2 = tmpDir("laz2-cmp")
+    val lasDir2 = tmpDir("laz2-raw")
+    pts2.writeLas(lasDir2)
+    pts2.writeLaz(lazDir2)
+    assert(collectAll(spark.read.las(lazDir2)) == collectAll(spark.read.las(lasDir2)))
+  }
+
+  test("LAZ carries ExtraBytes columns through the BYTE item") {
+    val pts = fmt0Points(4000)
+      .withColumn("reflectance", (col("x") % 128).cast("short"))
+      .withColumn("ring", (col("y") % 64).cast("byte"))
+    val lasDir = tmpDir("lazxb-raw")
+    val lazDir = tmpDir("lazxb-cmp")
+    pts.writeLas(lasDir)
+    pts.writeLaz(lazDir, Map("laz.chunkSize" -> "900"))
+    val laz = spark.read.las(lazDir)
+    // the extra columns surface with their declared types and values
+    assert(laz.schema("reflectance").dataType == org.apache.spark.sql.types.ShortType)
+    assert(collectAll(laz) == collectAll(spark.read.las(lasDir)))
+  }
+
   test("LAZ container: format bit, laszip VLR, chunk table offset are spec-shaped") {
     val lazDir = tmpDir("laz-golden")
     fmt0Points(5000).coalesce(1).writeLaz(lazDir, Map("laz.chunkSize" -> "2000"))
