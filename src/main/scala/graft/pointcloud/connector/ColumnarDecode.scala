@@ -12,9 +12,9 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
 
 /** Vectorized decode for fixed-stride binary sections (SURVEY O7/§7.8):
   * records are read in ~4 MiB chunks and decoded column-at-a-time into
-  * reused OnHeapColumnVectors — per-column tight loops over the strided
-  * buffer instead of per-row virtual dispatch, and the scan feeds
-  * Spark's ColumnarToRow/whole-stage codegen path.
+  * reused OnHeapColumnVectors through the shared [[ColumnarFiller]]
+  * kernel, and the scan feeds Spark's ColumnarToRow/whole-stage codegen
+  * path.
   */
 class BinarySectionColumnarReader(p: BinaryPartition, readSchema: StructType,
     predicate: RecordPredicate = null)
@@ -37,33 +37,7 @@ class BinarySectionColumnarReader(p: BinaryPartition, readSchema: StructType,
     OnHeapColumnVector.allocateColumns(batchSize, readSchema)
   private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
 
-  // per output column: (kind, src offset, srcTag, dstTag, nodata info)
-  // kind: 0=absent, 1=fid, 2=pid, 3=primitive
-  private case class ColPlan(kind: Int, off: Int, srcTag: Int, dstTag: Int,
-      hasNodata: Boolean, ndL: Long, ndD: Double, zeroExtend: Boolean = false)
-
-  private val plans: Array[ColPlan] = readSchema.fields.map { f =>
-    import graft.pointcloud.FieldDecoder.Tag
-    if (f.name == PointCloudUtil.FidCol) ColPlan(1, 0, 0, 0, false, 0, 0)
-    else if (f.name == PointCloudUtil.PidCol) ColPlan(2, 0, 0, 0, false, 0, 0)
-    else {
-      val i = section.fieldIndex(f.name)
-      if (i < 0) ColPlan(0, 0, 0, 0, false, 0, 0)
-      else {
-        val md = sectionSchema.fields(i).metadata
-        val srcTag = Tag.of(sectionSchema.fields(i).dataType)
-        val hasNd = f.nullable && md.contains("nodata")
-        val (ndL, ndD) =
-          if (!hasNd) (0L, 0.0)
-          else if (srcTag <= Tag.Long) (md.getLong("nodata"), 0.0)
-          else (0L, md.getDouble("nodata"))
-        val dstTag = Tag.of(f.dataType)
-        val zeroExtend = srcTag < dstTag && dstTag <= Tag.Long &&
-          md.contains("unsigned") && md.getBoolean("unsigned")
-        ColPlan(3, section.fieldOffsets(i), srcTag, dstTag, hasNd, ndL, ndD, zeroExtend)
-      }
-    }
-  }
+  private val filler = new ColumnarFiller(sectionSchema, readSchema, p.stride, p.fid)
 
   private var nextIdx = 0L // next record index within the partition
 
@@ -75,12 +49,9 @@ class BinarySectionColumnarReader(p: BinaryPartition, readSchema: StructType,
       if (nextIdx >= p.numRecords) return false
       val n = math.min(batchSize.toLong, p.numRecords - nextIdx).toInt
       in.readFully(chunk, 0, n * p.stride)
+      val firstPid = p.startRecord + nextIdx
       if (predicate == null) {
-        var c = 0
-        while (c < plans.length) {
-          fillColumn(vectors(c), plans(c), n, nextIdx)
-          c += 1
-        }
+        filler.fill(buf, vectors, n, firstPid)
         batch.setNumRows(n)
         nextIdx += n
         return true
@@ -90,19 +61,14 @@ class BinarySectionColumnarReader(p: BinaryPartition, readSchema: StructType,
         var m = 0
         var i = 0
         while (i < n) {
-          if (predicate.matches(buf, i * p.stride, p.startRecord + nextIdx + i)) {
+          if (predicate.matches(buf, i * p.stride, firstPid + i)) {
             sel(m) = i; m += 1
           }
           i += 1
         }
-        val base = nextIdx
         nextIdx += n
         if (m > 0) {
-          var c = 0
-          while (c < plans.length) {
-            fillColumnSelected(vectors(c), plans(c), m, base)
-            c += 1
-          }
+          filler.fillSelected(buf, vectors, sel, m, firstPid)
           batch.setNumRows(m)
           return true
         }
@@ -113,108 +79,56 @@ class BinarySectionColumnarReader(p: BinaryPartition, readSchema: StructType,
     false // unreachable
   }
 
-  /** [[fillColumn]] over the `sel` selection (first `m` entries): decode
-    * only the records the pushed filters kept. The decode body must stay
-    * in LOCKSTEP with [[fillColumn]] (and the row-path FieldDecoder /
-    * RecordPredicate value semantics) — the "selected decode path"
-    * test compares the two loops row-for-row. Kept as a separate loop
-    * deliberately: an index-indirection branch in the unfiltered hot
-    * loop costs on every full scan. */
-  private def fillColumnSelected(v: OnHeapColumnVector, pl: ColPlan, m: Int,
-      base: Long): Unit = {
-    import graft.pointcloud.FieldDecoder.Tag
-    v.reset()
-    pl.kind match {
-      case 0 => v.putNulls(0, m)
-      case 1 => v.putInts(0, m, p.fid)
-      case 2 =>
-        var j = 0
-        while (j < m) { v.putLong(j, p.startRecord + base + sel(j)); j += 1 }
-      case 3 =>
-        val stride = p.stride
-        val off = pl.off
-        var j = 0
-        if (pl.srcTag <= Tag.Long) {
-          while (j < m) {
-            val pos = sel(j) * stride + off
-            var raw: Long = pl.srcTag match {
-              case Tag.Byte  => buf.get(pos).toLong
-              case Tag.Short => buf.getShort(pos).toLong
-              case Tag.Int   => buf.getInt(pos).toLong
-              case _         => buf.getLong(pos)
-            }
-            if (pl.zeroExtend) raw &= Tag.unsignedMask(pl.srcTag)
-            if (pl.hasNodata && raw == pl.ndL) v.putNull(j)
-            else pl.dstTag match {
-              case Tag.Byte   => v.putByte(j, raw.toByte)
-              case Tag.Short  => v.putShort(j, raw.toShort)
-              case Tag.Int    => v.putInt(j, raw.toInt)
-              case Tag.Long   => v.putLong(j, raw)
-              case Tag.Float  => v.putFloat(j, raw.toFloat)
-              case Tag.Double => v.putDouble(j, raw.toDouble)
-            }
-            j += 1
-          }
-        } else {
-          while (j < m) {
-            val pos = sel(j) * stride + off
-            val raw: Double =
-              if (pl.srcTag == Tag.Float) buf.getFloat(pos).toDouble else buf.getDouble(pos)
-            if (pl.hasNodata && raw == pl.ndD) v.putNull(j)
-            else if (pl.dstTag == Tag.Float) v.putFloat(j, raw.toFloat)
-            else v.putDouble(j, raw)
-            j += 1
-          }
-        }
-    }
-  }
+  override def get(): ColumnarBatch = batch
 
-  private def fillColumn(v: OnHeapColumnVector, pl: ColPlan, n: Int, base: Long): Unit = {
-    import graft.pointcloud.FieldDecoder.Tag
-    v.reset()
-    pl.kind match {
-      case 0 => v.putNulls(0, n)
-      case 1 => v.putInts(0, n, p.fid)
-      case 2 =>
-        var i = 0
-        while (i < n) { v.putLong(i, p.startRecord + base + i); i += 1 }
-      case 3 =>
-        val stride = p.stride
-        val off = pl.off
-        var i = 0
-        if (pl.srcTag <= Tag.Long) {
-          while (i < n) {
-            val pos = i * stride + off
-            var raw: Long = pl.srcTag match {
-              case Tag.Byte  => buf.get(pos).toLong
-              case Tag.Short => buf.getShort(pos).toLong
-              case Tag.Int   => buf.getInt(pos).toLong
-              case _         => buf.getLong(pos)
-            }
-            if (pl.zeroExtend) raw &= Tag.unsignedMask(pl.srcTag)
-            if (pl.hasNodata && raw == pl.ndL) v.putNull(i)
-            else pl.dstTag match {
-              case Tag.Byte   => v.putByte(i, raw.toByte)
-              case Tag.Short  => v.putShort(i, raw.toShort)
-              case Tag.Int    => v.putInt(i, raw.toInt)
-              case Tag.Long   => v.putLong(i, raw)
-              case Tag.Float  => v.putFloat(i, raw.toFloat)
-              case Tag.Double => v.putDouble(i, raw.toDouble)
-            }
-            i += 1
-          }
-        } else {
-          while (i < n) {
-            val pos = i * stride + off
-            val raw: Double =
-              if (pl.srcTag == Tag.Float) buf.getFloat(pos).toDouble else buf.getDouble(pos)
-            if (pl.hasNodata && raw == pl.ndD) v.putNull(i)
-            else if (pl.dstTag == Tag.Float) v.putFloat(i, raw.toFloat)
-            else v.putDouble(i, raw)
-            i += 1
-          }
-        }
-    }
+  override def close(): Unit = {
+    in.close()
+    batch.close()
+  }
+}
+
+/** Vectorized LAZ decode: each compressed chunk is entropy-decoded into
+  * a raw-record buffer (sequential by construction — the prediction
+  * state chains point to point), then column-filled through the SAME
+  * [[ColumnarFiller]] kernel as the raw reader, so the scan side of a
+  * `.laz` table also feeds whole-stage codegen via ColumnarToRow
+  * instead of per-row decode dispatch. */
+class LazSectionColumnarReader(p: LazPartition, readSchema: StructType)
+  extends PartitionReader[ColumnarBatch] {
+
+  private val sectionSchema = DataType.fromJson(p.sectionSchemaJson).asInstanceOf[StructType]
+  private val chunkDecoder = new graft.pointcloud.las.laz.LazChunkDecoder(p.format, p.stride)
+
+  private val path = new Path(p.location)
+  private val in = path.getFileSystem(new Configuration()).open(path)
+
+  private val batchSize: Int =
+    math.max(1, p.chunkCounts.foldLeft(0L)(math.max).toInt)
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(batchSize, readSchema)
+  private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+
+  private val filler = new ColumnarFiller(sectionSchema, readSchema, p.stride, p.fid)
+
+  private var chunkIdx = -1
+  private var recordsBefore = 0L
+
+  override def next(): Boolean = {
+    var count = 0L
+    do {
+      if (chunkIdx >= 0) recordsBefore += p.chunkCounts(chunkIdx)
+      chunkIdx += 1
+      if (chunkIdx >= p.chunkOffsets.length) return false
+      count = p.chunkCounts(chunkIdx)
+    } while (count == 0)
+    val compressed = new Array[Byte](p.chunkBytes(chunkIdx).toInt)
+    in.seek(p.chunkOffsets(chunkIdx))
+    in.readFully(compressed)
+    val records = chunkDecoder.decode(compressed, count.toInt)
+    val buf = ByteBuffer.wrap(records).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    filler.fill(buf, vectors, count.toInt, p.startRecord + recordsBefore)
+    batch.setNumRows(count.toInt)
+    true
   }
 
   override def get(): ColumnarBatch = batch

@@ -506,16 +506,19 @@ class PointCloudReaderFactory(
     }
   }
 
-  /** Fixed-stride binary sections decode vectorized (ColumnarBatch);
-    * XYZ text stays row-oriented. */
+  /** Fixed-stride binary sections decode vectorized (ColumnarBatch) —
+    * raw and LAZ alike (a decoded chunk IS a run of fixed-stride
+    * records); XYZ text stays row-oriented. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    partition.isInstanceOf[BinaryPartition]
+    partition.isInstanceOf[BinaryPartition] || partition.isInstanceOf[LazPartition]
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val readSchema = DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
-    val p = partition.asInstanceOf[BinaryPartition]
-    new BinarySectionColumnarReader(p, readSchema, predicate(p))
+    partition match {
+      case p: BinaryPartition => new BinarySectionColumnarReader(p, readSchema, predicate(p))
+      case p: LazPartition => new LazSectionColumnarReader(p, readSchema)
+    }
   }
 
   /** Pushed-filter evaluator compiled against this partition's section

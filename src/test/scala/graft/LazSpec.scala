@@ -148,6 +148,26 @@ class LazSpec extends SparkTestBase {
     assert(filtered == expected)
   }
 
+  test("LAZ scan is vectorized and synthesizes pid identically to the raw path") {
+    val lasDir = tmpDir("lazvec-raw")
+    val lazDir = tmpDir("lazvec-cmp")
+    val pts = fmt0Points(9000)
+    pts.coalesce(1).writeLas(lasDir)
+    pts.coalesce(1).writeLaz(lazDir, Map("laz.chunkSize" -> "1000"))
+    val laz = spark.read.las(lazDir)
+    // the chunk-decoded scan feeds whole-stage codegen through the same
+    // ColumnarToRow bridge as the raw reader
+    val plan = laz.select($"x", $"pid").queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    // pid must be the in-file point index across chunk boundaries — a
+    // drifted per-chunk base would shift every (pid, x) pair
+    val rawPairs = spark.read.las(lasDir).select($"pid", $"x")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val lazPairs = laz.select($"pid", $"x")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(lazPairs == rawPairs)
+  }
+
   test("a .laz landing in a streamed LAS directory is ingested chunk-aligned") {
     val dir = tmpDir("laz-stream")
     val out = tmpDir("laz-stream-out")
