@@ -285,30 +285,41 @@ object Bench {
         // Timestamp columns are written as TIMESTAMP(MICROS) explicitly:
         // the ts-unit sniff refuses INT96, and the driver's own layout
         // is INT64 micros.
+        // each replica table generates only when a surviving probe query
+        // consumes it — a prefix-filtered dev loop probing one family
+        // must not pay the other families' 10× coalesce(1) writes
+        val needEvents = probeNames.exists(_.startsWith("st10"))
+        val needLineitem = probeNames.exists(_.startsWith("pc01"))
         val tsTypeKey = "spark.sql.parquet.outputTimestampType"
         val prevTsType = spark.conf.get(tsTypeKey)
         try {
           spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
-          val evbase = Tables.events(spark, sfDir)
-          writeFlat((0 until scale).map { i =>
-            if (i == 0) evbase
-            else evbase.select(
-              (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
-              col("ts"),
-              (col("user_id") + lit(i.toLong * 1000000000L)).as("user_id"),
-              col("event_type"), col("value"), col("props"))
-          }.reduce(_ unionByName _), "events")
-          val libase = Tables.lineitem(spark, sfDir)
-          writeFlat((0 until scale).map { i =>
-            if (i == 0) libase
-            else libase.withColumn("l_orderkey",
-              col("l_orderkey") + lit(i.toLong * 1000000000L))
-          }.reduce(_ unionByName _), "lineitem")
+          if (needEvents) {
+            val evbase = Tables.events(spark, sfDir)
+            writeFlat((0 until scale).map { i =>
+              if (i == 0) evbase
+              else evbase.select(
+                (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+                col("ts"),
+                (col("user_id") + lit(i.toLong * 1000000000L)).as("user_id"),
+                col("event_type"), col("value"), col("props"))
+            }.reduce(_ unionByName _), "events")
+          }
+          if (needLineitem) {
+            val libase = Tables.lineitem(spark, sfDir)
+            writeFlat((0 until scale).map { i =>
+              if (i == 0) libase
+              else libase.withColumn("l_orderkey",
+                col("l_orderkey") + lit(i.toLong * 1000000000L))
+            }.reduce(_ unionByName _), "lineitem")
+          }
         } finally spark.conf.set(tsTypeKey, prevTsType)
         val rows = spark.read.parquet(dir.resolve("documents.parquet").toString).count() +
           spark.read.parquet(dir.resolve("embeddings.parquet").toString).count() +
-          spark.read.parquet(dir.resolve("events.parquet").toString).count() +
-          spark.read.parquet(dir.resolve("lineitem.parquet").toString).count()
+          (if (needEvents)
+            spark.read.parquet(dir.resolve("events.parquet").toString).count() else 0L) +
+          (if (needLineitem)
+            spark.read.parquet(dir.resolve("lineitem.parquet").toString).count() else 0L)
         val genSec = (System.nanoTime() - tGen) / 1e9
         val pErrs = scala.collection.mutable.LinkedHashMap[String, String]()
         // untimed: build the probe dir's memoized IVF quantizer (ss04's

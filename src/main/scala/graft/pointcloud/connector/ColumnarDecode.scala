@@ -93,7 +93,8 @@ class BinarySectionColumnarReader(p: BinaryPartition, readSchema: StructType,
   * [[ColumnarFiller]] kernel as the raw reader, so the scan side of a
   * `.laz` table also feeds whole-stage codegen via ColumnarToRow
   * instead of per-row decode dispatch. */
-class LazSectionColumnarReader(p: LazPartition, readSchema: StructType)
+class LazSectionColumnarReader(p: LazPartition, readSchema: StructType,
+    predicate: RecordPredicate = null)
   extends PartitionReader[ColumnarBatch] {
 
   private val sectionSchema = DataType.fromJson(p.sectionSchemaJson).asInstanceOf[StructType]
@@ -109,26 +110,49 @@ class LazSectionColumnarReader(p: LazPartition, readSchema: StructType)
   private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
 
   private val filler = new ColumnarFiller(sectionSchema, readSchema, p.stride, p.fid)
+  private val sel: Array[Int] = if (predicate == null) null else new Array[Int](batchSize)
 
   private var chunkIdx = -1
   private var recordsBefore = 0L
 
   override def next(): Boolean = {
-    var count = 0L
-    do {
-      if (chunkIdx >= 0) recordsBefore += p.chunkCounts(chunkIdx)
-      chunkIdx += 1
-      if (chunkIdx >= p.chunkOffsets.length) return false
-      count = p.chunkCounts(chunkIdx)
-    } while (count == 0)
-    val compressed = new Array[Byte](p.chunkBytes(chunkIdx).toInt)
-    in.seek(p.chunkOffsets(chunkIdx))
-    in.readFully(compressed)
-    val records = chunkDecoder.decode(compressed, count.toInt)
-    val buf = ByteBuffer.wrap(records).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    filler.fill(buf, vectors, count.toInt, p.startRecord + recordsBefore)
-    batch.setNumRows(count.toInt)
-    true
+    while (true) {
+      var count = 0L
+      do {
+        if (chunkIdx >= 0) recordsBefore += p.chunkCounts(chunkIdx)
+        chunkIdx += 1
+        if (chunkIdx >= p.chunkOffsets.length) return false
+        count = p.chunkCounts(chunkIdx)
+      } while (count == 0)
+      val compressed = new Array[Byte](p.chunkBytes(chunkIdx).toInt)
+      in.seek(p.chunkOffsets(chunkIdx))
+      in.readFully(compressed)
+      val records = chunkDecoder.decode(compressed, count.toInt)
+      val buf = ByteBuffer.wrap(records).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val firstPid = p.startRecord + recordsBefore
+      if (predicate == null) {
+        filler.fill(buf, vectors, count.toInt, firstPid)
+        batch.setNumRows(count.toInt)
+        return true
+      } else {
+        // claimed-pushed filters run on the decoded record bytes, and
+        // only the survivors column-fill (same compaction contract as
+        // the raw columnar reader)
+        var m = 0
+        var i = 0
+        while (i < count.toInt) {
+          if (predicate.matches(buf, i * p.stride, firstPid + i)) { sel(m) = i; m += 1 }
+          i += 1
+        }
+        if (m > 0) {
+          filler.fillSelected(buf, vectors, sel, m, firstPid)
+          batch.setNumRows(m)
+          return true
+        }
+        // whole chunk filtered out — decode the next one
+      }
+    }
+    false // unreachable
   }
 
   override def get(): ColumnarBatch = batch

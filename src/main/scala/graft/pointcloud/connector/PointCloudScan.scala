@@ -501,7 +501,7 @@ class PointCloudReaderFactory(
     val readSchema = DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
     partition match {
       case p: BinaryPartition => new BinarySectionReader(p, readSchema, predicate(p))
-      case p: LazPartition => new LazSectionReader(p, readSchema)
+      case p: LazPartition => new LazSectionReader(p, readSchema, lazPredicate(p))
       case p: XyzPartition => new XyzReader(p, readSchema)
     }
   }
@@ -517,7 +517,7 @@ class PointCloudReaderFactory(
     val readSchema = DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
     partition match {
       case p: BinaryPartition => new BinarySectionColumnarReader(p, readSchema, predicate(p))
-      case p: LazPartition => new LazSectionColumnarReader(p, readSchema)
+      case p: LazPartition => new LazSectionColumnarReader(p, readSchema, lazPredicate(p))
     }
   }
 
@@ -529,6 +529,19 @@ class PointCloudReaderFactory(
     else new RecordPredicate(pushedFilters,
       DataType.fromJson(tableSchemaJson).asInstanceOf[StructType],
       Section(p.location, p.sectionOffset, p.numRecords, p.littleEndian,
+        DataType.fromJson(p.sectionSchemaJson).asInstanceOf[StructType], p.stride),
+      p.fid)
+
+  /** Same, over a LAZ partition's DECODED records (a decoded chunk is a
+    * run of ordinary fixed-stride LAS records). The batch builder keeps
+    * filters residual for compressed tables, but the STREAMING path may
+    * claim filters as pushed before any .laz file lands — the readers
+    * must honor them or claimed-pushed rows leak unfiltered. */
+  private def lazPredicate(p: LazPartition): RecordPredicate =
+    if (pushedFilters.isEmpty) null
+    else new RecordPredicate(pushedFilters,
+      DataType.fromJson(tableSchemaJson).asInstanceOf[StructType],
+      Section(p.location, 0, p.numRecords, littleEndian = true,
         DataType.fromJson(p.sectionSchemaJson).asInstanceOf[StructType], p.stride),
       p.fid)
 }
@@ -592,7 +605,8 @@ class BinarySectionReader(p: BinaryPartition, readSchema: StructType,
   * pruning are shared, so a .laz scan differs from .las only in the
   * decode step. Sequential within a chunk by construction (prediction
   * state chains point to point); parallel ACROSS chunks/partitions. */
-class LazSectionReader(p: LazPartition, readSchema: StructType)
+class LazSectionReader(p: LazPartition, readSchema: StructType,
+    predicate: RecordPredicate = null)
   extends PartitionReader[InternalRow] {
 
   private val sectionSchema = DataType.fromJson(p.sectionSchemaJson).asInstanceOf[StructType]
@@ -605,36 +619,40 @@ class LazSectionReader(p: LazPartition, readSchema: StructType)
   private val in = path.getFileSystem(new Configuration()).open(path)
 
   private var chunkIdx = -1
-  private var records: Array[Byte] = _
   private var buf: ByteBuffer = _
   private var idxInChunk = 0
   private var countInChunk = 0
   private var pid = p.startRecord - 1
+  private var curBase = 0
 
   override def next(): Boolean = {
-    while (idxInChunk >= countInChunk) {
-      chunkIdx += 1
-      if (chunkIdx >= p.chunkOffsets.length) return false
-      val count = p.chunkCounts(chunkIdx)
-      if (count > 0) {
-        val compressed = new Array[Byte](p.chunkBytes(chunkIdx).toInt)
-        in.seek(p.chunkOffsets(chunkIdx))
-        in.readFully(compressed)
-        records = chunkDecoder.decode(compressed, count.toInt)
-        buf = ByteBuffer.wrap(records).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        idxInChunk = 0
-        countInChunk = count.toInt
+    while (true) {
+      while (idxInChunk >= countInChunk) {
+        chunkIdx += 1
+        if (chunkIdx >= p.chunkOffsets.length) return false
+        val count = p.chunkCounts(chunkIdx)
+        if (count > 0) {
+          val compressed = new Array[Byte](p.chunkBytes(chunkIdx).toInt)
+          in.seek(p.chunkOffsets(chunkIdx))
+          in.readFully(compressed)
+          val records = chunkDecoder.decode(compressed, count.toInt)
+          buf = ByteBuffer.wrap(records).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          idxInChunk = 0
+          countInChunk = count.toInt
+        }
       }
+      curBase = idxInChunk * p.stride
+      idxInChunk += 1
+      pid += 1
+      // filters claimed as pushed are honored on the DECODED record
+      // bytes (the chunk must entropy-decode either way; what pushdown
+      // saves here is row materialization, not decode work)
+      if (predicate == null || predicate.matches(buf, curBase, pid)) return true
     }
-    pid += 1
-    true
+    false // unreachable
   }
 
-  override def get(): InternalRow = {
-    val row = decoder.decode(buf, idxInChunk * p.stride, pid)
-    idxInChunk += 1
-    row
-  }
+  override def get(): InternalRow = decoder.decode(buf, curBase, pid)
 
   override def close(): Unit = in.close()
 }

@@ -13,13 +13,6 @@ case class LazInfo(
     firstChunkOffset: Long,
     chunkBytes: Array[Long]) extends Serializable {
   def numChunks: Int = chunkBytes.length
-  /** File offset of chunk `i`. */
-  def chunkOffset(i: Int): Long = {
-    var off = firstChunkOffset
-    var k = 0
-    while (k < i) { off += chunkBytes(k); k += 1 }
-    off
-  }
   /** Decoded point count of chunk `i`, given the file's total count. */
   def chunkCount(i: Int, totalPoints: Long): Long =
     if (i < numChunks - 1) chunkSize.toLong
@@ -55,6 +48,13 @@ object Laz {
     require(vlr.chunkSize > 0,
       s"${header.location}: non-positive LAZ chunk size ${vlr.chunkSize} " +
         "(variable-size chunking is not implemented)")
+    // readers size decoded-record buffers and column vectors from the
+    // declared chunk geometry: a foreign file declaring absurd values
+    // must fail HERE (the resolve-time skip path), not as an executor
+    // NegativeArraySizeException/OOM mid-scan
+    require(vlr.chunkSize <= (1 << 24),
+      s"${header.location}: LAZ chunk size ${vlr.chunkSize} exceeds the " +
+        s"${1 << 24}-point reader bound")
     val stride = vlr.recordLength
     require(stride == header.pdrLength.toInt,
       s"${header.location}: LAZ items cover $stride bytes but the header " +
@@ -75,6 +75,8 @@ object Laz {
       s"${header.location}: chunk table offset $tableOffset outside the file (len $fileLen)")
     val counts = LazFile.parseChunkTable(
       readAt(tableOffset, (fileLen - tableOffset).toInt))
+    counts.foreach(c => require(c > 0 && c <= Int.MaxValue - 8,
+      s"${header.location}: chunk of $c compressed bytes outside the reader bound"))
     val dataBytes = tableOffset - (header.pdrOffset.toLong + 8)
     require(counts.sum == dataBytes,
       s"${header.location}: chunk table sums to ${counts.sum} bytes " +

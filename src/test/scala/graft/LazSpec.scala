@@ -168,6 +168,37 @@ class LazSpec extends SparkTestBase {
     assert(lazPairs == rawPairs)
   }
 
+  test("claimed-pushed filters are honored by a .laz landing mid-stream") {
+    // at stream start the directory holds only .las, so the builder
+    // CLAIMS the pushable predicate (Spark drops its own Filter); the
+    // .laz landing later must still be filtered by the reader, or
+    // compressed rows leak unfiltered
+    val dir = tmpDir("laz-pushed")
+    val out = tmpDir("laz-pushed-out")
+    fmt0Points(3000).coalesce(1).writeLas(dir)
+    val stream = spark.readStream
+      .schema(spark.read.las(dir).schema)
+      .format("las").load(dir)
+      .filter($"x" > 100000)
+    val q = stream.select($"x").writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("laz-pushed-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // land a .laz mid-stream (atomic move, like a real producer)
+      val stage = tmpDir("laz-pushed-stage")
+      fmt0Points(3000).coalesce(1).writeLaz(stage, Map("laz.chunkSize" -> "500"))
+      val lazFile = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".laz")).head
+      java.nio.file.Files.move(lazFile.toPath,
+        java.nio.file.Paths.get(dir, "landed.laz"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expectedPerFile = fmt0Points(3000).filter($"x" > 100000).count()
+    assert(spark.read.parquet(out).count() == 2 * expectedPerFile)
+  }
+
   test("a .laz landing in a streamed LAS directory is ingested chunk-aligned") {
     val dir = tmpDir("laz-stream")
     val out = tmpDir("laz-stream-out")
