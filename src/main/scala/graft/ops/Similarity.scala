@@ -59,13 +59,16 @@ object Similarity {
     * each band's expected random-candidate count stays ≤
     * n·pairsPerKey/2 — LINEAR in n, where a fixed `rows` is quadratic
     * (the sf1 probe measured ~11× wall at 10× corpus for the fixed
-    * 6×4 default this replaces). `bands` then restores recall along the
-    * standard curve ([[bandsForRows]]). The price is honest and stated:
-    * at a weak threshold (0.45 ⇒ p≈0.65) bands grows ≈ (1/p)^rows, so
-    * total work scales ≈ n^1.6 — the banded-LSH physics; past
-    * [[MaxRows]] (n ≈ pairsPerKey·2^24) the right structure is the
-    * cell-confined [[graft.ops.Dedup.semanticDedup]] with k ∝ n, not a
-    * wider table. */
+    * 6×4 default this replaces; self-tuned, the same probe measures
+    * ~8× — wall 13.2 s → 10.5 s at 20k vectors). `bands` then restores
+    * recall along the standard curve ([[bandsForRows]]). The price is
+    * honest and stated: at a weak threshold (0.45 ⇒ p≈0.65) bands grows
+    * ≈ (1/p)^rows, so total work scales ≈ n^1.6 — the banded-LSH
+    * physics at FIXED recall (truly linear candidates would need fixed
+    * bands and decaying recall); past [[MaxRows]] (n ≈ pairsPerKey·2^24)
+    * the right structure is the cell-confined
+    * [[graft.ops.Dedup.semanticDedup]] with k ∝ n, not a wider
+    * table. */
   final val MinRows = 4
   final val MaxRows = 24
   def lshGeometryFor(n: Long, threshold: Double,
