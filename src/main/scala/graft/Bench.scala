@@ -135,7 +135,9 @@ object Bench {
     // positive
     for (w <- Seq("iq01_scan_project") ++ names.filter(n =>
         n.startsWith("ss07") || n.startsWith("jn01") || n.startsWith("ss04") ||
-        n.startsWith("pc1"))) // pc10/pc11/pc12: build-once LAS layouts
+        n.startsWith("ss12") || // build-once append layout + model
+        n.startsWith("pc1") || // pc10/pc11/pc12: build-once LAS layouts
+        n.startsWith("pc22"))) // build-once LAZ layout
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => } // a broken query still errors in the timed loop
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()

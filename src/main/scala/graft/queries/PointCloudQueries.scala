@@ -597,7 +597,33 @@ object PointCloudQueries {
       min($"time").as("mnt"), max($"time").as("mxt"))
   }
 
+  /** pc22: COMPRESSED streaming ingest — pc11's census with the watched
+    * directory holding `.laz` instead of `.las`: the micro-batch source
+    * plans the same chunk-aligned splits as the batch scan, entropy-
+    * decodes per chunk, and the complete-mode census must hash-match
+    * the parquet source exactly. Small chunks (4096 points) force many
+    * chunk splits through the streaming planner. At 100 TB this is the
+    * landing shape real LiDAR corpora arrive in — overwhelmingly
+    * `.laz` — and the reference cannot ingest it at all. */
+  private val pc22: Q = (s, d) => {
+    val pts = lasPointFrame(s, d)
+    val dir = layoutOnce("pc22", d) { out =>
+      pts.writeLaz(out, Map("scale" -> "0.001", "laz.chunkSize" -> "4096"))
+    }
+    val stream = s.readStream.format("las").load(dir)
+    val agg = stream.groupBy($"flags")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        min($"y").as("mny"), max($"y").as("mxy"),
+        sum($"intensity".cast("bigint")).as("si"))
+    StreamingQueries.runToCompletion(agg, "graft_pc22", "complete")
+      .select($"flags", $"n", $"sx", $"mny", $"mxy", $"si")
+      .sort($"flags")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pc22_laz_streaming" -> pc22,
     "pc21_laz_roundtrip" -> pc21,
     "pc20_elevation_grid" -> pc20,
     "pc01_las_roundtrip" -> pc01,
@@ -747,6 +773,17 @@ object PointCloudQueries {
         |WHERE (l_orderkey % 1000000) < 100000
         |  AND (l_partkey % 1000000) < 100000""".stripMargin,
     "pc11_streaming_scan" ->
+      """SELECT CAST((l_linenumber % 7) + 1 AS TINYINT) AS flags,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | MIN(CAST(l_partkey % 1000000 AS INT)) AS mny,
+        | MAX(CAST(l_partkey % 1000000 AS INT)) AS mxy,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY flags""".stripMargin,
+    // identical census to pc11 — the Spark side differs only in the
+    // source files being LASzip-compressed chunks
+    "pc22_laz_streaming" ->
       """SELECT CAST((l_linenumber % 7) + 1 AS TINYINT) AS flags,
         | COUNT(*) AS n,
         | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
