@@ -168,6 +168,21 @@ class LazSpec extends SparkTestBase {
     assert(lazPairs == rawPairs)
   }
 
+  test("keyed writes compose with compression: one .laz per tile, values intact") {
+    val dir = tmpDir("laz-keyed")
+    val pts = fmt0Points(5000).withColumn("tile", (col("x") % 3).cast("int"))
+    pts.writeLasKeyed(dir, "tile",
+      Map("compress" -> "laz", "laz.chunkSize" -> "700"))
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".laz")).sorted
+    assert(files.length == 3, files.mkString(","))
+    val back = spark.read.las(dir)
+    assert(back.count() == 5000)
+    assert(back.agg(sum($"x".cast("long")), sum($"intensity".cast("long")))
+      .head().toSeq ==
+      pts.agg(sum($"x".cast("long")), sum($"intensity".cast("long"))).head().toSeq)
+  }
+
   test("claimed-pushed filters are honored by a .laz landing mid-stream") {
     // at stream start the directory holds only .las, so the builder
     // CLAIMS the pushable predicate (Spark drops its own Filter); the
