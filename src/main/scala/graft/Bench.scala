@@ -210,11 +210,13 @@ object Bench {
     // state term was invisible while the probe covered only batch/gate
     // families. pc01: the point-cloud WRITE path (LAS write + read-back
     // + agg over 6M points) — the one family whose cost is dominated by
-    // the sink, not the scan.
+    // the sink, not the scan. pc21: the LAZ entropy codec over the same
+    // 10× points — the probe dir's many-split lineitem makes the write
+    // fan out into many .laz files, the real landing shape.
     val probeNames = Seq("dd03_minhash_lsh", "dd14_span_dedup",
       "tx08_curation", "st08_decontamination_gate",
       "dd10_blocked_embedding", "dd12_semantic_dedup", "ss06_knn_join",
-      "st10_rocksdb_dedup", "pc01_las_roundtrip")
+      "st10_rocksdb_dedup", "pc01_las_roundtrip", "pc21_laz_roundtrip")
       .filter(names.contains)
     val probeJson: String =
       if (probeNames.isEmpty || sys.env.get("SPARK_GRAFT_SF1_PROBE").contains("0")) ""
@@ -291,7 +293,8 @@ object Bench {
         // consumes it — a prefix-filtered dev loop probing one family
         // must not pay the other families' 10× coalesce(1) writes
         val needEvents = probeNames.exists(_.startsWith("st10"))
-        val needLineitem = probeNames.exists(_.startsWith("pc01"))
+        val needLineitem = probeNames.exists(n =>
+          n.startsWith("pc01") || n.startsWith("pc21"))
         val tsTypeKey = "spark.sql.parquet.outputTimestampType"
         val prevTsType = spark.conf.get(tsTypeKey)
         try {
