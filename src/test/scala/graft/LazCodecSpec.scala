@@ -138,6 +138,27 @@ class LazCodecSpec extends AnyFunSuite {
     assert(chunk.length < records.length)
   }
 
+  test("randomized property: every format x extras x chunk size round-trips bit-exactly") {
+    // fully random records (no scan-shaped locality at all) are the
+    // adversarial case for every predictor: correctors hit their widest
+    // classes, models stay near-uniform, and any state-machine asymmetry
+    // between encoder and decoder surfaces as a mismatch
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 0 until 24) {
+      val format = (trial % 4).toByte
+      val extra = Seq(0, 3, 17)(trial % 3)
+      val items = LazFile.itemsFor(format, extra)
+      val stride = items.map(_.size).sum
+      val count = 1 + rnd.nextInt(700)
+      val records = new Array[Byte](count * stride)
+      rnd.nextBytes(records)
+      val chunk = LazFile.encodeChunk(LazFile.codecsFor(items), records, 0, count, stride)
+      val back = LazFile.decodeChunk(LazFile.codecsFor(items), chunk, count, stride)
+      assert(java.util.Arrays.equals(back, records),
+        s"trial $trial: format $format extra $extra count $count failed round trip")
+    }
+  }
+
   test("chunk table and LAZ VLR payload round-trip; golden container fields") {
     val counts = Seq(52341L, 49877L, 51002L, 1203L)
     val table = LazFile.chunkTableBytes(counts)
