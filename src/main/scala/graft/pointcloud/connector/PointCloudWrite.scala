@@ -447,6 +447,11 @@ class LasDataWriter(
     options.get("laz.chunksize").map(_.toInt)
       .getOrElse(graft.pointcloud.las.laz.Laz.DefaultChunkSize)
   require(lazChunkSize > 0, s"laz.chunkSize must be positive, got $lazChunkSize")
+  // mirror the reader's resolve-time bound: past 2^24 points the chunk
+  // buffer's Int byte product can overflow, and the produced file would
+  // be rejected by this project's own Laz.infoFor
+  require(lazChunkSize <= (1 << 24),
+    s"laz.chunkSize $lazChunkSize exceeds the ${1 << 24}-point chunk bound")
 
   private val conf = new Configuration()
   private val base = baseName.getOrElse(f"part-$partitionId%05d-$taskId")

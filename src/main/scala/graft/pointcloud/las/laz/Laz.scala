@@ -33,7 +33,8 @@ object Laz {
     * `fileLen` bounds the chunk-table read; `readAt` is the same
     * random-access closure the ExtraBytes reader uses. Throws (→ the
     * provider's skip-unreadable warning) on layouts this codec does not
-    * implement: non-chunked compressors, formats above 1, extra bytes. */
+    * implement: non-chunked compressors, formats above 3, and
+    * non-canonical item layouts for the declared format. */
   def infoFor(header: LasHeader, readAt: LasExtraBytes.ReadAt, fileLen: Long): LazInfo = {
     val payloads = LasExtraBytes.findVlrPayloads(header, readAt,
       LazFile.VlrUserId, LazFile.VlrRecordId)
@@ -73,6 +74,11 @@ object Laz {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
     require(tableOffset > header.pdrOffset && tableOffset <= fileLen - 8,
       s"${header.location}: chunk table offset $tableOffset outside the file (len $fileLen)")
+    // the table tail is buffered whole; a foreign file declaring a table
+    // gigabytes before EOF must fail here, not overflow the Int length
+    require(fileLen - tableOffset <= (1 << 28),
+      s"${header.location}: ${fileLen - tableOffset} bytes between chunk table " +
+        "offset and EOF exceed the reader's table bound")
     val counts = LazFile.parseChunkTable(
       readAt(tableOffset, (fileLen - tableOffset).toInt))
     counts.foreach(c => require(c > 0 && c <= Int.MaxValue - 8,

@@ -51,7 +51,11 @@ private[las] final class BitModel {
       bit0Count = (bit0Count + 1) >> 1
       if (bit0Count == bitCount) bitCount += 1
     }
-    bit0Prob = (bit0Count << Entropy.BmLengthShift) / bitCount
+    // scale-multiply form of the published FastAC update — a truncated
+    // (bit0Count << shift) / bitCount differs by one ulp for some counts
+    // and would silently diverge from real LASzip model state
+    val scale = 0x80000000L / bitCount
+    bit0Prob = (bit0Count * scale) >> (31 - Entropy.BmLengthShift)
     updateCycle = math.min((5 * updateCycle) >> 2, 64)
     bitsUntilUpdate = updateCycle
   }
@@ -365,7 +369,10 @@ private[las] final class IntegerCompressor(bits: Int, contexts: Int, bitsHigh: I
   private val mBits = Array.fill(contexts)(new SymbolModel(corrBits + 1))
   private val mCorrector0 = new BitModel
   private val mCorrector: Array[SymbolModel] = {
-    val arr = new Array[SymbolModel](math.min(corrBits, 32))
+    // k ranges up to corrBits itself (corrector == corrMin gives
+    // c1 = 2^(corrBits-1) -> k = corrBits), so index corrBits must
+    // exist for bits < 32; at 32 bits that class carries no payload
+    val arr = new Array[SymbolModel](if (corrBits < 32) corrBits + 1 else 32)
     var k = 1
     while (k < arr.length) {
       arr(k) = new SymbolModel(if (k <= bitsHigh) 1 << k else 1 << bitsHigh)

@@ -148,9 +148,11 @@ private[las] final class Point10Codec extends LazItemCodec {
       (if (n == 1) 1 else 0) + (if (kx < 20) kx & ~1 else 20))
     putI32(lastItem, 4, i32(lastItem, 4) + dy)
     lastYDiff(m).add(dy)
-    // z: predicted by the level context's last height
+    // z: predicted by the level context's last height; the context keeps
+    // the published (n==1) term (odd indices of icZ's 20 contexts)
     val kxy = (icDx.getK + icDy.getK) / 2
-    val z = icZ.decompress(dec, lastHeight(l), if (kxy < 18) kxy & ~1 else 18)
+    val z = icZ.decompress(dec, lastHeight(l),
+      (if (n == 1) 1 else 0) + (if (kxy < 18) kxy & ~1 else 18))
     putI32(lastItem, 8, z)
     lastHeight(l) = z
     System.arraycopy(lastItem, 0, out, off, 20)
@@ -198,7 +200,8 @@ private[las] final class Point10Codec extends LazItemCodec {
     lastYDiff(m).add(dy)
     val kxy = (icDx.getK + icDy.getK) / 2
     val z = i32(cur, off + 8)
-    icZ.compress(enc, lastHeight(l), z, if (kxy < 18) kxy & ~1 else 18)
+    icZ.compress(enc, lastHeight(l), z,
+      (if (n == 1) 1 else 0) + (if (kxy < 18) kxy & ~1 else 18))
     lastHeight(l) = z
     System.arraycopy(cur, off, lastItem, 0, 20)
   }
@@ -266,17 +269,18 @@ private[las] final class Rgb12Codec extends LazItemCodec {
     val lrl = lastRgb(0) & 0xFF; val lrh = lastRgb(0) >>> 8
     val lgl = lastRgb(1) & 0xFF; val lgh = lastRgb(1) >>> 8
     val lbl = lastRgb(2) & 0xFF; val lbh = lastRgb(2) >>> 8
+    // bits 2-5 compare g/b against the last point UNCONDITIONALLY (the
+    // published scheme); the decoder only consults them under bit 6, but
+    // the coded symbol value must match or model state diverges
     val rgbDiffer = g != r || b != r
     var sym = 0
     if (rl != lrl) sym |= 1
     if (rh != lrh) sym |= 2
-    if (rgbDiffer) {
-      sym |= 64
-      if (gl != lgl) sym |= 4
-      if (gh != lgh) sym |= 8
-      if (bl != lbl) sym |= 16
-      if (bh != lbh) sym |= 32
-    }
+    if (gl != lgl) sym |= 4
+    if (gh != lgh) sym |= 8
+    if (bl != lbl) sym |= 16
+    if (bh != lbh) sym |= 32
+    if (rgbDiffer) sym |= 64
     enc.encodeSymbol(mByteUsed, sym)
     if ((sym & 1) != 0) enc.encodeSymbol(mRgbDiff(0), (rl - lrl) & 0xFF)
     if ((sym & 2) != 0) enc.encodeSymbol(mRgbDiff(1), (rh - lrh) & 0xFF)

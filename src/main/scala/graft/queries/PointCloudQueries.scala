@@ -43,7 +43,9 @@ object PointCloudQueries {
     // bump the version whenever a layout's fixture definition changes:
     // /tmp outlives JVMs, and an unversioned marker would silently serve
     // a layout built by older code
-    val marker = java.nio.file.Paths.get(dir, "_GRAFT_LAYOUT_DONE_v1")
+    // v2: round-13 LASzip conformance fixes changed the .laz bitstream,
+    // so any compressed layout built by older code must rebuild
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_LAYOUT_DONE_v2")
     if (!java.nio.file.Files.exists(marker)) {
       build(dir)
       java.nio.file.Files.createFile(marker)

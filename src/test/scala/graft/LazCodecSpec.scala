@@ -62,8 +62,10 @@ class LazCodecSpec extends AnyFunSuite {
       assert(got == v, s"32-bit corrector $v decoded as $got")
       pred = v
     }
-    // 16-bit domain wraps modulo 2^16 (the intensity compressor)
-    val vals16 = Array(0, 1, 65535, 32768, 32767, 12345, 54321, 65535, 0)
+    // 16-bit domain wraps modulo 2^16 (the intensity compressor). The
+    // 0 -> 32768 transition wraps to corrector -32768 = corrMin, whose
+    // class k equals corrBits itself — the topmost corrector model index
+    val vals16 = Array(0, 32768, 0, 1, 65535, 32768, 32767, 12345, 54321, 65535, 0)
     val e16 = new IntegerCompressor(16, 1)
     val enc2 = new ArithmeticEncoder
     pred = 0
