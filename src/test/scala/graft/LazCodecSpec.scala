@@ -161,6 +161,39 @@ class LazCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("golden-byte pins: encoder output is frozen per format family") {
+    // Self-round-trip cannot catch a change that breaks byte compatibility
+    // with the codec's OWN past output — an "equivalent" refactor would
+    // silently make every written .laz corpus unreadable. These pins
+    // freeze the encoder's exact bytes on a deterministic scan-shaped
+    // fixture per format family (strongest interop statement possible in
+    // a container with no external .laz fixture — see LazEntropy's
+    // verification note). If a pin fails after an INTENTIONAL bitstream
+    // change, regenerate via Test/runMain ...LazGoldenPin and bump the
+    // connector layout marker (round 13 precedent).
+    val pins = Seq(
+      ("fmt0-extra0", 13718, "c43eb5ec8c5ed299af1f6f94b3e5aabf8cb9cf57ab71d6d0a3501ff2bc6ffd3c", "6fecffff68cd1d002f000000e3001a00"),
+      ("fmt1-extra0", 14699, "4a9f28477cbb08f9bad005c38a04e6f4e89633533437d59ff8bc7d89d4f1e728", "6fecffff68cd1d002f000000e3001a00"),
+      ("fmt2-extra0", 23574, "360a2ed38e931a8e2def0f3075b542c422a56dfc1f4008fdb6b287fa2c469454", "6fecffff68cd1d002f000000e3001a00"),
+      ("fmt3-extra5", 34715, "8ea1d8f030bac16c9ee6dbed802d53b4defd04f1471beafa907479d00d683a2c", "6fecffff68cd1d002f000000e3001a00"))
+    pins.foreach { case (label, len, sha, prefix) =>
+      val Array(f, e) = label.stripPrefix("fmt").split("-extra")
+      val items = LazFile.itemsFor(f.toByte, e.toInt)
+      val stride = items.map(_.size).sum
+      val recs = LazGoldenPin.records(f.toByte, e.toInt, 2000)
+      val chunk = LazFile.encodeChunk(LazFile.codecsFor(items), recs, 0, 2000, stride)
+      assert(chunk.length == len, s"$label: length drifted to ${chunk.length}")
+      assert(LazGoldenPin.hex(chunk, 16) == prefix,
+        s"$label: first bytes drifted to ${LazGoldenPin.hex(chunk, 16)}")
+      assert(LazGoldenPin.sha256(chunk) == sha,
+        s"$label: byte-level codec drift (sha ${LazGoldenPin.sha256(chunk)})")
+    }
+    // the chunk-table coder is a bitstream too
+    val table = LazFile.chunkTableBytes(Seq(52341L, 49877L, 51002L, 1203L))
+    assert(table.length == 18 && LazGoldenPin.sha256(table) ==
+      "75fa8fff3884495d47665b6d66e7cdafd30e6b667c37283c97e01956acf2849e")
+  }
+
   test("chunk table and LAZ VLR payload round-trip; golden container fields") {
     val counts = Seq(52341L, 49877L, 51002L, 1203L)
     val table = LazFile.chunkTableBytes(counts)
