@@ -41,9 +41,10 @@ object Laz {
     require(payloads.nonEmpty,
       s"${header.location}: compressed LAS carries no laszip VLR")
     val vlr = LazFile.parseVlrPayload(payloads.head)
-    require(vlr.compressor == LazFile.CompressorChunked,
-      s"${header.location}: unsupported LAZ compressor ${vlr.compressor} " +
-        "(only pointwise-chunked, 2, is implemented)")
+    require(vlr.compressor == LazFile.compressorFor(header.pdrFormat),
+      s"${header.location}: LAZ compressor ${vlr.compressor} for format " +
+        s"${header.pdrFormat} (expected ${LazFile.compressorFor(header.pdrFormat)}: " +
+        "pointwise-chunked for 0-5, layered for 6-10)")
     require(vlr.coder == 0,
       s"${header.location}: unsupported LAZ coder ${vlr.coder} (only arithmetic, 0)")
     require(vlr.chunkSize > 0,
@@ -100,39 +101,49 @@ object Laz {
     * write of `format` at `chunkSize` with `extraBytes` tail bytes. */
   def vlrRecordBytes(format: Byte, chunkSize: Int, extraBytes: Int = 0): Array[Byte] =
     LazFile.vlrRecord(LazFile.vlrPayload(
-      LazFile.LazVlr(LazFile.CompressorChunked, 0, chunkSize,
+      LazFile.LazVlr(LazFile.compressorFor(format), 0, chunkSize,
         LazFile.itemsFor(format, extraBytes))))
 
   /** Serialized chunk table (written after the last chunk). */
   def chunkTable(chunkByteCounts: Seq[Long]): Array[Byte] =
     LazFile.chunkTableBytes(chunkByteCounts)
 
-  /** True when this codec can compress `format` (0-3; 4/5 carry
+  /** True when this codec can compress `format`: 0-3 via the pointwise
+    * v2 scheme, 6-8 via the layered 1.4 scheme (4/5/9/10 carry
     * wavepacket items, which are not implemented). */
-  def supportsFormat(format: Byte): Boolean = format >= 0 && format <= 3
+  def supportsFormat(format: Byte): Boolean =
+    (format >= 0 && format <= 3) || (format >= 6 && format <= 8)
 }
 
 /** Chunk decoder with reusable codec state (init resets per chunk):
-  * `stride` beyond the format's base record decodes as an opaque BYTE
-  * item (the ExtraBytes tail). One instance per reader task; not
-  * thread-safe. */
+  * `stride` beyond the format's base record decodes as an opaque
+  * BYTE/BYTE14 item (the ExtraBytes tail); formats 6-8 dispatch to the
+  * layered scheme. One instance per reader task; not thread-safe. */
 final class LazChunkDecoder(format: Byte, val stride: Int) {
-  private val codecs = LazFile.codecsFor(LazFile.itemsFor(format,
-    stride - graft.pointcloud.las.LasHeader.recordLength(format)))
-  require(codecs.map(_.size).sum == stride,
+  private val items = LazFile.itemsFor(format,
+    stride - graft.pointcloud.las.LasHeader.recordLength(format))
+  private val layered = format >= 6
+  private val codecs = if (layered) null else LazFile.codecsFor(items)
+  private val codecs14 = if (layered) LazFile.codecsLayeredFor(items) else null
+  require(items.map(_.size).sum == stride,
     s"LAZ items do not tile a $stride-byte format-$format record")
   /** Decode `count` points from one compressed chunk into raw records. */
   def decode(chunk: Array[Byte], count: Int): Array[Byte] =
-    LazFile.decodeChunk(codecs, chunk, count, stride)
+    if (layered) LazFile.decodeChunkLayered(codecs14, chunk, count, stride)
+    else LazFile.decodeChunk(codecs, chunk, count, stride)
 }
 
 /** Chunk encoder with reusable codec state; one per writer task. */
 final class LazChunkEncoder(format: Byte, val stride: Int) {
-  private val codecs = LazFile.codecsFor(LazFile.itemsFor(format,
-    stride - graft.pointcloud.las.LasHeader.recordLength(format)))
-  require(codecs.map(_.size).sum == stride,
+  private val items = LazFile.itemsFor(format,
+    stride - graft.pointcloud.las.LasHeader.recordLength(format))
+  private val layered = format >= 6
+  private val codecs = if (layered) null else LazFile.codecsFor(items)
+  private val codecs14 = if (layered) LazFile.codecsLayeredFor(items) else null
+  require(items.map(_.size).sum == stride,
     s"LAZ items do not tile a $stride-byte format-$format record")
   /** Encode `count` records (raw LAS layout) into one compressed chunk. */
   def encode(records: Array[Byte], off: Int, count: Int): Array[Byte] =
-    LazFile.encodeChunk(codecs, records, off, count, stride)
+    if (layered) LazFile.encodeChunkLayered(codecs14, records, off, count, stride)
+    else LazFile.encodeChunk(codecs, records, off, count, stride)
 }

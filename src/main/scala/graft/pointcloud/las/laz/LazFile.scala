@@ -20,7 +20,13 @@ private[las] object LazFile {
   final val VlrRecordId = 22204
   /** pointwise-chunked — the compressor for point formats 0-5. */
   final val CompressorChunked = 2
+  /** layered-chunked — the compressor for LAS 1.4 point formats 6-10. */
+  final val CompressorLayered = 3
   final val DefaultChunkSize = 50000
+
+  /** The compressor a point format's items require. */
+  def compressorFor(format: Byte): Int =
+    if (format >= 6) CompressorLayered else CompressorChunked
 
   /** One LAZ VLR item: (type, size, version). */
   case class LazItem(itemType: Int, size: Int, version: Int)
@@ -30,8 +36,8 @@ private[las] object LazFile {
   }
 
   /** Items for a LAS point format plus `extraBytes` tail bytes (the
-    * subset this codec supports: formats 0–3; 4/5 carry wavepacket
-    * items, which are not implemented). */
+    * subset this codec supports: formats 0–3 pointwise, 6–8 layered;
+    * 4/5/9/10 carry wavepacket items, which are not implemented). */
   def itemsFor(format: Byte, extraBytes: Int = 0): Seq[LazItem] = {
     val base = format match {
       case 0 => Seq(LazItem(LazItemCodec.TypePoint10, 20, 2))
@@ -42,10 +48,17 @@ private[las] object LazFile {
       case 3 => Seq(LazItem(LazItemCodec.TypePoint10, 20, 2),
         LazItem(LazItemCodec.TypeGpsTime11, 8, 2),
         LazItem(LazItemCodec.TypeRgb12, 6, 2))
+      case 6 => Seq(LazItem(LazItemCodec.TypePoint14, 30, 3))
+      case 7 => Seq(LazItem(LazItemCodec.TypePoint14, 30, 3),
+        LazItem(LazItemCodec.TypeRgb14, 6, 3))
+      case 8 => Seq(LazItem(LazItemCodec.TypePoint14, 30, 3),
+        LazItem(LazItemCodec.TypeRgbNir14, 8, 3))
       case f => throw new IllegalArgumentException(
-        s"LAZ supports point formats 0-3, got format $f")
+        s"LAZ supports point formats 0-3 and 6-8, got format $f")
     }
-    if (extraBytes > 0) base :+ LazItem(LazItemCodec.TypeByte, extraBytes, 2)
+    if (extraBytes > 0)
+      base :+ (if (format >= 6) LazItem(LazItemCodec.TypeByte14, extraBytes, 3)
+      else LazItem(LazItemCodec.TypeByte, extraBytes, 2))
     else base
   }
 
@@ -57,6 +70,16 @@ private[las] object LazFile {
     case it => throw new IllegalArgumentException(
       s"unsupported LAZ item type ${it.itemType} (size ${it.size}) — " +
         "this reader implements POINT10, GPSTIME11, RGB12 and BYTE")
+  }.toArray
+
+  def codecsLayeredFor(items: Seq[LazItem]): Array[LazLayeredCodec] = items.map {
+    case LazItem(LazItemCodec.TypePoint14, 30, _) => new Point14Codec
+    case LazItem(LazItemCodec.TypeRgb14, 6, _) => new Rgb14Codec(withNir = false)
+    case LazItem(LazItemCodec.TypeRgbNir14, 8, _) => new Rgb14Codec(withNir = true)
+    case LazItem(LazItemCodec.TypeByte14, n, _) if n > 0 => new Bytes14Codec(n)
+    case it => throw new IllegalArgumentException(
+      s"unsupported layered LAZ item type ${it.itemType} (size ${it.size}) — " +
+        "this reader implements POINT14, RGB14, RGBNIR14 and BYTE14")
   }.toArray
 
   /** Serialize the LAZ VLR payload (34 + 6·items bytes, little-endian). */
@@ -176,6 +199,88 @@ private[las] object LazFile {
     val out = new Array[Byte](stride + coded.length)
     System.arraycopy(records, off, out, 0, stride)
     System.arraycopy(coded, 0, out, stride, coded.length)
+    out
+  }
+
+  /** Encode one LAYERED chunk (compressor 3): raw first point, u32 point
+    * count, u32 byte count per layer, then each layer's bitstream back to
+    * back (the published native-1.4 chunk shape — the writer emits
+    * count+sizes+layers when the chunk completes, which lands them right
+    * after the raw first point it streamed out when the chunk opened). */
+  def encodeChunkLayered(codecs: Array[LazLayeredCodec], records: Array[Byte],
+      off: Int, count: Int, stride: Int): Array[Byte] = {
+    require(count > 0, "encodeChunkLayered needs at least one point")
+    require(codecs.map(_.size).sum == stride,
+      s"item sizes ${codecs.map(_.size).mkString("+")} must tile the $stride-byte record")
+    val ctx = new ChannelCtx
+    var itemOff = off
+    codecs.foreach { c => c.initWrite(records, itemOff, ctx); itemOff += c.size }
+    var i = 1
+    while (i < count) {
+      var p = off + i * stride
+      codecs.foreach { c => c.write(records, p, ctx); p += c.size }
+      i += 1
+    }
+    val layers = codecs.flatMap(_.finishLayers())
+    val total = stride + 4 + 4 * layers.length + layers.map(_.length).sum
+    val out = new Array[Byte](total)
+    System.arraycopy(records, off, out, 0, stride)
+    val buf = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(stride, count)
+    var pos = stride + 4
+    layers.foreach { b => buf.putInt(pos, b.length); pos += 4 }
+    layers.foreach { b => System.arraycopy(b, 0, out, pos, b.length); pos += b.length }
+    out
+  }
+
+  /** Decode one LAYERED chunk of `count` points into a records array. */
+  def decodeChunkLayered(codecs: Array[LazLayeredCodec], chunk: Array[Byte],
+      count: Int, stride: Int): Array[Byte] = {
+    require(count > 0, "decodeChunkLayered needs at least one point")
+    require(codecs.map(_.size).sum == stride,
+      s"item sizes ${codecs.map(_.size).mkString("+")} must tile the $stride-byte record")
+    val totalLayers = codecs.map(_.numLayers).sum
+    require(chunk.length >= stride + 4 + 4 * totalLayers,
+      s"layered chunk of ${chunk.length} bytes holds no raw point + layer directory")
+    val buf = ByteBuffer.wrap(chunk).order(ByteOrder.LITTLE_ENDIAN)
+    val declared = buf.getInt(stride)
+    require(declared == count,
+      s"layered chunk declares $declared points, the chunk table implies $count")
+    var pos = stride + 4
+    val starts = new Array[Int](totalLayers)
+    val ends = new Array[Int](totalLayers)
+    val sizes = Array.tabulate(totalLayers) { _ =>
+      val s = buf.getInt(pos); pos += 4
+      require(s >= 0, s"negative layer size $s in layered chunk")
+      s
+    }
+    var li = 0
+    while (li < totalLayers) {
+      starts(li) = pos
+      pos += sizes(li)
+      ends(li) = pos
+      li += 1
+    }
+    require(pos <= chunk.length,
+      s"layer sizes overrun the chunk (${pos} > ${chunk.length})")
+    val out = new Array[Byte](count * stride)
+    System.arraycopy(chunk, 0, out, 0, stride)
+    val ctx = new ChannelCtx
+    var itemOff = 0
+    li = 0
+    codecs.foreach { c =>
+      val ds = Array.tabulate(c.numLayers)(k =>
+        new ArithmeticDecoder(chunk, starts(li + k), ends(li + k)))
+      c.initRead(ds, out, itemOff, ctx)
+      li += c.numLayers
+      itemOff += c.size
+    }
+    var i = 1
+    while (i < count) {
+      var p = i * stride
+      codecs.foreach { c => c.read(out, p, ctx); p += c.size }
+      i += 1
+    }
     out
   }
 

@@ -34,6 +34,11 @@ private[las] object LazItemCodec {
   final val TypePoint10 = 6
   final val TypeGpsTime11 = 7
   final val TypeRgb12 = 8
+  // the LAS 1.4 layered-scheme items (compressor 3, item version 3)
+  final val TypePoint14 = 10
+  final val TypeRgb14 = 11
+  final val TypeRgbNir14 = 12
+  final val TypeByte14 = 14
 
   def u16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
@@ -207,33 +212,31 @@ private[las] final class Point10Codec extends LazItemCodec {
   }
 }
 
-/** RGB12: the 6-byte r/g/b u16 triple of formats 2/3/5. The public v2
-  * scheme codes each of the six bytes as a model-coded delta, with a
-  * change-mask symbol up front: bit k flags byte k changed, bit 6 flags
-  * "g/b differ from r" — a grayscale point codes its r bytes only and
-  * the decoder copies them across. Green predicts from last-green
-  * shifted by red's delta; blue from last-blue shifted by the averaged
-  * r/g deltas (clamped to byte range before the model delta). */
-private[las] final class Rgb12Codec extends LazItemCodec {
+/** The r/g/b u16-triple coding state of the public LASzip scheme (RGB12
+  * v2, and per-channel-context inside RGB14 v3): each of the six bytes a
+  * model-coded delta, with a change-mask symbol up front — bit k flags
+  * byte k changed vs the last point, bit 6 flags "g/b differ from r" (a
+  * grayscale point codes its r bytes only and the decoder copies them
+  * across). Green predicts from last-green shifted by red's delta; blue
+  * from last-blue shifted by the averaged r/g deltas (clamped to byte
+  * range before the model delta). */
+private[las] final class RgbState {
   import LazItemCodec._
-
-  override def size: Int = 6
 
   private val mByteUsed = new SymbolModel(128)
   private val mRgbDiff = Array.fill(6)(new SymbolModel(256))
-  private val lastRgb = new Array[Int](3)
+  val lastRgb = new Array[Int](3)
 
-  override def init(first: Array[Byte], off: Int): Unit = {
+  def seed(r: Int, g: Int, b: Int): Unit = {
     mByteUsed.reset()
     mRgbDiff.foreach(_.reset())
-    lastRgb(0) = u16(first, off)
-    lastRgb(1) = u16(first, off + 2)
-    lastRgb(2) = u16(first, off + 4)
+    lastRgb(0) = r; lastRgb(1) = g; lastRgb(2) = b
   }
 
   private def clamp(x: Int): Int = if (x < 0) 0 else if (x > 255) 255 else x
 
-  override def read(dec: ArithmeticDecoder, out: Array[Byte], off: Int): Unit = {
+  /** Decode the next triple into `lastRgb`. */
+  def readRgb(dec: ArithmeticDecoder): Unit = {
     val sym = dec.decodeSymbol(mByteUsed)
     val lrl = lastRgb(0) & 0xFF; val lrh = lastRgb(0) >>> 8
     val lgl = lastRgb(1) & 0xFF; val lgh = lastRgb(1) >>> 8
@@ -256,13 +259,10 @@ private[las] final class Rgb12Codec extends LazItemCodec {
     lastRgb(0) = (rh << 8) | rl
     lastRgb(1) = (gh << 8) | gl
     lastRgb(2) = (bh << 8) | bl
-    putU16(out, off, lastRgb(0))
-    putU16(out, off + 2, lastRgb(1))
-    putU16(out, off + 4, lastRgb(2))
   }
 
-  override def write(enc: ArithmeticEncoder, cur: Array[Byte], off: Int): Unit = {
-    val r = u16(cur, off); val g = u16(cur, off + 2); val b = u16(cur, off + 4)
+  /** Encode the next triple (also updates `lastRgb`). */
+  def writeRgb(enc: ArithmeticEncoder, r: Int, g: Int, b: Int): Unit = {
     val rl = r & 0xFF; val rh = r >>> 8
     val gl = g & 0xFF; val gh = g >>> 8
     val bl = b & 0xFF; val bh = b >>> 8
@@ -296,6 +296,30 @@ private[las] final class Rgb12Codec extends LazItemCodec {
     }
     lastRgb(0) = r; lastRgb(1) = g; lastRgb(2) = b
   }
+}
+
+/** RGB12: the 6-byte r/g/b u16 triple of formats 2/3/5 — a thin item
+  * wrapper over [[RgbState]] (chunk-scoped, seeded from the raw first
+  * point). */
+private[las] final class Rgb12Codec extends LazItemCodec {
+  import LazItemCodec._
+
+  override def size: Int = 6
+
+  private val state = new RgbState
+
+  override def init(first: Array[Byte], off: Int): Unit =
+    state.seed(u16(first, off), u16(first, off + 2), u16(first, off + 4))
+
+  override def read(dec: ArithmeticDecoder, out: Array[Byte], off: Int): Unit = {
+    state.readRgb(dec)
+    putU16(out, off, state.lastRgb(0))
+    putU16(out, off + 2, state.lastRgb(1))
+    putU16(out, off + 4, state.lastRgb(2))
+  }
+
+  override def write(enc: ArithmeticEncoder, cur: Array[Byte], off: Int): Unit =
+    state.writeRgb(enc, u16(cur, off), u16(cur, off + 2), u16(cur, off + 4))
 }
 
 /** BYTE: `n` opaque extra bytes per record (the ExtraBytes tail under
@@ -333,14 +357,15 @@ private[las] final class BytesCodec(n: Int) extends LazItemCodec {
   }
 }
 
-/** GPSTIME11: the 8-byte f64 GPS time of formats 1/3–5, coded over its
-  * raw bit pattern with the public multi-sequence delta scheme: up to
-  * four interleaved time sequences, each predicting the next value as
-  * last + multiplier × last-delta. */
-private[las] final class GpsTime11Codec extends LazItemCodec {
+/** The multi-sequence GPS-time delta machine of the public LASzip scheme
+  * (GPSTIME11 v2, and per-scanner-channel inside POINT14 v3): up to four
+  * interleaved time sequences over the raw f64 bit pattern, each
+  * predicting the next value as last + multiplier × last-delta. Extracted
+  * so [[GpsTime11Codec]] holds one instance and [[Point14Codec]] one per
+  * channel context; the encoder/decoder sides stay mirrored through the
+  * shared state updates. */
+private[las] final class GpsTimeState {
   import LazItemCodec._
-
-  override def size: Int = 8
 
   private final val Multi = 500
   private final val MultiMinus = -10
@@ -357,7 +382,9 @@ private[las] final class GpsTime11Codec extends LazItemCodec {
   private val lastGpsTimeDiff = new Array[Int](4)
   private val multiExtremeCounter = new Array[Int](4)
 
-  override def init(first: Array[Byte], off: Int): Unit = {
+  /** Reset all models/sequences and seed sequence 0 with `t0` (the raw
+    * i64 bits of the chunk's — or context's — first time value). */
+  def seed(t0: Long): Unit = {
     mGpsTimeMulti.reset()
     mGpsTime0Diff.reset()
     icGpsTime.reset()
@@ -365,18 +392,16 @@ private[las] final class GpsTime11Codec extends LazItemCodec {
     java.util.Arrays.fill(lastGpsTime, 0L)
     java.util.Arrays.fill(lastGpsTimeDiff, 0)
     java.util.Arrays.fill(multiExtremeCounter, 0)
-    lastGpsTime(0) = i64(first, off)
+    lastGpsTime(0) = t0
   }
+
+  /** Current sequence's time bits (what a decoded point reports). */
+  def current: Long = lastGpsTime(last)
 
   private def quantize(f: Float): Int =
     if (f >= 0) (f + 0.5f).toInt else (f - 0.5f).toInt
 
-  override def read(dec: ArithmeticDecoder, out: Array[Byte], off: Int): Unit = {
-    readTime(dec)
-    putI64(out, off, lastGpsTime(last))
-  }
-
-  private def readTime(dec: ArithmeticDecoder): Unit = {
+  def readTime(dec: ArithmeticDecoder): Unit = {
     if (lastGpsTimeDiff(last) == 0) {
       val multi = dec.decodeSymbol(mGpsTime0Diff)
       if (multi == 1) { // difference fits 32 bits
@@ -449,10 +474,7 @@ private[las] final class GpsTime11Codec extends LazItemCodec {
     multiExtremeCounter(last) = 0
   }
 
-  override def write(enc: ArithmeticEncoder, cur: Array[Byte], off: Int): Unit =
-    writeTime(enc, i64(cur, off))
-
-  private def writeTime(enc: ArithmeticEncoder, t: Long): Unit = {
+  def writeTime(enc: ArithmeticEncoder, t: Long): Unit = {
     if (lastGpsTimeDiff(last) == 0) {
       if (t == lastGpsTime(last)) {
         enc.encodeSymbol(mGpsTime0Diff, 0)
@@ -556,4 +578,26 @@ private[las] final class GpsTime11Codec extends LazItemCodec {
     lastGpsTimeDiff(last) = 0
     multiExtremeCounter(last) = 0
   }
+}
+
+/** GPSTIME11: the 8-byte f64 GPS time of formats 1/3–5 — a thin item
+  * wrapper over [[GpsTimeState]] (chunk-scoped, seeded from the raw
+  * first point). */
+private[las] final class GpsTime11Codec extends LazItemCodec {
+  import LazItemCodec._
+
+  override def size: Int = 8
+
+  private val state = new GpsTimeState
+
+  override def init(first: Array[Byte], off: Int): Unit =
+    state.seed(i64(first, off))
+
+  override def read(dec: ArithmeticDecoder, out: Array[Byte], off: Int): Unit = {
+    state.readTime(dec)
+    putI64(out, off, state.current)
+  }
+
+  override def write(enc: ArithmeticEncoder, cur: Array[Byte], off: Int): Unit =
+    state.writeTime(enc, i64(cur, off))
 }

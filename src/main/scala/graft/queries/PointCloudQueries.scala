@@ -599,6 +599,56 @@ object PointCloudQueries {
       min($"time").as("mnt"), max($"time").as("mxt"))
   }
 
+  /** pc23: the LAYERED LASzip compressor (LAS 1.4, compressor 3) graded
+    * end-to-end — lineitem → format-7 points exercising exactly the
+    * machinery the layered scheme adds over pc21's pointwise path:
+    * extended 4-bit returns, TWO interleaved scanner channels (the
+    * per-channel context sets), i16 scan angles, GPS time inside the
+    * POINT14 item, and RGB through RGB14 — → `.laz` via the same chunked
+    * sink (8192-point chunks, multi-chunk) → read back through the same
+    * chunk-aligned scan → census GROUPED BY THE DECODED SCANNER CHANNEL.
+    * The oracle re-derives the channel from the source rows, so a hash
+    * match proves the flags byte (channel bits included) and every other
+    * field survived the nine-layer cycle. Formats 6+ are what modern 1.4
+    * corpora actually ship; the reference reads them uncompressed only
+    * (las/LasHeader.scala formats table) and rejects `.laz` entirely. */
+  private val pc23: Q = (s, d) => {
+    val pts = Tables.lineitem(s, d).select(
+      ($"l_orderkey" % 1000000).cast("int").as("x"),
+      ($"l_partkey" % 1000000).cast("int").as("y"),
+      ($"l_suppkey" % 1000000).cast("int").as("z"),
+      ($"l_linenumber" % 32000).cast("short").as("intensity"),
+      // r in 1..7, n = 7: extended-return nibbles
+      ((($"l_linenumber" % 7) + 1) + lit(7 * 16)).cast("byte").as("return"),
+      // channel bits 4-5 from orderkey parity, class flags + scan dir
+      ((($"l_orderkey" % 2) * 16) + ($"l_partkey" % 4) + (($"l_suppkey" % 2) * 64))
+        .cast("byte").as("flags"),
+      ($"l_partkey" % 64).cast("byte").as("classification"),
+      lit(0).cast("byte").as("user"),
+      (($"l_suppkey" % 3600) - 1800).cast("short").as("angle"),
+      ($"l_orderkey" % 3).cast("short").as("source"),
+      (($"l_orderkey" % 1000000).cast("double") * 0.001 +
+        ($"l_partkey" % 1000000).cast("double")).as("time"))
+      .withColumn("red", ($"x" % 1000).cast("short"))
+      .withColumn("green", ($"y" % 700).cast("short"))
+      .withColumn("blue", ($"z" % 500).cast("short"))
+    val dir = tmpDir("pc23", d)
+    pts.writeLaz(dir, Map("scale" -> "0.001", "laz.chunkSize" -> "8192"))
+    s.read.las(dir)
+      .groupBy(expr("cast(flags as bigint) div 16 % 4").as("channel"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        sum($"y".cast("bigint")).as("sy"),
+        min($"angle".cast("int")).as("mnang"), max($"angle".cast("int")).as("mxang"),
+        sum($"intensity".cast("bigint")).as("si"),
+        sum($"red".cast("bigint")).as("sr"),
+        sum($"green".cast("bigint")).as("sg"),
+        sum($"blue".cast("bigint")).as("sb"),
+        min($"time").as("mnt"), max($"time").as("mxt"))
+      .sort($"channel")
+  }
+
   /** pc22: COMPRESSED streaming ingest — pc11's census with the watched
     * directory holding `.laz` instead of `.las`: the micro-batch source
     * plans the same chunk-aligned splits as the batch scan, entropy-
@@ -626,6 +676,7 @@ object PointCloudQueries {
 
   val queries: Map[String, Q] = Map(
     "pc22_laz_streaming" -> pc22,
+    "pc23_laz_layered" -> pc23,
     "pc21_laz_roundtrip" -> pc21,
     "pc20_elevation_grid" -> pc20,
     "pc01_las_roundtrip" -> pc01,
@@ -650,6 +701,25 @@ object PointCloudQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the channel key re-derives from the source rows what the query
+    // reads out of the DECODED flags byte: a hash match proves the
+    // layered nine-layer cycle (channel bits included) is lossless
+    "pc23_laz_layered" ->
+      """SELECT l_orderkey % 2 AS channel,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | CAST(SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS BIGINT) AS sy,
+        | MIN(CAST(l_suppkey % 3600 AS INT) - 1800) AS mnang,
+        | MAX(CAST(l_suppkey % 3600 AS INT) - 1800) AS mxang,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si,
+        | CAST(SUM(CAST(l_orderkey % 1000000 % 1000 AS BIGINT)) AS BIGINT) AS sr,
+        | CAST(SUM(CAST(l_partkey % 1000000 % 700 AS BIGINT)) AS BIGINT) AS sg,
+        | CAST(SUM(CAST(l_suppkey % 1000000 % 500 AS BIGINT)) AS BIGINT) AS sb,
+        | MIN(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mnt,
+        | MAX(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mxt
+        |FROM lineitem GROUP BY channel ORDER BY channel""".stripMargin,
     // pc01's census + the format-1 GPS-time min/max (double arithmetic is
     // the same IEEE expression on both engines; min/max avoid float
     // summation order) — computed from the source rows, proving the

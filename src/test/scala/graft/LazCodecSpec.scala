@@ -161,6 +161,70 @@ class LazCodecSpec extends AnyFunSuite {
     }
   }
 
+  private def fmt6Record(x: Int, y: Int, z: Int, intensity: Int, r: Int, n: Int,
+      clsFlags: Int, channel: Int, scanDir: Int, edge: Int, cls: Int, ud: Int,
+      angle: Int, psid: Int, t: Double): Array[Byte] = {
+    val b = new Array[Byte](30)
+    LazItemCodec.putI32(b, 0, x); LazItemCodec.putI32(b, 4, y); LazItemCodec.putI32(b, 8, z)
+    LazItemCodec.putU16(b, 12, intensity)
+    b(14) = ((r & 0xF) | ((n & 0xF) << 4)).toByte
+    b(15) = ((clsFlags & 0xF) | ((channel & 3) << 4) | ((scanDir & 1) << 6) | ((edge & 1) << 7)).toByte
+    b(16) = cls.toByte; b(17) = ud.toByte
+    LazItemCodec.putU16(b, 18, angle & 0xFFFF)
+    LazItemCodec.putU16(b, 20, psid)
+    LazItemCodec.putI64(b, 22, java.lang.Double.doubleToLongBits(t))
+    b
+  }
+
+  test("POINT14 layered chunk: multi-channel scan-shaped points round-trip bit-exactly") {
+    val rnd = new scala.util.Random(17)
+    // two interleaved scanner channels with distinct trajectories and
+    // time bases — the per-channel contexts must keep them apart
+    val st = Array.tabulate(2)(ch =>
+      Array(100000 + ch * 500000, 2000000 - ch * 100000, 50 + ch * 10))
+    val ts = Array(123456.789, 900000.125)
+    val pts = Array.tabulate(5000) { i =>
+      val ch = if (rnd.nextInt(10) == 0) rnd.nextInt(2) else i % 2
+      val s = st(ch)
+      if (i % 97 == 0) { s(0) += rnd.nextInt(1 << 19) - (1 << 18); s(1) -= rnd.nextInt(1 << 17) }
+      else { s(0) += rnd.nextInt(60) - 20; s(1) += rnd.nextInt(8) - 4 }
+      s(2) += rnd.nextInt(9) - 4
+      ts(ch) += (if (i % 6 == 0) 0.0 else 0.0005 * (1 + rnd.nextInt(4)))
+      val r = 1 + rnd.nextInt(9) // extended 4-bit returns
+      val n = math.max(r, 1 + rnd.nextInt(9))
+      fmt6Record(s(0), s(1), s(2), rnd.nextInt(5000), r, n,
+        rnd.nextInt(16), ch, rnd.nextInt(2), rnd.nextInt(2),
+        rnd.nextInt(64), rnd.nextInt(6), rnd.nextInt(1 << 16) - 32768,
+        17 + (if (rnd.nextInt(40) == 0) rnd.nextInt(3) else 0), ts(ch))
+    }
+    val records = pts.flatten.toArray
+    val items = LazFile.itemsFor(6)
+    val chunk = LazFile.encodeChunkLayered(LazFile.codecsLayeredFor(items), records, 0, pts.length, 30)
+    assert(chunk.length < records.length,
+      s"scan-shaped 1.4 points must compress (raw ${records.length}, laz ${chunk.length})")
+    val back = LazFile.decodeChunkLayered(LazFile.codecsLayeredFor(items), chunk, pts.length, 30)
+    assert(java.util.Arrays.equals(back, records))
+  }
+
+  test("layered randomized property: formats 6-8 x extras x counts round-trip bit-exactly") {
+    // fully random records exercise every context/model branch including
+    // 4-channel switching, gps jumps, and the widest corrector classes
+    val rnd = new scala.util.Random(4013)
+    for (trial <- 0 until 18) {
+      val format = Seq(6, 7, 8)(trial % 3).toByte
+      val extra = Seq(0, 4, 11)((trial / 3) % 3)
+      val items = LazFile.itemsFor(format, extra)
+      val stride = items.map(_.size).sum
+      val count = 1 + rnd.nextInt(600)
+      val records = new Array[Byte](count * stride)
+      rnd.nextBytes(records)
+      val chunk = LazFile.encodeChunkLayered(LazFile.codecsLayeredFor(items), records, 0, count, stride)
+      val back = LazFile.decodeChunkLayered(LazFile.codecsLayeredFor(items), chunk, count, stride)
+      assert(java.util.Arrays.equals(back, records),
+        s"trial $trial: format $format extra $extra count $count failed round trip")
+    }
+  }
+
   test("golden-byte pins: encoder output is frozen per format family") {
     // Self-round-trip cannot catch a change that breaks byte compatibility
     // with the codec's OWN past output — an "equivalent" refactor would
@@ -175,13 +239,22 @@ class LazCodecSpec extends AnyFunSuite {
       ("fmt0-extra0", 13718, "c43eb5ec8c5ed299af1f6f94b3e5aabf8cb9cf57ab71d6d0a3501ff2bc6ffd3c", "6fecffff68cd1d002f000000e3001a00"),
       ("fmt1-extra0", 14699, "4a9f28477cbb08f9bad005c38a04e6f4e89633533437d59ff8bc7d89d4f1e728", "6fecffff68cd1d002f000000e3001a00"),
       ("fmt2-extra0", 23574, "360a2ed38e931a8e2def0f3075b542c422a56dfc1f4008fdb6b287fa2c469454", "6fecffff68cd1d002f000000e3001a00"),
-      ("fmt3-extra5", 34715, "8ea1d8f030bac16c9ee6dbed802d53b4defd04f1471beafa907479d00d683a2c", "6fecffff68cd1d002f000000e3001a00"))
+      ("fmt3-extra5", 34715, "8ea1d8f030bac16c9ee6dbed802d53b4defd04f1471beafa907479d00d683a2c", "6fecffff68cd1d002f000000e3001a00"),
+      ("fmt6-extra0", 18410, "861015594fadd429850ec4313c53426365c690a9c3a5a8af10c0e2f1e8add9aa", "3095000025e91d0031000000a40988c2"),
+      ("fmt7-extra0", 28715, "4ee228de97b8cd500ff2df35ab94a0c7c4ce053484e91bbd97d1ef2d29480576", "3095000025e91d0031000000a40988c2"),
+      ("fmt8-extra3", 37758, "c2955b1a158ce60ff8c2c6a97b8b2ea29597ecf4af6702d4a62dfed283123b5d", "3095000025e91d0031000000a40988c2"))
     pins.foreach { case (label, len, sha, prefix) =>
       val Array(f, e) = label.stripPrefix("fmt").split("-extra")
       val items = LazFile.itemsFor(f.toByte, e.toInt)
       val stride = items.map(_.size).sum
-      val recs = LazGoldenPin.records(f.toByte, e.toInt, 2000)
-      val chunk = LazFile.encodeChunk(LazFile.codecsFor(items), recs, 0, 2000, stride)
+      val layered = f.toByte >= 6
+      val recs =
+        if (layered) LazGoldenPin.records14(f.toByte, e.toInt, 2000)
+        else LazGoldenPin.records(f.toByte, e.toInt, 2000)
+      val chunk =
+        if (layered)
+          LazFile.encodeChunkLayered(LazFile.codecsLayeredFor(items), recs, 0, 2000, stride)
+        else LazFile.encodeChunk(LazFile.codecsFor(items), recs, 0, 2000, stride)
       assert(chunk.length == len, s"$label: length drifted to ${chunk.length}")
       assert(LazGoldenPin.hex(chunk, 16) == prefix,
         s"$label: first bytes drifted to ${LazGoldenPin.hex(chunk, 16)}")

@@ -93,6 +93,59 @@ class LazSpec extends SparkTestBase {
     assert(collectAll(spark.read.las(lazDir2)) == collectAll(spark.read.las(lasDir2)))
   }
 
+  /** Scan-shaped LAS 1.4 format-6 points: 4-bit returns, two scanner
+    * channels interleaved (flags bits 4-5), i16 angles, f64 time. */
+  private def fmt6Points(n: Int) =
+    spark.range(n).select(
+      ((col("id") * 13) % 2000 + (col("id") / 500) * 100000).cast("int").as("x"),
+      ((col("id") * 7) % 300).cast("int").as("y"),
+      ((col("id") % 50) - 25).cast("int").as("z"),
+      (col("id") % 4096).cast("short").as("intensity"),
+      // unsigned return byte (r | n<<4) wrapped into the signed Byte domain
+      when((col("id") % 9 + 1) * 17 > 127, (col("id") % 9 + 1) * 17 - 256)
+        .otherwise((col("id") % 9 + 1) * 17).cast("byte").as("return"),
+      (((col("id") % 2) * 16) + (col("id") % 8)).cast("byte").as("flags"),
+      (col("id") % 64).cast("byte").as("classification"),
+      lit(0).cast("byte").as("user"),
+      ((col("id") % 3600) - 1800).cast("short").as("angle"),
+      (col("id") % 3).cast("short").as("source"),
+      (col("id").cast("double") * 0.0005 + floor(col("id") / 700) * 1.0e5).as("time"))
+
+  test("LAZ layered (format 6) round trips bit-exactly, multi-chunk, two scanner channels") {
+    val pts = fmt6Points(20000)
+    val lasDir = tmpDir("laz6-raw")
+    val lazDir = tmpDir("laz6-cmp")
+    pts.writeLas(lasDir, Map("scale" -> "0.01"))
+    pts.writeLaz(lazDir, Map("scale" -> "0.01", "laz.chunkSize" -> "3000"))
+    val raw = spark.read.las(lasDir)
+    val laz = spark.read.las(lazDir)
+    assert(laz.count() == 20000)
+    assert(collectAll(laz) == collectAll(raw))
+    def bytes(dir: String, ext: String) =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(ext)).map(_.length).sum
+    assert(bytes(lazDir, ".laz") < bytes(lasDir, ".las") / 2,
+      s"expected >2x layered compression on scan-shaped 1.4 points")
+  }
+
+  test("LAZ layered formats 7 (RGB) and 8 (RGB+NIR) round trip with ExtraBytes") {
+    val base = fmt6Points(7000)
+      .withColumn("red", (col("x") % 1000).cast("short"))
+      .withColumn("green",
+        when(col("y") % 3 === 0, col("x") % 1000).otherwise(col("y") % 700).cast("short"))
+      .withColumn("blue",
+        when(col("y") % 3 === 0, col("x") % 1000).otherwise(col("y") % 500).cast("short"))
+    for ((pts, tag) <- Seq(
+        (base, "laz7"),
+        (base.withColumn("nir", (col("x") % 2048).cast("short"))
+          .withColumn("reflectance", (col("x") % 128).cast("short")), "laz8"))) {
+      val lasDir = tmpDir(s"$tag-raw")
+      val lazDir = tmpDir(s"$tag-cmp")
+      pts.writeLas(lasDir)
+      pts.writeLaz(lazDir, Map("laz.chunkSize" -> "1200"))
+      assert(collectAll(spark.read.las(lazDir)) == collectAll(spark.read.las(lasDir)), tag)
+    }
+  }
+
   test("LAZ carries ExtraBytes columns through the BYTE item") {
     val pts = fmt0Points(4000)
       .withColumn("reflectance", (col("x") % 128).cast("short"))
