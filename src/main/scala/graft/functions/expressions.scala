@@ -376,6 +376,45 @@ object VectorUtil {
     acc
   }
 
+  /** All banded-LSH keys of one vector in a SINGLE pass: plane i's dot
+    * accumulates in j-ascending order (bit-identical to a per-plane
+    * [[dot]] against the literal plane array — the fold order the oracle
+    * restates), but the vector element is loaded once per j and fanned
+    * across every plane accumulator, so bands×rows plane products cost
+    * one traversal instead of bands×rows separate expression calls.
+    * Plane formula: (i·97 + j·31) % 19 − 9, i = band·rows + row (the
+    * same deterministic integers [[graft.ops.Similarity.plane]] and the
+    * DuckDB oracle compute). */
+  def lshBandKeys(v: ArrayData, dim: Int, bands: Int, rows: Int): ArrayData = {
+    val np = bands * rows
+    val n = math.min(dim, v.numElements())
+    val acc = new Array[Double](np)
+    var j = 0
+    while (j < n) {
+      val x = v.getDouble(j)
+      val j31 = j * 31
+      var i = 0
+      while (i < np) {
+        acc(i) = acc(i) + x * ((i * 97 + j31) % 19 - 9)
+        i += 1
+      }
+      j += 1
+    }
+    val keys = new Array[Int](bands)
+    var t = 0
+    while (t < bands) {
+      var key = 0
+      var r = 0
+      while (r < rows) {
+        if (acc(t * rows + r) > 0) key |= 1 << r
+        r += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
   /** Intersection size of two ascending-sorted long arrays (merge scan). */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
@@ -412,6 +451,31 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): ArrayDotProduct =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_array_dot"
+}
+
+/** lsh_band_keys(array<double>, dim, bands, rows): ARRAY<INT>. Every
+  * banded-LSH key of a vector as ONE fused codegen kernel — the
+  * signature-generation hot loop of blocked near-dup dedup (dd10), where
+  * the self-tuned geometry can demand hundreds of plane products per
+  * vector: evaluated as separate array_dot calls they re-traverse the
+  * vector per plane; fused, the vector streams once
+  * ([[VectorUtil.lshBandKeys]], bit-identical fold order). */
+case class LshBandKeys(child: Expression, dim: Int, bands: Int, rows: Int)
+    extends UnaryExpression {
+  require(dim > 0 && bands > 0 && rows > 0 && rows <= 31,
+    s"lsh_band_keys needs positive dim/bands and rows in 1..31, got ($dim, $bands, $rows)")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName needs ARRAY<DOUBLE>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    VectorUtil.lshBandKeys(input.asInstanceOf[ArrayData], dim, bands, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorUtil.lshBandKeys($c, $dim, $bands, $rows)")
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
+    copy(child = newChild)
+  override def prettyName: String = "graft_lsh_band_keys"
 }
 
 /** array_sqdist(array<double>, array<double>): DoubleType. Squared L2
@@ -767,6 +831,8 @@ object exprs {
     Bridge.column(ArrayDotProduct(Bridge.expression(a), Bridge.expression(b)))
   def array_sqdist(a: Column, b: Column): Column =
     Bridge.column(ArraySqDist(Bridge.expression(a), Bridge.expression(b)))
+  def lsh_band_keys(v: Column, dim: Int, bands: Int, rows: Int): Column =
+    Bridge.column(LshBandKeys(Bridge.expression(v), dim, bands, rows))
   def sorted_intersect_count(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
   def shingle_hash_set(tokens: Column, n: Int): Column =

@@ -394,9 +394,77 @@ object Dedup {
       idCol: String,
       vecCol: String,
       dim: Int,
-      threshold: Double): DataFrame = {
-    val (bands, rows) = Similarity.lshGeometryFor(df.count(), threshold)
-    blockedEmbeddingNearDupPairs(df, idCol, vecCol, dim, threshold, bands, rows)
+      threshold: Double): DataFrame =
+    blockedEmbeddingNearDupPairs(df, idCol, vecCol, dim, threshold,
+      Similarity.MaxRows)
+
+  /** The default path with an explicit escalation bound (`maxRows`,
+    * spec hook — the production default is [[Similarity.MaxRows]]):
+    * measures the corpus and dispatches on
+    * [[Similarity.lshGeometryOrEscalate]]. Within the table's reach it
+    * runs the banded-LSH plan at the self-tuned geometry; past
+    * `pairsPerKey·2^maxRows` vectors no wider table helps (rows is
+    * capped, candidates go quadratic), so the STRUCTURE changes:
+    * [[cellConfinedNearDupPairs]] over a k ∝ n deterministic k-means
+    * quantization — the dd12 machinery — confines the quadratic term to
+    * n²/k. The same measured-count-then-policy shape as the Bloom
+    * screen's [[graft.ops.Joins.bloomScreenFor]]. */
+  def blockedEmbeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      maxRows: Int): DataFrame =
+    Similarity.lshGeometryOrEscalate(df, threshold, maxRows = maxRows) match {
+      case (_, Some((bands, rows))) =>
+        blockedEmbeddingNearDupPairs(df, idCol, vecCol, dim, threshold, bands, rows)
+      case (n, None) =>
+        val k = cellCountFor(n)
+        val centroids = Clustering.kmeans(df, idCol, vecCol, dim, k,
+          SemanticCellIters)
+        cellConfinedNearDupPairs(df, idCol, vecCol, threshold, centroids)
+    }
+
+  /** Cell count for the escalated (past-MaxRows) near-dup path: k ∝ n
+    * at [[SemanticCellTarget]] expected vectors per cell, floored at 2.
+    * The cap is the [[Clustering.assignCell]] expression-tree budget (k
+    * fused distance kernels per row); a deployment past
+    * `SemanticMaxCells · SemanticCellTarget` vectors assigns cells
+    * through a broadcast join against a centroid table instead of an
+    * expression — stated, not silently truncated. */
+  final val SemanticCellTarget = 4096L
+  final val SemanticMaxCells = 256
+  final val SemanticCellIters = 2
+  def cellCountFor(n: Long): Int = {
+    val want = (n + SemanticCellTarget - 1) / SemanticCellTarget
+    math.max(2L, math.min(SemanticMaxCells.toLong, want)).toInt
+  }
+
+  /** Near-dup pairs with the quadratic term confined to one quantizer
+    * cell — the pair-returning form of [[semanticDedup]] (same
+    * k-means cell assignment, same SemDeDup-accepted recall position:
+    * pairs spanning cells are not reported) and the structural
+    * escape [[blockedEmbeddingNearDupPairs]] routes to past the LSH
+    * table's reach. ONE shuffle on the cell key, then a per-cell
+    * self-join; same `(id_a, id_b, c)` schema as the blocked path so
+    * the dispatch is invisible to callers. */
+  def cellConfinedNearDupPairs(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    // materialized: same inlining guard as kmeans — the cast vector must
+    // not re-inline into each of the k distance kernels
+    val pts = df.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .localCheckpoint(eager = true)
+      .withColumn("cell", Clustering.assignCell(col("v"), centroids))
+      .withColumn("n", sqrt(Similarity.dot(col("v"), col("v"))))
+    pts.as("a").join(pts.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.n") * col("b.n"))).as("c"))
+      .filter(col("c") >= threshold)
   }
 
   /** Explicit-geometry override of the self-tuning default above — for

@@ -57,18 +57,22 @@ object Similarity {
     * one band key with probability ≈ 2^-rows (sign bits of independent
     * hyperplanes are unbiased coin flips for uncorrelated vectors), so
     * each band's expected random-candidate count stays ≤
-    * n·pairsPerKey/2 — LINEAR in n, where a fixed `rows` is quadratic
-    * (the sf1 probe measured ~11× wall at 10× corpus for the fixed
-    * 6×4 default this replaces; self-tuned, the same probe measures
-    * ~8× — wall 13.2 s → 10.5 s at 20k vectors). `bands` then restores
-    * recall along the standard curve ([[bandsForRows]]). The price is
-    * honest and stated: at a weak threshold (0.45 ⇒ p≈0.65) bands grows
-    * ≈ (1/p)^rows, so total work scales ≈ n^1.6 — the banded-LSH
-    * physics at FIXED recall (truly linear candidates would need fixed
-    * bands and decaying recall); past [[MaxRows]] (n ≈ pairsPerKey·2^24)
-    * the right structure is the cell-confined
-    * [[graft.ops.Dedup.semanticDedup]] with k ∝ n, not a wider
-    * table. */
+    * n·pairsPerKey/2 — LINEAR in n, where a fixed `rows` is quadratic.
+    * `bands` then restores recall along the standard curve
+    * ([[bandsForRows]]). The price is honest and stated: at a weak
+    * threshold (0.45 ⇒ p≈0.65) bands grows ≈ (1/p)^rows, so total work
+    * scales ≈ n^1.6 at FIXED recall, and the signature term grows with
+    * bands·rows — self-tuning alone did NOT beat the fixed table on the
+    * 20k-vector sf1 probe (13.2 s fixed in r11 vs 12.9 s recorded in
+    * r12: the ~3× candidate saving was spent on ~21× more per-plane
+    * expression calls). The signature term is paid by structure instead:
+    * [[lshBandKeys]] evaluates ALL bands·rows planes in one fused
+    * codegen pass per vector, measured 5.1 s on the same 20k probe
+    * (r13, calib-comparable). Past [[MaxRows]] (n ≈ pairsPerKey·2^24)
+    * no wider table helps; [[lshGeometryOrEscalate]] reports the
+    * measured count and the caller routes to cell-confined semantic
+    * dedup with k ∝ n ([[graft.ops.Dedup.blockedEmbeddingNearDupPairs]]
+    * executes that dispatch). */
   final val MinRows = 4
   final val MaxRows = 24
   def lshGeometryFor(n: Long, threshold: Double,
@@ -79,6 +83,30 @@ object Similarity {
     var rows = MinRows
     while (rows < MaxRows && (pairsPerKey << rows) < n) rows += 1
     (bandsForRows(rows, threshold, targetRecall), rows)
+  }
+
+  /** Measure-then-tune-or-ESCALATE — the complete LSH index policy and
+    * the exact twin of [[graft.ops.Joins.bloomScreenFor]]: counts the
+    * corpus, and either returns the self-tuned `(bands, rows)` (within
+    * the table's reach, `n ≤ pairsPerKey·2^maxRows`) or `None` past it
+    * — `rows` would silently pin at its cap, per-band random collisions
+    * grow ∝ n/2^maxRows per key, and the table degrades toward exactly
+    * the quadratic candidate blow-up self-tuning exists to prevent. At
+    * that size the fix is STRUCTURE, not geometry: cell-confined
+    * near-dup with k ∝ n ([[graft.ops.Dedup.cellConfinedNearDupPairs]])
+    * keeps the quadratic term at n²/k —
+    * [[graft.ops.Dedup.blockedEmbeddingNearDupPairs]] executes that
+    * dispatch. The measured count is returned alongside so the
+    * escalation is a logged plan choice, never a silent one. */
+  def lshGeometryOrEscalate(df: DataFrame, threshold: Double,
+      targetRecall: Double = DefaultLshRecall,
+      pairsPerKey: Long = DefaultPairsPerKey,
+      maxRows: Int = MaxRows): (Long, Option[(Int, Int)]) = {
+    require(maxRows >= MinRows && maxRows <= MaxRows,
+      s"lshGeometryOrEscalate needs maxRows in $MinRows..$MaxRows, got $maxRows")
+    val n = df.count()
+    if (n > (pairsPerKey << maxRows)) (n, None)
+    else (n, Some(lshGeometryFor(n, threshold, targetRecall, pairsPerKey)))
   }
 
   /** Default candidate budget: ≤ ~`64·n/2` random-collision pairs per
@@ -113,13 +141,12 @@ object Similarity {
 
   def lshBandKeys(v: Column, dim: Int,
       bands: Int = NumBands, rows: Int = RowsPerBand): Column =
-    array((0 until bands).map { t =>
-      (0 until rows).map { r =>
-        val d = dot(v, array((0 until dim).map(j =>
-          lit(plane(t * rows + r, j).toDouble)): _*))
-        when(d > 0, lit(1 << r)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }: _*)
+    // ONE fused codegen kernel for all bands×rows plane products (the
+    // vector streams once; bit-identical fold order to the per-plane
+    // array_dot form this replaces, so the oracle SQL is unchanged) —
+    // at self-tuned geometry the plane count grows with bands·rows and
+    // separate per-plane expressions re-traverse the vector per plane
+    graft.functions.exprs.lsh_band_keys(v, dim, bands, rows)
 
   /** Exact top-k neighbors of one query vector by cosine. The per-row
     * score is map-side; the global top-k is a TakeOrdered (per-partition

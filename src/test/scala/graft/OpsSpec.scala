@@ -110,6 +110,68 @@ class OpsSpec extends SparkTestBase {
     assert(Similarity.lshGeometryFor(Long.MaxValue, 0.9)._2 == Similarity.MaxRows)
   }
 
+  test("lsh_band_keys fused kernel is bit-identical to the per-plane composed form") {
+    // the unfused form this kernel replaced: one array_dot per plane,
+    // sign-bit packed per band (the oracle SQL restates exactly this)
+    def unfused(dim: Int, bands: Int, rows: Int) =
+      array((0 until bands).map { t =>
+        (0 until rows).map { r =>
+          val d = Similarity.dot(transform($"embedding", _.cast("double")),
+            array((0 until dim).map(j =>
+              lit(Similarity.plane(t * rows + r, j).toDouble)): _*))
+          when(d > 0, lit(1 << r)).otherwise(lit(0))
+        }.reduce(_ + _)
+      }: _*)
+    for ((bands, rows) <- Seq((6, 4), (57, 9), (2, 8))) {
+      val mismatches = embs.select(
+          Similarity.lshBandKeys(
+            transform($"embedding", _.cast("double")), 64, bands, rows).as("f"),
+          unfused(64, bands, rows).as("u"))
+        .filter($"f" =!= $"u").count()
+      assert(mismatches == 0, s"fused/unfused diverge at ${bands}x$rows")
+    }
+  }
+
+  test("lshGeometryOrEscalate: geometry within the table's reach, None past it") {
+    // 500 vectors, bound 64*2^4 = 1024: within reach, self-tuned = 6x4
+    assert(Similarity.lshGeometryOrEscalate(embs, 0.45, maxRows = 4)
+      == ((500L, Some((6, 4)))))
+    // tripled corpus (1500 > 1024): the table cannot widen past the cap,
+    // so the policy reports the measured count and escalates
+    val tripled = embs.union(embs.withColumn("vec_id", $"vec_id" + 2000))
+      .union(embs.withColumn("vec_id", $"vec_id" + 4000))
+    assert(Similarity.lshGeometryOrEscalate(tripled, 0.45, maxRows = 4)
+      == ((1500L, None)))
+    // production default bound: 64*2^24 — nothing in test range escalates
+    assert(Similarity.lshGeometryOrEscalate(embs, 0.45)._2.isDefined)
+  }
+
+  test("blockedEmbeddingNearDupPairs escalates past the bound to cell-confined pairs") {
+    // replicas share identical vectors, so every (id, id+2000) twin is a
+    // cosine-1.0 near-dup that MUST land in the same quantizer cell
+    val tripled = embs.union(embs.withColumn("vec_id", $"vec_id" + 2000))
+      .union(embs.withColumn("vec_id", $"vec_id" + 4000))
+      .localCheckpoint(true)
+    val escalated = Dedup.blockedEmbeddingNearDupPairs(
+      tripled, "vec_id", "embedding", 64, 0.45, maxRows = 4)
+    // schema identical to the LSH path: the dispatch is caller-invisible
+    assert(escalated.columns.toSeq == Seq("id_a", "id_b", "c"))
+    val pairs = escalated.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // identical-vector twins are guaranteed recovered (same cell, c=1)
+    val twins = (0L until 500L).map(i => (i, i + 2000L)).toSet
+    assert(twins.subsetOf(pairs), s"missing=${(twins -- pairs).take(5)}")
+    assert(pairs.forall { case (a, b) => a < b })
+    // the quadratic term is cell-confined: the join is an equi-join on
+    // the cell key, never an all-pairs plan
+    val plan = escalated.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"escalated plan must not contain an all-pairs join:\n$plan")
+    // cell budget: k grows with n at the documented target, capped
+    assert(Dedup.cellCountFor(1500) == 2)
+    assert(Dedup.cellCountFor(100L * 4096) == 100)
+    assert(Dedup.cellCountFor(Long.MaxValue / 4) == Dedup.SemanticMaxCells)
+  }
+
   test("connected components collapse transitive near-dup chains") {
     // two chains (1-2-3-4) and (10-11), plus an isolated pair (20,21)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
