@@ -463,13 +463,16 @@ private[connector] object LazPlanning {
     val out = Seq.newBuilder[LazPartition]
     var i = 0
     var off = lz.firstChunkOffset
+    var recBase = 0L // records preceding chunk i (pid continuity)
     while (i < lz.numChunks) {
       val first = i
       val firstOff = off
+      val firstRec = recBase
       var bytes = 0L
       while (i < lz.numChunks && (i == first || bytes + lz.chunkBytes(i) <= maxBytes)) {
         bytes += lz.chunkBytes(i)
         off += lz.chunkBytes(i)
+        recBase += lz.chunkPoints(i)
         i += 1
       }
       val offs = new Array[Long](i - first)
@@ -480,12 +483,12 @@ private[connector] object LazPlanning {
       while (k < i) {
         offs(k - first) = o
         bts(k - first) = lz.chunkBytes(k)
-        cnts(k - first) = lz.chunkCount(k, s.count)
+        cnts(k - first) = lz.chunkPoints(k)
         o += lz.chunkBytes(k)
         k += 1
       }
       out += LazPartition(s.location, fid, lz.format, lz.stride,
-        lz.chunkSize.toLong * first, offs, bts, cnts, schemaJson)
+        firstRec, offs, bts, cnts, schemaJson)
     }
     out.result()
   }

@@ -443,15 +443,29 @@ class LasDataWriter(
     // be byte-typed-size-derivable like the uncompressed path already
     // guarantees via the ExtraBytes VLR
   }
+  // `laz.chunkPlan` (comma-separated point counts, cycled) switches the
+  // sink to VARIABLE chunking: VLR chunk size −1, per-chunk point counts
+  // in the chunk table — the spatially-indexed layout, and the write
+  // twin of the reader's variable-table support
+  private val lazChunkPlan: Array[Int] =
+    options.get("laz.chunkplan") match {
+      case Some(plan) => plan.split(',').map(_.trim.toInt)
+      case None => Array.empty
+    }
+  private val lazVariable = lazChunkPlan.nonEmpty
   private val lazChunkSize: Int =
-    options.get("laz.chunksize").map(_.toInt)
+    if (lazVariable) lazChunkPlan.max
+    else options.get("laz.chunksize").map(_.toInt)
       .getOrElse(graft.pointcloud.las.laz.Laz.DefaultChunkSize)
-  require(lazChunkSize > 0, s"laz.chunkSize must be positive, got $lazChunkSize")
+  require(lazVariable || lazChunkSize > 0,
+    s"laz.chunkSize must be positive, got $lazChunkSize")
+  require(!lazVariable || lazChunkPlan.forall(_ > 0),
+    s"laz.chunkPlan entries must be positive, got ${lazChunkPlan.mkString(",")}")
   // mirror the reader's resolve-time bound: past 2^24 points the chunk
   // buffer's Int byte product can overflow, and the produced file would
   // be rejected by this project's own Laz.infoFor
   require(lazChunkSize <= (1 << 24),
-    s"laz.chunkSize $lazChunkSize exceeds the ${1 << 24}-point chunk bound")
+    s"laz chunk size $lazChunkSize exceeds the ${1 << 24}-point chunk bound")
 
   private val conf = new Configuration()
   private val base = baseName.getOrElse(f"part-$partitionId%05d-$taskId")
@@ -471,11 +485,17 @@ class LasDataWriter(
     if (compressLaz) new Array[Byte](lazChunkSize * encoder.recordLength) else null
   private var chunkFill = 0
   private val chunkByteCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+  private val chunkPointCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+  // current chunk's target point count: fixed, or the plan entry (cycled)
+  private def chunkTarget: Int =
+    if (lazVariable) lazChunkPlan(chunkByteCounts.length % lazChunkPlan.length)
+    else lazChunkSize
 
   private def flushChunk(): Unit = {
     if (chunkFill > 0) {
       val chunk = lazEncoder.encode(chunkBuf, 0, chunkFill)
       body.write(chunk)
+      chunkPointCounts += chunkFill.toLong
       chunkByteCounts += chunk.length.toLong
       chunkFill = 0
     }
@@ -500,7 +520,7 @@ class LasDataWriter(
       System.arraycopy(encoder.encode(row), 0, chunkBuf,
         chunkFill * encoder.recordLength, encoder.recordLength)
       chunkFill += 1
-      if (chunkFill == lazChunkSize) flushChunk()
+      if (chunkFill == chunkTarget) flushChunk()
     } else {
       body.write(encoder.encode(row))
     }
@@ -528,7 +548,10 @@ class LasDataWriter(
       if (extraFields.nonEmpty) LasExtraBytes.writeVlr(extraFields) else Array.empty
     val (vlrBytes, numVlrs) =
       if (compressLaz) {
-        val lazVlr = graft.pointcloud.las.laz.Laz.vlrRecordBytes(format, lazChunkSize,
+        val declaredChunkSize =
+          if (lazVariable) graft.pointcloud.las.laz.Laz.VariableChunkSize
+          else lazChunkSize
+        val lazVlr = graft.pointcloud.las.laz.Laz.vlrRecordBytes(format, declaredChunkSize,
           encoder.recordLength - LasHeader.recordLength(format))
         (lazVlr ++ extrasVlr, 1 + (if (extraFields.nonEmpty) 1 else 0))
       } else (extrasVlr, if (extraFields.nonEmpty) 1 else 0)
@@ -574,8 +597,13 @@ class LasDataWriter(
         var n = in.read(buf)
         while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
       } finally in.close()
-      if (compressLaz)
-        out.write(graft.pointcloud.las.laz.Laz.chunkTable(chunkByteCounts.toSeq))
+      if (compressLaz) {
+        out.write(
+          if (lazVariable)
+            graft.pointcloud.las.laz.Laz.chunkTableVariable(
+              chunkPointCounts.toSeq, chunkByteCounts.toSeq)
+          else graft.pointcloud.las.laz.Laz.chunkTable(chunkByteCounts.toSeq))
+      }
     } finally out.close()
     // a crashed earlier attempt may have left a stale file under the
     // final name (keyed writes derive it from the KEY, not the taskId);

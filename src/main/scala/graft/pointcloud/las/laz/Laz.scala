@@ -5,18 +5,19 @@ import graft.pointcloud.las.{LasExtraBytes, LasHeader}
 /** Driver-side description of one LAZ file's compressed layout — what
   * the planner needs to cut CHUNK-ALIGNED splits (a LAZ chunk resets all
   * codec state, so it is the smallest independently decodable unit, the
-  * compressed analogue of the record-aligned split). */
+  * compressed analogue of the record-aligned split). `chunkPoints` is
+  * resolved at `infoFor` time for BOTH chunking modes — derived from the
+  * fixed `chunkSize` (the common layout), or read straight out of the
+  * variable chunk table (VLR chunk size −1, the spatially-indexed
+  * layout) — so the planner and readers never branch on the mode. */
 case class LazInfo(
     format: Byte,
     chunkSize: Int,
     stride: Int,
     firstChunkOffset: Long,
-    chunkBytes: Array[Long]) extends Serializable {
+    chunkBytes: Array[Long],
+    chunkPoints: Array[Long]) extends Serializable {
   def numChunks: Int = chunkBytes.length
-  /** Decoded point count of chunk `i`, given the file's total count. */
-  def chunkCount(i: Int, totalPoints: Long): Long =
-    if (i < numChunks - 1) chunkSize.toLong
-    else math.max(0L, totalPoints - chunkSize.toLong * (numChunks - 1))
 }
 
 /** Public entry points of the LAZ codec for the connector and writer:
@@ -29,11 +30,14 @@ object Laz {
 
   val DefaultChunkSize: Int = LazFile.DefaultChunkSize
 
-  /** Parse the laszip VLR + chunk table of a compressed LAS file.
-    * `fileLen` bounds the chunk-table read; `readAt` is the same
-    * random-access closure the ExtraBytes reader uses. Throws (→ the
-    * provider's skip-unreadable warning) on layouts this codec does not
-    * implement: non-chunked compressors, formats above 3, and
+  /** Parse the laszip VLR + chunk table of a compressed LAS file —
+    * fixed-size chunking (the common layout) or variable-size chunking
+    * (VLR chunk size −1, the spatially-indexed layout, per-chunk point
+    * counts carried in the chunk table). `fileLen` bounds the
+    * chunk-table read; `readAt` is the same random-access closure the
+    * ExtraBytes reader uses. Throws (→ the provider's skip-unreadable
+    * warning) on layouts this codec does not implement: non-chunked
+    * compressors, formats 4/5/9/10 (wavepacket items), and
     * non-canonical item layouts for the declared format. */
   def infoFor(header: LasHeader, readAt: LasExtraBytes.ReadAt, fileLen: Long): LazInfo = {
     val payloads = LasExtraBytes.findVlrPayloads(header, readAt,
@@ -47,14 +51,17 @@ object Laz {
         "pointwise-chunked for 0-5, layered for 6-10)")
     require(vlr.coder == 0,
       s"${header.location}: unsupported LAZ coder ${vlr.coder} (only arithmetic, 0)")
-    require(vlr.chunkSize > 0,
-      s"${header.location}: non-positive LAZ chunk size ${vlr.chunkSize} " +
-        "(variable-size chunking is not implemented)")
+    // chunk size −1 (u32 0xFFFFFFFF) declares VARIABLE chunking: the
+    // per-chunk point counts live in the chunk table instead
+    val variable = vlr.chunkSize == -1
+    require(variable || vlr.chunkSize > 0,
+      s"${header.location}: non-positive LAZ chunk size ${vlr.chunkSize}")
     // readers size decoded-record buffers and column vectors from the
     // declared chunk geometry: a foreign file declaring absurd values
     // must fail HERE (the resolve-time skip path), not as an executor
-    // NegativeArraySizeException/OOM mid-scan
-    require(vlr.chunkSize <= (1 << 24),
+    // NegativeArraySizeException/OOM mid-scan (variable layouts get the
+    // same bound per chunk-table entry below)
+    require(variable || vlr.chunkSize <= (1 << 24),
       s"${header.location}: LAZ chunk size ${vlr.chunkSize} exceeds the " +
         s"${1 << 24}-point reader bound")
     val stride = vlr.recordLength
@@ -80,21 +87,39 @@ object Laz {
     require(fileLen - tableOffset <= (1 << 28),
       s"${header.location}: ${fileLen - tableOffset} bytes between chunk table " +
         "offset and EOF exceed the reader's table bound")
-    val counts = LazFile.parseChunkTable(
-      readAt(tableOffset, (fileLen - tableOffset).toInt))
+    val tableBytes = readAt(tableOffset, (fileLen - tableOffset).toInt)
+    val (counts, points) =
+      if (variable) {
+        val (pts, bts) = LazFile.parseChunkTableVariable(tableBytes)
+        pts.foreach(p => require(p > 0 && p <= (1 << 24),
+          s"${header.location}: variable chunk of $p points exceeds the " +
+            s"${1 << 24}-point reader bound"))
+        require(pts.sum == header.pdrCount,
+          s"${header.location}: variable chunk table counts ${pts.sum} points " +
+            s"but the header declares ${header.pdrCount}")
+        (bts, pts)
+      } else {
+        val bts = LazFile.parseChunkTable(tableBytes)
+        val needChunks =
+          if (header.pdrCount == 0) 0
+          else ((header.pdrCount - 1) / vlr.chunkSize + 1).toInt
+        require(bts.length == needChunks,
+          s"${header.location}: ${bts.length} chunks for ${header.pdrCount} points " +
+            s"at chunk size ${vlr.chunkSize} (expected $needChunks)")
+        val pts = Array.tabulate(bts.length) { i =>
+          if (i < bts.length - 1) vlr.chunkSize.toLong
+          else math.max(0L, header.pdrCount - vlr.chunkSize.toLong * (bts.length - 1))
+        }
+        (bts, pts)
+      }
     counts.foreach(c => require(c > 0 && c <= Int.MaxValue - 8,
       s"${header.location}: chunk of $c compressed bytes outside the reader bound"))
     val dataBytes = tableOffset - (header.pdrOffset.toLong + 8)
     require(counts.sum == dataBytes,
       s"${header.location}: chunk table sums to ${counts.sum} bytes " +
         s"but the chunk region holds $dataBytes")
-    val needChunks =
-      if (header.pdrCount == 0) 0
-      else ((header.pdrCount - 1) / vlr.chunkSize + 1).toInt
-    require(counts.length == needChunks,
-      s"${header.location}: ${counts.length} chunks for ${header.pdrCount} points " +
-        s"at chunk size ${vlr.chunkSize} (expected $needChunks)")
-    LazInfo(header.pdrFormat, vlr.chunkSize, stride, header.pdrOffset.toLong + 8, counts)
+    LazInfo(header.pdrFormat, vlr.chunkSize, stride, header.pdrOffset.toLong + 8,
+      counts, points)
   }
 
   /** The laszip VLR record (54-byte container header + payload) for a
@@ -107,6 +132,15 @@ object Laz {
   /** Serialized chunk table (written after the last chunk). */
   def chunkTable(chunkByteCounts: Seq[Long]): Array[Byte] =
     LazFile.chunkTableBytes(chunkByteCounts)
+
+  /** Serialized VARIABLE chunk table (VLR chunk size −1): per-chunk
+    * point counts interleaved with byte counts. */
+  def chunkTableVariable(pointCounts: Seq[Long],
+      byteCounts: Seq[Long]): Array[Byte] =
+    LazFile.chunkTableBytesVariable(pointCounts, byteCounts)
+
+  /** The VLR chunk-size sentinel declaring variable chunking. */
+  final val VariableChunkSize: Int = -1
 
   /** True when this codec can compress `format`: 0-3 via the pointwise
     * v2 scheme, 6-8 via the layered 1.4 scheme (4/5/9/10 carry

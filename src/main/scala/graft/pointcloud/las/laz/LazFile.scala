@@ -177,6 +177,65 @@ private[las] object LazFile {
     counts
   }
 
+  /** Chunk table payload for VARIABLE chunking (VLR chunk size −1):
+    * same u32 version/count header, but each entry interleaves the
+    * chunk's point count (context 0, previous count as predictor) with
+    * its compressed byte count (context 1) — the published layout for
+    * spatially-indexed `.laz`, where chunk boundaries follow the data
+    * rather than a fixed stride. */
+  def chunkTableBytesVariable(pointCounts: Seq[Long],
+      byteCounts: Seq[Long]): Array[Byte] = {
+    require(pointCounts.length == byteCounts.length,
+      s"${pointCounts.length} point counts for ${byteCounts.length} chunks")
+    val enc = new ArithmeticEncoder
+    val ic = new IntegerCompressor(32, 2)
+    var prevP = 0
+    var prevB = 0
+    pointCounts.lazyZip(byteCounts).foreach { (p, b) =>
+      require(p > 0 && p <= Int.MaxValue,
+        s"chunk of $p points outside the format's u32 count")
+      require(b <= Int.MaxValue, s"chunk of $b bytes exceeds the format's u32 count")
+      ic.compress(enc, prevP, p.toInt, 0)
+      ic.compress(enc, prevB, b.toInt, 1)
+      prevP = p.toInt
+      prevB = b.toInt
+    }
+    enc.done()
+    val coded = enc.result()
+    val out = new Array[Byte](8 + coded.length)
+    val buf = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(0) // version
+    buf.putInt(pointCounts.size)
+    System.arraycopy(coded, 0, out, 8, coded.length)
+    out
+  }
+
+  /** Parse a VARIABLE chunk table payload → (per-chunk point counts,
+    * per-chunk compressed byte counts). */
+  def parseChunkTableVariable(bytes: Array[Byte]): (Array[Long], Array[Long]) = {
+    require(bytes.length >= 8, s"chunk table too short: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val version = buf.getInt(0)
+    require(version == 0, s"unsupported chunk table version $version")
+    val n = buf.getInt(4)
+    require(n >= 0, s"negative chunk count $n")
+    val dec = new ArithmeticDecoder(bytes, 8, bytes.length)
+    val ic = new IntegerCompressor(32, 2)
+    val points = new Array[Long](n)
+    val counts = new Array[Long](n)
+    var prevP = 0
+    var prevB = 0
+    var i = 0
+    while (i < n) {
+      prevP = ic.decompress(dec, prevP, 0)
+      prevB = ic.decompress(dec, prevB, 1)
+      points(i) = prevP.toLong & 0xFFFFFFFFL
+      counts(i) = prevB.toLong & 0xFFFFFFFFL
+      i += 1
+    }
+    (points, counts)
+  }
+
   /** Encode one chunk: raw first point, then coded points; returns the
     * chunk's bytes. `records` is `count` back-to-back records of
     * `stride` bytes starting at `off`. */

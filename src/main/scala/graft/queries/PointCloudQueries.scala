@@ -649,6 +649,31 @@ object PointCloudQueries {
       .sort($"channel")
   }
 
+  /** pc24: VARIABLE-chunked LASzip (VLR chunk size −1, the
+    * spatially-indexed `.laz` layout) graded end-to-end — pc01's
+    * format-0 frame written through the sink's chunk-plan hook (700 /
+    * 1300 / 250-point chunks cycled, so every file ends in a partial
+    * chunk and no boundary falls on a fixed stride), per-chunk point
+    * counts resolved from the variable chunk-table variant, split
+    * chunk-aligned by the same planner, and censused GROUPED BY FLAGS.
+    * The group-by makes per-record alignment load-bearing: a reader that
+    * mis-sized any irregular chunk would shift every following record's
+    * flags byte and scramble the group counts, not just a total. */
+  private val pc24: Q = (s, d) => {
+    val pts = lasPointFrame(s, d)
+    val dir = tmpDir("pc24", d)
+    pts.writeLaz(dir, Map("scale" -> "0.001", "laz.chunkplan" -> "700,1300,250"))
+    s.read.las(dir)
+      .groupBy($"flags".cast("int").as("flags"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        min($"y").as("mny"), max($"y").as("mxy"),
+        sum($"z".cast("bigint")).as("sz"),
+        sum($"intensity".cast("bigint")).as("si"))
+      .sort($"flags")
+  }
+
   /** pc22: COMPRESSED streaming ingest — pc11's census with the watched
     * directory holding `.laz` instead of `.las`: the micro-batch source
     * plans the same chunk-aligned splits as the batch scan, entropy-
@@ -677,6 +702,7 @@ object PointCloudQueries {
   val queries: Map[String, Q] = Map(
     "pc22_laz_streaming" -> pc22,
     "pc23_laz_layered" -> pc23,
+    "pc24_laz_variable" -> pc24,
     "pc21_laz_roundtrip" -> pc21,
     "pc20_elevation_grid" -> pc20,
     "pc01_las_roundtrip" -> pc01,
@@ -701,6 +727,18 @@ object PointCloudQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // pc01's frame grouped by the flags byte: the group counts pin
+    // per-record alignment across IRREGULAR chunk boundaries — a
+    // mis-sized variable chunk shifts every following flags byte
+    "pc24_laz_variable" ->
+      """SELECT CAST(l_linenumber % 7 + 1 AS INT) AS flags,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | MIN(CAST(l_partkey % 1000000 AS INT)) AS mny,
+        | MAX(CAST(l_partkey % 1000000 AS INT)) AS mxy,
+        | CAST(SUM(CAST(l_suppkey % 1000000 AS BIGINT)) AS BIGINT) AS sz,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si
+        |FROM lineitem GROUP BY flags ORDER BY flags""".stripMargin,
     // the channel key re-derives from the source rows what the query
     // reads out of the DECODED flags byte: a hash match proves the
     // layered nine-layer cycle (channel bits included) is lossless

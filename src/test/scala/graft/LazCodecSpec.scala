@@ -289,4 +289,16 @@ class LazCodecSpec extends AnyFunSuite {
     val parsed = LazFile.parseVlrPayload(payload)
     assert(parsed == vlr)
   }
+
+  test("variable chunk table round-trips irregular point/byte counts") {
+    val pts = Seq(700L, 1300L, 250L, 1L, 1L << 24)
+    val bts = Seq(91234L, 5L, Int.MaxValue.toLong, 1L, 77L)
+    val (gotPts, gotBts) = LazFile.parseChunkTableVariable(
+      LazFile.chunkTableBytesVariable(pts, bts))
+    assert(gotPts.toSeq == pts)
+    assert(gotBts.toSeq == bts)
+    // a -1 chunk size in the VLR survives the u32 field round trip
+    val vlr = LazFile.LazVlr(LazFile.CompressorChunked, 0, -1, LazFile.itemsFor(0))
+    assert(LazFile.parseVlrPayload(LazFile.vlrPayload(vlr)).chunkSize == -1)
+  }
 }

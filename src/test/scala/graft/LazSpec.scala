@@ -285,4 +285,69 @@ class LazSpec extends SparkTestBase {
     assert(got.agg(sum($"x".cast("long"))).head().getLong(0) ==
       fmt0Points(6000).agg(sum($"x".cast("long"))).head().getLong(0))
   }
+
+  test("variable chunk table round-trips irregular point/byte counts") {
+    import graft.pointcloud.las.laz.Laz
+    val pts = Seq(700L, 1300L, 250L, 1L, 16777216L)
+    val bts = Seq(91234L, 5L, Int.MaxValue.toLong, 1L, 77L)
+    val table = Laz.chunkTableVariable(pts, bts)
+    // resolve-time shape: version 0, chunk count 5 in the uncompressed
+    // prefix, then the interleaved IC-coded entries
+    val buf = java.nio.ByteBuffer.wrap(table)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(buf.getInt(0) == 0 && buf.getInt(4) == 5)
+  }
+
+  test("variable-chunked .laz (chunkPlan) declares size -1 and round trips bit for bit") {
+    val pts = fmt0Points(10000)
+    val lasDir = tmpDir("lazvar-raw")
+    val lazDir = tmpDir("lazvar-cmp")
+    pts.coalesce(1).writeLas(lasDir)
+    // irregular plan cycles 700/1300/250 => chunk boundaries follow the
+    // plan, not a fixed stride; last chunk is a partial 150
+    pts.coalesce(1).writeLaz(lazDir, Map("laz.chunkplan" -> "700,1300,250"))
+    val lazFile = new java.io.File(lazDir).listFiles()
+      .filter(_.getName.endsWith(".laz")).head
+    // the laszip VLR must declare the variable sentinel, and infoFor
+    // must resolve the per-chunk point counts from the table variant:
+    // 700/1300/250 cycled over 10000 points (4 full 2250-cycles + 700)
+    // ends in a partial 300-point chunk
+    val bytes = java.nio.file.Files.readAllBytes(lazFile.toPath)
+    val in = new java.io.ByteArrayInputStream(bytes)
+    val header = try graft.pointcloud.las.LasHeader.read(lazFile.toString, in)
+      finally in.close()
+    val info = graft.pointcloud.las.laz.Laz.infoFor(header,
+      (off, len) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len),
+      bytes.length.toLong)
+    assert(info.chunkSize == -1)
+    val expectedPlan = Iterator.continually(Seq(700L, 1300L, 250L)).flatten
+      .scanLeft(0L)(_ + _).drop(1).takeWhile(_ < 10000).size + 1
+    assert(info.chunkPoints.length == expectedPlan)
+    assert(info.chunkPoints.sum == 10000L)
+    assert(info.chunkPoints.take(3).toSeq == Seq(700L, 1300L, 250L))
+    assert(info.chunkPoints.last == 300L)
+    val raw = spark.read.las(lasDir)
+    val laz = spark.read.las(lazDir)
+    assert(laz.count() == 10000)
+    assert(collectAll(laz) == collectAll(raw))
+  }
+
+  test("variable-chunked .laz splits chunk-aligned with exact pid continuity") {
+    val lazDir = tmpDir("lazvar-split")
+    fmt0Points(9000).coalesce(1)
+      .writeLaz(lazDir, Map("laz.chunkplan" -> "2000,500,3500"))
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      // force multi-partition: each split takes whole chunks, and the
+      // per-partition record base is the PREFIX SUM of irregular chunk
+      // counts (a fixed chunkSize*first would drift every pid)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      val laz = spark.read.las(lazDir)
+      assert(laz.rdd.getNumPartitions > 1)
+      val pids = laz.select($"pid").as[Long].collect().sorted
+      assert(pids.toSeq == (0L until 9000L))
+      val rawSum = fmt0Points(9000).agg(sum($"x".cast("long"))).head().getLong(0)
+      assert(laz.agg(sum($"x".cast("long"))).head().getLong(0) == rawSum)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
 }
