@@ -222,6 +222,7 @@ object Bench {
       "tx08_curation", "st08_decontamination_gate",
       "dd10_blocked_embedding", "dd12_semantic_dedup", "ss06_knn_join",
       "st10_rocksdb_dedup", "pc01_las_roundtrip", "pc21_laz_roundtrip",
+      "pc23_laz_layered", // the native-1.4 nine-layer codec at 10× points
       "ss07_ivf_served")
       .filter(names.contains)
     val probeJson: String =
@@ -300,7 +301,7 @@ object Bench {
         // must not pay the other families' 10× coalesce(1) writes
         val needEvents = probeNames.exists(_.startsWith("st10"))
         val needLineitem = probeNames.exists(n =>
-          n.startsWith("pc01") || n.startsWith("pc21"))
+          n.startsWith("pc01") || n.startsWith("pc21") || n.startsWith("pc23"))
         val tsTypeKey = "spark.sql.parquet.outputTimestampType"
         val prevTsType = spark.conf.get(tsTypeKey)
         try {

@@ -138,6 +138,37 @@ object PointCloudQueries {
       min($"z").as("mnz"), max($"z").as("mxz"))
   }
 
+  /** pc25: pc04's header-only COUNT/MIN/MAX over a COMPRESSED layout —
+    * the `.laz` twin of the zero-data-IO aggregate. The laszip container
+    * keeps the LAS header (bbox, point count) uncompressed in front of
+    * the chunk stream, so a 100 TB compressed corpus answers
+    * count/extent queries without entropy-decoding a single chunk; the
+    * plan pin lives in LazSpec ("header-aggregate" node over `.laz`),
+    * this entry grades the VALUES — the compressed sink's streaming
+    * header stats (min/max raw ints, count) against DuckDB on the
+    * source rows. The reference cannot run this query at all: it
+    * rejects compressed input. */
+  private val pc25: Q = (s, d) => {
+    val pts = Tables.lineitem(s, d).select(
+      ($"l_orderkey" % 1000000).cast("int").as("x"),
+      ($"l_partkey" % 1000000).cast("int").as("y"),
+      ($"l_suppkey" % 1000000).cast("int").as("z"),
+      lit(0).cast("short").as("intensity"),
+      lit(1).cast("byte").as("flags"),
+      lit(0).cast("byte").as("classification"),
+      lit(0).cast("byte").as("angle"),
+      lit(0).cast("byte").as("user"),
+      lit(0).cast("short").as("source"))
+    val dir = tmpDir("pc25", d)
+    pts.writeLaz(dir, Map("scale" -> "0.01", "offset" -> "1000",
+      "laz.chunkSize" -> "4096"))
+    s.read.las(dir).agg(
+      count(lit(1)).as("n"),
+      min($"x").as("mnx"), max($"x").as("mxx"),
+      min($"y").as("mny"), max($"y").as("mxy"),
+      min($"z").as("mnz"), max($"z").as("mxz"))
+  }
+
   /** Cross-format interop: parquet → LAS (scaled ints) → read →
     * reconstruct world coordinates from header metadata → PLY → read →
     * aggregate. Every hop is a different codec; the oracle computes the
@@ -703,6 +734,7 @@ object PointCloudQueries {
     "pc22_laz_streaming" -> pc22,
     "pc23_laz_layered" -> pc23,
     "pc24_laz_variable" -> pc24,
+    "pc25_laz_header_agg" -> pc25,
     "pc21_laz_roundtrip" -> pc21,
     "pc20_elevation_grid" -> pc20,
     "pc01_las_roundtrip" -> pc01,
@@ -808,6 +840,17 @@ object PointCloudQueries {
         | MAX(CAST(p_size AS REAL)) AS mxz,
         | CAST(SUM(CAST(p_size % 100 AS BIGINT)) AS BIGINT) AS sr
         |FROM part""".stripMargin,
+    // pc04's oracle verbatim: the compressed layout must answer the
+    // header-only aggregate with the same values as the raw one
+    "pc25_laz_header_agg" ->
+      """SELECT COUNT(*) AS n,
+        | MIN(CAST(l_orderkey % 1000000 AS INT)) AS mnx,
+        | MAX(CAST(l_orderkey % 1000000 AS INT)) AS mxx,
+        | MIN(CAST(l_partkey % 1000000 AS INT)) AS mny,
+        | MAX(CAST(l_partkey % 1000000 AS INT)) AS mxy,
+        | MIN(CAST(l_suppkey % 1000000 AS INT)) AS mnz,
+        | MAX(CAST(l_suppkey % 1000000 AS INT)) AS mxz
+        |FROM lineitem""".stripMargin,
     "pc04_las_header_agg" ->
       """SELECT COUNT(*) AS n,
         | MIN(CAST(l_orderkey % 1000000 AS INT)) AS mnx,

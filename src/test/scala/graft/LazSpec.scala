@@ -332,6 +332,30 @@ class LazSpec extends SparkTestBase {
     assert(collectAll(laz) == collectAll(raw))
   }
 
+  test("a corrupt variable chunk table is skipped at resolve time, not decoded") {
+    val dir = tmpDir("lazvar-bad")
+    fmt0Points(3000).coalesce(1)
+      .writeLaz(dir, Map("laz.chunkplan" -> "800,350"))
+    val good = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".laz")).head
+    // second file: same bytes, chunk-table entry count bumped — the
+    // decoded point counts can no longer sum to the header's pdrCount,
+    // so Laz.infoFor must reject on the DRIVER's skip-unreadable path
+    // (one warning, other files still served), never mid-decode
+    val bytes = java.nio.file.Files.readAllBytes(good.toPath)
+    val in = new java.io.ByteArrayInputStream(bytes)
+    val header = try graft.pointcloud.las.LasHeader.read(good.toString, in)
+      finally in.close()
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val tableOffset = bb.getLong(header.pdrOffset.toInt)
+    bb.putInt(tableOffset.toInt + 4, bb.getInt(tableOffset.toInt + 4) + 1)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "corrupt.laz"), bytes)
+    val got = spark.read.las(dir)
+    assert(got.count() == 3000) // the good file alone
+    assert(got.select(countDistinct($"fid")).head().getLong(0) == 1)
+  }
+
   test("variable-chunked .laz splits chunk-aligned with exact pid continuity") {
     val lazDir = tmpDir("lazvar-split")
     fmt0Points(9000).coalesce(1)
