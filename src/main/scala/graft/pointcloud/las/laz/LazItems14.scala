@@ -207,6 +207,12 @@ private[las] final class Point14Codec extends LazLayeredCodec {
     if (channelChange) {
       encs(LXy).encodeSymbol(old.mScannerChannel, (sc - cc + 3) & 3)
       cc = sc
+      // propagate the switch to the sibling item codecs: RGB14/NIR and
+      // BYTE14 select their per-channel context from ctx.value for THIS
+      // point (the layered scheme's context in/out flow) — without this
+      // every non-first channel's colors/extras would be predicted from
+      // channel ctx.value-at-init's state
+      ctx.value = sc
     }
     if ((changed & 4) != 0)
       encs(LXy).encodeSymbol(lazySym(c.mNumReturns, lastN, 16), n)
@@ -291,6 +297,9 @@ private[las] final class Point14Codec extends LazLayeredCodec {
       val sc = (cc + diff + 1) & 3
       if (ctxs(sc).unused) ctxs(sc).seed(old.lastItem, 0)
       cc = sc
+      // mirror of the write side: sibling codecs must decode this
+      // point's RGB/extras through the NEW channel's context
+      ctx.value = sc
       // the seeded copy carries the source channel's bits — fix them
       val tl0 = ctxs(cc).lastItem
       tl0(15) = ((tl0(15) & ~0x30) | (sc << 4)).toByte

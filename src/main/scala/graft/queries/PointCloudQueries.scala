@@ -45,7 +45,9 @@ object PointCloudQueries {
     // a layout built by older code
     // v2: round-13 LASzip conformance fixes changed the .laz bitstream,
     // so any compressed layout built by older code must rebuild
-    val marker = java.nio.file.Paths.get(dir, "_GRAFT_LAYOUT_DONE_v2")
+    // v3: the Point14 mid-chunk channel-context propagation fix changed
+    // the layered (fmt 6-8) bitstream again
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_LAYOUT_DONE_v3")
     if (!java.nio.file.Files.exists(marker)) {
       build(dir)
       java.nio.file.Files.createFile(marker)

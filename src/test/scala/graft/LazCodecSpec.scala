@@ -241,8 +241,8 @@ class LazCodecSpec extends AnyFunSuite {
       ("fmt2-extra0", 23574, "360a2ed38e931a8e2def0f3075b542c422a56dfc1f4008fdb6b287fa2c469454", "6fecffff68cd1d002f000000e3001a00"),
       ("fmt3-extra5", 34715, "8ea1d8f030bac16c9ee6dbed802d53b4defd04f1471beafa907479d00d683a2c", "6fecffff68cd1d002f000000e3001a00"),
       ("fmt6-extra0", 18410, "861015594fadd429850ec4313c53426365c690a9c3a5a8af10c0e2f1e8add9aa", "3095000025e91d0031000000a40988c2"),
-      ("fmt7-extra0", 28715, "4ee228de97b8cd500ff2df35ab94a0c7c4ce053484e91bbd97d1ef2d29480576", "3095000025e91d0031000000a40988c2"),
-      ("fmt8-extra3", 37758, "c2955b1a158ce60ff8c2c6a97b8b2ea29597ecf4af6702d4a62dfed283123b5d", "3095000025e91d0031000000a40988c2"))
+      ("fmt7-extra0", 28807, "162bde79a503f6e764fee7ca49bf4cf558b9c67eb283e141f923f94ebfb2df94", "3095000025e91d0031000000a40988c2"),
+      ("fmt8-extra3", 37930, "398c6e328b8e41ba6f558b2f7f88e0d4fece658f940315de8e6fca234b02cd4f", "3095000025e91d0031000000a40988c2"))
     pins.foreach { case (label, len, sha, prefix) =>
       val Array(f, e) = label.stripPrefix("fmt").split("-extra")
       val items = LazFile.itemsFor(f.toByte, e.toInt)
