@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * 100 TB: signatures are computed row-locally; only the band-bucket
   * join and the group-by-key dedup shuffle.
   */
-object Dedup {
+object Dedup extends org.apache.spark.internal.Logging {
 
   /** MinHash parameters shared by the Spark plan and the DuckDB oracle
     * (both sides derive from these constants, so they can never drift).
@@ -421,6 +421,13 @@ object Dedup {
         blockedEmbeddingNearDupPairs(df, idCol, vecCol, dim, threshold, bands, rows)
       case (n, None) =>
         val k = cellCountFor(n)
+        // the structure change is a plan choice with a recall consequence
+        // (pairs SPANNING cells are no longer reported) — surface it, the
+        // same contract as the Bloom screen's escalation
+        logWarning(s"blockedEmbeddingNearDupPairs: measured $n vectors " +
+          s"exceed the LSH table's reach (maxRows=$maxRows); escalating to " +
+          s"cell-confined near-dup over $k k-means cells — cross-cell pairs " +
+          "are not reported on this path (SemDeDup recall position)")
         val centroids = Clustering.kmeans(df, idCol, vecCol, dim, k,
           SemanticCellIters)
         cellConfinedNearDupPairs(df, idCol, vecCol, threshold, centroids)
@@ -451,21 +458,32 @@ object Dedup {
     * the dispatch is invisible to callers. */
   def cellConfinedNearDupPairs(df: DataFrame, idCol: String,
       vecCol: String, threshold: Double,
-      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
-    // materialized: same inlining guard as kmeans — the cast vector must
-    // not re-inline into each of the k distance kernels
-    val pts = df.select(col(idCol).as("id"),
+      centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    cellPairs(cellPoints(df, idCol, vecCol, centroids), threshold)
+
+  /** `(id, v, cell, n)` — the shared per-cell frame both SemDeDup-style
+    * paths join on. Materialized: same inlining guard as kmeans — the
+    * cast vector must not re-inline into each of the k distance
+    * kernels. */
+  private def cellPoints(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    df.select(col(idCol).as("id"),
         transform(col(vecCol), _.cast("double")).as("v"))
       .localCheckpoint(eager = true)
       .withColumn("cell", Clustering.assignCell(col("v"), centroids))
       .withColumn("n", sqrt(Similarity.dot(col("v"), col("v"))))
+
+  /** The one cell-confined cosine self-join (ONE shuffle on the cell
+    * key, then per-cell pairs) — [[cellConfinedNearDupPairs]] returns it
+    * directly, [[semanticDedup]] derives its dropped set from it. The
+    * cosine filter lands in the join condition via predicate pushdown. */
+  private def cellPairs(pts: DataFrame, threshold: Double): DataFrame =
     pts.as("a").join(pts.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (Similarity.dot(col("a.v"), col("b.v")) /
           (col("a.n") * col("b.n"))).as("c"))
       .filter(col("c") >= threshold)
-  }
 
   /** Explicit-geometry override of the self-tuning default above — for
     * an index tuned out-of-band. A FIXED geometry is quadratic in
@@ -524,18 +542,12 @@ object Dedup {
     * loss by design: its dedup is per-cluster, not global). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Double])], threshold: Double): DataFrame = {
-    // materialized: same inlining guard as kmeans — the cast vector must
-    // not re-inline into each of the k distance kernels
-    val pts = df.select(col(idCol).as("id"),
-        transform(col(vecCol), _.cast("double")).as("v"))
-      .localCheckpoint(eager = true)
-      .withColumn("cell", Clustering.assignCell(col("v"), centroids))
-      .withColumn("n", sqrt(Similarity.dot(col("v"), col("v"))))
-    val dropped = pts.as("a").join(pts.as("b"),
-        col("a.cell") === col("b.cell") && col("b.id") < col("a.id") &&
-          Similarity.dot(col("a.v"), col("b.v")) /
-            (col("a.n") * col("b.n")) >= threshold)
-      .select(col("a.id").as("id")).distinct()
+    val pts = cellPoints(df, idCol, vecCol, centroids)
+    // a row is dropped iff a smaller-id cosine-≥-threshold cellmate
+    // exists — exactly the pairs' id_b side ([[cellPairs]] keeps
+    // id_a < id_b), so both SemDeDup paths share one join definition
+    val dropped = cellPairs(pts, threshold)
+      .select(col("id_b").as("id")).distinct()
     pts.join(dropped.withColumn("dropped", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cell"),
         coalesce(col("dropped"), lit(false)).as("dropped"))

@@ -447,25 +447,32 @@ class LasDataWriter(
   // sink to VARIABLE chunking: VLR chunk size −1, per-chunk point counts
   // in the chunk table — the spatially-indexed layout, and the write
   // twin of the reader's variable-table support
+  // laz.* options are parsed and validated ONLY under compress=laz: an
+  // uncompressed write sharing an options map with a .laz job must not
+  // reject (or even parse) settings that are meaningless for it
   private val lazChunkPlan: Array[Int] =
-    options.get("laz.chunkplan") match {
+    if (!compressLaz) Array.empty
+    else options.get("laz.chunkplan") match {
       case Some(plan) => plan.split(',').map(_.trim.toInt)
       case None => Array.empty
     }
   private val lazVariable = lazChunkPlan.nonEmpty
   private val lazChunkSize: Int =
-    if (lazVariable) lazChunkPlan.max
+    if (!compressLaz) 0
+    else if (lazVariable) lazChunkPlan.max
     else options.get("laz.chunksize").map(_.toInt)
       .getOrElse(graft.pointcloud.las.laz.Laz.DefaultChunkSize)
-  require(lazVariable || lazChunkSize > 0,
-    s"laz.chunkSize must be positive, got $lazChunkSize")
-  require(!lazVariable || lazChunkPlan.forall(_ > 0),
-    s"laz.chunkPlan entries must be positive, got ${lazChunkPlan.mkString(",")}")
-  // mirror the reader's resolve-time bound: past 2^24 points the chunk
-  // buffer's Int byte product can overflow, and the produced file would
-  // be rejected by this project's own Laz.infoFor
-  require(lazChunkSize <= (1 << 24),
-    s"laz chunk size $lazChunkSize exceeds the ${1 << 24}-point chunk bound")
+  if (compressLaz) {
+    require(lazVariable || lazChunkSize > 0,
+      s"laz.chunkSize must be positive, got $lazChunkSize")
+    require(!lazVariable || lazChunkPlan.forall(_ > 0),
+      s"laz.chunkPlan entries must be positive, got ${lazChunkPlan.mkString(",")}")
+    // mirror the reader's resolve-time bound: past 2^24 points the chunk
+    // buffer's Int byte product can overflow, and the produced file would
+    // be rejected by this project's own Laz.infoFor
+    require(lazChunkSize <= (1 << 24),
+      s"laz chunk size $lazChunkSize exceeds the ${1 << 24}-point chunk bound")
+  }
 
   private val conf = new Configuration()
   private val base = baseName.getOrElse(f"part-$partitionId%05d-$taskId")

@@ -88,9 +88,15 @@ object Laz {
       s"${header.location}: ${fileLen - tableOffset} bytes between chunk table " +
         "offset and EOF exceed the reader's table bound")
     val tableBytes = readAt(tableOffset, (fileLen - tableOffset).toInt)
+    // every chunk carries ≥1 point and ≥1 compressed byte, so the header
+    // point count and the chunk-region length both bound the plausible
+    // chunk count — handed to the parser so a corrupt table's declared
+    // u32 count is rejected BEFORE the entry arrays are allocated
+    val dataBytes = tableOffset - (header.pdrOffset.toLong + 8)
     val (counts, points) =
       if (variable) {
-        val (pts, bts) = LazFile.parseChunkTableVariable(tableBytes)
+        val (pts, bts) = LazFile.parseChunkTableVariable(tableBytes,
+          math.min(header.pdrCount, dataBytes))
         pts.foreach(p => require(p > 0 && p <= (1 << 24),
           s"${header.location}: variable chunk of $p points exceeds the " +
             s"${1 << 24}-point reader bound"))
@@ -99,10 +105,11 @@ object Laz {
             s"but the header declares ${header.pdrCount}")
         (bts, pts)
       } else {
-        val bts = LazFile.parseChunkTable(tableBytes)
         val needChunks =
-          if (header.pdrCount == 0) 0
-          else ((header.pdrCount - 1) / vlr.chunkSize + 1).toInt
+          if (header.pdrCount == 0) 0L
+          else (header.pdrCount - 1) / vlr.chunkSize + 1
+        val bts = LazFile.parseChunkTable(tableBytes,
+          math.min(needChunks, dataBytes))
         require(bts.length == needChunks,
           s"${header.location}: ${bts.length} chunks for ${header.pdrCount} points " +
             s"at chunk size ${vlr.chunkSize} (expected $needChunks)")
@@ -114,7 +121,6 @@ object Laz {
       }
     counts.foreach(c => require(c > 0 && c <= Int.MaxValue - 8,
       s"${header.location}: chunk of $c compressed bytes outside the reader bound"))
-    val dataBytes = tableOffset - (header.pdrOffset.toLong + 8)
     require(counts.sum == dataBytes,
       s"${header.location}: chunk table sums to ${counts.sum} bytes " +
         s"but the chunk region holds $dataBytes")

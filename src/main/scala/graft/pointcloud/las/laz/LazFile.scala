@@ -156,14 +156,21 @@ private[las] object LazFile {
     out
   }
 
-  /** Parse a chunk table payload → per-chunk compressed byte counts. */
-  def parseChunkTable(bytes: Array[Byte]): Array[Long] = {
+  /** Parse a chunk table payload → per-chunk compressed byte counts.
+    * `maxChunks` is the caller's independent bound on how many chunks the
+    * file can plausibly hold (each chunk carries ≥1 point and ≥1
+    * compressed byte, so the header's point count and the chunk-region
+    * byte length both bound it) — the declared u32 count is validated
+    * against it BEFORE the entry arrays are allocated, so a corrupt
+    * table cannot force a multi-gigabyte driver allocation. */
+  def parseChunkTable(bytes: Array[Byte], maxChunks: Long): Array[Long] = {
     require(bytes.length >= 8, s"chunk table too short: ${bytes.length} bytes")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val version = buf.getInt(0)
     require(version == 0, s"unsupported chunk table version $version")
     val n = buf.getInt(4)
-    require(n >= 0, s"negative chunk count $n")
+    require(n >= 0 && n <= maxChunks,
+      s"chunk table declares $n chunks, outside the plausible bound $maxChunks")
     val dec = new ArithmeticDecoder(bytes, 8, bytes.length)
     val ic = new IntegerCompressor(32, 2)
     val counts = new Array[Long](n)
@@ -211,14 +218,17 @@ private[las] object LazFile {
   }
 
   /** Parse a VARIABLE chunk table payload → (per-chunk point counts,
-    * per-chunk compressed byte counts). */
-  def parseChunkTableVariable(bytes: Array[Byte]): (Array[Long], Array[Long]) = {
+    * per-chunk compressed byte counts). `maxChunks` as in
+    * [[parseChunkTable]]: validated before allocation. */
+  def parseChunkTableVariable(bytes: Array[Byte],
+      maxChunks: Long): (Array[Long], Array[Long]) = {
     require(bytes.length >= 8, s"chunk table too short: ${bytes.length} bytes")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val version = buf.getInt(0)
     require(version == 0, s"unsupported chunk table version $version")
     val n = buf.getInt(4)
-    require(n >= 0, s"negative chunk count $n")
+    require(n >= 0 && n <= maxChunks,
+      s"chunk table declares $n chunks, outside the plausible bound $maxChunks")
     val dec = new ArithmeticDecoder(bytes, 8, bytes.length)
     val ic = new IntegerCompressor(32, 2)
     val points = new Array[Long](n)
@@ -313,15 +323,18 @@ private[las] object LazFile {
       require(s >= 0, s"negative layer size $s in layered chunk")
       s
     }
+    // accumulate as Long and bound every step: u32-sized layer entries
+    // could wrap an Int sum past the overrun guard otherwise
+    var posL = pos.toLong
     var li = 0
     while (li < totalLayers) {
-      starts(li) = pos
-      pos += sizes(li)
-      ends(li) = pos
+      starts(li) = posL.toInt
+      posL += sizes(li)
+      require(posL <= chunk.length,
+        s"layer sizes overrun the chunk ($posL > ${chunk.length})")
+      ends(li) = posL.toInt
       li += 1
     }
-    require(pos <= chunk.length,
-      s"layer sizes overrun the chunk (${pos} > ${chunk.length})")
     val out = new Array[Byte](count * stride)
     System.arraycopy(chunk, 0, out, 0, stride)
     val ctx = new ChannelCtx
