@@ -438,7 +438,7 @@ class LasDataWriter(
   private val compressLaz = options.get("compress").exists(_.equalsIgnoreCase("laz"))
   if (compressLaz) {
     require(graft.pointcloud.las.laz.Laz.supportsFormat(format),
-      s"LAZ write supports point formats 0-3 and 6-8, got format $format")
+      s"LAZ write supports point formats 0-10, got format $format")
     // ExtraBytes columns ride as the BYTE item; their field layout must
     // be byte-typed-size-derivable like the uncompressed path already
     // guarantees via the ExtraBytes VLR

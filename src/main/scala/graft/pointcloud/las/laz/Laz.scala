@@ -37,8 +37,8 @@ object Laz {
     * chunk-table read; `readAt` is the same random-access closure the
     * ExtraBytes reader uses. Throws (→ the provider's skip-unreadable
     * warning) on layouts this codec does not implement: non-chunked
-    * compressors, formats 4/5/9/10 (wavepacket items), and
-    * non-canonical item layouts for the declared format. */
+    * compressors and non-canonical item layouts for the declared
+    * format. */
   def infoFor(header: LasHeader, readAt: LasExtraBytes.ReadAt, fileLen: Long): LazInfo = {
     val payloads = LasExtraBytes.findVlrPayloads(header, readAt,
       LazFile.VlrUserId, LazFile.VlrRecordId)
@@ -148,11 +148,11 @@ object Laz {
   /** The VLR chunk-size sentinel declaring variable chunking. */
   final val VariableChunkSize: Int = -1
 
-  /** True when this codec can compress `format`: 0-3 via the pointwise
-    * v2 scheme, 6-8 via the layered 1.4 scheme (4/5/9/10 carry
-    * wavepacket items, which are not implemented). */
+  /** True when this codec can compress `format`: 0-5 via the pointwise
+    * v2 scheme (4/5 with the WAVEPACKET13 tail), 6-10 via the layered
+    * 1.4 scheme (9/10 with WAVEPACKET14) — the full LAS format range. */
   def supportsFormat(format: Byte): Boolean =
-    (format >= 0 && format <= 3) || (format >= 6 && format <= 8)
+    format >= 0 && format <= 10
 }
 
 /** Chunk decoder with reusable codec state (init resets per chunk):

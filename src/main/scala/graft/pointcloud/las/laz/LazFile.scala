@@ -35,9 +35,9 @@ private[las] object LazFile {
     def recordLength: Int = items.map(_.size).sum
   }
 
-  /** Items for a LAS point format plus `extraBytes` tail bytes (the
-    * subset this codec supports: formats 0–3 pointwise, 6–8 layered;
-    * 4/5/9/10 carry wavepacket items, which are not implemented). */
+  /** Items for a LAS point format plus `extraBytes` tail bytes: formats
+    * 0–5 pointwise (v2 scheme; 4/5 add the WAVEPACKET13 tail), 6–10
+    * layered (native-1.4 scheme; 9/10 add WAVEPACKET14). */
   def itemsFor(format: Byte, extraBytes: Int = 0): Seq[LazItem] = {
     val base = format match {
       case 0 => Seq(LazItem(LazItemCodec.TypePoint10, 20, 2))
@@ -48,13 +48,25 @@ private[las] object LazFile {
       case 3 => Seq(LazItem(LazItemCodec.TypePoint10, 20, 2),
         LazItem(LazItemCodec.TypeGpsTime11, 8, 2),
         LazItem(LazItemCodec.TypeRgb12, 6, 2))
+      case 4 => Seq(LazItem(LazItemCodec.TypePoint10, 20, 2),
+        LazItem(LazItemCodec.TypeGpsTime11, 8, 2),
+        LazItem(LazItemCodec.TypeWavepacket13, 29, 1))
+      case 5 => Seq(LazItem(LazItemCodec.TypePoint10, 20, 2),
+        LazItem(LazItemCodec.TypeGpsTime11, 8, 2),
+        LazItem(LazItemCodec.TypeRgb12, 6, 2),
+        LazItem(LazItemCodec.TypeWavepacket13, 29, 1))
       case 6 => Seq(LazItem(LazItemCodec.TypePoint14, 30, 3))
       case 7 => Seq(LazItem(LazItemCodec.TypePoint14, 30, 3),
         LazItem(LazItemCodec.TypeRgb14, 6, 3))
       case 8 => Seq(LazItem(LazItemCodec.TypePoint14, 30, 3),
         LazItem(LazItemCodec.TypeRgbNir14, 8, 3))
+      case 9 => Seq(LazItem(LazItemCodec.TypePoint14, 30, 3),
+        LazItem(LazItemCodec.TypeWavepacket14, 29, 3))
+      case 10 => Seq(LazItem(LazItemCodec.TypePoint14, 30, 3),
+        LazItem(LazItemCodec.TypeRgbNir14, 8, 3),
+        LazItem(LazItemCodec.TypeWavepacket14, 29, 3))
       case f => throw new IllegalArgumentException(
-        s"LAZ supports point formats 0-3 and 6-8, got format $f")
+        s"LAZ supports point formats 0-10, got format $f")
     }
     if (extraBytes > 0)
       base :+ (if (format >= 6) LazItem(LazItemCodec.TypeByte14, extraBytes, 3)
@@ -66,20 +78,22 @@ private[las] object LazFile {
     case LazItem(LazItemCodec.TypePoint10, 20, _) => new Point10Codec
     case LazItem(LazItemCodec.TypeGpsTime11, 8, _) => new GpsTime11Codec
     case LazItem(LazItemCodec.TypeRgb12, 6, _) => new Rgb12Codec
+    case LazItem(LazItemCodec.TypeWavepacket13, 29, _) => new WavePacket13Codec
     case LazItem(LazItemCodec.TypeByte, n, _) if n > 0 => new BytesCodec(n)
     case it => throw new IllegalArgumentException(
       s"unsupported LAZ item type ${it.itemType} (size ${it.size}) — " +
-        "this reader implements POINT10, GPSTIME11, RGB12 and BYTE")
+        "this reader implements POINT10, GPSTIME11, RGB12, WAVEPACKET13 and BYTE")
   }.toArray
 
   def codecsLayeredFor(items: Seq[LazItem]): Array[LazLayeredCodec] = items.map {
     case LazItem(LazItemCodec.TypePoint14, 30, _) => new Point14Codec
     case LazItem(LazItemCodec.TypeRgb14, 6, _) => new Rgb14Codec(withNir = false)
     case LazItem(LazItemCodec.TypeRgbNir14, 8, _) => new Rgb14Codec(withNir = true)
+    case LazItem(LazItemCodec.TypeWavepacket14, 29, _) => new WavePacket14Codec
     case LazItem(LazItemCodec.TypeByte14, n, _) if n > 0 => new Bytes14Codec(n)
     case it => throw new IllegalArgumentException(
       s"unsupported layered LAZ item type ${it.itemType} (size ${it.size}) — " +
-        "this reader implements POINT14, RGB14, RGBNIR14 and BYTE14")
+        "this reader implements POINT14, RGB14, RGBNIR14, WAVEPACKET14 and BYTE14")
   }.toArray
 
   /** Serialize the LAZ VLR payload (34 + 6·items bytes, little-endian). */

@@ -34,10 +34,12 @@ private[las] object LazItemCodec {
   final val TypePoint10 = 6
   final val TypeGpsTime11 = 7
   final val TypeRgb12 = 8
+  final val TypeWavepacket13 = 9
   // the LAS 1.4 layered-scheme items (compressor 3, item version 3)
   final val TypePoint14 = 10
   final val TypeRgb14 = 11
   final val TypeRgbNir14 = 12
+  final val TypeWavepacket14 = 13
   final val TypeByte14 = 14
 
   def u16(b: Array[Byte], off: Int): Int =
@@ -600,4 +602,109 @@ private[las] final class GpsTime11Codec extends LazItemCodec {
 
   override def write(enc: ArithmeticEncoder, cur: Array[Byte], off: Int): Unit =
     state.writeTime(enc, i64(cur, off))
+}
+
+/** Chunk-scoped prediction state for one 29-byte waveform packet item
+  * (u8 descriptor index, u64 waveform-data offset, u32 packet size,
+  * f32 return-point location, f32×3 parametric direction), following
+  * the published WAVEPACKET13 scheme: the offset is classified against
+  * the previous packet (same / directly-following / 32-bit-diff / raw
+  * 64-bit) through a 4-symbol model whose context is the PREVIOUS
+  * classification, and every other field delta-codes its raw 32 bits
+  * (floats as bit patterns — prediction never does float arithmetic)
+  * through [[IntegerCompressor]]. Shared by the pointwise item codec
+  * (formats 4/5) and, one instance per scanner-channel context, by the
+  * layered one (formats 9/10). */
+private[las] final class WavePacketState {
+  import LazItemCodec._
+
+  private val mIndex = new SymbolModel(256)
+  private val mOffsetDiff = Array.fill(4)(new SymbolModel(4))
+  private val icOffsetDiff = new IntegerCompressor(32, 1)
+  private val icPacketSize = new IntegerCompressor(32, 1)
+  private val icLocation = new IntegerCompressor(32, 1)
+  private val icXyz = new IntegerCompressor(32, 3)
+  val last = new Array[Byte](29)
+  private var lastDiff32 = 0
+  private var symLast = 0
+
+  def seed(item: Array[Byte], off: Int): Unit = {
+    System.arraycopy(item, off, last, 0, 29)
+    mIndex.reset(); mOffsetDiff.foreach(_.reset())
+    icOffsetDiff.reset(); icPacketSize.reset(); icLocation.reset()
+    icXyz.reset()
+    lastDiff32 = 0
+    symLast = 0
+  }
+
+  def write(enc: ArithmeticEncoder, cur: Array[Byte], off: Int): Unit = {
+    enc.encodeSymbol(mIndex, cur(off) & 0xFF)
+    val offs = i64(cur, off + 1)
+    val lastOffs = i64(last, 1)
+    // "directly following" = last offset + last packet size (u32)
+    val following = lastOffs + (i32(last, 9).toLong & 0xFFFFFFFFL)
+    val diff = offs - lastOffs
+    val sym =
+      if (offs == lastOffs) 0
+      else if (offs == following) 1
+      else if (diff == diff.toInt.toLong) 2
+      else 3
+    enc.encodeSymbol(mOffsetDiff(symLast), sym)
+    symLast = sym
+    if (sym == 2) {
+      icOffsetDiff.compress(enc, lastDiff32, diff.toInt, 0)
+      lastDiff32 = diff.toInt
+    } else if (sym == 3) {
+      enc.writeInt(offs & 0xFFFFFFFFL)
+      enc.writeInt(offs >>> 32)
+    }
+    icPacketSize.compress(enc, i32(last, 9), i32(cur, off + 9), 0)
+    icLocation.compress(enc, i32(last, 13), i32(cur, off + 13), 0)
+    icXyz.compress(enc, i32(last, 17), i32(cur, off + 17), 0)
+    icXyz.compress(enc, i32(last, 21), i32(cur, off + 21), 1)
+    icXyz.compress(enc, i32(last, 25), i32(cur, off + 25), 2)
+    System.arraycopy(cur, off, last, 0, 29)
+  }
+
+  def read(dec: ArithmeticDecoder, out: Array[Byte], off: Int): Unit = {
+    out(off) = dec.decodeSymbol(mIndex).toByte
+    val lastOffs = i64(last, 1)
+    val sym = dec.decodeSymbol(mOffsetDiff(symLast))
+    symLast = sym
+    val offs = sym match {
+      case 0 => lastOffs
+      case 1 => lastOffs + (i32(last, 9).toLong & 0xFFFFFFFFL)
+      case 2 =>
+        val d = icOffsetDiff.decompress(dec, lastDiff32, 0)
+        lastDiff32 = d
+        lastOffs + d
+      case _ =>
+        val lo = dec.readInt() & 0xFFFFFFFFL
+        val hi = dec.readInt() & 0xFFFFFFFFL
+        (hi << 32) | lo
+    }
+    putI64(out, off + 1, offs)
+    putI32(out, off + 9, icPacketSize.decompress(dec, i32(last, 9), 0))
+    putI32(out, off + 13, icLocation.decompress(dec, i32(last, 13), 0))
+    putI32(out, off + 17, icXyz.decompress(dec, i32(last, 17), 0))
+    putI32(out, off + 21, icXyz.decompress(dec, i32(last, 21), 1))
+    putI32(out, off + 25, icXyz.decompress(dec, i32(last, 25), 2))
+    System.arraycopy(out, off, last, 0, 29)
+  }
+}
+
+/** WAVEPACKET13: the 29-byte waveform packet tail of formats 4/5 — a
+  * thin pointwise item wrapper over [[WavePacketState]]. */
+private[las] final class WavePacket13Codec extends LazItemCodec {
+  override def size: Int = 29
+
+  private val state = new WavePacketState
+
+  override def init(first: Array[Byte], off: Int): Unit = state.seed(first, off)
+
+  override def read(dec: ArithmeticDecoder, out: Array[Byte], off: Int): Unit =
+    state.read(dec, out, off)
+
+  override def write(enc: ArithmeticEncoder, cur: Array[Byte], off: Int): Unit =
+    state.write(enc, cur, off)
 }

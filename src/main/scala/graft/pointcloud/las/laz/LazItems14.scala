@@ -1,8 +1,9 @@
 package graft.pointcloud.las.laz
 
-/** Layered (compressor 3) item codecs for LAS 1.4 point formats 6–8:
+/** Layered (compressor 3) item codecs for LAS 1.4 point formats 6–10:
   * POINT14 (the 30-byte extended record, GPS time included), RGB14 /
-  * RGBNIR14, and BYTE14 for the ExtraBytes tail. This is the published
+  * RGBNIR14, WAVEPACKET14 (the waveform tail of 9/10), and BYTE14 for
+  * the ExtraBytes tail. This is the published
   * "native LAS 1.4 extension" of LASzip (Isenburg 2017, laszip.org):
   * inside a chunk every field family is coded into its OWN layer (an
   * independent arithmetic bitstream), and all prediction state is kept
@@ -546,4 +547,62 @@ private[las] final class Bytes14Codec(n: Int) extends LazLayeredCodec {
       i += 1
     }
   }
+}
+
+/** WAVEPACKET14: the 29-byte waveform packet tail of formats 9/10 in
+  * the layered scheme — one layer, [[WavePacketState]] per
+  * scanner-channel context (seeded on first use from the channel last
+  * written, like every layered item). */
+private[las] final class WavePacket14Codec extends LazLayeredCodec {
+  override def size: Int = 29
+  override def numLayers: Int = 1
+
+  private final class Ctx {
+    var unused = true
+    val st = new WavePacketState
+    def seed(src: Array[Byte], off: Int): Unit = {
+      st.seed(src, off)
+      unused = false
+    }
+  }
+
+  private val ctxs = Array.fill(4)(new Ctx)
+  private var cc = 0
+  private val enc = new ArithmeticEncoder
+  private var decs: Array[ArithmeticDecoder] = null
+
+  private def switchTo(ctx: ChannelCtx): Ctx = {
+    if (ctx.value != cc) {
+      val from = ctxs(cc)
+      cc = ctx.value
+      if (ctxs(cc).unused) ctxs(cc).seed(from.st.last, 0)
+    }
+    ctxs(cc)
+  }
+
+  override def initWrite(first: Array[Byte], off: Int, ctx: ChannelCtx): Unit = {
+    enc.reset()
+    ctxs.foreach(_.unused = true)
+    cc = ctx.value
+    ctxs(cc).seed(first, off)
+  }
+
+  override def write(cur: Array[Byte], off: Int, ctx: ChannelCtx): Unit =
+    switchTo(ctx).st.write(enc, cur, off)
+
+  override def finishLayers(): Array[Array[Byte]] = {
+    enc.done()
+    Array(enc.result())
+  }
+
+  override def initRead(layerDecs: Array[ArithmeticDecoder], first: Array[Byte],
+      off: Int, ctx: ChannelCtx): Unit = {
+    decs = layerDecs
+    ctxs.foreach(_.unused = true)
+    cc = ctx.value
+    ctxs(cc).seed(first, off)
+  }
+
+  override def read(out: Array[Byte], off: Int, ctx: ChannelCtx): Unit =
+    switchTo(ctx).st.read(decs(0), out, off)
 }

@@ -84,8 +84,8 @@ object syntax {
       write("las", path, options)
     /** LASzip-compressed LAS (`.laz`) — same sink as [[writeLas]] with
       * the per-chunk entropy codec switched on (`laz.chunkSize` option
-      * tunes the chunk size; point formats 0–3, ExtraBytes columns ride
-      * as the BYTE item). The reference rejects compressed files
+      * tunes the chunk size; all point formats 0–10, ExtraBytes columns
+      * ride as the BYTE/BYTE14 item). The reference rejects compressed files
       * outright (FixedLengthBinarySectionInputFormat.scala:48-56). */
     def writeLaz(path: String, options: Map[String, String] = Map.empty): Unit =
       write("las", path, options + ("compress" -> "laz"))

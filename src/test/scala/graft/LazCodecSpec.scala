@@ -146,8 +146,8 @@ class LazCodecSpec extends AnyFunSuite {
     // classes, models stay near-uniform, and any state-machine asymmetry
     // between encoder and decoder surfaces as a mismatch
     val rnd = new scala.util.Random(2026)
-    for (trial <- 0 until 24) {
-      val format = (trial % 4).toByte
+    for (trial <- 0 until 36) {
+      val format = (trial % 6).toByte
       val extra = Seq(0, 3, 17)(trial % 3)
       val items = LazFile.itemsFor(format, extra)
       val stride = items.map(_.size).sum
@@ -206,13 +206,13 @@ class LazCodecSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(back, records))
   }
 
-  test("layered randomized property: formats 6-8 x extras x counts round-trip bit-exactly") {
+  test("layered randomized property: formats 6-10 x extras x counts round-trip bit-exactly") {
     // fully random records exercise every context/model branch including
     // 4-channel switching, gps jumps, and the widest corrector classes
     val rnd = new scala.util.Random(4013)
-    for (trial <- 0 until 18) {
-      val format = Seq(6, 7, 8)(trial % 3).toByte
-      val extra = Seq(0, 4, 11)((trial / 3) % 3)
+    for (trial <- 0 until 30) {
+      val format = Seq(6, 7, 8, 9, 10)(trial % 5).toByte
+      val extra = Seq(0, 4, 11)((trial / 5) % 3)
       val items = LazFile.itemsFor(format, extra)
       val stride = items.map(_.size).sum
       val count = 1 + rnd.nextInt(600)

@@ -9,6 +9,7 @@ object LazGoldenPin {
     val stride = items.map(_.size).sum
     val rnd = new scala.util.Random(31013)
     val out = new Array[Byte](count * stride)
+    val wave = new WaveChain
     var x = 100000; var y = 2000000; var z = 50; var t = 123456.789
     var i = 0
     while (i < count) {
@@ -29,12 +30,12 @@ object LazGoldenPin {
       out(off + 17) = rnd.nextInt(4).toByte
       LazItemCodec.putU16(out, off + 18, 17)
       var p = off + 20
-      if (format == 1 || format == 3) {
+      if (format == 1 || format == 3 || format == 4 || format == 5) {
         t += (if (i % 7 == 0) 0.0 else 0.001 * (1 + rnd.nextInt(3)))
         LazItemCodec.putI64(out, p, java.lang.Double.doubleToLongBits(t))
         p += 8
       }
-      if (format == 2 || format == 3) {
+      if (format == 2 || format == 3 || format == 5) {
         val gray = rnd.nextInt(3) == 0
         val rr = rnd.nextInt(1 << 16)
         LazItemCodec.putU16(out, p, rr)
@@ -42,11 +43,41 @@ object LazGoldenPin {
         LazItemCodec.putU16(out, p + 4, if (gray) rr else rnd.nextInt(1 << 16))
         p += 6
       }
+      if (format == 4 || format == 5) { p = fillWave(out, p, rnd, wave) }
       var e = 0
       while (e < extra) { out(p + e) = rnd.nextInt(256).toByte; e += 1 }
       i += 1
     }
     out
+  }
+
+  /** Mutable per-stream waveform chain: (offset, size) so the "directly
+    * following" classification actually fires on scan-shaped data. */
+  private final class WaveChain {
+    var offset = 1000000L
+    var size = 0
+  }
+  /** Scan-shaped wavepacket tail: packets mostly follow each other in
+    * the waveform file (sym 1), sometimes repeat (sym 0), sometimes jump
+    * within i32 (sym 2), rarely jump past it (sym 3). */
+  private def fillWave(out: Array[Byte], p: Int, rnd: scala.util.Random,
+      st: WaveChain): Int = {
+    out(p) = (1 + rnd.nextInt(3)).toByte
+    rnd.nextInt(19) match {
+      case 0 => // repeat the previous packet
+      case 17 => st.offset += (1L << 33) + rnd.nextInt(1 << 20) // raw 64-bit jump
+      case 18 => st.offset -= rnd.nextInt(1 << 24) // i32-diff jump (backwards)
+      case _ => st.offset += st.size // directly following
+    }
+    if (rnd.nextInt(5) != 0) st.size = 64 + 8 * rnd.nextInt(200)
+    LazItemCodec.putI64(out, p + 1, st.offset)
+    LazItemCodec.putI32(out, p + 9, st.size)
+    LazItemCodec.putI32(out, p + 13,
+      java.lang.Float.floatToIntBits(12.5f + rnd.nextInt(40) * 0.25f))
+    LazItemCodec.putI32(out, p + 17, java.lang.Float.floatToIntBits(0.001f * rnd.nextInt(100)))
+    LazItemCodec.putI32(out, p + 21, java.lang.Float.floatToIntBits(0.001f * rnd.nextInt(100)))
+    LazItemCodec.putI32(out, p + 25, java.lang.Float.floatToIntBits(-0.999f))
+    p + 29
   }
 
   def sha256(bytes: Array[Byte]): String =
@@ -64,6 +95,7 @@ object LazGoldenPin {
     val stride = items.map(_.size).sum
     val rnd = new scala.util.Random(47111)
     val out = new Array[Byte](count * stride)
+    val waves = Array.fill(2)(new WaveChain)
     val xs = Array(100000, 600000); val ys = Array(2000000, 1900000)
     val zs = Array(50, 60); val ts = Array(123456.789, 900000.125)
     var i = 0
@@ -88,7 +120,7 @@ object LazGoldenPin {
       LazItemCodec.putU16(out, off + 20, 17)
       LazItemCodec.putI64(out, off + 22, java.lang.Double.doubleToLongBits(ts(ch)))
       var p = off + 30
-      if (format == 7 || format == 8) {
+      if (format == 7 || format == 8 || format == 10) {
         val gray = rnd.nextInt(3) == 0
         val rr = rnd.nextInt(1 << 16)
         LazItemCodec.putU16(out, p, rr)
@@ -96,7 +128,10 @@ object LazGoldenPin {
         LazItemCodec.putU16(out, p + 4, if (gray) rr else rnd.nextInt(1 << 16))
         p += 6
       }
-      if (format == 8) { LazItemCodec.putU16(out, p, rnd.nextInt(1 << 12)); p += 2 }
+      if (format == 8 || format == 10) {
+        LazItemCodec.putU16(out, p, rnd.nextInt(1 << 12)); p += 2
+      }
+      if (format == 9 || format == 10) { p = fillWave(out, p, rnd, waves(ch)) }
       var e = 0
       while (e < extra) { out(p + e) = rnd.nextInt(256).toByte; e += 1 }
       i += 1
@@ -105,14 +140,14 @@ object LazGoldenPin {
   }
 
   def main(args: Array[String]): Unit = {
-    for ((format, extra) <- Seq((0, 0), (1, 0), (2, 0), (3, 5))) {
+    for ((format, extra) <- Seq((0, 0), (1, 0), (2, 0), (3, 5), (5, 0))) {
       val items = LazFile.itemsFor(format.toByte, extra)
       val stride = items.map(_.size).sum
       val recs = records(format.toByte, extra, 2000)
       val chunk = LazFile.encodeChunk(LazFile.codecsFor(items), recs, 0, 2000, stride)
       println(s"""("fmt$format-extra$extra", ${chunk.length}, "${sha256(chunk)}", "${hex(chunk, 16)}"),""")
     }
-    for ((format, extra) <- Seq((6, 0), (7, 0), (8, 3))) {
+    for ((format, extra) <- Seq((6, 0), (7, 0), (8, 3), (9, 0))) {
       val items = LazFile.itemsFor(format.toByte, extra)
       val stride = items.map(_.size).sum
       val recs = records14(format.toByte, extra, 2000)
