@@ -453,7 +453,20 @@ class LasDataWriter(
   private val lazChunkPlan: Array[Int] =
     if (!compressLaz) Array.empty
     else options.get("laz.chunkplan") match {
-      case Some(plan) => plan.split(',').map(_.trim.toInt)
+      case Some(plan) =>
+        // require-style diagnostics, matching every other malformed-option
+        // case around this: a bare NumberFormatException with no option
+        // context would be unattributable in a driver log
+        val entries = plan.split(',').map(_.trim)
+        require(entries.nonEmpty && entries.forall(_.nonEmpty),
+          s"laz.chunkPlan must be comma-separated point counts, got '$plan'")
+        entries.map { e =>
+          try e.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"laz.chunkPlan entry '$e' is not an integer (plan '$plan')")
+          }
+        }
       case None => Array.empty
     }
   private val lazVariable = lazChunkPlan.nonEmpty
@@ -488,6 +501,14 @@ class LasDataWriter(
     if (compressLaz)
       new graft.pointcloud.las.laz.LazChunkEncoder(format, encoder.recordLength)
     else null
+  // bound the PRODUCT, not just the point count: a wide record (format 8
+  // plus ExtraBytes) at the maximum chunk size can overflow the Int byte
+  // product (2^24 * 128 = 2^31) into a NegativeArraySizeException — or
+  // worse, wrap to a too-small positive buffer that AIOOBEs mid-write
+  if (compressLaz)
+    require(lazChunkSize.toLong * encoder.recordLength <= Int.MaxValue,
+      s"laz chunk geometry $lazChunkSize points x ${encoder.recordLength}-byte " +
+        "records overflows the Int chunk-buffer size; lower laz.chunkSize")
   private val chunkBuf: Array[Byte] =
     if (compressLaz) new Array[Byte](lazChunkSize * encoder.recordLength) else null
   private var chunkFill = 0

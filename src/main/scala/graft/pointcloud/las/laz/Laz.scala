@@ -33,12 +33,15 @@ object Laz {
   /** Parse the laszip VLR + chunk table of a compressed LAS file —
     * fixed-size chunking (the common layout) or variable-size chunking
     * (VLR chunk size −1, the spatially-indexed layout, per-chunk point
-    * counts carried in the chunk table). `fileLen` bounds the
-    * chunk-table read; `readAt` is the same random-access closure the
-    * ExtraBytes reader uses. Throws (→ the provider's skip-unreadable
-    * warning) on layouts this codec does not implement: non-chunked
-    * compressors and non-canonical item layouts for the declared
-    * format. */
+    * counts carried in the chunk table). Both chunk-table placements are
+    * accepted: the common seekable-writer layout (leading i64 slot holds
+    * the table offset) and the streamed layout (leading slot −1, table
+    * at EOF, its position in the file's last 8 bytes — what a
+    * non-seekable writer emits). `fileLen` bounds the chunk-table read;
+    * `readAt` is the same random-access closure the ExtraBytes reader
+    * uses. Throws (→ the provider's skip-unreadable warning) on layouts
+    * this codec does not implement: non-chunked compressors and
+    * non-canonical item layouts for the declared format. */
   def infoFor(header: LasHeader, readAt: LasExtraBytes.ReadAt, fileLen: Long): LazInfo = {
     val payloads = LasExtraBytes.findVlrPayloads(header, readAt,
       LazFile.VlrUserId, LazFile.VlrRecordId)
@@ -78,16 +81,29 @@ object Laz {
       s"${header.location}: LAZ item sequence ${vlr.items} does not match the " +
         s"canonical layout $expected for format ${header.pdrFormat}")
     val tableOffBytes = readAt(header.pdrOffset.toLong, 8)
-    val tableOffset = java.nio.ByteBuffer.wrap(tableOffBytes)
+    val leadOffset = java.nio.ByteBuffer.wrap(tableOffBytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
-    require(tableOffset > header.pdrOffset && tableOffset <= fileLen - 8,
+    // leading offset −1 is the published non-seekable-writer layout: the
+    // writer could not come back to patch the slot, so the table sits at
+    // EOF and its real position is the file's LAST 8 bytes
+    val streamed = leadOffset == -1L
+    val (tableOffset, tableEnd) =
+      if (streamed) {
+        require(fileLen >= header.pdrOffset.toLong + 8 + 8 + 8,
+          s"${header.location}: file too short for the streamed (offset -1) chunk-table layout")
+        val tailBytes = readAt(fileLen - 8, 8)
+        val off = java.nio.ByteBuffer.wrap(tailBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
+        (off, fileLen - 8)
+      } else (leadOffset, fileLen)
+    require(tableOffset > header.pdrOffset && tableOffset <= tableEnd - 8,
       s"${header.location}: chunk table offset $tableOffset outside the file (len $fileLen)")
     // the table tail is buffered whole; a foreign file declaring a table
     // gigabytes before EOF must fail here, not overflow the Int length
-    require(fileLen - tableOffset <= (1 << 28),
-      s"${header.location}: ${fileLen - tableOffset} bytes between chunk table " +
+    require(tableEnd - tableOffset <= (1 << 28),
+      s"${header.location}: ${tableEnd - tableOffset} bytes between chunk table " +
         "offset and EOF exceed the reader's table bound")
-    val tableBytes = readAt(tableOffset, (fileLen - tableOffset).toInt)
+    val tableBytes = readAt(tableOffset, (tableEnd - tableOffset).toInt)
     // every chunk carries ≥1 point and ≥1 compressed byte, so the header
     // point count and the chunk-region length both bound the plausible
     // chunk count — handed to the parser so a corrupt table's declared
@@ -121,6 +137,13 @@ object Laz {
       }
     counts.foreach(c => require(c > 0 && c <= Int.MaxValue - 8,
       s"${header.location}: chunk of $c compressed bytes outside the reader bound"))
+    // decoded-buffer product bound (the ADVICE r13 gap): decodeChunk
+    // allocates count*stride bytes, and a foreign file can declare 2^24
+    // points with a wide u16 stride — the product must fail on THIS
+    // driver skip path, not as an executor NegativeArraySizeException
+    points.foreach(p => require(p * stride <= Int.MaxValue,
+      s"${header.location}: chunk geometry $p points x $stride-byte records " +
+        "overflows the decoded-buffer bound"))
     require(counts.sum == dataBytes,
       s"${header.location}: chunk table sums to ${counts.sum} bytes " +
         s"but the chunk region holds $dataBytes")

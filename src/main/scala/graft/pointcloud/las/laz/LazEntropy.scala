@@ -459,8 +459,17 @@ private[las] final class IntegerCompressor(bits: Int, contexts: Int, bitsHigh: I
 }
 
 /** Streaming median-of-five of the recent x/y deltas (the public LASzip
-  * predictor): alternates which side of the kept order a new value
-  * displaces, so the median tracks scan-line direction flips. */
+  * predictor): `high` alternates on EVERY add, so consecutive values
+  * displace opposite ends of the kept order and fresh data migrates
+  * into the middle. The alternation is load-bearing: a variant that
+  * flipped `high` only on opposite-side inserts (as this class did
+  * until round 14) collapses — from the zero-initialized state the
+  * only reachable states are `(a,0,0,0,0)` and `(0,0,0,0,c)`, so the
+  * median is provably 0 for EVERY input sequence, the predictor never
+  * engages, and the low-mode `values(1) < v` insert below is
+  * unreachable dead code. (Caught when golden pins failed to move
+  * under a context-table change: the table's only consumer was the
+  * always-zero median slot.) */
 private[las] final class StreamingMedian5 {
   private val values = new Array[Int](5)
   private var high = true
@@ -479,22 +488,22 @@ private[las] final class StreamingMedian5 {
         if (v < values(0)) { values(2) = values(1); values(1) = values(0); values(0) = v }
         else if (v < values(1)) { values(2) = values(1); values(1) = v }
         else values(2) = v
-        high = false
       } else {
         if (v < values(3)) { values(4) = values(3); values(3) = v }
         else values(4) = v
       }
+      high = false
     } else {
       if (values(2) < v) {
         values(0) = values(1); values(1) = values(2)
         if (values(4) < v) { values(2) = values(3); values(3) = values(4); values(4) = v }
         else if (values(3) < v) { values(2) = values(3); values(3) = v }
         else values(2) = v
-        high = true
       } else {
         if (values(1) < v) { values(0) = values(1); values(1) = v }
         else values(0) = v
       }
+      high = true
     }
   }
 }

@@ -16,25 +16,60 @@ package graft.pointcloud.las.laz
   * Verification note (the package-wide position, LazEntropy.scala:12-18):
   * the container ships no `.laz` fixture and no external LASzip binary,
   * so the layered scheme is verified by self-round-trip plus frozen
-  * golden bytes only. Two context tables are DERIVED rather than
-  * transcribed: the 6-class return map is the published 8×8 POINT10 map
-  * clamped to the 16×16 extended-return domain and folded to 6 classes
-  * (`min(map, 5)`), and the 8-class level table is `min(|n−r|, 7)`.
-  * Encoder and decoder share them, so round-trip is exact either way;
-  * byte compatibility with foreign tools on formats 6+ is therefore
-  * plausible-but-unverified, and honestly weaker than the v2 path.
+  * golden bytes only — no external fixture has cross-checked it. The two
+  * return-context tables below are TRANSCRIBED from the published
+  * LASzip native-1.4 source (`number_return_map_6ctx` /
+  * `number_return_level_8ctx`, lasreaditemcompressed_v3, laszip.org),
+  * the same transcription discipline as the v2 `NumberReturnMap`
+  * ([[LazItemCodec.NumberReturnMap]], which matches its published
+  * counterpart verbatim).
   *
   * Reference has no LAZ support at all (it rejects compressed input,
   * FixedLengthBinarySectionInputFormat.scala:48-56); record layouts per
   * the repo's format table, las/LasHeader.scala (formats 6–10).
   */
 private[las] object LazLayered {
-  /** Return-context tables on the 16×16 extended (4-bit) return domain —
-    * derived, see the package note above. */
-  val Map6: Array[Array[Int]] = Array.tabulate(16, 16)((n, r) =>
-    math.min(LazItemCodec.NumberReturnMap(math.min(n, 7))(math.min(r, 7)), 5))
-  val Level8: Array[Array[Int]] = Array.tabulate(16, 16)((n, r) =>
-    math.min(math.abs(n - r), 7))
+  /** `number_return_map_6ctx`: folds the 16×16 extended (4-bit)
+    * (number-of-returns, return-number) pair into 6 prediction contexts
+    * — transcribed, see the package note above. Symmetric, zero
+    * diagonal, ±1 off-diagonal (the "next/previous return" bands). */
+  val Map6: Array[Array[Int]] = Array(
+    Array(0, 1, 2, 3, 4, 5, 3, 4, 4, 5, 5, 5, 5, 5, 5, 5),
+    Array(1, 0, 1, 3, 4, 5, 3, 4, 4, 5, 5, 5, 5, 5, 5, 5),
+    Array(2, 1, 0, 1, 3, 4, 3, 3, 4, 4, 5, 5, 5, 5, 5, 5),
+    Array(3, 3, 1, 0, 1, 3, 3, 3, 3, 4, 4, 5, 5, 5, 5, 5),
+    Array(4, 4, 3, 1, 0, 1, 3, 3, 3, 3, 4, 4, 5, 5, 5, 5),
+    Array(5, 5, 4, 3, 1, 0, 1, 3, 3, 3, 3, 4, 4, 5, 5, 5),
+    Array(3, 3, 3, 3, 3, 1, 0, 1, 3, 3, 3, 3, 4, 4, 5, 5),
+    Array(4, 4, 3, 3, 3, 3, 1, 0, 1, 3, 3, 3, 3, 4, 4, 5),
+    Array(4, 4, 4, 3, 3, 3, 3, 1, 0, 1, 3, 3, 3, 3, 4, 4),
+    Array(5, 5, 4, 4, 3, 3, 3, 3, 1, 0, 1, 3, 3, 3, 3, 4),
+    Array(5, 5, 5, 4, 4, 3, 3, 3, 3, 1, 0, 1, 3, 3, 3, 3),
+    Array(5, 5, 5, 5, 4, 4, 3, 3, 3, 3, 1, 0, 1, 3, 3, 3),
+    Array(5, 5, 5, 5, 5, 4, 4, 3, 3, 3, 3, 1, 0, 1, 3, 3),
+    Array(5, 5, 5, 5, 5, 5, 4, 4, 3, 3, 3, 3, 1, 0, 1, 3),
+    Array(5, 5, 5, 5, 5, 5, 5, 4, 4, 3, 3, 3, 3, 1, 0, 1),
+    Array(5, 5, 5, 5, 5, 5, 5, 5, 4, 4, 3, 3, 3, 3, 1, 0))
+  /** `number_return_level_8ctx`: the pair's distance clamped to 8 height
+    * contexts — transcribed; coincides with `min(|n−r|, 7)` (the banded
+    * structure the published table has). */
+  val Level8: Array[Array[Int]] = Array(
+    Array(0, 1, 2, 3, 4, 5, 6, 7, 7, 7, 7, 7, 7, 7, 7, 7),
+    Array(1, 0, 1, 2, 3, 4, 5, 6, 7, 7, 7, 7, 7, 7, 7, 7),
+    Array(2, 1, 0, 1, 2, 3, 4, 5, 6, 7, 7, 7, 7, 7, 7, 7),
+    Array(3, 2, 1, 0, 1, 2, 3, 4, 5, 6, 7, 7, 7, 7, 7, 7),
+    Array(4, 3, 2, 1, 0, 1, 2, 3, 4, 5, 6, 7, 7, 7, 7, 7),
+    Array(5, 4, 3, 2, 1, 0, 1, 2, 3, 4, 5, 6, 7, 7, 7, 7),
+    Array(6, 5, 4, 3, 2, 1, 0, 1, 2, 3, 4, 5, 6, 7, 7, 7),
+    Array(7, 6, 5, 4, 3, 2, 1, 0, 1, 2, 3, 4, 5, 6, 7, 7),
+    Array(7, 7, 6, 5, 4, 3, 2, 1, 0, 1, 2, 3, 4, 5, 6, 7),
+    Array(7, 7, 7, 6, 5, 4, 3, 2, 1, 0, 1, 2, 3, 4, 5, 6),
+    Array(7, 7, 7, 7, 6, 5, 4, 3, 2, 1, 0, 1, 2, 3, 4, 5),
+    Array(7, 7, 7, 7, 7, 6, 5, 4, 3, 2, 1, 0, 1, 2, 3, 4),
+    Array(7, 7, 7, 7, 7, 7, 6, 5, 4, 3, 2, 1, 0, 1, 2, 3),
+    Array(7, 7, 7, 7, 7, 7, 7, 6, 5, 4, 3, 2, 1, 0, 1, 2),
+    Array(7, 7, 7, 7, 7, 7, 7, 7, 6, 5, 4, 3, 2, 1, 0, 1),
+    Array(7, 7, 7, 7, 7, 7, 7, 7, 7, 6, 5, 4, 3, 2, 1, 0))
 }
 
 /** Mutable scanner-channel slot the POINT14 codec publishes and the

@@ -86,7 +86,16 @@ object syntax {
       * the per-chunk entropy codec switched on (`laz.chunkSize` option
       * tunes the chunk size; all point formats 0–10, ExtraBytes columns
       * ride as the BYTE/BYTE14 item). The reference rejects compressed files
-      * outright (FixedLengthBinarySectionInputFormat.scala:48-56). */
+      * outright (FixedLengthBinarySectionInputFormat.scala:48-56).
+      *
+      * Interop status: the codec is a from-scratch implementation of the
+      * published LASzip schemes, verified by self-round-trip and frozen
+      * golden bytes — this container ships no external `.laz` fixture or
+      * LASzip binary, so byte compatibility with foreign tools is
+      * unverified here (strongest for formats 0–5, the longest-published
+      * scheme; the native-1.4 layered path for 6–10 shares that caveat).
+      * Files written by this sink always re-read exactly through
+      * `spark.read.las`. */
     def writeLaz(path: String, options: Map[String, String] = Map.empty): Unit =
       write("las", path, options + ("compress" -> "laz"))
     def writePly(path: String, options: Map[String, String] = Map.empty): Unit =

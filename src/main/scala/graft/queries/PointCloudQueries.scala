@@ -47,7 +47,9 @@ object PointCloudQueries {
     // so any compressed layout built by older code must rebuild
     // v3: the Point14 mid-chunk channel-context propagation fix changed
     // the layered (fmt 6-8) bitstream again
-    val marker = java.nio.file.Paths.get(dir, "_GRAFT_LAYOUT_DONE_v3")
+    // v4: the round-14 streaming-median fix (alternation on every add)
+    // changed every .laz bitstream: old compressed layouts must rebuild
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_LAYOUT_DONE_v4")
     if (!java.nio.file.Files.exists(marker)) {
       build(dir)
       java.nio.file.Files.createFile(marker)

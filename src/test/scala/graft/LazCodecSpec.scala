@@ -44,6 +44,50 @@ class LazCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming median engages: constant and trending streams move the middle") {
+    // the r14 regression this pins: a median whose middle slots are
+    // unreachable from zero-init (the pre-r14 no-flip variant) is
+    // provably 0 for EVERY input — the x/y predictor never engages and
+    // the return-context tables become dead state. Constant input must
+    // converge to the constant; monotone input must track its recent
+    // middle; a scan-direction flip must be tracked within a few points.
+    def runMed(vs: Seq[Int]): Int = {
+      val med = new StreamingMedian5
+      vs.foreach(med.add)
+      med.get
+    }
+    assert(runMed(Seq.fill(6)(7)) == 7, "constant stream must converge to it")
+    assert(runMed(Seq.fill(6)(-13)) == -13)
+    assert(runMed(1 to 9) == 5, "ascending stream tracks the recent middle")
+    assert(runMed(Seq(10, 10, 10, 10, 10, 10, -10, -10, -10, -10, -10, -10)) == -10,
+      "a scan-direction flip is absorbed within six points")
+    val med = new StreamingMedian5
+    med.add(5); assert(med.get == 0) // first value parks at an end slot
+    med.reset()
+    assert(med.get == 0)
+  }
+
+  test("layered return-context tables: transcription structure invariants") {
+    // number_return_map_6ctx / number_return_level_8ctx invariants the
+    // published tables satisfy — a transcription typo that breaks
+    // symmetry or the diagonal would pass round-trip (both sides share
+    // the table) but silently diverge from foreign decoders
+    for (n <- 0 until 16; r <- 0 until 16) {
+      assert(LazLayered.Map6(n)(r) == LazLayered.Map6(r)(n), s"Map6 symmetry at ($n,$r)")
+      assert(LazLayered.Map6(n)(r) >= 0 && LazLayered.Map6(n)(r) <= 5)
+      assert(LazLayered.Level8(n)(r) == math.min(math.abs(n - r), 7),
+        s"Level8($n)($r) is the clamped distance")
+    }
+    for (k <- 0 until 16) {
+      assert(LazLayered.Map6(k)(k) == 0, s"Map6 diagonal at $k")
+      if (k < 15) assert(LazLayered.Map6(k)(k + 1) == 1, s"Map6 off-diagonal at $k")
+    }
+    // the 8x8 top-left block agrees with the v2 map's low-context fold
+    // only on the diagonal band; spot-pin a few published interior values
+    assert(LazLayered.Map6(0)(5) == 5 && LazLayered.Map6(3)(1) == 3 &&
+      LazLayered.Map6(8)(4) == 3 && LazLayered.Map6(15)(0) == 5)
+  }
+
   test("integer compressor: adversarial correctors round-trip at 16 and 32 bits") {
     val vals32 = Array(0, 1, -1, 2, -2, 3, 127, -128, 255, -256, 65535, -65536,
       1 << 20, -(1 << 20), Int.MaxValue, Int.MinValue, Int.MinValue + 1,
@@ -236,13 +280,15 @@ class LazCodecSpec extends AnyFunSuite {
     // change, regenerate via Test/runMain ...LazGoldenPin and bump the
     // connector layout marker (round 13 precedent).
     val pins = Seq(
-      ("fmt0-extra0", 13718, "c43eb5ec8c5ed299af1f6f94b3e5aabf8cb9cf57ab71d6d0a3501ff2bc6ffd3c", "6fecffff68cd1d002f000000e3001a00"),
-      ("fmt1-extra0", 14699, "4a9f28477cbb08f9bad005c38a04e6f4e89633533437d59ff8bc7d89d4f1e728", "6fecffff68cd1d002f000000e3001a00"),
-      ("fmt2-extra0", 23574, "360a2ed38e931a8e2def0f3075b542c422a56dfc1f4008fdb6b287fa2c469454", "6fecffff68cd1d002f000000e3001a00"),
-      ("fmt3-extra5", 34715, "8ea1d8f030bac16c9ee6dbed802d53b4defd04f1471beafa907479d00d683a2c", "6fecffff68cd1d002f000000e3001a00"),
-      ("fmt6-extra0", 18410, "861015594fadd429850ec4313c53426365c690a9c3a5a8af10c0e2f1e8add9aa", "3095000025e91d0031000000a40988c2"),
-      ("fmt7-extra0", 28807, "162bde79a503f6e764fee7ca49bf4cf558b9c67eb283e141f923f94ebfb2df94", "3095000025e91d0031000000a40988c2"),
-      ("fmt8-extra3", 37930, "398c6e328b8e41ba6f558b2f7f88e0d4fece658f940315de8e6fca234b02cd4f", "3095000025e91d0031000000a40988c2"))
+      ("fmt0-extra0", 13848, "5710c2315ed61a946d69ef2d2dbe889f8252940e7e372c2ef593c88c2c916c41", "6fecffff68cd1d002f000000e3001a00"),
+      ("fmt1-extra0", 14826, "352ec486490aa54588f3c7d00e8e89b263b03c36b5fb1a12222a231c5dcec09e", "6fecffff68cd1d002f000000e3001a00"),
+      ("fmt2-extra0", 23705, "fa913427965ca29694e4c1a9dc5f25a2329832327301453b409dd5d653c46f71", "6fecffff68cd1d002f000000e3001a00"),
+      ("fmt3-extra5", 34860, "94977234cd2286a91370e6551a4a620e0bfd03d7f68933b1f202d415f5fddc55", "6fecffff68cd1d002f000000e3001a00"),
+      ("fmt5-extra0", 47380, "2166e12f94d905ebb89392981e551f25c1ab0f9985f66d6409d9737c89360ade", "6fecffff68cd1d002f000000e3001a00"),
+      ("fmt6-extra0", 18526, "c37f6890bcd1e4adc8065f8027f71516fd0c13592144cab67c2130bba82a36c4", "3095000025e91d0031000000a40988c2"),
+      ("fmt7-extra0", 28927, "ad931d41973ab9a3d9ae0dcdbe86688d5efd41dc85fb84d191995db53ef4c7bb", "3095000025e91d0031000000a40988c2"),
+      ("fmt8-extra3", 38041, "3e11a672d2a746220821581f3ef37359b5a839d0daba1d6f34b5e982c9585e04", "3095000025e91d0031000000a40988c2"),
+      ("fmt9-extra0", 41915, "088f7b39313cad3db7d0742c7bef48d47f13f08a3f4c0cc4cfd77c0a814a07a0", "3095000025e91d0031000000a40988c2"))
     pins.foreach { case (label, len, sha, prefix) =>
       val Array(f, e) = label.stripPrefix("fmt").split("-extra")
       val items = LazFile.itemsFor(f.toByte, e.toInt)

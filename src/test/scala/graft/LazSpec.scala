@@ -286,6 +286,40 @@ class LazSpec extends SparkTestBase {
       fmt0Points(6000).agg(sum($"x".cast("long"))).head().getLong(0))
   }
 
+  test("streamed .laz (leading chunk-table slot -1, table at EOF) reads back identically") {
+    // the published non-seekable-writer layout: the writer cannot come
+    // back to patch the leading i64 slot, so it writes -1 there, appends
+    // the chunk table at EOF and stores the table's position in the
+    // file's LAST 8 bytes. Rewrite a normally written .laz into that
+    // layout and the reader must resolve it chunk-aligned, same rows.
+    val pts = fmt0Points(10000)
+    val dir = tmpDir("laz-streamed")
+    pts.writeLaz(dir, Map("scale" -> "0.01", "laz.chunkSize" -> "2048"))
+    val expect = collectAll(spark.read.las(dir))
+    val rewritten = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".laz")).map { f =>
+        val bytes = Files.readAllBytes(f.toPath)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val pdrOffset = bb.getInt(96) // u32 "offset to point data", LAS header
+        val tableOffset = bb.getLong(pdrOffset)
+        bb.putLong(pdrOffset, -1L)
+        val out = java.nio.ByteBuffer.allocate(bytes.length + 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put(bytes); out.putLong(tableOffset)
+        Files.write(f.toPath, out.array())
+        // the write above bypasses Hadoop's checksummed stream: drop the
+        // stale .crc sidecar or LocalFileSystem rejects the rewrite
+        val crc = new java.io.File(f.getParentFile, "." + f.getName + ".crc")
+        if (crc.exists()) crc.delete()
+        f.getName
+      }
+    assert(rewritten.nonEmpty, "expected at least one .laz file to rewrite")
+    val back = spark.read.las(dir)
+    assert(back.count() == 10000)
+    assert(collectAll(back) == expect)
+  }
+
   test("variable chunk table round-trips irregular point/byte counts") {
     import graft.pointcloud.las.laz.Laz
     val pts = Seq(700L, 1300L, 250L, 1L, 16777216L)
