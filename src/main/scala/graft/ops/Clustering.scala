@@ -43,6 +43,49 @@ object Clustering {
       .getField("cell")
   }
 
+  /** Expression-tree budget of [[assignCell]]: k fused distance kernels
+    * per row (one per centroid) stay within analysis/codegen limits up
+    * to this many centroids; past it the tree itself becomes the cost
+    * and assignment goes through the broadcast join ([[assignCells]]). */
+  final val ExprMaxCells = 256
+
+  /** Cell assignment behind the k-dispatch — the third escalation rung
+    * of the SemDeDup family: up to [[ExprMaxCells]] centroids the
+    * assignment is the row-local [[assignCell]] expression (zero
+    * shuffle); past it the k distance kernels no longer fit one
+    * expression tree, so the centroids become DATA instead of PLAN — a
+    * k-row broadcast table cross-joined against the corpus (n×k rows
+    * expanded in place, no shuffle of the input) with a per-id `min_by`
+    * arg-min. The partial aggregation folds each row's k candidates
+    * map-side, so the one exchange carries n rows regardless of k.
+    * Both paths compute the same [[sqdist]] kernel and the same
+    * (distance, cell) tie order, so the dispatch is value-invisible;
+    * `idCol` must be unique (it is the arg-min group key). Returns the
+    * input columns plus `cell`. */
+  def assignCells(pts: DataFrame, idCol: String, vCol: String,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    if (centroids.size <= ExprMaxCells)
+      pts.withColumn("cell", assignCell(col(vCol), centroids))
+    else assignCellsJoined(pts, idCol, vCol, centroids)
+
+  /** The joined (k > [[ExprMaxCells]]) assignment path — also callable
+    * directly (the equivalence spec pins it against the expression
+    * path at the same k). */
+  def assignCellsJoined(pts: DataFrame, idCol: String, vCol: String,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val cdf = centroids.toDF("__cell", "__centroid")
+    val d = sqdist(col(vCol), col("__centroid"))
+    val carried = pts.columns.filter(_ != idCol).map(c => first(col(c)).as(c))
+    val cell = min_by(col("__cell"), struct(d.as("d"), col("__cell"))).as("cell")
+    val aggs = (carried :+ cell).toSeq
+    pts.join(broadcast(cdf))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((pts.columns :+ "cell").map(col).toIndexedSeq: _*)
+  }
+
   /** Deterministic Lloyd k-means over an `array<float|double>` column.
     * Returns the (cell, centroid) pairs after `iters` iterations; cells
     * that lose all members drop out (cannot happen while each init
@@ -55,8 +98,9 @@ object Clustering {
     * any engine-reproducible mean carries; narrower than the noise of
     * the seeded-sampling KMeans this replaced by ~9 orders of magnitude.
     *
-    * Scale shape: per iteration, assignment is row-local (k fused-kernel
-    * distances per row, zero shuffle) and the recompute is ONE map-side-
+    * Scale shape: per iteration, assignment dispatches on k
+    * ([[assignCells]]: row-local expression up to [[ExprMaxCells]],
+    * broadcast-join arg-min past it) and the recompute is ONE map-side-
     * combined aggregation whose exchange carries at most k×dim partial
     * sums per partition; the k×dim model state collects to the driver
     * like any broadcast-scale ML model. */
@@ -74,8 +118,7 @@ object Clustering {
     for (_ <- 0 until iters) {
       val meanCols = (0 until dim).map(j =>
         round(avg(element_at(col("v"), j + 1)), 6).as(s"m$j"))
-      centroids = pts
-        .withColumn("cell", assignCell(col("v"), centroids))
+      centroids = assignCells(pts, "id", "v", centroids)
         .groupBy("cell").agg(meanCols.head, meanCols.tail: _*)
         .collect()
         .map(r => (r.getInt(0), (0 until dim).map(j => r.getDouble(j + 1)): Seq[Double]))

@@ -435,13 +435,18 @@ object Dedup extends org.apache.spark.internal.Logging {
 
   /** Cell count for the escalated (past-MaxRows) near-dup path: k ∝ n
     * at [[SemanticCellTarget]] expected vectors per cell, floored at 2.
-    * The cap is the [[Clustering.assignCell]] expression-tree budget (k
-    * fused distance kernels per row); a deployment past
-    * `SemanticMaxCells · SemanticCellTarget` vectors assigns cells
-    * through a broadcast join against a centroid table instead of an
-    * expression — stated, not silently truncated. */
+    * k is NOT pinned at the expression-tree budget any more: past
+    * [[Clustering.ExprMaxCells]] cells, assignment dispatches to the
+    * broadcast-join arg-min ([[Clustering.assignCells]], the third
+    * escalation rung), so per-cell population stays ≈ the target while
+    * n grows. [[SemanticMaxCells]] remains as the BROADCAST budget: at
+    * 2^17 cells × 64 dims the centroid table is ~67 MB — the upper end
+    * of what a per-executor broadcast should carry; past
+    * `SemanticMaxCells · SemanticCellTarget` (~5.4e8 vectors) the next
+    * structural rung is a two-level (coarse×fine) quantizer, stated
+    * here rather than silently regrowing cells. */
   final val SemanticCellTarget = 4096L
-  final val SemanticMaxCells = 256
+  final val SemanticMaxCells = 1 << 17
   final val SemanticCellIters = 2
   def cellCountFor(n: Long): Int = {
     val want = (n + SemanticCellTarget - 1) / SemanticCellTarget
@@ -467,11 +472,12 @@ object Dedup extends org.apache.spark.internal.Logging {
     * kernels. */
   private def cellPoints(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Double])]): DataFrame =
-    df.select(col(idCol).as("id"),
-        transform(col(vecCol), _.cast("double")).as("v"))
-      .localCheckpoint(eager = true)
-      .withColumn("cell", Clustering.assignCell(col("v"), centroids))
-      .withColumn("n", sqrt(Similarity.dot(col("v"), col("v"))))
+    Clustering.assignCells(
+      df.select(col(idCol).as("id"),
+          transform(col(vecCol), _.cast("double")).as("v"))
+        .localCheckpoint(eager = true)
+        .withColumn("n", sqrt(Similarity.dot(col("v"), col("v")))),
+      "id", "v", centroids)
 
   /** The one cell-confined cosine self-join (ONE shuffle on the cell
     * key, then per-cell pairs) — [[cellConfinedNearDupPairs]] returns it

@@ -172,6 +172,45 @@ class OpsSpec extends SparkTestBase {
     assert(Dedup.cellCountFor(Long.MaxValue / 4) == Dedup.SemanticMaxCells)
   }
 
+  test("assignCells dispatches to a broadcast-join arg-min past the expression budget") {
+    // the third escalation rung: past ExprMaxCells the k distance
+    // kernels no longer fit one expression tree, so centroids become a
+    // broadcast k-row TABLE and the arg-min a per-id min_by — this spec
+    // pins the plan shape AND value-equality with the expression path
+    // at the same synthetic k > 256 (including the duplicate-centroid
+    // tie, which must resolve to the lowest cell on both paths)
+    val k = 300
+    assert(k > Clustering.ExprMaxCells)
+    val centroids = (0 until k).map { c =>
+      if (c == 299) (c, Seq(0.25, 0.0, 1.0)) // exact duplicate of cell 0
+      else (c, Seq(c.toDouble + 0.25, (c % 17).toDouble, 1.0))
+    }
+    val pts = spark.range(400).select($"id",
+        array(($"id" % 311).cast("double"),
+          (($"id" * 7) % 17).cast("double"),
+          lit(1.0)).as("v"))
+      .localCheckpoint(true)
+    val joined = Clustering.assignCells(pts, "id", "v", centroids)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast centroid join in the assignment plan:\n$plan")
+    val viaJoin = joined.select("id", "cell").as[(Long, Int)].collect().toMap
+    val viaExpr = pts.withColumn("cell", Clustering.assignCell($"v", centroids))
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    assert(viaJoin == viaExpr,
+      s"diverging=${viaJoin.filter { case (i, c) => viaExpr(i) != c }.take(5)}")
+    // the duplicate-centroid tie really fired and picked the LOWER cell
+    assert(viaJoin.values.exists(_ == 0) && !viaJoin.values.exists(_ == 299))
+    // dispatch boundary: at k <= ExprMaxCells the plan stays join-free
+    val small = Clustering.assignCells(pts, "id", "v", centroids.take(8))
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("Join"), s"small-k assignment must stay row-local:\n$smallPlan")
+    // unpinned cell growth: the broadcast budget, not the expression
+    // budget, is now the cap
+    assert(Dedup.cellCountFor(300L * 4096) == 300)
+    assert(Dedup.SemanticMaxCells > Clustering.ExprMaxCells)
+  }
+
   test("connected components collapse transitive near-dup chains") {
     // two chains (1-2-3-4) and (10-11), plus an isolated pair (20,21)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
