@@ -35,8 +35,9 @@ import org.apache.spark.sql.SparkSession
   * before (r09: events.ts NANOS→MICROS); two rounds' numbers are only
   * comparable when their fingerprints match.
   *
-  * After the timed passes, an `sf1_probe` block records one pass of the
-  * heaviest document families over a word-tagged 10× replication of the
+  * After the timed passes, an `sf1_probe` block records the min of two
+  * passes of the heaviest document families over a word-tagged 10×
+  * replication of the
   * corpus, the embedding families over a rotation-replicated 10×
   * corpus, the RocksDB stateful-dedup family over id-offset 10× events
   * (state growth), and the LAS write family over 10× lineitem (sink
@@ -355,16 +356,29 @@ object Bench {
         val mpbKey = "spark.sql.files.maxPartitionBytes"
         val prevMpb = spark.conf.get(mpbKey)
         spark.conf.set(mpbKey, (512 * 1024).toString)
+        // self-interpreting probe (the r13 incident: a loaded box
+        // recorded 24.5 s for a 4.6 s query and the artifact read as
+        // three severe regressions until a judge re-run): each entry is
+        // the MIN of two back-to-back passes — a load burst must span
+        // both to survive into the artifact — and the block carries its
+        // OWN calib pair (before/after the loop), so box-speed drift
+        // during the probe divides out of any cross-round comparison
+        // without re-running anything
+        val pCalibPre = calibrateOnce()
         val pTimes = try probeNames.map { name =>
-          val t0 = System.nanoTime()
-          try { SparkEntry.queries(name)(spark, dir.toString).count() }
-          catch { case t: Throwable =>
-            pErrs.getOrElseUpdate(name,
-              t.getClass.getSimpleName + ": " +
-                Option(t.getMessage).getOrElse("").takeWhile(_ != '\n').take(120))
+          val passes = (0 until 2).map { _ =>
+            val t0 = System.nanoTime()
+            try { SparkEntry.queries(name)(spark, dir.toString).count() }
+            catch { case t: Throwable =>
+              pErrs.getOrElseUpdate(name,
+                t.getClass.getSimpleName + ": " +
+                  Option(t.getMessage).getOrElse("").takeWhile(_ != '\n').take(120))
+            }
+            (System.nanoTime() - t0) / 1e9
           }
-          name -> (System.nanoTime() - t0) / 1e9
+          name -> passes.min
         } finally spark.conf.set(mpbKey, prevMpb)
+        val pCalibPost = calibrateOnce()
         val pq = pTimes.map { case (k, v) =>
           "\"" + k + "\":" + (if (pErrs.contains(k)) "null" else ms(v).toString)
         }.mkString("{", ",", "}")
@@ -372,7 +386,8 @@ object Bench {
           if (pErrs.isEmpty) ""
           else pErrs.map { case (k, v) => jstr(k) + ":" + jstr(v) }
             .mkString(""","errors":{""", ",", "}")
-        s""","sf1_probe":{"scale":$scale,"rows":$rows,"gen_sec":${ms(genSec)},"queries":$pq$pe}"""
+        s""","sf1_probe":{"scale":$scale,"rows":$rows,"gen_sec":${ms(genSec)},""" +
+          s""""calib":[${ms(pCalibPre)},${ms(pCalibPost)}],"passes":2,"queries":$pq$pe}"""
       } catch { case t: Throwable =>
         s""","sf1_probe":{"error":${jstr(t.getClass.getSimpleName + ": " +
           Option(t.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))}}"""
