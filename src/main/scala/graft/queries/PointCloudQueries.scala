@@ -634,21 +634,12 @@ object PointCloudQueries {
       min($"time").as("mnt"), max($"time").as("mxt"))
   }
 
-  /** pc23: the LAYERED LASzip compressor (LAS 1.4, compressor 3) graded
-    * end-to-end — lineitem → format-7 points exercising exactly the
-    * machinery the layered scheme adds over pc21's pointwise path:
-    * extended 4-bit returns, TWO interleaved scanner channels (the
-    * per-channel context sets), i16 scan angles, GPS time inside the
-    * POINT14 item, and RGB through RGB14 — → `.laz` via the same chunked
-    * sink (8192-point chunks, multi-chunk) → read back through the same
-    * chunk-aligned scan → census GROUPED BY THE DECODED SCANNER CHANNEL.
-    * The oracle re-derives the channel from the source rows, so a hash
-    * match proves the flags byte (channel bits included) and every other
-    * field survived the nine-layer cycle. Formats 6+ are what modern 1.4
-    * corpora actually ship; the reference reads them uncompressed only
-    * (las/LasHeader.scala formats table) and rejects `.laz` entirely. */
-  private val pc23: Q = (s, d) => {
-    val pts = Tables.lineitem(s, d).select(
+  /** The shared lineitem→format-7 frame (pc23 batch and pc27 streaming
+    * census the same rows, so their oracles share the derivations):
+    * extended 4-bit returns, TWO interleaved scanner channels, i16
+    * angles, GPS time and RGB. */
+  private def layeredPointFrame(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
       ($"l_orderkey" % 1000000).cast("int").as("x"),
       ($"l_partkey" % 1000000).cast("int").as("y"),
       ($"l_suppkey" % 1000000).cast("int").as("z"),
@@ -667,6 +658,22 @@ object PointCloudQueries {
       .withColumn("red", ($"x" % 1000).cast("short"))
       .withColumn("green", ($"y" % 700).cast("short"))
       .withColumn("blue", ($"z" % 500).cast("short"))
+
+  /** pc23: the LAYERED LASzip compressor (LAS 1.4, compressor 3) graded
+    * end-to-end — lineitem → format-7 points exercising exactly the
+    * machinery the layered scheme adds over pc21's pointwise path:
+    * extended 4-bit returns, TWO interleaved scanner channels (the
+    * per-channel context sets), i16 scan angles, GPS time inside the
+    * POINT14 item, and RGB through RGB14 — → `.laz` via the same chunked
+    * sink (8192-point chunks, multi-chunk) → read back through the same
+    * chunk-aligned scan → census GROUPED BY THE DECODED SCANNER CHANNEL.
+    * The oracle re-derives the channel from the source rows, so a hash
+    * match proves the flags byte (channel bits included) and every other
+    * field survived the nine-layer cycle. Formats 6+ are what modern 1.4
+    * corpora actually ship; the reference reads them uncompressed only
+    * (las/LasHeader.scala formats table) and rejects `.laz` entirely. */
+  private val pc23: Q = (s, d) => {
+    val pts = layeredPointFrame(s, d)
     val dir = tmpDir("pc23", d)
     pts.writeLaz(dir, Map("scale" -> "0.001", "laz.chunkSize" -> "8192"))
     s.read.las(dir)
@@ -734,7 +741,92 @@ object PointCloudQueries {
       .sort($"flags")
   }
 
+  /** pc26: the WAVEPACKET item graded end-to-end — lineitem → format-5
+    * points (GPS time + RGB + the 29-byte waveform packet descriptor:
+    * u8 index, u64 byte offset, u32 packet size, f32 return-point
+    * location and f32 dx/dy/dz direction) → `.laz` through the chunked
+    * pointwise sink (WAVEPACKET13 is the fifth item codec in the
+    * format-5 chain) → read back → census GROUPED BY THE DECODED
+    * WAVEFORM INDEX. The oracle re-derives every waveform field from
+    * the source rows, so a hash match proves the offset-difference
+    * classifier (same/following/i32-diff/raw64), the packet-size and
+    * location correctors and the xyz direction correctors are all
+    * lossless. Formats 4/5 round-tripped in specs since r13; this makes
+    * the waveform path a GRADED surface like every other codec family. */
+  private val pc26: Q = (s, d) => {
+    val pts = Tables.lineitem(s, d).select(
+      ($"l_orderkey" % 1000000).cast("int").as("x"),
+      ($"l_partkey" % 1000000).cast("int").as("y"),
+      ($"l_suppkey" % 1000000).cast("int").as("z"),
+      ($"l_linenumber" % 32000).cast("short").as("intensity"),
+      // r in 1..5, n = 5 (3-bit nibbles of formats 0-5)
+      ((($"l_linenumber" % 5) + 1) + lit(5 * 8)).cast("byte").as("flags"),
+      ($"l_partkey" % 32).cast("byte").as("classification"),
+      (($"l_suppkey" % 90) - 45).cast("byte").as("angle"),
+      lit(0).cast("byte").as("user"),
+      ($"l_orderkey" % 3).cast("short").as("source"),
+      (($"l_orderkey" % 1000000).cast("double") * 0.001 +
+        ($"l_partkey" % 1000000).cast("double")).as("time"),
+      ($"l_orderkey" % 1000).cast("short").as("red"),
+      ($"l_partkey" % 700).cast("short").as("green"),
+      ($"l_suppkey" % 500).cast("short").as("blue"),
+      // waveform descriptor: offsets mix "same"/"following"/jumping runs,
+      // sizes and directions are integral so every float is exact
+      ($"l_linenumber" % 4).cast("byte").as("index"),
+      (($"l_orderkey" % 100000) * 64).cast("bigint").as("offset"),
+      (($"l_partkey" % 1000) + 64).cast("int").as("size"),
+      ($"l_suppkey" % 500).cast("float").as("location"),
+      (($"l_partkey" % 200) - 100).cast("float").as("xt"),
+      (($"l_suppkey" % 200) - 100).cast("float").as("yt"),
+      (($"l_orderkey" % 200) - 100).cast("float").as("zt"))
+    val dir = tmpDir("pc26", d)
+    pts.writeLaz(dir, Map("scale" -> "0.001", "laz.chunkSize" -> "8192"))
+    s.read.las(dir)
+      .groupBy($"index".cast("int").as("widx"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        sum($"offset").as("so"),
+        min($"offset").as("mno"), max($"offset").as("mxo"),
+        sum($"size".cast("bigint")).as("ssz"),
+        min($"location").as("mnl"), max($"location").as("mxl"),
+        sum($"xt".cast("bigint")).as("sxt"),
+        sum($"yt".cast("bigint")).as("syt"),
+        sum($"zt".cast("bigint")).as("szt"),
+        min($"time").as("mnt"), max($"time").as("mxt"))
+      .sort($"widx")
+  }
+
+  /** pc27: STREAMING ingest of a LAYERED `.laz` directory — pc22's
+    * micro-batch shape over pc23's format-7 corpus: the streaming
+    * source plans the same chunk-aligned splits, the nine-layer
+    * native-1.4 codec decodes per chunk inside micro-batch tasks, and
+    * the complete-mode census grouped by the DECODED scanner channel
+    * must hash-match the source parquet. Pins the streaming planner ×
+    * layered codec composition end-to-end (pc22 covers only the v2
+    * pointwise scheme). */
+  private val pc27: Q = (s, d) => {
+    val pts = layeredPointFrame(s, d)
+    val dir = layoutOnce("pc27", d) { out =>
+      pts.writeLaz(out, Map("scale" -> "0.001", "laz.chunkSize" -> "4096"))
+    }
+    val stream = s.readStream.format("las").load(dir)
+    val agg = stream.groupBy(expr("cast(flags as bigint) div 16 % 4").as("channel"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        sum($"red".cast("bigint")).as("sr"),
+        min($"angle".cast("int")).as("mnang"),
+        sum($"intensity".cast("bigint")).as("si"),
+        min($"time").as("mnt"), max($"time").as("mxt"))
+    StreamingQueries.runToCompletion(agg, "graft_pc27", "complete")
+      .select($"channel", $"n", $"sx", $"sr", $"mnang", $"si", $"mnt", $"mxt")
+      .sort($"channel")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pc26_laz_wavepacket" -> pc26,
+    "pc27_laz_stream_layered" -> pc27,
     "pc22_laz_streaming" -> pc22,
     "pc23_laz_layered" -> pc23,
     "pc24_laz_variable" -> pc24,
@@ -763,6 +855,42 @@ object PointCloudQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // every waveform field re-derived from the source rows: a hash match
+    // proves the WAVEPACKET13 codec cycle (offset classifier, size /
+    // location / direction correctors) is lossless. Floats are integral
+    // by construction, so REAL min/max and BIGINT sums are exact.
+    "pc26_laz_wavepacket" ->
+      """SELECT CAST(l_linenumber % 4 AS INT) AS widx,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | CAST(SUM(CAST(l_orderkey % 100000 AS BIGINT) * 64) AS BIGINT) AS so,
+        | MIN(CAST(l_orderkey % 100000 AS BIGINT) * 64) AS mno,
+        | MAX(CAST(l_orderkey % 100000 AS BIGINT) * 64) AS mxo,
+        | CAST(SUM(CAST(l_partkey % 1000 AS BIGINT) + 64) AS BIGINT) AS ssz,
+        | MIN(CAST(l_suppkey % 500 AS REAL)) AS mnl,
+        | MAX(CAST(l_suppkey % 500 AS REAL)) AS mxl,
+        | CAST(SUM(CAST(l_partkey % 200 AS BIGINT) - 100) AS BIGINT) AS sxt,
+        | CAST(SUM(CAST(l_suppkey % 200 AS BIGINT) - 100) AS BIGINT) AS syt,
+        | CAST(SUM(CAST(l_orderkey % 200 AS BIGINT) - 100) AS BIGINT) AS szt,
+        | MIN(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mnt,
+        | MAX(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mxt
+        |FROM lineitem GROUP BY widx ORDER BY widx""".stripMargin,
+    // pc23's channel key over the streaming read: the micro-batch path
+    // must census the layered corpus identically to the source rows
+    "pc27_laz_stream_layered" ->
+      """SELECT l_orderkey % 2 AS channel,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | CAST(SUM(CAST(l_orderkey % 1000000 % 1000 AS BIGINT)) AS BIGINT) AS sr,
+        | MIN(CAST(l_suppkey % 3600 AS INT) - 1800) AS mnang,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si,
+        | MIN(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mnt,
+        | MAX(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mxt
+        |FROM lineitem GROUP BY channel ORDER BY channel""".stripMargin,
     // pc01's frame grouped by the flags byte: the group counts pin
     // per-record alignment across IRREGULAR chunk boundaries — a
     // mis-sized variable chunk shifts every following flags byte
