@@ -31,8 +31,15 @@ object Clustering {
     * never finishes; lambda variables keep it linear in k. */
   def assignCell(v: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
     require(centroids.nonEmpty, "assignCell needs at least one centroid")
+    // NULL distances (null vector, length mismatch) coalesce to MaxValue
+    // so a degenerate row still gets a deterministic cell (the lowest) —
+    // and, critically, the SAME cell on this path and the broadcast-join
+    // path ([[assignCellsJoined]]), whose min_by would otherwise skip
+    // NULL ordering keys and emit a NULL cell the expression fold never
+    // produces
     val cands = array(centroids.map { case (cell, c) =>
-      struct(sqdist(v, array(c.map(lit): _*)).as("d"), lit(cell).as("cell"))
+      struct(coalesce(sqdist(v, array(c.map(lit): _*)), lit(Double.MaxValue)).as("d"),
+        lit(cell).as("cell"))
     }: _*)
     aggregate(
       slice(cands, 2, centroids.size - 1),
@@ -76,7 +83,9 @@ object Clustering {
     val spark = pts.sparkSession
     import spark.implicits._
     val cdf = centroids.toDF("__cell", "__centroid")
-    val d = sqdist(col(vCol), col("__centroid"))
+    // same NULL-distance coalesce as [[assignCell]]: the dispatch must be
+    // value-invisible on degenerate rows too
+    val d = coalesce(sqdist(col(vCol), col("__centroid")), lit(Double.MaxValue))
     val carried = pts.columns.filter(_ != idCol).map(c => first(col(c)).as(c))
     val cell = min_by(col("__cell"), struct(d.as("d"), col("__cell"))).as("cell")
     val aggs = (carried :+ cell).toSeq
@@ -136,10 +145,11 @@ object Clustering {
       nProbe: Int): DataFrame = {
     val probes = probeCells(centroids, queryVec, nProbe)
     val q = array(queryVec.map(lit): _*)
-    df.select(col(idCol).as("id"),
-        transform(col(vecCol), _.cast("double")).as("v"))
-      .localCheckpoint(eager = true) // same inlining guard as kmeans
-      .withColumn("cell", assignCell(col("v"), centroids))
+    assignCells(
+      df.select(col(idCol).as("id"),
+          transform(col(vecCol), _.cast("double")).as("v"))
+        .localCheckpoint(eager = true), // same inlining guard as kmeans
+      "id", "v", centroids)
       .filter(col("cell").isin(probes: _*))
       .select(col("id"), Similarity.cosine(col("v"), q).as("sim"))
       .sort(col("sim").desc, col("id"))
@@ -165,10 +175,11 @@ object Clustering {
     * whole corpus, while the append touches only the new rows. */
   def writePartitionedByCell(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Double])], path: String, mode: String): Unit =
-    df.select(col(idCol).as("id"), col(vecCol).as("embedding"),
-        transform(col(vecCol), _.cast("double")).as("__v"))
-      .localCheckpoint(eager = true) // same inlining guard as kmeans
-      .withColumn("cell", assignCell(col("__v"), centroids))
+    assignCells(
+      df.select(col(idCol).as("id"), col(vecCol).as("embedding"),
+          transform(col(vecCol), _.cast("double")).as("__v"))
+        .localCheckpoint(eager = true), // same inlining guard as kmeans
+      "id", "__v", centroids)
       .drop("__v")
       .write.partitionBy("cell").mode(mode).parquet(path)
 

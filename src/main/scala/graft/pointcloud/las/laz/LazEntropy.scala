@@ -458,18 +458,29 @@ private[las] final class IntegerCompressor(bits: Int, contexts: Int, bitsHigh: I
   }
 }
 
-/** Streaming median-of-five of the recent x/y deltas (the public LASzip
-  * predictor): `high` alternates on EVERY add, so consecutive values
-  * displace opposite ends of the kept order and fresh data migrates
-  * into the middle. The alternation is load-bearing: a variant that
-  * flipped `high` only on opposite-side inserts (as this class did
-  * until round 14) collapses — from the zero-initialized state the
+/** Streaming median-of-five of the recent x/y deltas (the LASzip
+  * paper's x/y predictor, Isenburg 2013: "streaming median of the last
+  * five differences"): `high` alternates on EVERY add, so consecutive
+  * values displace opposite ends of the kept order and fresh data
+  * migrates into the middle.
+  *
+  * The alternation discipline is load-bearing AND is the one detail of
+  * this codec we cannot cross-check in this container (no LASzip source
+  * or fixture ships here). What is provable: a variant that flips
+  * `high` only on opposite-side (displacing) inserts — as this class
+  * did until round 14 — collapses: from the zero-initialized state the
   * only reachable states are `(a,0,0,0,0)` and `(0,0,0,0,c)`, so the
-  * median is provably 0 for EVERY input sequence, the predictor never
-  * engages, and the low-mode `values(1) < v` insert below is
-  * unreachable dead code. (Caught when golden pins failed to move
-  * under a context-table change: the table's only consumer was the
-  * always-zero median slot.) */
+  * median is 0 for EVERY input sequence, the predictor never engages,
+  * and the low-mode `values(1) < v` insert below is unreachable dead
+  * code. (Caught when golden pins failed to move under a context-table
+  * change: the table's only consumer was the always-zero median slot.)
+  * An inert predictor contradicts the published design, so that variant
+  * cannot be what LASzip computes; flip-on-every-add is the simplest
+  * discipline that makes the middle reachable and the published
+  * description true. If an external fixture ever shows the published
+  * flip discipline differs (e.g. flipping only on NON-displacing
+  * inserts, which also yields a working median but a different
+  * bitstream), re-align and regenerate the golden pins. */
 private[las] final class StreamingMedian5 {
   private val values = new Array[Int](5)
   private var high = true
