@@ -136,6 +136,96 @@ object Clustering {
     centroids
   }
 
+  /** Two-level (coarse × fine) quantizer model — the rung past the flat
+    * model's broadcast budget: `coarse` is an ordinary k1-cell model,
+    * `fine` refines each coarse cell with up to `k2` sub-centroids, so
+    * the composite reaches k1·k2 cells while no single assignment step
+    * ever handles more than max(k1, k2·cellFanIn) candidates. `fine`
+    * rows are `(coarseCell, fineCell, centroid)`; the composite cell id
+    * is `coarse·k2 + fine` (a Long — k1·k2 can exceed Int range). */
+  case class TwoLevelModel(
+      coarse: Seq[(Int, Seq[Double])],
+      fine: Seq[(Int, Int, Seq[Double])],
+      k2: Int)
+
+  /** Deterministic two-level Lloyd: a k1-cell [[kmeans]] coarse pass,
+    * then per-coarse-cell fine k-means refined JOINTLY in one
+    * distributed job per iteration — the fine-centroid table is plain
+    * DATA equi-joined on the coarse cell (Catalyst broadcasts it while
+    * it fits and shuffle-joins past that, which is the entire point:
+    * nothing in this path requires the k1·k2 model to fit one broadcast
+    * or one expression tree). Init mirrors [[kmeans]]'s rule per cell
+    * (the k2 lowest-id members); means round to 1e-6 like every other
+    * model here, so the fit is engine-order-independent.
+    *
+    * Scale shape per fine iteration: one n-row exchange for the per-id
+    * arg-min (the equi-join fans each row out to its own coarse cell's
+    * ≤ k2 candidates, partial-aggregated map-side) and one k1·k2-row
+    * exchange for the means. */
+  def kmeansTwoLevel(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k1: Int, k2: Int, iters: Int): TwoLevelModel = {
+    require(k1 > 0 && k2 > 0 && iters >= 0,
+      s"kmeansTwoLevel needs k1, k2 > 0 and iters >= 0, got $k1/$k2/$iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val coarseModel = kmeans(df, idCol, vecCol, dim, k1, iters)
+    val pts = assignCells(
+      df.select(col(idCol).as("id"),
+          transform(col(vecCol), _.cast("double")).as("v"))
+        .localCheckpoint(eager = true),
+      "id", "v", coarseModel)
+      .localCheckpoint(eager = true) // coarse cells reused every fine iteration
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy("id")
+    var fine: Seq[(Int, Int, Seq[Double])] = pts
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k2)
+      .select(col("cell"), (col("__rn") - 1).as("fine"), col("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .toSeq.sortBy(t => (t._1, t._2))
+    for (_ <- 0 until iters) {
+      val fdf = fine.toDF("__coarse", "__fine", "__centroid")
+      val d = coalesce(sqdist(col("v"), col("__centroid")), lit(Double.MaxValue))
+      val meanCols = (0 until dim).map(j =>
+        round(avg(element_at(col("v"), j + 1)), 6).as(s"m$j"))
+      fine = pts.join(fdf, col("cell") === col("__coarse"))
+        .groupBy(col("id"))
+        .agg(first(col("cell")).as("c"), first(col("v")).as("v"),
+          min_by(col("__fine"), struct(d.as("d"), col("__fine"))).as("f"))
+        .groupBy(col("c"), col("f")).agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1),
+          (0 until dim).map(j => r.getDouble(j + 2)): Seq[Double]))
+        .toSeq.sortBy(t => (t._1, t._2))
+    }
+    TwoLevelModel(coarseModel, fine, k2)
+  }
+
+  /** Composite cell assignment against a [[TwoLevelModel]]: coarse via
+    * the k-dispatch ([[assignCells]]), fine via an equi-join on the
+    * coarse cell (each row meets only its own cell's ≤ k2 fine
+    * candidates) and a per-id arg-min. Returns the input columns plus a
+    * Long `cell` = coarse·k2 + fine. Ties resolve to the lowest fine
+    * cell, mirroring every other assignment path. */
+  def assignCellsTwoLevel(pts: DataFrame, idCol: String, vCol: String,
+      model: TwoLevelModel): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val coarse = assignCells(pts, idCol, vCol, model.coarse)
+      .withColumnRenamed("cell", "__coarseCell")
+    val fdf = model.fine.toDF("__coarse", "__fine", "__centroid")
+    val d = coalesce(sqdist(col(vCol), col("__centroid")), lit(Double.MaxValue))
+    val carried = pts.columns.filter(_ != idCol).map(c => first(col(c)).as(c))
+    val aggs = (carried :+ first(col("__coarseCell")).as("__c") :+
+      min_by(col("__fine"), struct(d.as("d"), col("__fine"))).as("__f")).toSeq
+    coarse.join(fdf, col("__coarseCell") === col("__coarse"))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("cell", col("__c").cast("long") * model.k2 + col("__f"))
+      .select((pts.columns :+ "cell").map(col).toIndexedSeq: _*)
+  }
+
   /** ANN top-k through the IVF index: rank by exact cosine inside the
     * `nProbe` cells nearest the query vector. At scale the cell column is
     * precomputed and the table partitioned by it, so a query reads only

@@ -420,18 +420,59 @@ object Dedup extends org.apache.spark.internal.Logging {
       case (_, Some((bands, rows))) =>
         blockedEmbeddingNearDupPairs(df, idCol, vecCol, dim, threshold, bands, rows)
       case (n, None) =>
-        val k = cellCountFor(n)
-        // the structure change is a plan choice with a recall consequence
-        // (pairs SPANNING cells are no longer reported) — surface it, the
-        // same contract as the Bloom screen's escalation
-        logWarning(s"blockedEmbeddingNearDupPairs: measured $n vectors " +
-          s"exceed the LSH table's reach (maxRows=$maxRows); escalating to " +
-          s"cell-confined near-dup over $k k-means cells — cross-cell pairs " +
-          "are not reported on this path (SemDeDup recall position)")
-        val centroids = Clustering.kmeans(df, idCol, vecCol, dim, k,
-          SemanticCellIters)
-        cellConfinedNearDupPairs(df, idCol, vecCol, threshold, centroids)
+        nearDupPairsEscalated(df, idCol, vecCol, dim, threshold, n,
+          maxRows, SemanticMaxCells)
     }
+
+  /** The escalated (past-LSH-reach) near-dup structure, dispatched on
+    * the wanted cell count: within [[SemanticMaxCells]] it is the flat
+    * k ∝ n quantization; past it — where the flat centroid table would
+    * outgrow its broadcast/driver budget — the quantizer itself goes
+    * TWO-LEVEL ([[Clustering.kmeansTwoLevel]], coarse × fine, composite
+    * cells), keeping per-cell population at the target while no single
+    * assignment step handles more than max(k1, k2) candidates. Both
+    * rungs share [[cellPairs]], so the pair semantics (cosine filter in
+    * the join, SemDeDup cross-cell recall position) are identical.
+    * `maxCells` is the spec hook (production callers pass
+    * [[SemanticMaxCells]]). */
+  private[graft] def nearDupPairsEscalated(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, threshold: Double, n: Long,
+      maxRows: Int, maxCells: Int): DataFrame = {
+    val want = math.max(2L, (n + SemanticCellTarget - 1) / SemanticCellTarget)
+    if (want <= maxCells) {
+      val k = want.toInt
+      // the structure change is a plan choice with a recall consequence
+      // (pairs SPANNING cells are no longer reported) — surface it, the
+      // same contract as the Bloom screen's escalation
+      logWarning(s"blockedEmbeddingNearDupPairs: measured $n vectors " +
+        s"exceed the LSH table's reach (maxRows=$maxRows); escalating to " +
+        s"cell-confined near-dup over $k k-means cells — cross-cell pairs " +
+        "are not reported on this path (SemDeDup recall position)")
+      val centroids = Clustering.kmeans(df, idCol, vecCol, dim, k,
+        SemanticCellIters)
+      cellConfinedNearDupPairs(df, idCol, vecCol, threshold, centroids)
+    } else {
+      // fourth rung: the flat model itself no longer fits — factor the
+      // wanted cell count into coarse × fine so each level stays within
+      // the budget (k1·k2 reaches maxCells² before this shape runs out)
+      val k2 = math.min(maxCells.toLong, math.ceil(math.sqrt(want.toDouble)).toLong).toInt
+      val k1 = math.min(maxCells.toLong, (want + k2 - 1) / k2).toInt
+      logWarning(s"blockedEmbeddingNearDupPairs: measured $n vectors want " +
+        s"$want cells, past the flat quantizer's $maxCells-cell budget; " +
+        s"escalating to a TWO-LEVEL quantizer ($k1 coarse x $k2 fine " +
+        "composite cells) — cross-cell pairs are not reported " +
+        "(SemDeDup recall position)")
+      val model = Clustering.kmeansTwoLevel(df, idCol, vecCol, dim, k1, k2,
+        SemanticCellIters)
+      val pts = Clustering.assignCellsTwoLevel(
+        df.select(col(idCol).as("id"),
+            transform(col(vecCol), _.cast("double")).as("v"))
+          .localCheckpoint(eager = true)
+          .withColumn("n", sqrt(Similarity.dot(col("v"), col("v")))),
+        "id", "v", model)
+      cellPairs(pts, threshold)
+    }
+  }
 
   /** Cell count for the escalated (past-MaxRows) near-dup path: k ∝ n
     * at [[SemanticCellTarget]] expected vectors per cell, floored at 2.
@@ -442,9 +483,11 @@ object Dedup extends org.apache.spark.internal.Logging {
     * n grows. [[SemanticMaxCells]] remains as the BROADCAST budget: at
     * 2^17 cells × 64 dims the centroid table is ~67 MB — the upper end
     * of what a per-executor broadcast should carry; past
-    * `SemanticMaxCells · SemanticCellTarget` (~5.4e8 vectors) the next
-    * structural rung is a two-level (coarse×fine) quantizer, stated
-    * here rather than silently regrowing cells. */
+    * `SemanticMaxCells · SemanticCellTarget` (~5.4e8 vectors)
+    * [[nearDupPairsEscalated]] dispatches to the TWO-LEVEL quantizer
+    * ([[Clustering.kmeansTwoLevel]]): composite reach maxCells² cells
+    * (~2.2e12 vectors at target population) with no single assignment
+    * step handling more than maxCells candidates. */
   final val SemanticCellTarget = 4096L
   final val SemanticMaxCells = 1 << 17
   final val SemanticCellIters = 2

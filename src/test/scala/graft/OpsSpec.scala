@@ -211,6 +211,66 @@ class OpsSpec extends SparkTestBase {
     assert(Dedup.SemanticMaxCells > Clustering.ExprMaxCells)
   }
 
+  test("kmeans iterates through the joined assignment past the expression budget") {
+    // k > ExprMaxCells: every Lloyd iteration's assignment must route
+    // through the broadcast-join arg-min and still recompute means
+    val pts = spark.range(600).select($"id",
+      array(($"id" % 291).cast("double"), ($"id" % 7).cast("double")).as("v"))
+    val model = Clustering.kmeans(pts, "id", "v", dim = 2, k = 280, iters = 1)
+    assert(model.nonEmpty && model.size <= 280)
+    assert(model.forall(_._2.size == 2))
+    assert(model.map(_._1) == model.map(_._1).sorted, "cells ascending")
+  }
+
+  test("two-level assignment equals the driver-side reference arg-min") {
+    val pts = spark.range(60).select($"id",
+        array(($"id" % 13).cast("double"), ($"id" % 7).cast("double"),
+          ($"id" % 3).cast("double")).as("v"))
+      .localCheckpoint(true)
+    val model = Clustering.kmeansTwoLevel(pts, "id", "v", dim = 3, k1 = 3, k2 = 2, iters = 1)
+    assert(model.fine.nonEmpty && model.fine.forall(_._3.size == 3))
+    assert(model.k2 == 2)
+    val got = Clustering.assignCellsTwoLevel(pts, "id", "v", model)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    def sq(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val ref = pts.select("id", "v").as[(Long, Seq[Double])].collect().map { case (id, v) =>
+      val coarse = model.coarse.map { case (c, cv) => (sq(v, cv), c) }.min._2
+      val fine = model.fine.filter(_._1 == coarse)
+        .map { case (_, f, fv) => (sq(v, fv), f) }.min._2
+      id -> (coarse.toLong * model.k2 + fine)
+    }.toMap
+    assert(got == ref,
+      s"diverging=${got.filter { case (i, c) => ref(i) != c }.take(5)}")
+  }
+
+  test("past the flat cell budget the escalation goes two-level (coarse x fine)") {
+    // synthetic corpus big enough that want = ceil(n/4096) exceeds the
+    // injected maxCells: the escalation must switch the QUANTIZER to
+    // coarse x fine composite cells, and planted identical twins must
+    // still land in one composite cell and be reported
+    val base = spark.range(12500).select($"id".as("vec_id"),
+      array((0 until 8).map(j =>
+        ((($"id" + 1) * (j + 3)) % 15101).cast("double") / 15101d): _*).as("embedding"))
+    val twins = base.filter($"vec_id" < 150)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(twins).localCheckpoint(true)
+    val pairs = Dedup.nearDupPairsEscalated(corpus, "vec_id", "embedding",
+      dim = 8, threshold = 0.99995, n = 12650L, maxRows = 4, maxCells = 2)
+    assert(pairs.columns.toSeq == Seq("id_a", "id_b", "c"))
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expect = (0L until 150L).map(i => (i, i + 100000)).toSet
+    assert(expect.subsetOf(got), s"missing=${(expect -- got).take(5)}")
+    // the quadratic term stays cell-confined: equi-join on the composite
+    // cell key, never an all-pairs plan
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"two-level pairs must not be an all-pairs plan:\n$plan")
+  }
+
   test("connected components collapse transitive near-dup chains") {
     // two chains (1-2-3-4) and (10-11), plus an isolated pair (20,21)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
