@@ -589,6 +589,27 @@ object Dedup extends org.apache.spark.internal.Logging {
     * SAME pattern as [[graft.ops.Joins.saltedJoin]], at the cost of the
     * near-dup sets spanning sub-buckets (SemDeDup accepts this recall
     * loss by design: its dedup is per-cluster, not global). */
+  /** [[semanticDedup]] against a TWO-LEVEL quantizer
+    * ([[Clustering.TwoLevelModel]]): same cluster-then-prune rule, but
+    * the cell is the composite coarse·k2+fine id — the quantizer shape
+    * a corpus past the flat model's budget uses
+    * ([[nearDupPairsEscalated]]'s fourth rung). Returns
+    * `(id, cell: Long, dropped)`. */
+  def semanticDedupTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+      model: Clustering.TwoLevelModel, threshold: Double): DataFrame = {
+    val pts = Clustering.assignCellsTwoLevel(
+      df.select(col(idCol).as("id"),
+          transform(col(vecCol), _.cast("double")).as("v"))
+        .localCheckpoint(eager = true)
+        .withColumn("n", sqrt(Similarity.dot(col("v"), col("v")))),
+      "id", "v", model)
+    val dropped = cellPairs(pts, threshold)
+      .select(col("id_b").as("id")).distinct()
+    pts.join(dropped.withColumn("dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Double])], threshold: Double): DataFrame = {
     val pts = cellPoints(df, idCol, vecCol, centroids)

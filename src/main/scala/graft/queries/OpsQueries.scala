@@ -152,6 +152,36 @@ object OpsQueries {
         coalesce(sum(when($"dropped", $"id")), lit(0L)).as("dropped_id_sum"))
       .sort($"cell")
 
+  /** dd16's fine fan-out: each of the [[Ss04Cells]] coarse cells splits
+    * into up to 3 sub-centroids, so the composite quantizer runs 24
+    * cells over the same corpus the flat dd12 runs 8 — small enough
+    * that cells stay populated at sf0.001, large enough that the
+    * composite arithmetic (cell = coarse·k2 + fine) is load-bearing. */
+  private final val Dd16Fine = 3
+
+  /** dd16: semantic dedup through the TWO-LEVEL quantizer — the fourth
+    * escalation rung ([[graft.ops.Clustering.kmeansTwoLevel]]) graded
+    * against a full oracle restatement: the shared coarse k-means CTEs
+    * extend with per-coarse-cell fine Lloyd iterations (init = the k2
+    * lowest-id members of each cell, arg-min over the OWN cell's fine
+    * list, 1e-6-rounded means), then the same cluster-then-prune census
+    * as dd12 over the composite cells. A hash match proves the
+    * hierarchical fit, the composite assignment and the per-composite-
+    * cell drop rule all agree with an independent engine bit for bit —
+    * the strongest evidence the >broadcast-budget path computes what the
+    * flat path would. */
+  private val dd16: Q = (s, d) => {
+    val df = Tables.embeddings(s, d).filter($"vec_id" =!= 0)
+    val model = Clustering.kmeansTwoLevel(df, "vec_id", "embedding", 64,
+      Ss04Cells, Dd16Fine, Ss04Iters)
+    Dedup.semanticDedupTwoLevel(df, "vec_id", "embedding", model, Dd12Threshold)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("members"),
+        sum($"dropped".cast("long")).as("dropped"),
+        coalesce(sum(when($"dropped", $"id")), lit(0L)).as("dropped_id_sum"))
+      .sort($"cell")
+  }
+
   /** dd13's contamination n-gram width (8 words — the published
     * decontamination screening family) and the benchmark slice: every
     * 25th document stands in for a held-out eval suite. */
@@ -1154,6 +1184,7 @@ object OpsQueries {
     "dd13_decontaminate" -> dd13,
     "dd14_span_dedup" -> dd14,
     "dd15_span_trim" -> dd15,
+    "dd16_twolevel_semantic" -> dd16,
     "ss01_cosine_topk" -> ss01,
     "ss02_lsh_histogram" -> ss02,
     "ss03_ann_topk" -> ss03,
@@ -1619,6 +1650,44 @@ object OpsQueries {
     * [[ivfModel]] quantizer (ss04/ss07 probe, dd12 semantic dedup). */
   private val kmeansOracleCtes: String = kmeansOracleCtesFor("vec_id <> 0", None)
 
+  /** The fine (second-level) Lloyd CTEs of dd16's two-level oracle —
+    * extends [[kmeansOracleCtes]]'s `af` (the coarse assignment): per
+    * coarse cell, init the fine centroids from the k2 lowest-id
+    * members, iterate arg-min (over the row's OWN cell's fine list,
+    * ties to the lowest fine id) + 1e-6-rounded means [[Ss04Iters]]
+    * times, and end at `comp` (vec_id, v, composite BIGINT cell =
+    * coarse·k2 + fine) — the exact restatement of
+    * [[graft.ops.Clustering.kmeansTwoLevel]] +
+    * [[graft.ops.Clustering.assignCellsTwoLevel]]. */
+  private def fineOracleCtes(k2: Int): String = {
+    def flCte(src: String): String =
+      s"SELECT cell, list(struct_pack(fine := fine, c := c) ORDER BY fine) AS fs " +
+        s"FROM $src GROUP BY cell"
+    def faCte(l: String): String =
+      s"SELECT vec_id, v, cell, list_reduce(list_transform(fs, s -> struct_pack(" +
+        s"d := ${sqlSqd("v", "s.c")}, fine := s.fine)), " +
+        s"(acc, x) -> CASE WHEN x.d < acc.d OR (x.d = acc.d AND x.fine < acc.fine) " +
+        s"THEN x ELSE acc END).fine AS fine FROM af JOIN $l USING (cell)"
+    def fcCte(a: String): String =
+      s"SELECT cell, fine, list(m ORDER BY j) AS c FROM (" +
+        s"SELECT cell, fine, j, ROUND(AVG(v[j]), 6) AS m FROM $a, " +
+        s"(SELECT unnest(generate_series(1, 64)) AS j) tj GROUP BY cell, fine, j) t " +
+        s"GROUP BY cell, fine"
+    val iterCtes = (1 to Ss04Iters).map { i =>
+      s"fa$i AS (${faCte(s"fl${i - 1}")}), fc$i AS (${fcCte(s"fa$i")}), " +
+        s"fl$i AS (${flCte(s"fc$i")})"
+    }.mkString(",\n")
+    s"""f0 AS (
+       |  SELECT cell, rn - 1 AS fine, v AS c FROM (
+       |    SELECT cell, v, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+       |    FROM af) t
+       |  WHERE rn <= $k2
+       |), fl0 AS (${flCte("f0")}),
+       |$iterCtes,
+       |faf AS (${faCte(s"fl$Ss04Iters")}),
+       |comp AS (SELECT vec_id, v, CAST(cell AS BIGINT) * $k2 + fine AS cell FROM faf)""".stripMargin
+  }
+
   /** [[kmeansOracleCtes]] generalized for ss12's train-once-append
     * shape: the fit CTEs run over the `trainWhere` slice, and when
     * `assignWhere` is set the FINAL assignment `af` runs over that
@@ -1865,6 +1934,23 @@ object OpsQueries {
          |    AS BIGINT) AS dropped_id_sum
          |FROM af LEFT JOIN dropped d ON af.vec_id = d.id
          |GROUP BY af.cell ORDER BY af.cell""".stripMargin,
+    // dd12's census over the TWO-LEVEL quantizer: the coarse CTEs extend
+    // with the fine Lloyd chain and the composite-cell drop rule
+    "dd16_twolevel_semantic" ->
+      s"""WITH $kmeansOracleCtes,
+         |${fineOracleCtes(Dd16Fine)},
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id AS id
+         |  FROM comp a JOIN comp b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  WHERE ${sqlCosine("a.v", "b.v", 64)} >= $Dd12Threshold
+         |)
+         |SELECT comp.cell, COUNT(*) AS members,
+         |  CAST(SUM(CASE WHEN d.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dropped,
+         |  CAST(COALESCE(SUM(CASE WHEN d.id IS NOT NULL THEN comp.vec_id END), 0)
+         |    AS BIGINT) AS dropped_id_sum
+         |FROM comp LEFT JOIN dropped d ON comp.vec_id = d.id
+         |GROUP BY comp.cell ORDER BY comp.cell""".stripMargin,
     // contamination restated: distinct word 8-grams per side, the
     // benchmark's distinct-gram set, per-doc hit counts, lang census
     "dd13_decontaminate" ->
