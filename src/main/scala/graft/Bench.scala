@@ -137,8 +137,10 @@ object Bench {
     for (w <- Seq("iq01_scan_project") ++ names.filter(n =>
         n.startsWith("ss07") || n.startsWith("jn01") || n.startsWith("ss04") ||
         n.startsWith("ss12") || // build-once append layout + model
+        n.startsWith("dd16") || // train-once two-level quantizer model
         n.startsWith("pc1") || // pc10/pc11/pc12: build-once LAS layouts
-        n.startsWith("pc22"))) // build-once LAZ layout
+        n.startsWith("pc22") || // build-once LAZ layout
+        n.startsWith("pc27"))) // build-once layered LAZ layout
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => } // a broken query still errors in the timed loop
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()

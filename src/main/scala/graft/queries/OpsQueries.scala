@@ -170,11 +170,22 @@ object OpsQueries {
     * cell drop rule all agree with an independent engine bit for bit —
     * the strongest evidence the >broadcast-budget path computes what the
     * flat path would. */
+  /** dd16's hierarchical model, trained once per dataset dir — same
+    * train-once convention as [[ivfModel]] (a deployment fits the
+    * quantizer once and serves it; refitting per query would benchmark
+    * index construction, not the dedup). */
+  private val twoLevelModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Clustering.TwoLevelModel]()
+  private def twoLevelModel(s: SparkSession, d: String): Clustering.TwoLevelModel =
+    twoLevelModels.computeIfAbsent(d,
+      _ => Clustering.kmeansTwoLevel(
+        Tables.embeddings(s, d).filter($"vec_id" =!= 0),
+        "vec_id", "embedding", 64, Ss04Cells, Dd16Fine, Ss04Iters))
+
   private val dd16: Q = (s, d) => {
     val df = Tables.embeddings(s, d).filter($"vec_id" =!= 0)
-    val model = Clustering.kmeansTwoLevel(df, "vec_id", "embedding", 64,
-      Ss04Cells, Dd16Fine, Ss04Iters)
-    Dedup.semanticDedupTwoLevel(df, "vec_id", "embedding", model, Dd12Threshold)
+    Dedup.semanticDedupTwoLevel(df, "vec_id", "embedding",
+        twoLevelModel(s, d), Dd12Threshold)
       .groupBy($"cell")
       .agg(count(lit(1)).as("members"),
         sum($"dropped".cast("long")).as("dropped"),
