@@ -187,7 +187,7 @@ class PointCloudScanBuilder(
         else resolved.copy(sections =
           resolved.sections.filter(sectionMayMatch(_, skipFilters)))
       new PointCloudScan(kind, pruned, readSchema, tableSchema, options, provider,
-        recordFilters, limit)
+        recordFilters, limit, skipFilters)
   }
 }
 
@@ -273,7 +273,12 @@ class PointCloudScan(
     options: CaseInsensitiveStringMap,
     provider: PointCloudProvider = null,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    limit: Int = -1)
+    limit: Int = -1,
+    /** ALL pushed-down conjuncts, claimed or residual — LAZ sections
+      * keep record filters residual (Spark re-evaluates them exactly),
+      * but the PLANNER may still use every conjunct conservatively for
+      * COPC chunk skipping, exactly like the header file skip does. */
+    planFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   /** Sections surviving runtime (join-driven) filtering; starts as the
@@ -363,7 +368,12 @@ class PointCloudScan(
       if (kind == FormatKind.Xyz) {
         Seq(XyzPartition(s.location, sf.fid, xyzSchemaJson))
       } else sf.laz match {
-        case Some(lz) => LazPlanning.partitions(s, sf.fid, lz, maxBytes)
+        case Some(lz) =>
+          // COPC chunk skipping: octree bounds vs the pushed x/y/z box —
+          // exactness is preserved by the record predicate on whatever
+          // still decodes, so a pruned chunk is pure saved IO+decode
+          LazPlanning.partitions(s, sf.fid, lz, maxBytes,
+            CopcPrune.keepMask(lz, planFilters))
         case None =>
           val perPartition = math.max(1L, maxBytes / math.max(1, s.stride))
           val schemaJson = s.schema.json
@@ -455,21 +465,97 @@ case class LazPartition(
   }
 }
 
-/** Shared LAZ split planning (batch scan + streaming source). */
-private[connector] object LazPlanning {
+/** Chunk-level spatial pruning over a COPC file's octree bounds: the
+  * planner drops whole LAZ chunks whose node cube cannot intersect the
+  * pushed x/y/z box — row-group-stats pruning for point clouds, decided
+  * on the driver before any split is cut. One level below
+  * [[SectionSkip]] (whole-file skip on header bounds), one level above
+  * [[RecordPredicate]] (exact per-record evaluation on decoded bytes);
+  * all three see the same pushed conjuncts, so a chunk survives pruning
+  * iff its bounds admit at least one possibly-matching record. */
+private[graft] object CopcPrune {
+
+  /** Per-dim raw intervals [xlo,xhi,ylo,yhi,zlo,zhi] implied by the
+    * pushed conjuncts, or null when no x/y/z bound exists. Only
+    * top-level conjuncts (and nested Ands) narrow; Or and non-numeric
+    * shapes are ignored — conservative by construction. */
+  def queryBox(filters: Array[SourceFilter]): Array[Long] = {
+    val box = Array(Long.MinValue, Long.MaxValue, Long.MinValue, Long.MaxValue,
+      Long.MinValue, Long.MaxValue)
+    var any = false
+    def dim(c: String): Int = c match {
+      case "x" => 0; case "y" => 1; case "z" => 2; case _ => -1
+    }
+    def num(v: Any): Option[Long] = v match {
+      case n: java.lang.Integer => Some(n.longValue)
+      case n: java.lang.Long => Some(n.longValue)
+      case n: java.lang.Short => Some(n.longValue)
+      case n: java.lang.Byte => Some(n.longValue)
+      case _ => None
+    }
+    def lo(d: Int, v: Long): Unit = { box(2 * d) = math.max(box(2 * d), v); any = true }
+    def hi(d: Int, v: Long): Unit = { box(2 * d + 1) = math.min(box(2 * d + 1), v); any = true }
+    def one(f: SourceFilter): Unit = f match {
+      case FGt(c, v) if dim(c) >= 0 => num(v).foreach(x => lo(dim(c), x + 1))
+      case FGe(c, v) if dim(c) >= 0 => num(v).foreach(x => lo(dim(c), x))
+      case FLt(c, v) if dim(c) >= 0 => num(v).foreach(x => hi(dim(c), x - 1))
+      case FLe(c, v) if dim(c) >= 0 => num(v).foreach(x => hi(dim(c), x))
+      case FEq(c, v) if dim(c) >= 0 => num(v).foreach { x => lo(dim(c), x); hi(dim(c), x) }
+      case FIn(c, vs) if dim(c) >= 0 && vs.nonEmpty =>
+        val xs = vs.flatMap(num(_))
+        if (xs.length == vs.length) { lo(dim(c), xs.min); hi(dim(c), xs.max) }
+      case FAnd(l, r) => one(l); one(r)
+      case _ => // Or / unknown: no narrowing
+    }
+    filters.foreach(one)
+    if (any) box else null
+  }
+
+  /** Keep mask over `lz`'s chunks, or null when pruning cannot apply
+    * (no bounds in the file, or no x/y/z constraint in the query).
+    * Chunks without bounds are always kept. */
+  def keepMask(lz: graft.pointcloud.las.laz.LazInfo,
+      filters: Array[SourceFilter]): Array[Boolean] = {
+    if (lz.chunkRawBounds == null) return null
+    val box = queryBox(filters)
+    if (box == null) return null
+    Array.tabulate(lz.numChunks) { i =>
+      val b = lz.chunkRawBounds(i)
+      b == null ||
+        (b(1) >= box(0) && b(0) <= box(1) &&
+          b(3) >= box(2) && b(2) <= box(3) &&
+          b(5) >= box(4) && b(4) <= box(5))
+    }
+  }
+}
+
+/** Shared LAZ split planning (batch scan + streaming source). A `keep`
+  * mask (from [[CopcPrune]]) drops pruned chunks at planning: each
+  * maximal CONSECUTIVE kept run becomes its own partition group with
+  * its true record base, so `pid` stays the record's absolute index in
+  * the file across pruning gaps and the chunk-seeking readers run
+  * unchanged. */
+private[graft] object LazPlanning {
   def partitions(s: graft.pointcloud.Section, fid: Int,
-      lz: graft.pointcloud.las.laz.LazInfo, maxBytes: Long): Seq[LazPartition] = {
+      lz: graft.pointcloud.las.laz.LazInfo, maxBytes: Long,
+      keep: Array[Boolean] = null): Seq[LazPartition] = {
     val schemaJson = s.schema.json
     val out = Seq.newBuilder[LazPartition]
     var i = 0
     var off = lz.firstChunkOffset
     var recBase = 0L // records preceding chunk i (pid continuity)
     while (i < lz.numChunks) {
+      if (keep != null && !keep(i)) {
+        off += lz.chunkBytes(i)
+        recBase += lz.chunkPoints(i)
+        i += 1
+      } else {
       val first = i
       val firstOff = off
       val firstRec = recBase
       var bytes = 0L
-      while (i < lz.numChunks && (i == first || bytes + lz.chunkBytes(i) <= maxBytes)) {
+      while (i < lz.numChunks && (keep == null || keep(i)) &&
+          (i == first || bytes + lz.chunkBytes(i) <= maxBytes)) {
         bytes += lz.chunkBytes(i)
         off += lz.chunkBytes(i)
         recBase += lz.chunkPoints(i)
@@ -489,6 +575,7 @@ private[connector] object LazPlanning {
       }
       out += LazPartition(s.location, fid, lz.format, lz.stride,
         firstRec, offs, bts, cnts, schemaJson)
+      }
     }
     out.result()
   }

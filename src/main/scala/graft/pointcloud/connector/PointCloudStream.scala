@@ -253,7 +253,12 @@ class PointCloudMicroBatchStream(
         } else sections.flatMap { fs =>
           val section = fs.section
           fs.laz match {
-            case Some(lz) => LazPlanning.partitions(section, fid, lz, maxBytes)
+            case Some(lz) =>
+              // same COPC chunk skipping as the batch planner: claimed
+              // filters are honored exactly by the readers, so pruning
+              // here only removes chunks no claimed-filter row can be in
+              LazPlanning.partitions(section, fid, lz, maxBytes,
+                CopcPrune.keepMask(lz, pushedFilters))
             case None =>
               val perPartition = math.max(1L, maxBytes / math.max(1, section.stride))
               // render once per section: splits share the String instance so a

@@ -469,9 +469,49 @@ class LasDataWriter(
         }
       case None => Array.empty
     }
-  private val lazVariable = lazChunkPlan.nonEmpty
+  // `copc.cube` (= "cx,cy,cz,halfsize", the octree cube in WORLD
+  // coordinates) switches the laz sink to the COPC layout: chunk
+  // boundaries follow the level-`copc.level` voxel key of each record
+  // (variable chunking), and commit emits the `copc` info VLR + octree
+  // hierarchy EVLR that give readers per-chunk spatial bounds for
+  // planner-side chunk skipping. The cube MUST enclose every written
+  // point — enforced per record below, because the reader trusts the
+  // declared octree the way parquet readers trust row-group stats. Use
+  // `writeCopc` (syntax.scala), which derives an enclosing cube and a
+  // density-matched level in one columnar pass. A node whose points
+  // overflow `copc.chunkcap` splits into several chunks sharing one
+  // voxel key (each with its own hierarchy entry) — readers that sum
+  // entries per key (ours) see all points.
+  private val copcCube: Array[Double] =
+    if (!compressLaz) null
+    else options.get("copc.cube") match {
+      case Some(s) =>
+        val parts = s.split(',').map(_.trim.toDouble)
+        require(parts.length == 4,
+          s"copc.cube must be 'cx,cy,cz,halfsize', got '$s'")
+        require(parts(3) > 0, s"copc.cube halfsize must be positive, got ${parts(3)}")
+        parts
+      case None => null
+    }
+  private val copc = copcCube != null
+  private val copcLevel: Int =
+    if (!copc) 0
+    else {
+      val l = options.get("copc.level").map(_.toInt).getOrElse(0)
+      require(l >= 0 && l <= graft.pointcloud.las.laz.Copc.MaxLevel,
+        s"copc.level must be in 0..${graft.pointcloud.las.laz.Copc.MaxLevel}, got $l")
+      l
+    }
+  if (copc) {
+    require(format >= 6 && format <= 8,
+      s"COPC requires point format 6-8 (layered LAZ), got format $format")
+    require(lazChunkPlan.isEmpty, "copc.cube and laz.chunkPlan are exclusive " +
+      "(COPC chunk boundaries follow the octree, not a fixed plan)")
+  }
+  private val lazVariable = lazChunkPlan.nonEmpty || copc
   private val lazChunkSize: Int =
     if (!compressLaz) 0
+    else if (copc) options.get("copc.chunkcap").map(_.toInt).getOrElse(1 << 16)
     else if (lazVariable) lazChunkPlan.max
     else options.get("laz.chunksize").map(_.toInt)
       .getOrElse(graft.pointcloud.las.laz.Laz.DefaultChunkSize)
@@ -514,10 +554,54 @@ class LasDataWriter(
   private var chunkFill = 0
   private val chunkByteCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
   private val chunkPointCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
-  // current chunk's target point count: fixed, or the plan entry (cycled)
+  // current chunk's target point count: fixed, the plan entry (cycled),
+  // or the COPC node capacity (boundaries then follow the voxel key)
   private def chunkTarget: Int =
-    if (lazVariable) lazChunkPlan(chunkByteCounts.length % lazChunkPlan.length)
-    else lazChunkSize
+    if (copc || !lazVariable) lazChunkSize
+    else lazChunkPlan(chunkByteCounts.length % lazChunkPlan.length)
+
+  // COPC state: the open chunk's packed voxel key (valid when
+  // chunkFill > 0), per-flushed-chunk keys for the hierarchy, and the
+  // streamed gpstime range for the info VLR
+  private var copcCurKey = 0L
+  private val copcChunkKeys = scala.collection.mutable.ArrayBuffer.empty[Long]
+  private val copcTimeOrd: Int =
+    if (!copc) -1
+    else inputSchema.fields.indexWhere(f => f.name == "time" && f.dataType == DoubleType)
+  private var copcGpsMin = Double.PositiveInfinity
+  private var copcGpsMax = Double.NegativeInfinity
+  // voxel geometry (derived once): cube min per axis and node side
+  private val copcSide: Double = if (copc) 2.0 * copcCube(3) / (1 << copcLevel) else 0.0
+  private val copcMin: Array[Double] =
+    if (copc) Array.tabulate(3)(a => copcCube(a) - copcCube(3)) else null
+  // boundary tolerance: fp assembly of the cube from a bbox pass can
+  // land the extreme point a few ulps outside; within this slack the
+  // point clamps into the edge voxel, past it the cube is a caller lie
+  private val copcTol: Double = if (copc) copcCube(3) * 1e-9 else 0.0
+
+  /** Packed level-`copcLevel` voxel key of a row (raw ints decode
+    * through the same scale/offset the reader will apply; nulls encode
+    * as raw 0, so the key matches the bytes actually written). Rejects
+    * points outside the declared cube — the invariant chunk pruning
+    * trusts. */
+  private def copcKeyOf(row: InternalRow): Long = {
+    var key = 0L
+    var a = 0
+    while (a < 3) {
+      val o = xyzOrd(a)
+      val raw = if (o >= 0 && !row.isNullAt(o)) row.getInt(o) else 0
+      val w = raw * scale(a) + offset(a)
+      if (w < copcMin(a) - copcTol || w > copcMin(a) + 2.0 * copcCube(3) + copcTol)
+        throw new IllegalArgumentException(
+          f"point ${"xyz".charAt(a)}%c=$w%.6f outside the declared copc.cube " +
+            f"[${copcMin(a)}%.6f, ${copcMin(a) + 2.0 * copcCube(3)}%.6f]; " +
+            "the cube must enclose every written point (writeCopc derives one)")
+      val idx = graft.pointcloud.las.laz.Copc.voxelIdx(w, copcMin(a), copcSide, copcLevel)
+      key = (key << copcLevel) + idx
+      a += 1
+    }
+    key
+  }
 
   private def flushChunk(): Unit = {
     if (chunkFill > 0) {
@@ -525,6 +609,7 @@ class LasDataWriter(
       body.write(chunk)
       chunkPointCounts += chunkFill.toLong
       chunkByteCounts += chunk.length.toLong
+      if (copc) copcChunkKeys += copcCurKey
       chunkFill = 0
     }
   }
@@ -545,6 +630,19 @@ class LasDataWriter(
 
   override def write(row: InternalRow): Unit = {
     if (compressLaz) {
+      if (copc) {
+        // chunk boundary = voxel-key change (input arrives key-sorted
+        // from writeCopc; unsorted input stays CORRECT — every key run
+        // still gets key-pure chunks — just with more, smaller chunks)
+        val key = copcKeyOf(row)
+        if (chunkFill > 0 && key != copcCurKey) flushChunk()
+        copcCurKey = key
+        if (copcTimeOrd >= 0 && !row.isNullAt(copcTimeOrd)) {
+          val t = row.getDouble(copcTimeOrd)
+          if (t < copcGpsMin) copcGpsMin = t
+          if (t > copcGpsMax) copcGpsMax = t
+        }
+      }
       System.arraycopy(encoder.encode(row), 0, chunkBuf,
         chunkFill * encoder.recordLength, encoder.recordLength)
       chunkFill += 1
@@ -574,6 +672,46 @@ class LasDataWriter(
     body.close()
     val extrasVlr: Array[Byte] =
       if (extraFields.nonEmpty) LasExtraBytes.writeVlr(extraFields) else Array.empty
+    val minor: Byte = if (copc || count > Int.MaxValue) 4 else minorOpt
+    val headerSize = LasHeader.headerSize(minor).toInt
+    // chunk table serialized once: its length feeds the COPC EVLR offset
+    val tableBytes: Array[Byte] =
+      if (!compressLaz) Array.empty
+      else if (lazVariable)
+        graft.pointcloud.las.laz.Laz.chunkTableVariable(
+          chunkPointCounts.toSeq, chunkByteCounts.toSeq)
+      else graft.pointcloud.las.laz.Laz.chunkTable(chunkByteCounts.toSeq)
+    // COPC: info VLR leads the VLR block (published layout); the octree
+    // hierarchy rides as one root EVLR page after the chunk table. All
+    // offsets are absolute, so the fixed info-VLR length (54+160) lets
+    // everything resolve before assembly.
+    val (copcVlr, copcEvlr): (Array[Byte], Array[Byte]) =
+      if (!copc) (Array.empty[Byte], Array.empty[Byte])
+      else {
+        val copcImport = graft.pointcloud.las.laz.Copc
+        val lazVlrLen = graft.pointcloud.las.laz.Laz.vlrRecordBytes(format,
+          graft.pointcloud.las.laz.Laz.VariableChunkSize,
+          encoder.recordLength - LasHeader.recordLength(format)).length
+        val vlrLen = (54 + copcImport.InfoPayloadLen) + lazVlrLen + extrasVlr.length
+        val dataStart = headerSize.toLong + vlrLen + 8
+        val tableOffset = dataStart + chunkByteCounts.sum
+        val evlrOffset = tableOffset + tableBytes.length
+        var off = dataStart
+        val leaves = copcChunkKeys.indices.map { i =>
+          val (kx, ky, kz) = copcImport.unpackKey(copcChunkKeys(i), copcLevel)
+          val e = copcImport.Entry(copcLevel, kx, ky, kz, off,
+            chunkByteCounts(i).toInt, chunkPointCounts(i).toInt)
+          off += chunkByteCounts(i)
+          e
+        }
+        val payload = copcImport.entriesPayload(
+          copcImport.ancestorEntries(leaves) ++ leaves)
+        val info = copcImport.Info(copcCube(0), copcCube(1), copcCube(2),
+          copcCube(3), copcSide, evlrOffset + 60, payload.length.toLong,
+          if (copcGpsMin.isInfinite) 0.0 else copcGpsMin,
+          if (copcGpsMax.isInfinite) 0.0 else copcGpsMax)
+        (copcImport.infoVlrRecord(info), copcImport.hierEvlrRecord(payload))
+      }
     val (vlrBytes, numVlrs) =
       if (compressLaz) {
         val declaredChunkSize =
@@ -581,10 +719,9 @@ class LasDataWriter(
           else lazChunkSize
         val lazVlr = graft.pointcloud.las.laz.Laz.vlrRecordBytes(format, declaredChunkSize,
           encoder.recordLength - LasHeader.recordLength(format))
-        (lazVlr ++ extrasVlr, 1 + (if (extraFields.nonEmpty) 1 else 0))
+        (copcVlr ++ lazVlr ++ extrasVlr,
+          (if (copc) 1 else 0) + 1 + (if (extraFields.nonEmpty) 1 else 0))
       } else (extrasVlr, if (extraFields.nonEmpty) 1 else 0)
-    val minor: Byte = if (count > Int.MaxValue) 4 else minorOpt
-    val headerSize = LasHeader.headerSize(minor).toInt
     val header = LasHeader(
       location = finalPath.toString,
       pdrFormat = format,
@@ -601,7 +738,12 @@ class LasDataWriter(
       vlrCount = numVlrs,
       pdrLengthRaw = encoder.recordLength.toShort,
       extraFields = extraFields,
-      compressed = compressLaz)
+      compressed = compressLaz,
+      evlrCount = if (copc) 1 else 0,
+      evlrOffset =
+        if (copc) (headerSize + vlrBytes.length).toLong + 8 +
+          chunkByteCounts.sum + tableBytes.length
+        else 0L)
 
     // assemble header+body in the temp dir, then RENAME into place: the
     // final name appears atomically, so a crash mid-commit can never
@@ -626,11 +768,8 @@ class LasDataWriter(
         while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
       } finally in.close()
       if (compressLaz) {
-        out.write(
-          if (lazVariable)
-            graft.pointcloud.las.laz.Laz.chunkTableVariable(
-              chunkPointCounts.toSeq, chunkByteCounts.toSeq)
-          else graft.pointcloud.las.laz.Laz.chunkTable(chunkByteCounts.toSeq))
+        out.write(tableBytes)
+        if (copc) out.write(copcEvlr)
       }
     } finally out.close()
     // a crashed earlier attempt may have left a stale file under the

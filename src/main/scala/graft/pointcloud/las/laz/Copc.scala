@@ -1,0 +1,252 @@
+package graft.pointcloud.las.laz
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.pointcloud.las.{LasExtraBytes, LasHeader}
+
+/** Cloud-Optimized Point Cloud (COPC, the published copc.io layout):
+  * a LAS 1.4 / layered-LAZ file whose chunks are octree nodes, indexed
+  * by a `copc` info VLR (record 1) and an EPT-style hierarchy EVLR
+  * (record 1000). The hierarchy gives every chunk a voxel cube, which
+  * turns the record-level x/y/z predicate pushdown into CHUNK-LEVEL
+  * skipping: a bbox query over a 100-TB corpus decodes only the octree
+  * nodes its box intersects — the compressed analogue of parquet
+  * row-group stats pruning, planned on the driver before any split is
+  * cut. The reference has no compressed-format support at all
+  * (FixedLengthBinarySectionInputFormat.scala:48-56); this module is
+  * built from the public COPC specification.
+  *
+  * Trust model (same as parquet stats): the info VLR declares the cube
+  * and every node entry its voxel; pruning believes them. Our writer
+  * enforces the invariant (every point inside the declared cube —
+  * [[graft.pointcloud.connector.PointCloudWrite]] rejects violations at
+  * write time), and the reader converts node cubes to raw-integer
+  * bounds with ±1-quantum slack so floating-point wobble at node
+  * boundaries can never drop a matching record. A foreign file whose
+  * points violate its own declared octree is malformed input, exactly
+  * like a parquet file with lying row-group stats. */
+object Copc {
+
+  val VlrUserId = "copc"
+  val InfoRecordId = 1
+  val HierRecordId = 1000
+  val InfoPayloadLen = 160
+  val EntryLen = 32
+  /** Octree depth bound: 3·level key bits must fit a Long (writer) and
+    * 2^level a positive Int (reader cube math). */
+  val MaxLevel = 20
+  /** Hierarchy-size bound: foreign metadata is buffered whole on the
+    * driver, so a file cannot declare an absurd page graph. */
+  val MaxEntries = 1 << 22
+
+  /** The `copc` info VLR payload (public spec, 160 bytes). */
+  case class Info(
+      centerX: Double, centerY: Double, centerZ: Double,
+      halfsize: Double, spacing: Double,
+      rootHierOffset: Long, rootHierSize: Long,
+      gpsMin: Double, gpsMax: Double)
+
+  /** One hierarchy entry: voxel key + chunk location. `pointCount` −1
+    * marks a child-page reference, 0 an empty node. */
+  case class Entry(level: Int, x: Int, y: Int, z: Int,
+      offset: Long, byteSize: Int, pointCount: Int)
+
+  def infoPayload(info: Info): Array[Byte] = {
+    val b = ByteBuffer.allocate(InfoPayloadLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.putDouble(info.centerX).putDouble(info.centerY).putDouble(info.centerZ)
+    b.putDouble(info.halfsize).putDouble(info.spacing)
+    b.putLong(info.rootHierOffset).putLong(info.rootHierSize)
+    b.putDouble(info.gpsMin).putDouble(info.gpsMax)
+    b.array() // reserved[11] stays zero
+  }
+
+  def parseInfo(payload: Array[Byte]): Info = {
+    require(payload.length >= InfoPayloadLen,
+      s"copc info VLR payload is ${payload.length} bytes (need $InfoPayloadLen)")
+    val b = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    Info(b.getDouble(0), b.getDouble(8), b.getDouble(16), b.getDouble(24),
+      b.getDouble(32), b.getLong(40), b.getLong(48), b.getDouble(56), b.getDouble(64))
+  }
+
+  def entriesPayload(entries: Seq[Entry]): Array[Byte] = {
+    val b = ByteBuffer.allocate(entries.length * EntryLen).order(ByteOrder.LITTLE_ENDIAN)
+    entries.foreach { e =>
+      b.putInt(e.level).putInt(e.x).putInt(e.y).putInt(e.z)
+      b.putLong(e.offset).putInt(e.byteSize).putInt(e.pointCount)
+    }
+    b.array()
+  }
+
+  def parseEntries(payload: Array[Byte]): Seq[Entry] = {
+    require(payload.length % EntryLen == 0,
+      s"hierarchy page of ${payload.length} bytes is not a whole number of entries")
+    val b = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until payload.length / EntryLen).map { i =>
+      val o = i * EntryLen
+      Entry(b.getInt(o), b.getInt(o + 4), b.getInt(o + 8), b.getInt(o + 12),
+        b.getLong(o + 16), b.getInt(o + 24), b.getInt(o + 28))
+    }
+  }
+
+  /** 54-byte VLR container for the info record. */
+  def infoVlrRecord(info: Info): Array[Byte] =
+    vlrContainer(InfoRecordId, infoPayload(info))
+
+  private def vlrContainer(recordId: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](54 + payload.length)
+    val buf = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    val uid = VlrUserId.getBytes("US-ASCII")
+    var j = 0
+    while (j < uid.length) { buf.put(2 + j, uid(j)); j += 1 }
+    buf.putShort(18, recordId.toShort)
+    buf.putShort(20, payload.length.toShort)
+    System.arraycopy(payload, 0, out, 54, payload.length)
+    out
+  }
+
+  /** 60-byte EVLR container (64-bit length) for the hierarchy. */
+  def hierEvlrRecord(payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](60 + payload.length)
+    val buf = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    val uid = VlrUserId.getBytes("US-ASCII")
+    var j = 0
+    while (j < uid.length) { buf.put(2 + j, uid(j)); j += 1 }
+    buf.putShort(18, HierRecordId.toShort)
+    buf.putLong(20, payload.length.toLong)
+    System.arraycopy(payload, 0, out, 60, payload.length)
+    out
+  }
+
+  /** Walk the hierarchy page graph from the info VLR's root page.
+    * Child pages (pointCount −1) are fetched through the same bounded
+    * random-access reads the VLR walker uses; page count, entry count
+    * and recursion depth are all capped so foreign metadata cannot blow
+    * up the driver. Returns data entries only (pointCount > 0). */
+  def readDataEntries(info: Info, readAt: LasExtraBytes.ReadAt,
+      fileLen: Long): Seq[Entry] = {
+    val out = Seq.newBuilder[Entry]
+    var total = 0
+    def page(off: Long, size: Long, depth: Int): Unit = {
+      require(depth < 32, "copc hierarchy deeper than 32 pages")
+      require(size >= 0 && size % EntryLen == 0 && size / EntryLen <= MaxEntries,
+        s"copc hierarchy page of $size bytes outside the reader bound")
+      require(off >= 0 && off + size <= fileLen,
+        s"copc hierarchy page [$off, ${off + size}) outside the file (len $fileLen)")
+      total += (size / EntryLen).toInt
+      require(total <= MaxEntries, s"copc hierarchy exceeds $MaxEntries entries")
+      parseEntries(readAt(off, size.toInt)).foreach { e =>
+        if (e.pointCount == -1) page(e.offset, e.byteSize.toLong, depth + 1)
+        else if (e.pointCount > 0) out += e
+      }
+    }
+    page(info.rootHierOffset, info.rootHierSize, 0)
+    out.result()
+  }
+
+  /** Per-chunk raw-integer bounds [xlo,xhi,ylo,yhi,zlo,zhi] derived from
+    * the hierarchy, aligned with `lz`'s chunk order; null rows for
+    * chunks the hierarchy does not describe (those are never pruned).
+    * An entry binds to a chunk only when offset, byte size AND point
+    * count all agree — a hierarchy that disagrees with the chunk table
+    * silently yields no bounds (the file still reads as plain LAZ).
+    * World→raw conversion widens each side by one raw quantum, so
+    * boundary points assigned to a neighbouring node by fp rounding
+    * still fall inside their chunk's bounds. */
+  def chunkBounds(header: LasHeader, info: Info, entries: Seq[Entry],
+      lz: LazInfo): Array[Array[Long]] = {
+    if (header.scale.exists(_ <= 0)) return null
+    val byOffset = entries.iterator.map(e => e.offset -> e).toMap
+    val bounds = new Array[Array[Long]](lz.numChunks)
+    var off = lz.firstChunkOffset
+    var any = false
+    var i = 0
+    while (i < lz.numChunks) {
+      byOffset.get(off) match {
+        case Some(e) if e.byteSize.toLong == lz.chunkBytes(i) &&
+            e.pointCount.toLong == lz.chunkPoints(i) &&
+            e.level >= 0 && e.level <= MaxLevel &&
+            inRange(e.x, e.level) && inRange(e.y, e.level) && inRange(e.z, e.level) =>
+          val side = 2.0 * info.halfsize / (1L << e.level)
+          val b = new Array[Long](6)
+          fillDim(b, 0, info.centerX - info.halfsize + e.x * side, side,
+            header.scale(0), header.offset(0))
+          fillDim(b, 2, info.centerY - info.halfsize + e.y * side, side,
+            header.scale(1), header.offset(1))
+          fillDim(b, 4, info.centerZ - info.halfsize + e.z * side, side,
+            header.scale(2), header.offset(2))
+          bounds(i) = b
+          any = true
+        case _ => // unmatched chunk: no bounds, never pruned
+      }
+      off += lz.chunkBytes(i)
+      i += 1
+    }
+    if (any) bounds else null
+  }
+
+  private def inRange(idx: Int, level: Int): Boolean =
+    idx >= 0 && idx < (1L << level)
+
+  private def fillDim(b: Array[Long], at: Int, worldLo: Double, side: Double,
+      scale: Double, offset: Double): Unit = {
+    b(at) = math.floor((worldLo - offset) / scale).toLong - 1
+    b(at + 1) = math.ceil((worldLo + side - offset) / scale).toLong + 1
+  }
+
+  /** The file's `copc` info VLR, if present (throws on a malformed
+    * payload — callers wanting the degrade-to-plain-LAZ behavior go
+    * through [[boundsFor]]). */
+  def readInfo(header: LasHeader, readAt: LasExtraBytes.ReadAt): Option[Info] =
+    LasExtraBytes.findVlrPayloads(header, readAt, VlrUserId, InfoRecordId)
+      .headOption.map(parseInfo)
+
+  /** Resolve a compressed file's COPC metadata into per-chunk raw
+    * bounds, or null when the file is not COPC (no `copc` info VLR) or
+    * its hierarchy cannot be bound to the chunk table. Degrades to
+    * null — never throws — because COPC metadata is an OPTIMIZATION
+    * layer over a file that is already a fully readable LAZ. */
+  def boundsFor(header: LasHeader, readAt: LasExtraBytes.ReadAt,
+      fileLen: Long, lz: LazInfo): Array[Array[Long]] =
+    try {
+      readInfo(header, readAt) match {
+        case None => null
+        case Some(info) =>
+          require(info.halfsize > 0, s"copc cube halfsize ${info.halfsize} not positive")
+          chunkBounds(header, info, readDataEntries(info, readAt, fileLen), lz)
+      }
+    } catch { case _: Exception => null }
+
+  /** Writer-side voxel index of a world coordinate along one dimension
+    * (clamped only at the exact cube max; the writer rejects coordinates
+    * outside the cube before calling this). */
+  def voxelIdx(world: Double, cubeMin: Double, side: Double, level: Int): Int = {
+    val n = 1 << level
+    val i = math.floor((world - cubeMin) / side).toInt
+    if (i < 0) 0 else if (i >= n) n - 1 else i
+  }
+
+  /** Packed voxel key (level fixed by the writer): 3·level bits. */
+  def packKey(kx: Int, ky: Int, kz: Int, level: Int): Long =
+    (((kx.toLong << level) + ky.toLong) << level) + kz.toLong
+
+  /** Unpack a [[packKey]] back into (x, y, z). */
+  def unpackKey(key: Long, level: Int): (Int, Int, Int) = {
+    val mask = (1L << level) - 1
+    (((key >> (2 * level)) & mask).toInt, ((key >> level) & mask).toInt, (key & mask).toInt)
+  }
+
+  /** The ancestor closure of a leaf-entry set: every proper ancestor
+    * voxel up to the root, as empty entries (pointCount 0) — so the
+    * hierarchy forms a connected octree a top-down reader can walk. */
+  def ancestorEntries(leaves: Seq[Entry]): Seq[Entry] = {
+    val seen = scala.collection.mutable.Set.empty[(Int, Int, Int, Int)]
+    leaves.foreach { e =>
+      var (l, x, y, z) = (e.level, e.x, e.y, e.z)
+      while (l > 0) {
+        l -= 1; x >>= 1; y >>= 1; z >>= 1
+        seen += ((l, x, y, z))
+      }
+    }
+    seen.toSeq.sorted.map { case (l, x, y, z) => Entry(l, x, y, z, 0L, 0, 0) }
+  }
+}

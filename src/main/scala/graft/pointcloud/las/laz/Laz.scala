@@ -16,7 +16,14 @@ case class LazInfo(
     stride: Int,
     firstChunkOffset: Long,
     chunkBytes: Array[Long],
-    chunkPoints: Array[Long]) extends Serializable {
+    chunkPoints: Array[Long],
+    /** COPC only: per-chunk raw-integer [xlo,xhi,ylo,yhi,zlo,zhi]
+      * derived from the octree hierarchy (null rows = chunk without an
+      * entry; null array = not a COPC file). Consumed by the planner to
+      * SKIP chunks outside a pushed x/y/z bbox — the record predicate
+      * still runs on everything decoded, so the bounds only ever save
+      * work. */
+    chunkRawBounds: Array[Array[Long]] = null) extends Serializable {
   def numChunks: Int = chunkBytes.length
 }
 
@@ -147,8 +154,13 @@ object Laz {
     require(counts.sum == dataBytes,
       s"${header.location}: chunk table sums to ${counts.sum} bytes " +
         s"but the chunk region holds $dataBytes")
-    LazInfo(header.pdrFormat, vlr.chunkSize, stride, header.pdrOffset.toLong + 8,
-      counts, points)
+    val info = LazInfo(header.pdrFormat, vlr.chunkSize, stride,
+      header.pdrOffset.toLong + 8, counts, points)
+    // COPC overlay: when a `copc` info VLR is present and its hierarchy
+    // binds cleanly to the chunk table, attach per-chunk spatial bounds
+    // for planner-side chunk skipping (degrades to none — the file is a
+    // valid LAZ with or without its index)
+    info.copy(chunkRawBounds = Copc.boundsFor(header, readAt, fileLen, info))
   }
 
   /** The laszip VLR record (54-byte container header + payload) for a

@@ -98,6 +98,65 @@ object syntax {
       * `spark.read.las`. */
     def writeLaz(path: String, options: Map[String, String] = Map.empty): Unit =
       write("las", path, options + ("compress" -> "laz"))
+    /** COPC (Cloud-Optimized Point Cloud, the published copc.io layout):
+      * [[writeLaz]] with octree-keyed chunking plus the `copc` info VLR
+      * and hierarchy EVLR, so a bbox read PRUNES whole chunks at
+      * planning time (`spark.read.las(dir).where(bbox)` decodes only
+      * intersecting octree nodes — row-group-stats pruning for point
+      * clouds). One columnar agg pass derives the enclosing cube and a
+      * density-matched octree level; rows are then sorted WITHIN
+      * partitions by voxel key (no shuffle) so each node lands as a
+      * contiguous chunk run. Every task file carries its own octree
+      * over the shared global cube — pre-partition spatially upstream
+      * (e.g. `repartitionByRange` on a coarse voxel key) when
+      * cross-file disjointness matters; header-bbox FILE skipping
+      * applies either way. Requires point format 6-8 columns (COPC is a
+      * LAS 1.4 layered-LAZ profile). Options: `copc.nodepoints` (target
+      * points per leaf node, default 16384), `copc.chunkcap`, plus all
+      * [[writeLas]] options. Interop caveat as [[writeLaz]]. */
+    def writeCopc(path: String, options: Map[String, String] = Map.empty): Unit = {
+      import org.apache.spark.sql.functions.{col, count, floor, greatest, least, lit, max, min}
+      def parse3(key: String, default: Double): Array[Double] =
+        options.get(key) match {
+          case Some(s) =>
+            val parts = s.split(',').map(_.trim.toDouble)
+            if (parts.length == 1) Array.fill(3)(parts(0)) else parts.take(3).padTo(3, default)
+          case None => Array.fill(3)(default)
+        }
+      val sc = parse3("scale", 1.0)
+      val off = parse3("offset", 0.0)
+      val r = df.agg(
+        min(col("x")), max(col("x")), min(col("y")), max(col("y")),
+        min(col("z")), max(col("z")), count(lit(1))).head()
+      val n = r.getLong(6)
+      def world(i: Int, a: Int): Double =
+        if (r.isNullAt(i)) 0.0 else r.getInt(i) * sc(a) + off(a)
+      val lo = Array.tabulate(3)(a => world(2 * a, a))
+      val hi = Array.tabulate(3)(a => world(2 * a + 1, a))
+      val ctr = Array.tabulate(3)(a => (lo(a) + hi(a)) / 2)
+      // pad the halfsize so the extreme points sit strictly inside the
+      // cube under fp re-assembly (the writer re-checks with its own
+      // tolerance; the pad keeps honest data clear of that boundary)
+      val half = math.max(
+        (0 until 3).map(a => (hi(a) - lo(a)) / 2).max * (1 + 1e-9) + 1e-9, 1e-6)
+      val target = options.getOrElse("copc.nodepoints", "16384").toInt
+      require(target > 0, s"copc.nodepoints must be positive, got $target")
+      val level =
+        if (n <= target) 0
+        else math.min(graft.pointcloud.las.laz.Copc.MaxLevel,
+          math.ceil(math.log(n.toDouble / target) / math.log(8)).toInt)
+      val nSide = 1 << level
+      val side = 2 * half / nSide
+      def k(c: String, a: Int) =
+        least(lit(nSide - 1L), greatest(lit(0L),
+          floor((col(c).cast("double") * sc(a) + off(a) - (ctr(a) - half)) / side)))
+      val key = (k("x", 0) * nSide + k("y", 1)) * nSide + k("z", 2)
+      new PointCloudDataFrame(df.sortWithinPartitions(key)).write("las", path,
+        options ++ Map(
+          "compress" -> "laz",
+          "copc.cube" -> s"${ctr(0)},${ctr(1)},${ctr(2)},$half",
+          "copc.level" -> level.toString))
+    }
     def writePly(path: String, options: Map[String, String] = Map.empty): Unit =
       write("ply", path, options)
     def writeXyz(path: String, options: Map[String, String] = Map.empty): Unit =

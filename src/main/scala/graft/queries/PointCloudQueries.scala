@@ -824,7 +824,37 @@ object PointCloudQueries {
       .sort($"channel")
   }
 
+  /** pc28: COPC SPATIAL CHUNK PRUNING graded end-to-end — the format-7
+    * frame written through `writeCopc` (octree-keyed chunks + `copc`
+    * info VLR + hierarchy EVLR), then read back with a bbox predicate:
+    * the planner skips every chunk whose octree cube misses the box
+    * (CopcSpec pins the partition-count drop) and the census must still
+    * hash-match an oracle that re-derives the SAME box from the source
+    * rows — one dropped or double-counted chunk scrambles every group.
+    * This is the 100-TB read path: bbox queries decode only
+    * intersecting nodes, the record predicate exacts the residue. The
+    * layout is build-once (the GRADED operation is the pruned read). */
+  private val pc28: Q = (s, d) => {
+    val pts = layeredPointFrame(s, d)
+    val dir = layoutOnce("pc28", d) { out =>
+      pts.writeCopc(out, Map("scale" -> "0.001", "copc.nodepoints" -> "4096"))
+    }
+    s.read.las(dir)
+      .where($"x" >= 20000 && $"x" <= 45000 && $"y" >= 1000)
+      .groupBy(($"classification" % 8).cast("int").as("cls"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        sum($"y".cast("bigint")).as("sy"),
+        sum($"z".cast("bigint")).as("sz"),
+        sum($"intensity".cast("bigint")).as("si"),
+        min($"x").as("mnx"), max($"x").as("mxx"),
+        min($"time").as("mnt"), max($"time").as("mxt"))
+      .sort($"cls")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pc28_copc_pruned_scan" -> pc28,
     "pc26_laz_wavepacket" -> pc26,
     "pc27_laz_stream_layered" -> pc27,
     "pc22_laz_streaming" -> pc22,
@@ -855,6 +885,26 @@ object PointCloudQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same bbox re-derived from the source arithmetic: a hash match
+    // proves the octree pruning dropped ONLY out-of-box chunks and the
+    // residual record filter kept the census exact
+    "pc28_copc_pruned_scan" ->
+      """SELECT CAST(l_partkey % 64 % 8 AS INT) AS cls,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | CAST(SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS BIGINT) AS sy,
+        | CAST(SUM(CAST(l_suppkey % 1000000 AS BIGINT)) AS BIGINT) AS sz,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si,
+        | MIN(CAST(l_orderkey % 1000000 AS INT)) AS mnx,
+        | MAX(CAST(l_orderkey % 1000000 AS INT)) AS mxx,
+        | MIN(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mnt,
+        | MAX(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mxt
+        |FROM lineitem
+        |WHERE (l_orderkey % 1000000) BETWEEN 20000 AND 45000
+        |  AND (l_partkey % 1000000) >= 1000
+        |GROUP BY cls ORDER BY cls""".stripMargin,
     // every waveform field re-derived from the source rows: a hash match
     // proves the WAVEPACKET13 codec cycle (offset classifier, size /
     // location / direction correctors) is lossless. Floats are integral
