@@ -227,6 +227,11 @@ object Bench {
       "dd10_blocked_embedding", "dd12_semantic_dedup", "ss06_knn_join",
       "st10_rocksdb_dedup", "pc01_las_roundtrip", "pc21_laz_roundtrip",
       "pc23_laz_layered", // the native-1.4 nine-layer codec at 10× points
+      // pc28: the COPC bbox read over a 10× octree layout (build warmed
+      // untimed) — chunk pruning must keep the read proportional to the
+      // BOX's share of the corpus, so the trend line vs pc23's full
+      // decode is the direct evidence the spatial index pays at scale
+      "pc28_copc_pruned_scan",
       "ss07_ivf_served")
       .filter(names.contains)
     val probeJson: String =
@@ -305,7 +310,8 @@ object Bench {
         // must not pay the other families' 10× coalesce(1) writes
         val needEvents = probeNames.exists(_.startsWith("st10"))
         val needLineitem = probeNames.exists(n =>
-          n.startsWith("pc01") || n.startsWith("pc21") || n.startsWith("pc23"))
+          n.startsWith("pc01") || n.startsWith("pc21") || n.startsWith("pc23") ||
+            n.startsWith("pc28"))
         val tsTypeKey = "spark.sql.parquet.outputTimestampType"
         val prevTsType = spark.conf.get(tsTypeKey)
         try {
@@ -353,6 +359,12 @@ object Bench {
         if (probeNames.exists(_.startsWith("ss07")))
           try SparkEntry.queries("ss07_ivf_served")(spark, dir.toString).count()
           catch { case _: Throwable => } // ss07 itself will surface the error
+        // and pc28: the first call builds the probe dir's COPC octree
+        // layout (a 10× write); the timed entry is the PRUNED READ that
+        // layout exists to serve
+        if (probeNames.exists(_.startsWith("pc28")))
+          try SparkEntry.queries("pc28_copc_pruned_scan")(spark, dir.toString).count()
+          catch { case _: Throwable => } // pc28 itself will surface the error
         // split the small row groups into per-core partitions (default
         // 128 MiB maxPartitionBytes would re-bundle the whole file into
         // one split); restored right after the probe loop

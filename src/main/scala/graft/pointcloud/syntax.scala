@@ -107,12 +107,18 @@ object syntax {
       * density-matched octree level; rows are then sorted WITHIN
       * partitions by voxel key (no shuffle) so each node lands as a
       * contiguous chunk run. Every task file carries its own octree
-      * over the shared global cube — pre-partition spatially upstream
-      * (e.g. `repartitionByRange` on a coarse voxel key) when
-      * cross-file disjointness matters; header-bbox FILE skipping
-      * applies either way. Requires point format 6-8 columns (COPC is a
-      * LAS 1.4 layered-LAZ profile). Options: `copc.nodepoints` (target
-      * points per leaf node, default 16384), `copc.chunkcap`, plus all
+      * over the shared global cube; `copc.files = N` additionally
+      * RANGE-PARTITIONS the frame on the voxel key (one shuffle) so the
+      * N output files cover DISJOINT key ranges — each file's header
+      * bbox then encloses only its own region and whole files drop at
+      * the [[graft.pointcloud.connector.SectionSkip]] level before any
+      * chunk bound is even consulted, the two-tier pruning a 100-TB
+      * corpus needs (thousands of files × thousands of chunks). Without
+      * it the write is shuffle-free and file skipping still applies,
+      * just with whatever spatial overlap the input partitioning had.
+      * Requires point format 6-8 columns (COPC is a LAS 1.4 layered-LAZ
+      * profile). Options: `copc.nodepoints` (target points per leaf
+      * node, default 16384), `copc.chunkcap`, `copc.files`, plus all
       * [[writeLas]] options. Interop caveat as [[writeLaz]]. */
     def writeCopc(path: String, options: Map[String, String] = Map.empty): Unit = {
       import org.apache.spark.sql.functions.{col, count, floor, greatest, least, lit, max, min}
@@ -151,7 +157,13 @@ object syntax {
         least(lit(nSide - 1L), greatest(lit(0L),
           floor((col(c).cast("double") * sc(a) + off(a) - (ctr(a) - half)) / side)))
       val key = (k("x", 0) * nSide + k("y", 1)) * nSide + k("z", 2)
-      new PointCloudDataFrame(df.sortWithinPartitions(key)).write("las", path,
+      val arranged = options.get("copc.files") match {
+        case Some(f) =>
+          require(f.toInt > 0, s"copc.files must be positive, got $f")
+          df.repartitionByRange(f.toInt, key).sortWithinPartitions(key)
+        case None => df.sortWithinPartitions(key)
+      }
+      new PointCloudDataFrame(arranged).write("las", path,
         options ++ Map(
           "compress" -> "laz",
           "copc.cube" -> s"${ctr(0)},${ctr(1)},${ctr(2)},$half",

@@ -155,6 +155,42 @@ class CopcSpec extends SparkTestBase {
     assert(chain(err).exists(_.contains("outside the declared copc.cube")))
   }
 
+  test("copc.files range-partitions into spatially disjoint files so whole files skip") {
+    val dir = tmpDir("copc-files")
+    // 4 input partitions with interleaved x so, WITHOUT the range
+    // shuffle, every task file would span the whole x range
+    fmt6Points(32000).repartition(4)
+      .writeCopc(dir, Map("scale" -> "0.01", "copc.files" -> "4",
+        "copc.nodepoints" -> "2048"))
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".laz")).sortBy(_.getName)
+    assert(files.length == 4)
+    // per-file header bboxes: the voxel key is x-major, so range
+    // partitioning must make each file's x span a FRACTION of the
+    // global span (disjoint up to one shared voxel band at each seam)
+    val spans = files.map { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val in = new java.io.ByteArrayInputStream(bytes)
+      val h = try graft.pointcloud.las.LasHeader.read(f.toString, in) finally in.close()
+      (h.pMin(0), h.pMax(0))
+    }
+    val globalSpan = spans.map(_._2).max - spans.map(_._1).min
+    spans.foreach { case (lo, hi) =>
+      assert(hi - lo < 0.6 * globalSpan,
+        s"file span [$lo, $hi] not a fraction of the global $globalSpan")
+    }
+    // a narrow-x box must make whole files ineligible at the header
+    // (SectionSkip) level: count files whose bbox intersects it
+    val touching = spans.count { case (lo, hi) => hi >= 100.0 && lo <= 250.0 }
+    assert(touching < files.length, "a narrow box must skip whole files")
+    // and the read over that box stays exact
+    val got = spark.read.las(dir).where($"x" >= 10000 && $"x" <= 25000)
+    val want = fmt6Points(32000).where($"x" >= 10000 && $"x" <= 25000)
+    assert(got.count() == want.count())
+    assert(got.agg(sum($"x".cast("bigint")), sum($"z".cast("bigint"))).head() ==
+      want.agg(sum($"x".cast("bigint")), sum($"z".cast("bigint"))).head())
+  }
+
   test("COPC survives schema-merged multi-file reads and header file-skip still applies") {
     val dir = tmpDir("copc-multi")
     val pts = fmt6Points(12000)
