@@ -67,8 +67,8 @@ object Similarity {
     * r12: the ~3× candidate saving was spent on ~21× more per-plane
     * expression calls). The signature term is paid by structure instead:
     * [[lshBandKeys]] evaluates ALL bands·rows planes in one fused
-    * codegen pass per vector — 4.1 s on the same 20k probe under the
-    * r14 protocol (min of two passes, probe-local calib ≈0.29; the
+    * codegen pass per vector — 4.1–4.7 s on the same 20k probe across
+    * r14 re-runs (min of two passes, probe-local calib ≈0.29; the
     * probe's own calib pair is the artifact to compare against, see
     * `BENCH_r14.json` `sf1_probe`). Past [[MaxRows]] (n ≈ pairsPerKey·2^24)
     * no wider table helps; [[lshGeometryOrEscalate]] reports the

@@ -824,20 +824,25 @@ object PointCloudQueries {
       .sort($"channel")
   }
 
-  /** pc28: COPC SPATIAL CHUNK PRUNING graded end-to-end — the format-7
-    * frame written through `writeCopc` (octree-keyed chunks + `copc`
-    * info VLR + hierarchy EVLR), then read back with a bbox predicate:
-    * the planner skips every chunk whose octree cube misses the box
-    * (CopcSpec pins the partition-count drop) and the census must still
-    * hash-match an oracle that re-derives the SAME box from the source
-    * rows — one dropped or double-counted chunk scrambles every group.
-    * This is the 100-TB read path: bbox queries decode only
-    * intersecting nodes, the record predicate exacts the residue. The
-    * layout is build-once (the GRADED operation is the pruned read). */
+  /** pc28: COPC SPATIAL PRUNING graded end-to-end, BOTH tiers — the
+    * format-7 frame written through `writeCopc` with `copc.files = 3`
+    * (range-partitioned on the voxel key into three spatially DISJOINT
+    * files, each with octree-keyed chunks + `copc` info VLR + hierarchy
+    * EVLR), then read back with a bbox predicate: whole files whose
+    * header bbox misses the box drop at the SectionSkip tier, surviving
+    * files skip every chunk whose octree cube misses it (CopcSpec pins
+    * the partition-count drop), and the census must still hash-match an
+    * oracle that re-derives the SAME box from the source rows — one
+    * dropped or double-counted file OR chunk scrambles every group.
+    * This is the 100-TB read path: thousands of files × thousands of
+    * chunks, pruned file-first then chunk-level, with the record
+    * predicate exacting the residue. The layout is build-once (the
+    * GRADED operation is the pruned read). */
   private val pc28: Q = (s, d) => {
     val pts = layeredPointFrame(s, d)
-    val dir = layoutOnce("pc28", d) { out =>
-      pts.writeCopc(out, Map("scale" -> "0.001", "copc.nodepoints" -> "4096"))
+    val dir = layoutOnce("pc28b", d) { out =>
+      pts.writeCopc(out, Map("scale" -> "0.001", "copc.nodepoints" -> "4096",
+        "copc.files" -> "3"))
     }
     s.read.las(dir)
       .where($"x" >= 20000 && $"x" <= 45000 && $"y" >= 1000)
