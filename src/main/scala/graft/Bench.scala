@@ -141,7 +141,8 @@ object Bench {
         n.startsWith("pc1") || // pc10/pc11/pc12: build-once LAS layouts
         n.startsWith("pc22") || // build-once LAZ layout
         n.startsWith("pc27") || // build-once layered LAZ layout
-        n.startsWith("pc28"))) // build-once COPC octree layout
+        n.startsWith("pc28") || // build-once COPC octree layout
+        n.startsWith("pc29"))) // shares pc28's COPC layout
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => } // a broken query still errors in the timed loop
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -37,8 +37,15 @@ class PointCloudScanBuilder(
 
   private var readSchema: StructType = tableSchema
   private var pushedAggRow: Option[(StructType, Array[Array[Any]])] = None
-  private var skipFilters: Array[SourceFilter] = Array.empty
-  private var recordFilters: Array[SourceFilter] = Array.empty
+  /** Explicit spatial subscription (`bbox` read option, see
+    * [[BboxOption]]): synthesized filters seeded into BOTH pushdown
+    * layers so the declared box binds even when the query carries no
+    * WHERE — the batch twin of the streaming source's only pushdown
+    * channel (DSv2 micro-batch planning never calls pushFilters). */
+  private val bboxFilters: Array[SourceFilter] =
+    BboxOption.filters(kind, tableSchema, options)
+  private var skipFilters: Array[SourceFilter] = bboxFilters
+  private var recordFilters: Array[SourceFilter] = bboxFilters
   private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -56,16 +63,18 @@ class PointCloudScanBuilder(
     * per-line parsing, where Spark's own codegen filter is as good).
     */
   override def pushFilters(filters: Array[SourceFilter]): Array[SourceFilter] = {
-    skipFilters = filters
+    skipFilters = bboxFilters ++ filters
     // LAZ sections decode whole chunks anyway (a record predicate saves
     // no entropy-decode work), and the record readers evaluate pushed
     // filters on RAW record bytes — keep everything residual when any
-    // section is compressed; header-bbox file skip still applies
+    // section is compressed; header-bbox file skip still applies.
+    // bbox-option filters are NOT residual-droppable (Spark never saw
+    // them) so they stay in the reader-applied set unconditionally.
     val (push, residual) =
       if (kind == FormatKind.Xyz || resolved.sections.exists(_.laz.isDefined))
         (Array.empty[SourceFilter], filters)
       else filters.partition(RecordPredicate.pushable(_, tableSchema))
-    recordFilters = push
+    recordFilters = bboxFilters ++ push
     residual
   }
   override def pushedFilters(): Array[SourceFilter] = recordFilters
@@ -308,9 +317,10 @@ class PointCloudScan(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(provider != null, "streaming requires the owning provider")
     // filters claimed as pushed MUST be applied by the streaming readers
-    // too — this scan (with its pushedFilters) is what Spark plans from
+    // too — this scan (with its pushedFilters) is what Spark plans from;
+    // the full conjunct set rides along for COPC planning-time pruning
     new PointCloudMicroBatchStream(kind, provider, schema, tableSchema, options,
-      checkpointLocation, pushedFilters)
+      checkpointLocation, pushedFilters, planFilters)
   }
 
   /** Header-derived stats (exact row counts, on-disk bytes) so Catalyst
@@ -463,6 +473,64 @@ case class LazPartition(
     copy(chunkOffsets = chunkOffsets.take(n), chunkBytes = chunkBytes.take(n),
       chunkCounts = counts)
   }
+}
+
+/** Explicit spatial subscription: the `bbox` read option,
+  * `"xlo,xhi,ylo,yhi,zlo,zhi"` in the exposed-schema coordinate domain
+  * (raw integers for LAS, stored values for PLY; `*` leaves a side
+  * unbounded). Spark's DSv2 STREAMING planner never pushes predicates
+  * into a micro-batch source (the stream's scan is built before the
+  * optimizer sees any WHERE), so a consumer that should only ingest a
+  * region must DECLARE it — the same way a Kafka reader declares its
+  * subscription. The declared box is EXACT at the record level: it
+  * compiles to the same [[RecordPredicate]] the claimed-pushdown path
+  * uses (readers skip non-matching records before decode; LAZ readers
+  * apply it to decoded chunk records), and at planning time it drives
+  * header file-skip and COPC chunk pruning. The batch scan honors the
+  * option identically, so one option value means one result set in
+  * both modes. XYZ is rejected (text records have no reader-side
+  * predicate surface — a silently over-delivering subscription would
+  * be worse than an error). */
+private[graft] object BboxOption {
+  def filters(kind: FormatKind, tableSchema: StructType,
+      options: CaseInsensitiveStringMap): Array[SourceFilter] =
+    Option(options.get("bbox")) match {
+      case None => Array.empty
+      case Some(raw) =>
+        require(kind != FormatKind.Xyz,
+          "bbox is not supported for xyz sources: text records have no " +
+            "reader-side predicate surface, so the declared box could not " +
+            "be honored exactly")
+        val parts = raw.split(",", -1).map(_.trim)
+        require(parts.length == 6,
+          s"bbox must be 'xlo,xhi,ylo,yhi,zlo,zhi' (exposed-schema " +
+            s"coordinate domain, '*' for an unbounded side), got '$raw'")
+        val dims = Array("x", "y", "z")
+        val out = Array.newBuilder[SourceFilter]
+        var a = 0
+        while (a < 3) {
+          def bound(tok: String, side: String): Option[Long] =
+            if (tok == "*") None
+            else Some(try tok.toLong catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"bbox $side bound for ${dims(a)} is not an integer: '$tok'")
+            })
+          val lo = bound(parts(2 * a), "lower")
+          val hi = bound(parts(2 * a + 1), "upper")
+          for (l <- lo; h <- hi) require(l <= h,
+            s"bbox ${dims(a)} bounds are inverted: $l > $h")
+          lo.foreach(v => out += FGe(dims(a), v))
+          hi.foreach(v => out += FLe(dims(a), v))
+          a += 1
+        }
+        val fs = out.result()
+        fs.foreach { f =>
+          require(RecordPredicate.pushable(f, tableSchema),
+            s"bbox bound $f is not evaluable against this table's schema " +
+              "(x/y/z must exist as numeric primitive columns)")
+        }
+        fs
+    }
 }
 
 /** Chunk-level spatial pruning over a COPC file's octree bounds: the

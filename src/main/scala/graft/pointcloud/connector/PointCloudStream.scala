@@ -70,10 +70,27 @@ class PointCloudMicroBatchStream(
     tableSchema: StructType,
     options: CaseInsensitiveStringMap,
     checkpointLocation: String,
-    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    /** ALL pushed conjuncts (claimed + residual) — planning-only, like
+      * the batch scan's planFilters: LAZ keeps record filters residual
+      * (pushedFilters is EMPTY there), but COPC chunk skipping may use
+      * every conjunct conservatively since Spark re-evaluates residuals
+      * exactly on whatever still decodes. */
+    planFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends MicroBatchStream with SupportsTriggerAvailableNow with Logging {
 
   import PointCloudMicroBatchStream.FileListOffset
+
+  /** The `bbox` read option ([[BboxOption]]): THE pushdown channel for
+    * streaming reads — Spark never calls pushFilters for a micro-batch
+    * source, so pushedFilters/planFilters arrive empty in practice and
+    * a region-bounded consumer must declare its box here. Applied
+    * exactly by the readers (same RecordPredicate as claimed pushdown)
+    * and used at planning for header file-skip + COPC chunk pruning. */
+  private val bboxFilters: Array[org.apache.spark.sql.sources.Filter] =
+    BboxOption.filters(kind, tableSchema, options)
+  private val readerFilters = pushedFilters ++ bboxFilters
+  private val allPlanFilters = planFilters ++ bboxFilters
 
   /** Tail of the known-file list in first-seen order (global indices
     * `[base, base + known.size)`); extended by latestOffset, seeded by
@@ -250,15 +267,25 @@ class PointCloudMicroBatchStream(
           // exactly like the batch planner — the file is already the unit
           // of streaming progress, so per-file granularity is natural here
           sections.map(fs => XyzPartition(fs.section.location, fid, xyzSchemaJson))
-        } else sections.flatMap { fs =>
+        } else sections.filter { fs =>
+          // header file-skip against the declared box: a whole file
+          // outside it plans ZERO partitions (it is still admitted into
+          // the offset list — progress bookkeeping is not planning)
+          allPlanFilters.isEmpty || SectionSkip.mayMatch(
+            SectionWithFid(fs.section, fid, fs.lasStats, fs.laz), allPlanFilters)
+        }.flatMap { fs =>
           val section = fs.section
           fs.laz match {
             case Some(lz) =>
-              // same COPC chunk skipping as the batch planner: claimed
-              // filters are honored exactly by the readers, so pruning
-              // here only removes chunks no claimed-filter row can be in
-              LazPlanning.partitions(section, fid, lz, maxBytes,
-                CopcPrune.keepMask(lz, pushedFilters))
+              // same COPC chunk skipping as the batch planner, from the
+              // full conjunct set (bbox subscription + anything claimed);
+              // the readers evaluate readerFilters exactly on whatever
+              // still decodes, so pruning only removes provably-empty IO
+              val keep = CopcPrune.keepMask(lz, allPlanFilters)
+              if (keep != null) logInfo(s"COPC stream pruning $path: " +
+                s"${keep.count(k => !k)}/${lz.numChunks} chunks skipped " +
+                s"(${allPlanFilters.length} conjuncts)")
+              LazPlanning.partitions(section, fid, lz, maxBytes, keep)
             case None =>
               val perPartition = math.max(1L, maxBytes / math.max(1, section.stride))
               // render once per section: splits share the String instance so a
@@ -280,7 +307,7 @@ class PointCloudMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PointCloudReaderFactory(readSchema.json, tableSchema.json, pushedFilters)
+    new PointCloudReaderFactory(readSchema.json, tableSchema.json, readerFilters)
 }
 
 object PointCloudMicroBatchStream {

@@ -838,12 +838,17 @@ object PointCloudQueries {
     * chunks, pruned file-first then chunk-level, with the record
     * predicate exacting the residue. The layout is build-once (the
     * GRADED operation is the pruned read). */
-  private val pc28: Q = (s, d) => {
-    val pts = layeredPointFrame(s, d)
-    val dir = layoutOnce("pc28b", d) { out =>
-      pts.writeCopc(out, Map("scale" -> "0.001", "copc.nodepoints" -> "4096",
-        "copc.files" -> "3"))
+  /** pc28/pc29's shared layout: the format-7 frame as a three-file COPC
+    * corpus (disjoint voxel-key ranges, octree-keyed chunks, info VLR +
+    * hierarchy EVLR per file). Built once per dataset dir. */
+  private def copcLayout(s: SparkSession, d: String): String =
+    layoutOnce("pc28b", d) { out =>
+      layeredPointFrame(s, d).writeCopc(out,
+        Map("scale" -> "0.001", "copc.nodepoints" -> "4096", "copc.files" -> "3"))
     }
+
+  private val pc28: Q = (s, d) => {
+    val dir = copcLayout(s, d)
     s.read.las(dir)
       .where($"x" >= 20000 && $"x" <= 45000 && $"y" >= 1000)
       .groupBy(($"classification" % 8).cast("int").as("cls"))
@@ -858,7 +863,38 @@ object PointCloudQueries {
       .sort($"cls")
   }
 
+  /** pc29: STREAMED SPATIAL SUBSCRIPTION — the `bbox` read option is
+    * the micro-batch source's only pushdown channel (Spark never calls
+    * pushFilters when planning a stream), so a consumer tailing a
+    * growing point-cloud lake for ONE region declares its box on the
+    * source, Kafka-subscription style. Over pc28's three-file COPC
+    * layout the declared box must (a) skip whole files at the header
+    * tier, (b) skip chunks at the octree tier, and (c) be EXACT at the
+    * record level through the reader-side predicate — the complete-mode
+    * census carries no residual WHERE at all, so one over- or
+    * under-delivered record scrambles a group against the oracle, which
+    * re-derives the box from the source rows. The 100-TB shape: the
+    * stream pays only for the octree nodes its region intersects, per
+    * landing file, forever. */
+  private val pc29: Q = (s, d) => {
+    val dir = copcLayout(s, d)
+    val stream = s.readStream.format("las")
+      .option("bbox", "20000,45000,1000,*,*,*").load(dir)
+    val agg = stream.groupBy($"source".cast("int").as("src"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        sum($"z".cast("bigint")).as("sz"),
+        sum($"intensity".cast("bigint")).as("si"),
+        min($"y").as("mny"), max($"y").as("mxy"),
+        min($"time").as("mnt"), max($"time").as("mxt"))
+    StreamingQueries.runToCompletion(agg, "graft_pc29", "complete")
+      .select($"src", $"n", $"sx", $"sz", $"si", $"mny", $"mxy", $"mnt", $"mxt")
+      .sort($"src")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pc29_copc_stream_bbox" -> pc29,
     "pc28_copc_pruned_scan" -> pc28,
     "pc26_laz_wavepacket" -> pc26,
     "pc27_laz_stream_layered" -> pc27,
@@ -890,6 +926,26 @@ object PointCloudQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the subscription box re-derived from the source arithmetic with NO
+    // residual filter on the Spark side: a hash match proves the bbox
+    // option alone delivered exactly the in-box records through file
+    // skip, chunk pruning and the reader-side predicate
+    "pc29_copc_stream_bbox" ->
+      """SELECT CAST(l_orderkey % 3 AS INT) AS src,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | CAST(SUM(CAST(l_suppkey % 1000000 AS BIGINT)) AS BIGINT) AS sz,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si,
+        | MIN(CAST(l_partkey % 1000000 AS INT)) AS mny,
+        | MAX(CAST(l_partkey % 1000000 AS INT)) AS mxy,
+        | MIN(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mnt,
+        | MAX(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mxt
+        |FROM lineitem
+        |WHERE (l_orderkey % 1000000) BETWEEN 20000 AND 45000
+        |  AND (l_partkey % 1000000) >= 1000
+        |GROUP BY src ORDER BY src""".stripMargin,
     // the same bbox re-derived from the source arithmetic: a hash match
     // proves the octree pruning dropped ONLY out-of-box chunks and the
     // residual record filter kept the census exact

@@ -191,6 +191,64 @@ class CopcSpec extends SparkTestBase {
       want.agg(sum($"x".cast("bigint")), sum($"z".cast("bigint"))).head())
   }
 
+  test("a bbox-subscribed stream over a COPC dir emits exactly the box (pruned)") {
+    // Spark never pushes predicates into a micro-batch source, so the
+    // bbox OPTION is the streaming pushdown channel: the source must
+    // emit exactly the in-box records (readers apply the box via
+    // RecordPredicate) and numInputRows == box count < file count is
+    // direct evidence chunk pruning + exact residue both fired
+    val dir = tmpDir("copc-stream")
+    val out = tmpDir("copc-stream-out")
+    val pts = fmt6Points(30000)
+    pts.coalesce(1).writeCopc(dir, Map("scale" -> "0.01", "copc.nodepoints" -> "2048"))
+    val q = spark.readStream
+      .schema(spark.read.las(dir).schema)
+      .format("las").option("bbox", "10000,30000,*,*,*,*").load(dir)
+      .select($"x", $"z").writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("copc-stream-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val want = pts.where($"x" >= 10000 && $"x" <= 30000)
+    val wantN = want.count()
+    val sourceRows = q.recentProgress.map(_.numInputRows).sum
+    assert(sourceRows == wantN,
+      s"source emitted $sourceRows rows, the box holds $wantN")
+    assert(wantN < 30000)
+    val got = spark.read.parquet(out)
+    assert(got.count() == wantN)
+    assert(got.agg(sum($"x".cast("bigint")), sum($"z".cast("bigint"))).head() ==
+      want.agg(sum($"x".cast("bigint")), sum($"z".cast("bigint"))).head())
+  }
+
+  test("the batch scan honors the same bbox option, including planning-time pruning") {
+    val dir = tmpDir("copc-bbox-batch")
+    val pts = fmt6Points(30000)
+    pts.coalesce(1).writeCopc(dir, Map("scale" -> "0.01", "copc.nodepoints" -> "2048"))
+    val want = pts.where($"x" >= 10000 && $"x" <= 30000)
+    val got = spark.read.format("las").option("bbox", "10000,30000,*,*,*,*").load(dir)
+    // no WHERE anywhere: the option alone must bound the result
+    assert(got.count() == want.count())
+    assert(got.agg(sum($"x".cast("bigint")), sum($"z".cast("bigint"))).head() ==
+      want.agg(sum($"x".cast("bigint")), sum($"z".cast("bigint"))).head())
+    // and it prunes at planning, not just at the reader
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try {
+      val nFull = spark.read.las(dir).rdd.getNumPartitions
+      assert(got.rdd.getNumPartitions < nFull)
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    // malformed boxes fail fast with the offending token
+    val err = intercept[Exception] {
+      spark.read.format("las").option("bbox", "1,2,3").load(dir).count()
+    }
+    assert(err.getMessage.contains("bbox"))
+    val err2 = intercept[Exception] {
+      spark.read.format("las").option("bbox", "9,1,*,*,*,*").load(dir).count()
+    }
+    assert(err2.getMessage.contains("inverted"))
+  }
+
   test("COPC survives schema-merged multi-file reads and header file-skip still applies") {
     val dir = tmpDir("copc-multi")
     val pts = fmt6Points(12000)
