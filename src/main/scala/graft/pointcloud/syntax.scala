@@ -15,6 +15,13 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, DataFrameWriter}
 object syntax {
 
   implicit class PointCloudDataFrameReader(private val r: DataFrameReader) extends AnyVal {
+    /** Read option `bbox` = `"xlo,xhi,ylo,yhi,zlo,zhi"` (exposed-schema
+      * coordinate domain, `*` for an unbounded side): an explicit
+      * spatial subscription, exact at the record level, that also
+      * drives header file-skip and COPC chunk pruning at planning. It
+      * is THE pushdown channel for `readStream` (Spark never pushes
+      * predicates into a micro-batch source); on batch reads a plain
+      * `.where` gets the same pruning automatically. las/ply only. */
     def las(paths: String*): DataFrame = r.format("las").load(paths: _*)
     def ply(paths: String*): DataFrame = r.format("ply").load(paths: _*)
     def xyz(paths: String*): DataFrame = r.format("xyz").load(paths: _*)

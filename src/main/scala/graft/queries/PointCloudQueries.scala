@@ -850,7 +850,12 @@ object PointCloudQueries {
   private val pc28: Q = (s, d) => {
     val dir = copcLayout(s, d)
     s.read.las(dir)
-      .where($"x" >= 20000 && $"x" <= 45000 && $"y" >= 1000)
+      // box bounds sized to the SMALLEST SF's key ranges (x = orderkey
+      // mod 1e6 only reaches 1499 at sf0.001; a box past that grades a
+      // vacuous zero-row match — the jn03 lesson): ~2.5k rows selected
+      // at EVERY SF, i.e. a fixed region whose read cost stays flat
+      // while the corpus grows 100x — the subscription contract
+      .where($"x" >= 200 && $"x" <= 900 && $"y" >= 20)
       .groupBy(($"classification" % 8).cast("int").as("cls"))
       .agg(
         count(lit(1)).as("n"),
@@ -879,7 +884,7 @@ object PointCloudQueries {
   private val pc29: Q = (s, d) => {
     val dir = copcLayout(s, d)
     val stream = s.readStream.format("las")
-      .option("bbox", "20000,45000,1000,*,*,*").load(dir)
+      .option("bbox", "200,900,20,*,*,*").load(dir)
     val agg = stream.groupBy($"source".cast("int").as("src"))
       .agg(
         count(lit(1)).as("n"),
@@ -943,8 +948,8 @@ object PointCloudQueries {
         | MAX(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
         |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mxt
         |FROM lineitem
-        |WHERE (l_orderkey % 1000000) BETWEEN 20000 AND 45000
-        |  AND (l_partkey % 1000000) >= 1000
+        |WHERE (l_orderkey % 1000000) BETWEEN 200 AND 900
+        |  AND (l_partkey % 1000000) >= 20
         |GROUP BY src ORDER BY src""".stripMargin,
     // the same bbox re-derived from the source arithmetic: a hash match
     // proves the octree pruning dropped ONLY out-of-box chunks and the
@@ -963,8 +968,8 @@ object PointCloudQueries {
         | MAX(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
         |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mxt
         |FROM lineitem
-        |WHERE (l_orderkey % 1000000) BETWEEN 20000 AND 45000
-        |  AND (l_partkey % 1000000) >= 1000
+        |WHERE (l_orderkey % 1000000) BETWEEN 200 AND 900
+        |  AND (l_partkey % 1000000) >= 20
         |GROUP BY cls ORDER BY cls""".stripMargin,
     // every waveform field re-derived from the source rows: a hash match
     // proves the WAVEPACKET13 codec cycle (offset classifier, size /

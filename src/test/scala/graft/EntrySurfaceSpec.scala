@@ -24,11 +24,16 @@ class EntrySurfaceSpec extends SparkTestBase {
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"$name runs on $sfDir") {
+    test(s"$name runs on $sfDir and returns rows") {
       assume(haveData, s"$sfDir missing")
       val df = fn(spark, sfDir)
       val n = df.count()
-      assert(n >= 0L)
+      // n > 0, not n >= 0: a zero-row result hash-matches a zero-row
+      // oracle VACUOUSLY (the round-10 jn03 incident — a dim predicate
+      // that selected nothing at every SF graded green for three
+      // rounds). Every entry's interesting predicate must select rows
+      // at the smallest SF or the grade proves nothing.
+      assert(n > 0L, s"$name returned zero rows at $sfDir — vacuous oracle grade")
     }
   }
 }
