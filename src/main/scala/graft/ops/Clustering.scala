@@ -199,7 +199,19 @@ object Clustering {
           (0 until dim).map(j => r.getDouble(j + 2)): Seq[Double]))
         .toSeq.sortBy(t => (t._1, t._2))
     }
-    TwoLevelModel(coarseModel, fine, k2)
+    // TOTAL coverage invariant: a coarse cell that lost every member
+    // under final re-assignment (a standard Lloyd edge — the returned
+    // centroids are means of the PREVIOUS iteration's clusters) would
+    // have no fine rows, and the inner fine-join in
+    // [[assignCellsTwoLevel]] would silently DROP any future row
+    // landing there (the append/serve pattern). Such a cell keeps its
+    // coarse centroid as its single fine centroid instead.
+    val covered = fine.iterator.map(_._1).toSet
+    val fallback = coarseModel.collect {
+      case (c, ctr) if !covered(c) => (c, 0, ctr)
+    }
+    TwoLevelModel(coarseModel,
+      (fine ++ fallback).sortBy(t => (t._1, t._2)), k2)
   }
 
   /** Composite cell assignment against a [[TwoLevelModel]]: coarse via
@@ -212,6 +224,16 @@ object Clustering {
       model: TwoLevelModel): DataFrame = {
     val spark = pts.sparkSession
     import spark.implicits._
+    // the fine-join is INNER: a coarse cell without fine rows would not
+    // error, it would silently drop every row assigned to it — reject
+    // deficient models up front ([[kmeansTwoLevel]] guarantees coverage)
+    locally {
+      val covered = model.fine.iterator.map(_._1).toSet
+      val missing = model.coarse.iterator.map(_._1).filterNot(covered).take(3).toList
+      require(missing.isEmpty,
+        s"TwoLevelModel leaves coarse cells ${missing.mkString(",")} without " +
+          "fine centroids; rows landing there would be silently dropped")
+    }
     val coarse = assignCells(pts, idCol, vCol, model.coarse)
       .withColumnRenamed("cell", "__coarseCell")
     val fdf = model.fine.toDF("__coarse", "__fine", "__centroid")

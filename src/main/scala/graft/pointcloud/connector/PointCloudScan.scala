@@ -509,15 +509,29 @@ private[graft] object BboxOption {
         val out = Array.newBuilder[SourceFilter]
         var a = 0
         while (a < 3) {
-          def bound(tok: String, side: String): Option[Long] =
+          // integer bounds stay integral (the raw-int LAS domain feeds
+          // COPC box narrowing, which only reads integral literals);
+          // fractional bounds parse as doubles for float PLY coords
+          def bound(tok: String, side: String): Option[Any] =
             if (tok == "*") None
-            else Some(try tok.toLong catch {
-              case _: NumberFormatException => throw new IllegalArgumentException(
-                s"bbox $side bound for ${dims(a)} is not an integer: '$tok'")
-            })
+            else Some(
+              try java.lang.Long.valueOf(tok.toLong)
+              catch {
+                case _: NumberFormatException =>
+                  try java.lang.Double.valueOf(tok.toDouble)
+                  catch {
+                    case _: NumberFormatException =>
+                      throw new IllegalArgumentException(
+                        s"bbox $side bound for ${dims(a)} is not a number: '$tok'")
+                  }
+              })
+          def num(v: Any): Double = v match {
+            case l: java.lang.Long => l.doubleValue
+            case d: java.lang.Double => d.doubleValue
+          }
           val lo = bound(parts(2 * a), "lower")
           val hi = bound(parts(2 * a + 1), "upper")
-          for (l <- lo; h <- hi) require(l <= h,
+          for (l <- lo; h <- hi) require(num(l) <= num(h),
             s"bbox ${dims(a)} bounds are inverted: $l > $h")
           lo.foreach(v => out += FGe(dims(a), v))
           hi.foreach(v => out += FLe(dims(a), v))

@@ -81,16 +81,15 @@ class PointCloudMicroBatchStream(
 
   import PointCloudMicroBatchStream.FileListOffset
 
-  /** The `bbox` read option ([[BboxOption]]): THE pushdown channel for
-    * streaming reads — Spark never calls pushFilters for a micro-batch
-    * source, so pushedFilters/planFilters arrive empty in practice and
-    * a region-bounded consumer must declare its box here. Applied
-    * exactly by the readers (same RecordPredicate as claimed pushdown)
-    * and used at planning for header file-skip + COPC chunk pruning. */
-  private val bboxFilters: Array[org.apache.spark.sql.sources.Filter] =
-    BboxOption.filters(kind, tableSchema, options)
-  private val readerFilters = pushedFilters ++ bboxFilters
-  private val allPlanFilters = planFilters ++ bboxFilters
+  // NOTE on the `bbox` read option ([[BboxOption]]): it is THE pushdown
+  // channel for streaming reads — Spark never calls pushFilters for a
+  // micro-batch source, so WHERE-derived filters never reach here. The
+  // option's synthesized filters arrive through the normal parameters
+  // instead: [[PointCloudScanBuilder]] seeds them into recordFilters
+  // (→ `pushedFilters`, applied exactly by the readers) and skipFilters
+  // (→ `planFilters`, file-skip + COPC chunk pruning) at CONSTRUCTION,
+  // which happens for the streaming scan too. Parsing the option here a
+  // second time would evaluate every box conjunct twice per record.
 
   /** Tail of the known-file list in first-seen order (global indices
     * `[base, base + known.size)`); extended by latestOffset, seeded by
@@ -271,8 +270,8 @@ class PointCloudMicroBatchStream(
           // header file-skip against the declared box: a whole file
           // outside it plans ZERO partitions (it is still admitted into
           // the offset list — progress bookkeeping is not planning)
-          allPlanFilters.isEmpty || SectionSkip.mayMatch(
-            SectionWithFid(fs.section, fid, fs.lasStats, fs.laz), allPlanFilters)
+          planFilters.isEmpty || SectionSkip.mayMatch(
+            SectionWithFid(fs.section, fid, fs.lasStats, fs.laz), planFilters)
         }.flatMap { fs =>
           val section = fs.section
           fs.laz match {
@@ -281,10 +280,10 @@ class PointCloudMicroBatchStream(
               // full conjunct set (bbox subscription + anything claimed);
               // the readers evaluate readerFilters exactly on whatever
               // still decodes, so pruning only removes provably-empty IO
-              val keep = CopcPrune.keepMask(lz, allPlanFilters)
+              val keep = CopcPrune.keepMask(lz, planFilters)
               if (keep != null) logInfo(s"COPC stream pruning $path: " +
                 s"${keep.count(k => !k)}/${lz.numChunks} chunks skipped " +
-                s"(${allPlanFilters.length} conjuncts)")
+                s"(${planFilters.length} conjuncts)")
               LazPlanning.partitions(section, fid, lz, maxBytes, keep)
             case None =>
               val perPartition = math.max(1L, maxBytes / math.max(1, section.stride))
@@ -307,7 +306,7 @@ class PointCloudMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PointCloudReaderFactory(readSchema.json, tableSchema.json, readerFilters)
+    new PointCloudReaderFactory(readSchema.json, tableSchema.json, pushedFilters)
 }
 
 object PointCloudMicroBatchStream {

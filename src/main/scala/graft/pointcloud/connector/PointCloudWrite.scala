@@ -283,7 +283,23 @@ case class XyzPartMessage(path: String, count: Long) extends WriterCommitMessage
 /** All per-key files a single keyed task produced. */
 case class KeyedPartsMessage(parts: Seq[WriterCommitMessage]) extends WriterCommitMessage
 
-private[connector] object WriterUtil {
+private[pointcloud] object WriterUtil {
+  /** Shared `scale`/`offset` option parsing (one value broadcasts to
+    * all three axes; short lists pad with the default). The COPC cube
+    * derivation (`syntax.writeCopc`) MUST interpret these exactly as
+    * the writer will — a divergence puts the cube in a different world
+    * frame and every point is rejected at write time (or clamps into
+    * the wrong voxel), so both sites share THIS parser. */
+  def parse3(lookup: String => Option[String], key: String,
+      default: Double): Array[Double] =
+    lookup(key) match {
+      case Some(s) =>
+        val parts = s.split(',').map(_.trim.toDouble)
+        if (parts.length == 1) Array.fill(3)(parts(0))
+        else parts.take(3).padTo(3, default)
+      case None => Array.fill(3)(default)
+    }
+
   /** The on-disk fields: input schema minus the generated id columns
     * (the reference's writers drop fid/pid too, ply/PlyOutputWriter.scala:49)
     * and, for keyed writes, minus the naming key column (it is encoded in
@@ -408,12 +424,7 @@ class LasDataWriter(
   private val fileSchema = StructType(baseSchema.fields ++ extraFields)
 
   private def parse3(key: String, default: Double): Array[Double] =
-    options.get(key) match {
-      case Some(s) =>
-        val parts = s.split(',').map(_.trim.toDouble)
-        if (parts.length == 1) Array.fill(3)(parts(0)) else parts.take(3).padTo(3, default)
-      case None => Array.fill(3)(default)
-    }
+    WriterUtil.parse3(options.get, key, default)
   private val scale = parse3("scale", 1.0)
   private val offset = parse3("offset", 0.0)
   // `major` (or the prefix of a dotted `version`) is accepted and
@@ -497,7 +508,12 @@ class LasDataWriter(
   private val copcLevel: Int =
     if (!copc) 0
     else {
-      val l = options.get("copc.level").map(_.toInt).getOrElse(0)
+      val l = options.get("copc.level").map { s =>
+        try s.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"copc.level '$s' is not an integer")
+        }
+      }.getOrElse(0)
       require(l >= 0 && l <= graft.pointcloud.las.laz.Copc.MaxLevel,
         s"copc.level must be in 0..${graft.pointcloud.las.laz.Copc.MaxLevel}, got $l")
       l
@@ -511,7 +527,16 @@ class LasDataWriter(
   private val lazVariable = lazChunkPlan.nonEmpty || copc
   private val lazChunkSize: Int =
     if (!compressLaz) 0
-    else if (copc) options.get("copc.chunkcap").map(_.toInt).getOrElse(1 << 16)
+    else if (copc) {
+      val cap = options.get("copc.chunkcap").map { s =>
+        try s.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"copc.chunkCap '$s' is not an integer")
+        }
+      }.getOrElse(1 << 16)
+      require(cap > 0, s"copc.chunkCap must be positive, got $cap")
+      cap
+    }
     else if (lazVariable) lazChunkPlan.max
     else options.get("laz.chunksize").map(_.toInt)
       .getOrElse(graft.pointcloud.las.laz.Laz.DefaultChunkSize)
@@ -576,8 +601,15 @@ class LasDataWriter(
     if (copc) Array.tabulate(3)(a => copcCube(a) - copcCube(3)) else null
   // boundary tolerance: fp assembly of the cube from a bbox pass can
   // land the extreme point a few ulps outside; within this slack the
-  // point clamps into the edge voxel, past it the cube is a caller lie
-  private val copcTol: Double = if (copc) copcCube(3) * 1e-9 else 0.0
+  // point clamps into the edge voxel, past it the cube is a caller lie.
+  // Capped per axis at ONE raw quantum — the reader widens each node's
+  // bounds by exactly one quantum (Copc.fillDim), so any larger
+  // admitted overflow could clamp into an edge voxel whose declared
+  // bounds exclude the point's raw value, and a query on that value
+  // would prune the chunk away (possible when halfsize/scale > 1e9).
+  private val copcTol: Array[Double] =
+    if (copc) Array.tabulate(3)(a => math.min(copcCube(3) * 1e-9, scale(a)))
+    else null
 
   /** Packed level-`copcLevel` voxel key of a row (raw ints decode
     * through the same scale/offset the reader will apply; nulls encode
@@ -591,7 +623,7 @@ class LasDataWriter(
       val o = xyzOrd(a)
       val raw = if (o >= 0 && !row.isNullAt(o)) row.getInt(o) else 0
       val w = raw * scale(a) + offset(a)
-      if (w < copcMin(a) - copcTol || w > copcMin(a) + 2.0 * copcCube(3) + copcTol)
+      if (w < copcMin(a) - copcTol(a) || w > copcMin(a) + 2.0 * copcCube(3) + copcTol(a))
         throw new IllegalArgumentException(
           f"point ${"xyz".charAt(a)}%c=$w%.6f outside the declared copc.cube " +
             f"[${copcMin(a)}%.6f, ${copcMin(a) + 2.0 * copcCube(3)}%.6f]; " +

@@ -460,27 +460,28 @@ private[las] final class IntegerCompressor(bits: Int, contexts: Int, bitsHigh: I
 
 /** Streaming median-of-five of the recent x/y deltas (the LASzip
   * paper's x/y predictor, Isenburg 2013: "streaming median of the last
-  * five differences"): `high` alternates on EVERY add, so consecutive
-  * values displace opposite ends of the kept order and fresh data
-  * migrates into the middle.
+  * five differences"), matching the published laszip_common_v2.hpp
+  * `StreamingMedian5` control flow line for line: the insert on the
+  * side `high` prefers does the full middle-displacing shift and
+  * leaves `high` unchanged; the opposite-side insert touches only the
+  * two outer slots and FLIPS the preference. From zero-init the
+  * preferred-side shifts walk fresh data into the middle (e.g. three
+  * same-sign deltas make `values(2)` the first delta), so the
+  * predictor engages on real scan data.
   *
-  * The alternation discipline is load-bearing AND is the one detail of
-  * this codec we cannot cross-check in this container (no LASzip source
-  * or fixture ships here). What is provable: a variant that flips
-  * `high` only on opposite-side (displacing) inserts — as this class
-  * did until round 14 — collapses: from the zero-initialized state the
-  * only reachable states are `(a,0,0,0,0)` and `(0,0,0,0,c)`, so the
-  * median is 0 for EVERY input sequence, the predictor never engages,
-  * and the low-mode `values(1) < v` insert below is unreachable dead
-  * code. (Caught when golden pins failed to move under a context-table
-  * change: the table's only consumer was the always-zero median slot.)
-  * An inert predictor contradicts the published design, so that variant
-  * cannot be what LASzip computes; flip-on-every-add is the simplest
-  * discipline that makes the middle reachable and the published
-  * description true. If an external fixture ever shows the published
-  * flip discipline differs (e.g. flipping only on NON-displacing
-  * inserts, which also yields a working median but a different
-  * bitstream), re-align and regenerate the golden pins. */
+  * Round-14 history, kept because each step was a bitstream change:
+  * the original transcription flipped `high` inside the big-shift
+  * branches instead — provably inert (same-sign deltas from zero-init
+  * never reach a big shift, so the median stayed 0 for every input;
+  * caught when golden pins refused to move under a context-table
+  * change). The first fix over-corrected to flip-on-EVERY-add: a live
+  * median and self-consistent round trips, but a different branch
+  * sequence than real LASzip from the first delta where the
+  * disciplines disagree — exactly the silent-interop-divergence class
+  * the v2 transcription pass exists to kill. The flip placement now in
+  * `add` is the published one; golden pins regenerated (layout marker
+  * v5). No external .laz fixture ships in this container, so the pins
+  * remain the strongest available cross-check. */
 private[las] final class StreamingMedian5 {
   private val values = new Array[Int](5)
   private var high = true
@@ -492,6 +493,17 @@ private[las] final class StreamingMedian5 {
 
   def get: Int = values(2)
 
+  /** Published LASzip v2 insert discipline (laszip_common_v2.hpp
+    * `StreamingMedian5::add`): the BELOW-median insert while `high`
+    * (and its mirror) does the full middle-displacing shift and leaves
+    * `high` unchanged; only the opposite-side insert — the one that
+    * touches the two outer slots — flips the preference. An earlier
+    * revision flipped on EVERY add: self-consistent (round trips and
+    * golden pins can't tell) but it diverges from real LASzip at the
+    * first sequence where the two disciplines pick different branches,
+    * which mis-predicts every subsequent x/y against a foreign file.
+    * The flip placement below is a line-for-line transcription of the
+    * published control flow. */
   def add(v: Int): Unit = {
     if (high) {
       if (v < values(2)) {
@@ -502,8 +514,8 @@ private[las] final class StreamingMedian5 {
       } else {
         if (v < values(3)) { values(4) = values(3); values(3) = v }
         else values(4) = v
+        high = false
       }
-      high = false
     } else {
       if (values(2) < v) {
         values(0) = values(1); values(1) = values(2)
@@ -513,8 +525,8 @@ private[las] final class StreamingMedian5 {
       } else {
         if (values(1) < v) { values(0) = values(1); values(1) = v }
         else values(0) = v
+        high = true
       }
-      high = true
     }
   }
 }

@@ -128,19 +128,22 @@ object syntax {
       * node, default 16384), `copc.chunkcap`, `copc.files`, plus all
       * [[writeLas]] options. Interop caveat as [[writeLaz]]. */
     def writeCopc(path: String, options: Map[String, String] = Map.empty): Unit = {
-      import org.apache.spark.sql.functions.{col, count, floor, greatest, least, lit, max, min}
-      def parse3(key: String, default: Double): Array[Double] =
-        options.get(key) match {
-          case Some(s) =>
-            val parts = s.split(',').map(_.trim.toDouble)
-            if (parts.length == 1) Array.fill(3)(parts(0)) else parts.take(3).padTo(3, default)
-          case None => Array.fill(3)(default)
-        }
-      val sc = parse3("scale", 1.0)
-      val off = parse3("offset", 0.0)
+      import org.apache.spark.sql.functions.{coalesce, col, count, floor, greatest, least, lit, max, min}
+      // option lookup mirroring the DSv2 writer's case-insensitive map
+      def opt(key: String): Option[String] =
+        options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+      // the SAME scale/offset parser the writer uses (WriterUtil.parse3):
+      // the cube must be derived in exactly the writer's world frame
+      val sc = connector.WriterUtil.parse3(opt, "scale", 1.0)
+      val off = connector.WriterUtil.parse3(opt, "offset", 0.0)
+      // null coordinates ENCODE as raw 0 (the writeLas/writeLaz
+      // contract), so the cube is derived over the encoded value — a
+      // frame with nulls and a far-from-zero bbox must still produce a
+      // cube that encloses raw 0 or the writer rejects its own input
+      def enc(c: String) = coalesce(col(c), lit(0))
       val r = df.agg(
-        min(col("x")), max(col("x")), min(col("y")), max(col("y")),
-        min(col("z")), max(col("z")), count(lit(1))).head()
+        min(enc("x")), max(enc("x")), min(enc("y")), max(enc("y")),
+        min(enc("z")), max(enc("z")), count(lit(1))).head()
       val n = r.getLong(6)
       def world(i: Int, a: Int): Double =
         if (r.isNullAt(i)) 0.0 else r.getInt(i) * sc(a) + off(a)
@@ -152,7 +155,7 @@ object syntax {
       // tolerance; the pad keeps honest data clear of that boundary)
       val half = math.max(
         (0 until 3).map(a => (hi(a) - lo(a)) / 2).max * (1 + 1e-9) + 1e-9, 1e-6)
-      val target = options.getOrElse("copc.nodepoints", "16384").toInt
+      val target = opt("copc.nodepoints").getOrElse("16384").toInt
       require(target > 0, s"copc.nodepoints must be positive, got $target")
       val level =
         if (n <= target) 0
@@ -162,9 +165,9 @@ object syntax {
       val side = 2 * half / nSide
       def k(c: String, a: Int) =
         least(lit(nSide - 1L), greatest(lit(0L),
-          floor((col(c).cast("double") * sc(a) + off(a) - (ctr(a) - half)) / side)))
+          floor((enc(c).cast("double") * sc(a) + off(a) - (ctr(a) - half)) / side)))
       val key = (k("x", 0) * nSide + k("y", 1)) * nSide + k("z", 2)
-      val arranged = options.get("copc.files") match {
+      val arranged = opt("copc.files") match {
         case Some(f) =>
           require(f.toInt > 0, s"copc.files must be positive, got $f")
           df.repartitionByRange(f.toInt, key).sortWithinPartitions(key)

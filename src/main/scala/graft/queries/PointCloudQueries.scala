@@ -49,7 +49,10 @@ object PointCloudQueries {
     // the layered (fmt 6-8) bitstream again
     // v4: the round-14 streaming-median fix (alternation on every add)
     // changed every .laz bitstream: old compressed layouts must rebuild
-    val marker = java.nio.file.Paths.get(dir, "_GRAFT_LAYOUT_DONE_v4")
+    // v5: the median's flip discipline re-transcribed to the published
+    // LASzip control flow (flip only on the opposite-side insert) —
+    // another bitstream change
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_LAYOUT_DONE_v5")
     if (!java.nio.file.Files.exists(marker)) {
       build(dir)
       java.nio.file.Files.createFile(marker)

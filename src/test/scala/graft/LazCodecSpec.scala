@@ -58,7 +58,11 @@ class LazCodecSpec extends AnyFunSuite {
     }
     assert(runMed(Seq.fill(6)(7)) == 7, "constant stream must converge to it")
     assert(runMed(Seq.fill(6)(-13)) == -13)
-    assert(runMed(1 to 9) == 5, "ascending stream tracks the recent middle")
+    // published discipline: after 1..9 the kept window is exactly the
+    // last five values {5..9}, so the middle is 7 — the interim
+    // flip-on-every-add variant lagged at 5, one more sign the
+    // published control flow is the true "median of the last five"
+    assert(runMed(1 to 9) == 7, "ascending stream tracks the recent middle")
     assert(runMed(Seq(10, 10, 10, 10, 10, 10, -10, -10, -10, -10, -10, -10)) == -10,
       "a scan-direction flip is absorbed within six points")
     val med = new StreamingMedian5
@@ -280,15 +284,15 @@ class LazCodecSpec extends AnyFunSuite {
     // change, regenerate via Test/runMain ...LazGoldenPin and bump the
     // connector layout marker (round 13 precedent).
     val pins = Seq(
-      ("fmt0-extra0", 13848, "5710c2315ed61a946d69ef2d2dbe889f8252940e7e372c2ef593c88c2c916c41", "6fecffff68cd1d002f000000e3001a00"),
-      ("fmt1-extra0", 14826, "352ec486490aa54588f3c7d00e8e89b263b03c36b5fb1a12222a231c5dcec09e", "6fecffff68cd1d002f000000e3001a00"),
-      ("fmt2-extra0", 23705, "fa913427965ca29694e4c1a9dc5f25a2329832327301453b409dd5d653c46f71", "6fecffff68cd1d002f000000e3001a00"),
-      ("fmt3-extra5", 34860, "94977234cd2286a91370e6551a4a620e0bfd03d7f68933b1f202d415f5fddc55", "6fecffff68cd1d002f000000e3001a00"),
-      ("fmt5-extra0", 47380, "2166e12f94d905ebb89392981e551f25c1ab0f9985f66d6409d9737c89360ade", "6fecffff68cd1d002f000000e3001a00"),
-      ("fmt6-extra0", 18526, "c37f6890bcd1e4adc8065f8027f71516fd0c13592144cab67c2130bba82a36c4", "3095000025e91d0031000000a40988c2"),
-      ("fmt7-extra0", 28927, "ad931d41973ab9a3d9ae0dcdbe86688d5efd41dc85fb84d191995db53ef4c7bb", "3095000025e91d0031000000a40988c2"),
-      ("fmt8-extra3", 38041, "3e11a672d2a746220821581f3ef37359b5a839d0daba1d6f34b5e982c9585e04", "3095000025e91d0031000000a40988c2"),
-      ("fmt9-extra0", 41915, "088f7b39313cad3db7d0742c7bef48d47f13f08a3f4c0cc4cfd77c0a814a07a0", "3095000025e91d0031000000a40988c2"))
+      ("fmt0-extra0", 13956, "8b4e91e0f0d44c4f89493fb015625c9ae235237d406b703f66eb6057bd0c3c27", "6fecffff68cd1d002f000000e3001a00"),
+      ("fmt1-extra0", 14916, "79f7a24fc5568d766f5e4e1702af271eac40d20ea6c59b8e928c5582a5b675bd", "6fecffff68cd1d002f000000e3001a00"),
+      ("fmt2-extra0", 23799, "ca0293b56514859debe05c677eaa4bc46970d3faa160e7c0edf35f0d30599d68", "6fecffff68cd1d002f000000e3001a00"),
+      ("fmt3-extra5", 34959, "d14cd8b33a7b2141daa3241447cd2c2f5cb34fe787d8fedf331784f0f1c354ea", "6fecffff68cd1d002f000000e3001a00"),
+      ("fmt5-extra0", 47492, "cfc3933afbc6375a0621c7db64af1d18a7e6c23ffb44622f8d451270ea65b786", "6fecffff68cd1d002f000000e3001a00"),
+      ("fmt6-extra0", 18631, "b9b6dc4bb887546f913d13a54095589db19f9d3e8ac9bfd86c8cb8a0486d4ed3", "3095000025e91d0031000000a40988c2"),
+      ("fmt7-extra0", 29046, "1cd49dbc6a64bb5fcb10c71fbbe472b4ab5da6ebec0fda5e6170a8f2ebd4b994", "3095000025e91d0031000000a40988c2"),
+      ("fmt8-extra3", 38137, "0191fa4a5f0153957b93c8a6c7e14b4759090c0efde62f1b14fe081cd3b24d33", "3095000025e91d0031000000a40988c2"),
+      ("fmt9-extra0", 42007, "960673d68424ef9c5061e07ee8512d679e40f35e5718ccbf072f75f44ce8f089", "3095000025e91d0031000000a40988c2"))
     pins.foreach { case (label, len, sha, prefix) =>
       val Array(f, e) = label.stripPrefix("fmt").split("-extra")
       val items = LazFile.itemsFor(f.toByte, e.toInt)

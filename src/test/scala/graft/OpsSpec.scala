@@ -247,6 +247,32 @@ class OpsSpec extends SparkTestBase {
       s"diverging=${got.filter { case (i, c) => ref(i) != c }.take(5)}")
   }
 
+  test("a two-level model covers every coarse cell; a deficient one is rejected") {
+    // coverage invariant: a coarse cell left without fine centroids
+    // would make the inner fine-join silently DROP any appended/served
+    // row landing there — kmeansTwoLevel must guarantee coverage, and
+    // assignCellsTwoLevel must refuse a model that lacks it rather
+    // than lose rows without an error
+    val pts = spark.range(40).select($"id",
+        array(($"id" % 11).cast("double"), ($"id" % 5).cast("double")).as("v"))
+      .localCheckpoint(true)
+    val model = Clustering.kmeansTwoLevel(pts, "id", "v", dim = 2, k1 = 4, k2 = 3, iters = 2)
+    val covered = model.fine.map(_._1).toSet
+    assert(model.coarse.forall(c => covered(c._1)),
+      s"coarse cells without fine rows: ${model.coarse.map(_._1).filterNot(covered)}")
+    // total assignment: nothing dropped
+    assert(Clustering.assignCellsTwoLevel(pts, "id", "v", model).count() == 40)
+    // a handcrafted deficient model (coarse cell 1 has no fine rows)
+    // fails fast instead of silently dropping its rows
+    val bad = Clustering.TwoLevelModel(
+      Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(10.0, 10.0)),
+      Seq((0, 0, Seq(0.0, 0.0))), k2 = 1)
+    val err = intercept[IllegalArgumentException] {
+      Clustering.assignCellsTwoLevel(pts, "id", "v", bad)
+    }
+    assert(err.getMessage.contains("without"))
+  }
+
   test("past the flat cell budget the escalation goes two-level (coarse x fine)") {
     // synthetic corpus big enough that want = ceil(n/4096) exceeds the
     // injected maxCells: the escalation must switch the QUANTIZER to
