@@ -233,6 +233,11 @@ object Bench {
       // BOX's share of the corpus, so the trend line vs pc23's full
       // decode is the direct evidence the spatial index pays at scale
       "pc28_copc_pruned_scan",
+      // pc29: the same box as a STREAMED subscription — fixed region,
+      // 10× corpus; the micro-batch planner must pay only for
+      // intersecting nodes, so this should track pc28 plus the
+      // constant streaming-harness overhead
+      "pc29_copc_stream_bbox",
       "ss07_ivf_served")
       .filter(names.contains)
     val probeJson: String =
@@ -312,7 +317,7 @@ object Bench {
         val needEvents = probeNames.exists(_.startsWith("st10"))
         val needLineitem = probeNames.exists(n =>
           n.startsWith("pc01") || n.startsWith("pc21") || n.startsWith("pc23") ||
-            n.startsWith("pc28"))
+            n.startsWith("pc28") || n.startsWith("pc29"))
         val tsTypeKey = "spark.sql.parquet.outputTimestampType"
         val prevTsType = spark.conf.get(tsTypeKey)
         try {
@@ -360,12 +365,12 @@ object Bench {
         if (probeNames.exists(_.startsWith("ss07")))
           try SparkEntry.queries("ss07_ivf_served")(spark, dir.toString).count()
           catch { case _: Throwable => } // ss07 itself will surface the error
-        // and pc28: the first call builds the probe dir's COPC octree
-        // layout (a 10× write); the timed entry is the PRUNED READ that
-        // layout exists to serve
-        if (probeNames.exists(_.startsWith("pc28")))
+        // and pc28/pc29: the first call builds their SHARED COPC octree
+        // layout (a 10× write); the timed entries are the pruned reads
+        // that layout exists to serve
+        if (probeNames.exists(n => n.startsWith("pc28") || n.startsWith("pc29")))
           try SparkEntry.queries("pc28_copc_pruned_scan")(spark, dir.toString).count()
-          catch { case _: Throwable => } // pc28 itself will surface the error
+          catch { case _: Throwable => } // pc28/pc29 will surface the error
         // split the small row groups into per-core partitions (default
         // 128 MiB maxPartitionBytes would re-bundle the whole file into
         // one split); restored right after the probe loop
