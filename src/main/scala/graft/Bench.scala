@@ -142,7 +142,8 @@ object Bench {
         n.startsWith("pc22") || // build-once LAZ layout
         n.startsWith("pc27") || // build-once layered LAZ layout
         n.startsWith("pc28") || // build-once COPC octree layout
-        n.startsWith("pc29"))) // shares pc28's COPC layout
+        n.startsWith("pc29") || // shares pc28's COPC layout
+        n.startsWith("pc30"))) // build-once COPC LOD layout
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => } // a broken query still errors in the timed loop
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -238,6 +239,10 @@ object Bench {
       // intersecting nodes, so this should track pc28 plus the
       // constant streaming-harness overhead
       "pc29_copc_stream_bbox",
+      // pc30: the LOD preview at 10× — the coarse slice is a FIXED
+      // FRACTION (~1/8) of the corpus, so the preview grows linearly
+      // but stays ~8× under the full decode at every scale
+      "pc30_copc_lod_preview",
       "ss07_ivf_served")
       .filter(names.contains)
     val probeJson: String =
@@ -317,7 +322,7 @@ object Bench {
         val needEvents = probeNames.exists(_.startsWith("st10"))
         val needLineitem = probeNames.exists(n =>
           n.startsWith("pc01") || n.startsWith("pc21") || n.startsWith("pc23") ||
-            n.startsWith("pc28") || n.startsWith("pc29"))
+            n.startsWith("pc28") || n.startsWith("pc29") || n.startsWith("pc30"))
         val tsTypeKey = "spark.sql.parquet.outputTimestampType"
         val prevTsType = spark.conf.get(tsTypeKey)
         try {
@@ -371,6 +376,10 @@ object Bench {
         if (probeNames.exists(n => n.startsWith("pc28") || n.startsWith("pc29")))
           try SparkEntry.queries("pc28_copc_pruned_scan")(spark, dir.toString).count()
           catch { case _: Throwable => } // pc28/pc29 will surface the error
+        // pc30's LOD layout is separate (level-distributed chunks)
+        if (probeNames.exists(_.startsWith("pc30")))
+          try SparkEntry.queries("pc30_copc_lod_preview")(spark, dir.toString).count()
+          catch { case _: Throwable => } // pc30 itself will surface the error
         // split the small row groups into per-core partitions (default
         // 128 MiB maxPartitionBytes would re-bundle the whole file into
         // one split); restored right after the probe loop

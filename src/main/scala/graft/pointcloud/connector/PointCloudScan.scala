@@ -112,6 +112,9 @@ class PointCloudScanBuilder(
     // header totals answer the UNFILTERED table only; once a record-level
     // filter is pushed the counts no longer describe the scan's output
     if (recordFilters.nonEmpty) return None
+    // likewise a declared copc.maxlevel preview reads a SUBSET of each
+    // file's chunks — header counts/extents describe the full file
+    if (CopcPrune.maxLevelOption(options) >= 0) return None
     if (kind == FormatKind.Xyz) return None // no header to answer from
     if (resolved.sections.isEmpty) return None
     val groupByFid = agg.groupByExpressions.toSeq match {
@@ -379,11 +382,12 @@ class PointCloudScan(
         Seq(XyzPartition(s.location, sf.fid, xyzSchemaJson))
       } else sf.laz match {
         case Some(lz) =>
-          // COPC chunk skipping: octree bounds vs the pushed x/y/z box —
-          // exactness is preserved by the record predicate on whatever
-          // still decodes, so a pruned chunk is pure saved IO+decode
+          // COPC chunk skipping: octree bounds vs the pushed x/y/z box
+          // (exactness preserved by the record predicate on whatever
+          // still decodes) + the declared copc.maxlevel preview bound
           LazPlanning.partitions(s, sf.fid, lz, maxBytes,
-            CopcPrune.keepMask(lz, planFilters))
+            CopcPrune.keepMask(lz, planFilters,
+              CopcPrune.maxLevelOption(options)))
         case None =>
           val perPartition = math.max(1L, maxBytes / math.max(1, s.stride))
           val schemaJson = s.schema.json
@@ -609,6 +613,38 @@ private[graft] object CopcPrune {
           b(5) >= box(4) && b(4) <= box(5))
     }
   }
+
+  /** [[keepMask]] combined with the `copc.maxlevel` coarse-preview
+    * bound (−1 = unset): over an LOD layout, keep only chunks whose
+    * octree node sits at level ≤ maxLevel. Unlike the bbox mask this
+    * CHANGES the result set (a declared approximate read), so it is
+    * only ever driven by the explicit read option. Chunks without a
+    * hierarchy entry (level −1) are kept — the option bounds octree
+    * NODES, and data outside the octree contract must not silently
+    * vanish. */
+  def keepMask(lz: graft.pointcloud.las.laz.LazInfo,
+      filters: Array[SourceFilter], maxLevel: Int): Array[Boolean] = {
+    val boxKeep = keepMask(lz, filters)
+    if (maxLevel < 0 || lz.chunkLevels == null) return boxKeep
+    Array.tabulate(lz.numChunks) { i =>
+      (boxKeep == null || boxKeep(i)) &&
+        (lz.chunkLevels(i) < 0 || lz.chunkLevels(i) <= maxLevel)
+    }
+  }
+
+  /** The `copc.maxlevel` read option (−1 when absent): the LOD
+    * preview's declared depth bound. */
+  def maxLevelOption(options: CaseInsensitiveStringMap): Int =
+    Option(options.get("copc.maxlevel")) match {
+      case None => -1
+      case Some(s) =>
+        val v = try s.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"copc.maxLevel '$s' is not an integer")
+        }
+        require(v >= 0, s"copc.maxLevel must be >= 0, got $v")
+        v
+    }
 }
 
 /** Shared LAZ split planning (batch scan + streaming source). A `keep`

@@ -280,7 +280,8 @@ class PointCloudMicroBatchStream(
               // full conjunct set (bbox subscription + anything claimed);
               // the readers evaluate readerFilters exactly on whatever
               // still decodes, so pruning only removes provably-empty IO
-              val keep = CopcPrune.keepMask(lz, planFilters)
+              val keep = CopcPrune.keepMask(lz, planFilters,
+                CopcPrune.maxLevelOption(options))
               if (keep != null) logInfo(s"COPC stream pruning $path: " +
                 s"${keep.count(k => !k)}/${lz.numChunks} chunks skipped " +
                 s"(${planFilters.length} conjuncts)")

@@ -518,11 +518,20 @@ class LasDataWriter(
         s"copc.level must be in 0..${graft.pointcloud.las.laz.Copc.MaxLevel}, got $l")
       l
     }
+  // `copc.lod = true`: distribute points across octree LEVELS 0..copcLevel
+  // by the deterministic hash of the raw coordinates (Copc.lodHash /
+  // lodLevel) — the published-COPC shape where coarse levels hold a
+  // subsample, enabling the `copc.maxlevel` approximate read. Chunk keys
+  // then pack (level, voxel-at-level).
+  private val copcLod: Boolean =
+    copc && options.get("copc.lod").exists(_.toBoolean)
   if (copc) {
     require(format >= 6 && format <= 8,
       s"COPC requires point format 6-8 (layered LAZ), got format $format")
     require(lazChunkPlan.isEmpty, "copc.cube and laz.chunkPlan are exclusive " +
       "(COPC chunk boundaries follow the octree, not a fixed plan)")
+    require(!copcLod || copcLevel <= graft.pointcloud.las.laz.Copc.MaxLodLevel,
+      s"copc.lod requires copc.level <= ${graft.pointcloud.las.laz.Copc.MaxLodLevel}, got $copcLevel")
   }
   private val lazVariable = lazChunkPlan.nonEmpty || copc
   private val lazChunkSize: Int =
@@ -617,22 +626,35 @@ class LasDataWriter(
     * points outside the declared cube — the invariant chunk pruning
     * trusts. */
   private def copcKeyOf(row: InternalRow): Long = {
-    var key = 0L
+    val copcImport = graft.pointcloud.las.laz.Copc
+    val raws = new Array[Int](3)
     var a = 0
     while (a < 3) {
       val o = xyzOrd(a)
-      val raw = if (o >= 0 && !row.isNullAt(o)) row.getInt(o) else 0
-      val w = raw * scale(a) + offset(a)
+      raws(a) = if (o >= 0 && !row.isNullAt(o)) row.getInt(o) else 0
+      a += 1
+    }
+    // LOD: the row's level is a deterministic function of its raw
+    // coordinates, so the oracle (or any external system) can re-derive
+    // the exact level split with integer arithmetic
+    val lvl =
+      if (!copcLod) copcLevel
+      else copcImport.lodLevel(copcImport.lodHash(raws(0), raws(1), raws(2)), copcLevel)
+    val side = 2.0 * copcCube(3) / (1 << lvl)
+    var key = 0L
+    a = 0
+    while (a < 3) {
+      val w = raws(a) * scale(a) + offset(a)
       if (w < copcMin(a) - copcTol(a) || w > copcMin(a) + 2.0 * copcCube(3) + copcTol(a))
         throw new IllegalArgumentException(
           f"point ${"xyz".charAt(a)}%c=$w%.6f outside the declared copc.cube " +
             f"[${copcMin(a)}%.6f, ${copcMin(a) + 2.0 * copcCube(3)}%.6f]; " +
             "the cube must enclose every written point (writeCopc derives one)")
-      val idx = graft.pointcloud.las.laz.Copc.voxelIdx(w, copcMin(a), copcSide, copcLevel)
-      key = (key << copcLevel) + idx
+      val idx = copcImport.voxelIdx(w, copcMin(a), side, lvl)
+      key = (key << lvl) + idx
       a += 1
     }
-    key
+    if (copcLod) copcImport.packLodKey(lvl, key) else key
   }
 
   private def flushChunk(): Unit = {
@@ -730,8 +752,11 @@ class LasDataWriter(
         val evlrOffset = tableOffset + tableBytes.length
         var off = dataStart
         val leaves = copcChunkKeys.indices.map { i =>
-          val (kx, ky, kz) = copcImport.unpackKey(copcChunkKeys(i), copcLevel)
-          val e = copcImport.Entry(copcLevel, kx, ky, kz, off,
+          val packed = copcChunkKeys(i)
+          val lvl = if (copcLod) copcImport.unpackLodLevel(packed) else copcLevel
+          val kraw = if (copcLod) copcImport.unpackLodKey(packed) else packed
+          val (kx, ky, kz) = copcImport.unpackKey(kraw, lvl)
+          val e = copcImport.Entry(lvl, kx, ky, kz, off,
             chunkByteCounts(i).toInt, chunkPointCounts(i).toInt)
           off += chunkByteCounts(i)
           e

@@ -35,6 +35,10 @@ object Copc {
   /** Octree depth bound: 3·level key bits must fit a Long (writer) and
     * 2^level a positive Int (reader cube math). */
   val MaxLevel = 20
+  /** LOD layouts pack (level, voxel key) into one Long — 5 level bits
+    * above 3·19 key bits — so their depth bound is one lower. */
+  val MaxLodLevel = 19
+  private val LodKeyBits = 57
   /** Hierarchy-size bound: foreign metadata is buffered whole on the
     * driver, so a file cannot declare an absurd page graph. */
   val MaxEntries = 1 << 22
@@ -143,20 +147,25 @@ object Copc {
     out.result()
   }
 
-  /** Per-chunk raw-integer bounds [xlo,xhi,ylo,yhi,zlo,zhi] derived from
-    * the hierarchy, aligned with `lz`'s chunk order; null rows for
-    * chunks the hierarchy does not describe (those are never pruned).
-    * An entry binds to a chunk only when offset, byte size AND point
+  /** Per-chunk index derived from the hierarchy, aligned with `lz`'s
+    * chunk order: raw-integer bounds [xlo,xhi,ylo,yhi,zlo,zhi] (null
+    * rows for undescribed chunks — never pruned) and the octree LEVEL
+    * of each chunk's node (−1 when unbound), which powers the
+    * `copc.maxlevel` approximate-read option over LOD layouts. */
+  case class ChunkIndex(bounds: Array[Array[Long]], levels: Array[Int])
+
+  /** An entry binds to a chunk only when offset, byte size AND point
     * count all agree — a hierarchy that disagrees with the chunk table
-    * silently yields no bounds (the file still reads as plain LAZ).
+    * silently yields no index (the file still reads as plain LAZ).
     * World→raw conversion widens each side by one raw quantum, so
     * boundary points assigned to a neighbouring node by fp rounding
     * still fall inside their chunk's bounds. */
-  def chunkBounds(header: LasHeader, info: Info, entries: Seq[Entry],
-      lz: LazInfo): Array[Array[Long]] = {
+  def chunkIndex(header: LasHeader, info: Info, entries: Seq[Entry],
+      lz: LazInfo): ChunkIndex = {
     if (header.scale.exists(_ <= 0)) return null
     val byOffset = entries.iterator.map(e => e.offset -> e).toMap
     val bounds = new Array[Array[Long]](lz.numChunks)
+    val levels = Array.fill(lz.numChunks)(-1)
     var off = lz.firstChunkOffset
     var any = false
     var i = 0
@@ -175,13 +184,14 @@ object Copc {
           fillDim(b, 4, info.centerZ - info.halfsize + e.z * side, side,
             header.scale(2), header.offset(2))
           bounds(i) = b
+          levels(i) = e.level
           any = true
         case _ => // unmatched chunk: no bounds, never pruned
       }
       off += lz.chunkBytes(i)
       i += 1
     }
-    if (any) bounds else null
+    if (any) ChunkIndex(bounds, levels) else null
   }
 
   private def inRange(idx: Int, level: Int): Boolean =
@@ -200,19 +210,20 @@ object Copc {
     LasExtraBytes.findVlrPayloads(header, readAt, VlrUserId, InfoRecordId)
       .headOption.map(parseInfo)
 
-  /** Resolve a compressed file's COPC metadata into per-chunk raw
-    * bounds, or null when the file is not COPC (no `copc` info VLR) or
-    * its hierarchy cannot be bound to the chunk table. Degrades to
-    * null — never throws — because COPC metadata is an OPTIMIZATION
-    * layer over a file that is already a fully readable LAZ. */
-  def boundsFor(header: LasHeader, readAt: LasExtraBytes.ReadAt,
-      fileLen: Long, lz: LazInfo): Array[Array[Long]] =
+  /** Resolve a compressed file's COPC metadata into a per-chunk index
+    * (bounds + node levels), or null when the file is not COPC (no
+    * `copc` info VLR) or its hierarchy cannot be bound to the chunk
+    * table. Degrades to null — never throws — because COPC metadata is
+    * an OPTIMIZATION layer over a file that is already a fully
+    * readable LAZ. */
+  def indexFor(header: LasHeader, readAt: LasExtraBytes.ReadAt,
+      fileLen: Long, lz: LazInfo): ChunkIndex =
     try {
       readInfo(header, readAt) match {
         case None => null
         case Some(info) =>
           require(info.halfsize > 0, s"copc cube halfsize ${info.halfsize} not positive")
-          chunkBounds(header, info, readDataEntries(info, readAt, fileLen), lz)
+          chunkIndex(header, info, readDataEntries(info, readAt, fileLen), lz)
       }
     } catch { case _: Exception => null }
 
@@ -235,18 +246,57 @@ object Copc {
     (((key >> (2 * level)) & mask).toInt, ((key >> level) & mask).toInt, (key & mask).toInt)
   }
 
-  /** The ancestor closure of a leaf-entry set: every proper ancestor
-    * voxel up to the root, as empty entries (pointCount 0) — so the
-    * hierarchy forms a connected octree a top-down reader can walk. */
+  /** The ancestor closure of a data-entry set: every proper ancestor
+    * voxel up to the root that is not itself a data entry, as empty
+    * entries (pointCount 0) — so the hierarchy forms a connected octree
+    * a top-down reader can walk. LOD layouts carry data at interior
+    * levels, hence the exclusion (a voxel must not appear twice). */
   def ancestorEntries(leaves: Seq[Entry]): Seq[Entry] = {
+    val present = leaves.iterator.map(e => (e.level, e.x, e.y, e.z)).toSet
     val seen = scala.collection.mutable.Set.empty[(Int, Int, Int, Int)]
     leaves.foreach { e =>
       var (l, x, y, z) = (e.level, e.x, e.y, e.z)
       while (l > 0) {
         l -= 1; x >>= 1; y >>= 1; z >>= 1
-        seen += ((l, x, y, z))
+        if (!present((l, x, y, z))) seen += ((l, x, y, z))
       }
     }
     seen.toSeq.sorted.map { case (l, x, y, z) => Entry(l, x, y, z, 0L, 0, 0) }
   }
+
+  // ---- LOD (level-of-detail) point distribution -------------------------
+  //
+  // Real COPC corpora carry points at EVERY octree level (the coarse
+  // levels are a gridded subsample — what a viewer streams first and what
+  // an approximate query can answer from). The assignment here is a
+  // DETERMINISTIC function of the raw integer coordinates, so an external
+  // system (or the DuckDB oracle) can re-derive exactly which rows live
+  // at which level with integer arithmetic alone — no RNG, no float math.
+
+  /** Mixing hash of the raw integer coordinates (odd-multiplier XOR mix;
+    * non-negative for non-negative inputs, exact in any int64 engine). */
+  def lodHash(x: Int, y: Int, z: Int): Long =
+    (x.toLong * 73856093L) ^ (y.toLong * 19349663L) ^ (z.toLong * 83492791L)
+
+  /** Level for a hash under leaf level L: each trailing zero OCTAL digit
+    * of the hash promotes one level (P ≈ 1/8 per step — the octree's
+    * natural 1/8-per-level decay), capped at 4 promotions and at the
+    * root. ~7/8 of points stay at the leaf level, ~1/8·7/8 one above,
+    * and so on. */
+  def lodLevel(h: Long, leaf: Int): Int = {
+    var k = 0
+    var m = 8L
+    while (k < 4 && h % m == 0L) { k += 1; m *= 8L }
+    math.max(leaf - k, 0)
+  }
+
+  /** Composite (level, voxel-at-level) key: level in the top 5 bits
+    * above [[LodKeyBits]] of packed voxel key. Sorting by this groups
+    * rows level-major, then spatially — the chunk-run order the LOD
+    * writer needs. */
+  def packLodKey(level: Int, key: Long): Long =
+    (level.toLong << LodKeyBits) | key
+
+  def unpackLodLevel(packed: Long): Int = (packed >>> LodKeyBits).toInt
+  def unpackLodKey(packed: Long): Long = packed & ((1L << LodKeyBits) - 1)
 }

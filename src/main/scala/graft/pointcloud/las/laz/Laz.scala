@@ -23,7 +23,13 @@ case class LazInfo(
       * SKIP chunks outside a pushed x/y/z bbox — the record predicate
       * still runs on everything decoded, so the bounds only ever save
       * work. */
-    chunkRawBounds: Array[Array[Long]] = null) extends Serializable {
+    chunkRawBounds: Array[Array[Long]] = null,
+    /** COPC only: each chunk's octree node LEVEL (−1 = unbound chunk,
+      * null = not COPC). Powers the `copc.maxlevel` approximate read
+      * over LOD layouts — unlike the bbox bounds this one CHANGES the
+      * result set (a declared coarse preview), so it is only ever
+      * driven by an explicit read option, never by query predicates. */
+    chunkLevels: Array[Int] = null) extends Serializable {
   def numChunks: Int = chunkBytes.length
 }
 
@@ -158,9 +164,11 @@ object Laz {
       header.pdrOffset.toLong + 8, counts, points)
     // COPC overlay: when a `copc` info VLR is present and its hierarchy
     // binds cleanly to the chunk table, attach per-chunk spatial bounds
-    // for planner-side chunk skipping (degrades to none — the file is a
-    // valid LAZ with or without its index)
-    info.copy(chunkRawBounds = Copc.boundsFor(header, readAt, fileLen, info))
+    // and node levels for planner-side chunk skipping (degrades to none
+    // — the file is a valid LAZ with or without its index)
+    val idx = Copc.indexFor(header, readAt, fileLen, info)
+    if (idx == null) info
+    else info.copy(chunkRawBounds = idx.bounds, chunkLevels = idx.levels)
   }
 
   /** The laszip VLR record (54-byte container header + payload) for a

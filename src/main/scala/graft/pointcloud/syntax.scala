@@ -128,7 +128,7 @@ object syntax {
       * node, default 16384), `copc.chunkcap`, `copc.files`, plus all
       * [[writeLas]] options. Interop caveat as [[writeLaz]]. */
     def writeCopc(path: String, options: Map[String, String] = Map.empty): Unit = {
-      import org.apache.spark.sql.functions.{coalesce, col, count, floor, greatest, least, lit, max, min}
+      import org.apache.spark.sql.functions.{coalesce, col, count, floor, greatest, least, lit, max, min, pow, when}
       // option lookup mirroring the DSv2 writer's case-insensitive map
       def opt(key: String): Option[String] =
         options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
@@ -157,21 +157,56 @@ object syntax {
         (0 until 3).map(a => (hi(a) - lo(a)) / 2).max * (1 + 1e-9) + 1e-9, 1e-6)
       val target = opt("copc.nodepoints").getOrElse("16384").toInt
       require(target > 0, s"copc.nodepoints must be positive, got $target")
-      val level =
-        if (n <= target) 0
-        else math.min(graft.pointcloud.las.laz.Copc.MaxLevel,
-          math.ceil(math.log(n.toDouble / target) / math.log(8)).toInt)
+      // an explicit copc.level wins (a caller wanting an oracle- or
+      // interop-exact leaf level states it in integer arithmetic);
+      // otherwise density-match: the smallest level whose 8^l leaves
+      // average <= copc.nodepoints points
+      val level = opt("copc.level") match {
+        case Some(s) =>
+          val l = s.trim.toInt
+          require(l >= 0 && l <= graft.pointcloud.las.laz.Copc.MaxLevel,
+            s"copc.level must be in 0..${graft.pointcloud.las.laz.Copc.MaxLevel}, got $l")
+          l
+        case None =>
+          if (n <= target) 0
+          else math.min(graft.pointcloud.las.laz.Copc.MaxLevel,
+            math.ceil(math.log(n.toDouble / target) / math.log(8)).toInt)
+      }
       val nSide = 1 << level
       val side = 2 * half / nSide
       def k(c: String, a: Int) =
         least(lit(nSide - 1L), greatest(lit(0L),
           floor((enc(c).cast("double") * sc(a) + off(a) - (ctr(a) - half)) / side)))
       val key = (k("x", 0) * nSide + k("y", 1)) * nSide + k("z", 2)
+      // copc.lod: rows are chunked by (level, voxel-at-level), so the
+      // within-partition sort goes LEVEL-major with the same
+      // deterministic hash arithmetic the writer applies (Copc.lodHash/
+      // lodLevel — integer-exact, oracle-rederivable). Range
+      // partitioning (copc.files) stays on the LEAF voxel key either
+      // way: spatial disjointness across files is a leaf-geometry
+      // property, and each file's coarse chunks hold only its own rows.
+      val lod = opt("copc.lod").exists(_.toBoolean)
+      val sortCols: Seq[org.apache.spark.sql.Column] =
+        if (!lod) Seq(key)
+        else {
+          val h = (enc("x").cast("long") * 73856093L)
+            .bitwiseXOR(enc("y").cast("long") * 19349663L)
+            .bitwiseXOR(enc("z").cast("long") * 83492791L)
+          val promo = when(h % 8 =!= 0, 0).when(h % 64 =!= 0, 1)
+            .when(h % 512 =!= 0, 2).when(h % 4096 =!= 0, 3).otherwise(4)
+          val lvl = greatest(lit(0), lit(level) - promo)
+          val nL = pow(lit(2.0), lvl) // exact doubles through level 19
+          val sideL = lit(2 * half) / nL
+          def kAt(c: String, a: Int) =
+            least(nL - 1, greatest(lit(0.0),
+              floor((enc(c).cast("double") * sc(a) + off(a) - (ctr(a) - half)) / sideL)))
+          Seq(lvl, kAt("x", 0), kAt("y", 1), kAt("z", 2))
+        }
       val arranged = opt("copc.files") match {
         case Some(f) =>
           require(f.toInt > 0, s"copc.files must be positive, got $f")
-          df.repartitionByRange(f.toInt, key).sortWithinPartitions(key)
-        case None => df.sortWithinPartitions(key)
+          df.repartitionByRange(f.toInt, key).sortWithinPartitions(sortCols: _*)
+        case None => df.sortWithinPartitions(sortCols: _*)
       }
       new PointCloudDataFrame(arranged).write("las", path,
         options ++ Map(

@@ -901,7 +901,55 @@ object PointCloudQueries {
       .sort($"src")
   }
 
+  /** The smallest octree level whose 8^l leaves average ≤ `target`
+    * points — INTEGER arithmetic (no ceil/log), so the DuckDB oracle
+    * states the identical ladder on COUNT(*) and both sides agree at
+    * every scale factor. */
+  private def lodLeafLevel(n: Long, target: Long): Int = {
+    var l = 0
+    var cap = target
+    while (n > cap && l < 4) { l += 1; cap *= 8 }
+    l
+  }
+
+  /** pc30: LOD PREVIEW READ — the approximate-scan rung of the COPC
+    * family. `copc.lod = true` distributes points across octree levels
+    * by a DETERMINISTIC integer hash of the raw coordinates
+    * (Copc.lodHash/lodLevel: ~1/8 promoted per level, the published
+    * COPC shape where coarse levels hold a gridded subsample), and the
+    * `copc.maxlevel` read option answers a census from the coarse
+    * levels ONLY — the planner never cuts a split for a leaf chunk, so
+    * the preview costs ~1/8 of the full scan and the fraction HOLDS as
+    * the corpus grows (the level split is per-point, not per-corpus).
+    * Graded strictly: the oracle re-derives the exact level of every
+    * source row from the same hash ladder (xor/multiply/mod — all
+    * int64-exact in DuckDB) and the leaf level from COUNT(*), so one
+    * row leaking across the level boundary scrambles the census. This
+    * is the storage-level "fast approximate answer" a 100-TB
+    * interactive workload needs: no sampling operator, no second
+    * dataset — the SAME file serves exact and preview reads. */
+  private val pc30: Q = (s, d) => {
+    val pts = layeredPointFrame(s, d)
+    val leaf = lodLeafLevel(Tables.lineitem(s, d).count(), 4096L)
+    val dir = layoutOnce("pc30", d) { out =>
+      pts.writeCopc(out, Map("scale" -> "0.001", "copc.nodepoints" -> "4096",
+        "copc.lod" -> "true", "copc.level" -> leaf.toString))
+    }
+    s.read.format("las")
+      .option("copc.maxlevel", math.max(leaf - 1, 0).toString).load(dir)
+      .groupBy(($"classification" % 4).cast("int").as("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        sum($"y".cast("bigint")).as("sy"),
+        sum($"z".cast("bigint")).as("sz"),
+        sum($"intensity".cast("bigint")).as("si"),
+        min($"time").as("mnt"), max($"time").as("mxt"))
+      .sort($"g")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pc30_copc_lod_preview" -> pc30,
     "pc29_copc_stream_bbox" -> pc29,
     "pc28_copc_pruned_scan" -> pc28,
     "pc26_laz_wavepacket" -> pc26,
@@ -934,6 +982,46 @@ object PointCloudQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // every source row's LOD level re-derived with the SAME integer
+    // ladder the writer applies (xor-mix hash, octal-trailing-zero
+    // promotions capped at 4, leaf from COUNT(*)): a hash match proves
+    // the preview read returned exactly the declared coarse slice
+    "pc30_copc_lod_preview" ->
+      """WITH lv AS (
+        |  SELECT CASE WHEN COUNT(*) <= 4096 THEN 0
+        |              WHEN COUNT(*) <= 32768 THEN 1
+        |              WHEN COUNT(*) <= 262144 THEN 2
+        |              WHEN COUNT(*) <= 2097152 THEN 3
+        |              ELSE 4 END AS leaf
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT CAST(l_orderkey % 1000000 AS BIGINT) AS x,
+        |         CAST(l_partkey % 1000000 AS BIGINT) AS y,
+        |         CAST(l_suppkey % 1000000 AS BIGINT) AS z,
+        |         l_partkey, l_linenumber
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT p.*, lv.leaf,
+        |         xor(xor(p.x * 73856093, p.y * 19349663), p.z * 83492791) AS hv
+        |  FROM p CROSS JOIN lv),
+        |l AS (
+        |  SELECT *, GREATEST(leaf - CASE WHEN hv % 8 <> 0 THEN 0
+        |                                 WHEN hv % 64 <> 0 THEN 1
+        |                                 WHEN hv % 512 <> 0 THEN 2
+        |                                 WHEN hv % 4096 <> 0 THEN 3
+        |                                 ELSE 4 END, 0) AS plevel
+        |  FROM h)
+        |SELECT CAST(l_partkey % 64 % 4 AS INT) AS g,
+        | COUNT(*) AS n,
+        | CAST(SUM(x) AS BIGINT) AS sx,
+        | CAST(SUM(y) AS BIGINT) AS sy,
+        | CAST(SUM(z) AS BIGINT) AS sz,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si,
+        | MIN(CAST(x AS DOUBLE) * 0.001 + CAST(y AS DOUBLE)) AS mnt,
+        | MAX(CAST(x AS DOUBLE) * 0.001 + CAST(y AS DOUBLE)) AS mxt
+        |FROM l
+        |WHERE plevel <= GREATEST(leaf - 1, 0)
+        |GROUP BY g ORDER BY g""".stripMargin,
     // the subscription box re-derived from the source arithmetic with NO
     // residual filter on the Spark side: a hash match proves the bbox
     // option alone delivered exactly the in-box records through file

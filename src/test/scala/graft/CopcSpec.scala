@@ -249,6 +249,46 @@ class CopcSpec extends SparkTestBase {
     assert(err2.getMessage.contains("inverted"))
   }
 
+  test("copc.lod distributes levels deterministically; copc.maxlevel reads the preview") {
+    val dir = tmpDir("copc-lod")
+    val rawDir = tmpDir("copc-lod-raw")
+    val pts = fmt6Points(30000)
+    pts.coalesce(1).writeLas(rawDir, Map("scale" -> "0.01"))
+    pts.coalesce(1).writeCopc(dir, Map("scale" -> "0.01",
+      "copc.nodepoints" -> "2048", "copc.lod" -> "true"))
+    // full read: LOD redistributes rows across levels, loses NOTHING
+    val full = spark.read.las(dir)
+    assert(full.count() == 30000)
+    assert(collectAll(full) == collectAll(spark.read.las(rawDir)))
+    // the hierarchy really is multi-level (data entries above the leaf)
+    val (_, info, _) = lazInfoOf(dir)
+    assert(info.chunkLevels != null)
+    val levels = info.chunkLevels.toSeq.distinct.sorted
+    assert(levels.size > 1, s"expected a multi-level LOD hierarchy, got $levels")
+    val leaf = levels.max
+    // the preview read returns EXACTLY the deterministic level slice —
+    // re-derive each row's level driver-side with the same arithmetic
+    val expectPreview = pts.collect().count { r =>
+      Copc.lodLevel(Copc.lodHash(r.getAs[Int]("x"), r.getAs[Int]("y"),
+        r.getAs[Int]("z")), leaf) <= leaf - 1
+    }
+    val preview = spark.read.format("las")
+      .option("copc.maxlevel", (leaf - 1).toString).load(dir)
+    assert(preview.count() == expectPreview)
+    assert(expectPreview > 0 && expectPreview < 30000)
+    // preview composes with bbox: both masks apply, result stays exact
+    val both = spark.read.format("las")
+      .option("copc.maxlevel", (leaf - 1).toString).load(dir)
+      .where($"x" >= 10000 && $"x" <= 60000)
+    val expectBoth = pts.collect().count { r =>
+      val x = r.getAs[Int]("x")
+      x >= 10000 && x <= 60000 &&
+        Copc.lodLevel(Copc.lodHash(x, r.getAs[Int]("y"),
+          r.getAs[Int]("z")), leaf) <= leaf - 1
+    }
+    assert(both.count() == expectBoth)
+  }
+
   test("COPC survives schema-merged multi-file reads and header file-skip still applies") {
     val dir = tmpDir("copc-multi")
     val pts = fmt6Points(12000)
