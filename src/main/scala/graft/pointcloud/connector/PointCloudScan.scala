@@ -293,6 +293,20 @@ class PointCloudScan(
     planFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
+  /** `copc.maxlevel`, parsed ONCE at scan construction so a malformed
+    * value fails the query instead of degrading; and a declared preview
+    * over a source that cannot honor it (any non-COPC file) is rejected
+    * outright — the [[BboxOption]] precedent: a silently over-delivering
+    * subscription (the FULL corpus where ~1/8 was declared) is worse
+    * than an error. */
+  private val copcMaxLevel: Int = CopcPrune.maxLevelOption(options)
+  if (copcMaxLevel >= 0) resolved.sections.foreach { sf =>
+    require(sf.laz.exists(_.chunkLevels != null),
+      s"copc.maxLevel declared but ${sf.section.location} carries no COPC " +
+        "octree index, so the coarse preview cannot be honored there; " +
+        "read it without the option instead")
+  }
+
   /** Sections surviving runtime (join-driven) filtering; starts as the
     * planning-time set. */
   @volatile private var sections: Seq[SectionWithFid] = resolved.sections
@@ -332,15 +346,28 @@ class PointCloudScan(
     * reports nothing. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val known = kind != FormatKind.Xyz && resolved.sections.nonEmpty
-    private val totalRows = resolved.sections.map(_.section.count).sum
+    private val fullRows = resolved.sections.map(_.section.count).sum
+    // a copc.maxlevel preview plans only the coarse-level chunks, so the
+    // planner-visible row count must be the KEPT chunk points (~1/8 per
+    // skipped level), not the header total — otherwise Catalyst sizes
+    // the cheap preview as the full corpus and misses broadcasts
+    private val totalRows =
+      if (copcMaxLevel < 0) fullRows
+      else resolved.sections.map { sf =>
+        val lz = sf.laz.get
+        (0 until lz.numChunks).iterator
+          .filter(i => lz.chunkLevels(i) < 0 || lz.chunkLevels(i) <= copcMaxLevel)
+          .map(lz.chunkPoints(_)).sum
+      }.sum
     private val rows =
       if (limit >= 0) math.min(limit.toLong, totalRows) else totalRows
     override def sizeInBytes(): java.util.OptionalLong =
       if (known) {
         val bytes = resolved.sections.map(_.section.byteSize).sum
-        // a pushed limit caps the scan output proportionally
-        val capped = if (totalRows > 0 && rows < totalRows)
-          math.max(1L, bytes / totalRows * rows) else bytes
+        // a pushed limit or level preview caps the scan output
+        // proportionally
+        val capped = if (fullRows > 0 && rows < fullRows)
+          math.max(1L, bytes / fullRows * rows) else bytes
         java.util.OptionalLong.of(capped)
       } else java.util.OptionalLong.empty()
     override def numRows(): java.util.OptionalLong =
@@ -361,7 +388,8 @@ class PointCloudScan(
     s"graft ${kind.name} scan, ${resolved.sections.size} section(s), " +
       s"columns [${schema.fieldNames.mkString(",")}]" +
       (if (pushedFilters.nonEmpty) s", PushedFilters: [${pushedFilters.mkString(", ")}]" else "") +
-      (if (limit >= 0) s", PushedLimit: $limit" else "")
+      (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      (if (copcMaxLevel >= 0) s", PushedMaxLevel: $copcMaxLevel" else "")
 
   /** Split each section into runs of whole records sized by
     * `spark.sql.files.maxPartitionBytes` (replaces the reference's
@@ -386,8 +414,7 @@ class PointCloudScan(
           // (exactness preserved by the record predicate on whatever
           // still decodes) + the declared copc.maxlevel preview bound
           LazPlanning.partitions(s, sf.fid, lz, maxBytes,
-            CopcPrune.keepMask(lz, planFilters,
-              CopcPrune.maxLevelOption(options)))
+            CopcPrune.keepMask(lz, planFilters, copcMaxLevel))
         case None =>
           val perPartition = math.max(1L, maxBytes / math.max(1, s.stride))
           val schemaJson = s.schema.json

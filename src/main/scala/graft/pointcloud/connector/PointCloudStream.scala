@@ -81,6 +81,14 @@ class PointCloudMicroBatchStream(
 
   import PointCloudMicroBatchStream.FileListOffset
 
+  /** `copc.maxlevel`, parsed once at stream CONSTRUCTION: a malformed
+    * or un-honorable declaration must fail the query at start, not be
+    * swallowed by the per-file skip-unreadable catch below (which would
+    * run the stream forever delivering zero rows). */
+  private val copcMaxLevel: Int = CopcPrune.maxLevelOption(options)
+  require(copcMaxLevel < 0 || kind == FormatKind.Las,
+    s"copc.maxLevel is only honorable on COPC .laz sources, not ${kind.name}")
+
   // NOTE on the `bbox` read option ([[BboxOption]]): it is THE pushdown
   // channel for streaming reads — Spark never calls pushFilters for a
   // micro-batch source, so WHERE-derived filters never reach here. The
@@ -280,13 +288,25 @@ class PointCloudMicroBatchStream(
               // full conjunct set (bbox subscription + anything claimed);
               // the readers evaluate readerFilters exactly on whatever
               // still decodes, so pruning only removes provably-empty IO
-              val keep = CopcPrune.keepMask(lz, planFilters,
-                CopcPrune.maxLevelOption(options))
+              // a declared preview over a file without a COPC octree
+              // index must FAIL the stream (bbox precedent: silent
+              // over-delivery is worse) — thrown as the marker the
+              // catch below re-throws past the skip-unreadable path
+              if (copcMaxLevel >= 0 && lz.chunkLevels == null)
+                throw new CopcPreviewUnhonorable(
+                  s"copc.maxLevel declared but $path carries no COPC " +
+                    "octree index, so the coarse preview cannot be " +
+                    "honored there; read it without the option instead")
+              val keep = CopcPrune.keepMask(lz, planFilters, copcMaxLevel)
               if (keep != null) logInfo(s"COPC stream pruning $path: " +
                 s"${keep.count(k => !k)}/${lz.numChunks} chunks skipped " +
                 s"(${planFilters.length} conjuncts)")
               LazPlanning.partitions(section, fid, lz, maxBytes, keep)
             case None =>
+              if (copcMaxLevel >= 0)
+                throw new CopcPreviewUnhonorable(
+                  s"copc.maxLevel declared but $path is not compressed " +
+                    "COPC, so the coarse preview cannot be honored there")
               val perPartition = math.max(1L, maxBytes / math.max(1, section.stride))
               // render once per section: splits share the String instance so a
               // multi-split task serializes one copy (see PointCloudScan)
@@ -299,6 +319,7 @@ class PointCloudMicroBatchStream(
           }
         }
       } catch {
+        case e: CopcPreviewUnhonorable => throw e // a contract breach, not a bad file
         case e: Exception =>
           logWarning(s"Skipping unreadable ${kind.name} file $path: ${e.getMessage}")
           Nil
@@ -348,3 +369,10 @@ object PointCloudMicroBatchStream {
       }
   }
 }
+
+/** Marker for a declared `copc.maxlevel` preview the source cannot honor
+  * — re-thrown past the streaming planner's skip-unreadable catch, so a
+  * contract breach fails the query instead of reading as a healthy
+  * empty stream. */
+private[connector] class CopcPreviewUnhonorable(msg: String)
+  extends IllegalArgumentException(msg)

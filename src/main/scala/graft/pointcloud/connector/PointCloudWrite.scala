@@ -604,8 +604,12 @@ class LasDataWriter(
     else inputSchema.fields.indexWhere(f => f.name == "time" && f.dataType == DoubleType)
   private var copcGpsMin = Double.PositiveInfinity
   private var copcGpsMax = Double.NegativeInfinity
-  // voxel geometry (derived once): cube min per axis and node side
-  private val copcSide: Double = if (copc) 2.0 * copcCube(3) / (1 << copcLevel) else 0.0
+  // voxel geometry (derived once): cube min per axis and node side —
+  // per LEVEL, so the per-record key path never divides or allocates
+  private val copcSideAt: Array[Double] =
+    if (copc) Array.tabulate(copcLevel + 1)(l => 2.0 * copcCube(3) / (1 << l))
+    else null
+  private val copcSide: Double = if (copc) copcSideAt(copcLevel) else 0.0
   private val copcMin: Array[Double] =
     if (copc) Array.tabulate(3)(a => copcCube(a) - copcCube(3)) else null
   // boundary tolerance: fp assembly of the cube from a bbox pass can
@@ -627,24 +631,24 @@ class LasDataWriter(
     * trusts. */
   private def copcKeyOf(row: InternalRow): Long = {
     val copcImport = graft.pointcloud.las.laz.Copc
-    val raws = new Array[Int](3)
-    var a = 0
-    while (a < 3) {
-      val o = xyzOrd(a)
-      raws(a) = if (o >= 0 && !row.isNullAt(o)) row.getInt(o) else 0
-      a += 1
-    }
+    // three scalar reads, no per-record allocation (this runs per point
+    // in the sink's hot loop)
+    val o0 = xyzOrd(0); val o1 = xyzOrd(1); val o2 = xyzOrd(2)
+    val r0 = if (o0 >= 0 && !row.isNullAt(o0)) row.getInt(o0) else 0
+    val r1 = if (o1 >= 0 && !row.isNullAt(o1)) row.getInt(o1) else 0
+    val r2 = if (o2 >= 0 && !row.isNullAt(o2)) row.getInt(o2) else 0
     // LOD: the row's level is a deterministic function of its raw
     // coordinates, so the oracle (or any external system) can re-derive
     // the exact level split with integer arithmetic
     val lvl =
       if (!copcLod) copcLevel
-      else copcImport.lodLevel(copcImport.lodHash(raws(0), raws(1), raws(2)), copcLevel)
-    val side = 2.0 * copcCube(3) / (1 << lvl)
+      else copcImport.lodLevel(copcImport.lodHash(r0, r1, r2), copcLevel)
+    val side = copcSideAt(lvl)
     var key = 0L
-    a = 0
+    var a = 0
     while (a < 3) {
-      val w = raws(a) * scale(a) + offset(a)
+      val raw = if (a == 0) r0 else if (a == 1) r1 else r2
+      val w = raw * scale(a) + offset(a)
       if (w < copcMin(a) - copcTol(a) || w > copcMin(a) + 2.0 * copcCube(3) + copcTol(a))
         throw new IllegalArgumentException(
           f"point ${"xyz".charAt(a)}%c=$w%.6f outside the declared copc.cube " +
@@ -763,8 +767,11 @@ class LasDataWriter(
         }
         val payload = copcImport.entriesPayload(
           copcImport.ancestorEntries(leaves) ++ leaves)
+        // spacing is defined at the ROOT node by the published spec
+        // (halved per level); the leaf side would be 2^level too fine
+        // for a foreign LOD viewer picking its streaming depth
         val info = copcImport.Info(copcCube(0), copcCube(1), copcCube(2),
-          copcCube(3), copcSide, evlrOffset + 60, payload.length.toLong,
+          copcCube(3), 2.0 * copcCube(3), evlrOffset + 60, payload.length.toLong,
           if (copcGpsMin.isInfinite) 0.0 else copcGpsMin,
           if (copcGpsMax.isInfinite) 0.0 else copcGpsMax)
         (copcImport.infoVlrRecord(info), copcImport.hierEvlrRecord(payload))

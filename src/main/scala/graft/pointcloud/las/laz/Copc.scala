@@ -205,7 +205,7 @@ object Copc {
 
   /** The file's `copc` info VLR, if present (throws on a malformed
     * payload — callers wanting the degrade-to-plain-LAZ behavior go
-    * through [[boundsFor]]). */
+    * through [[indexFor]]). */
   def readInfo(header: LasHeader, readAt: LasExtraBytes.ReadAt): Option[Info] =
     LasExtraBytes.findVlrPayloads(header, readAt, VlrUserId, InfoRecordId)
       .headOption.map(parseInfo)

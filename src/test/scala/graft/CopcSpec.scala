@@ -289,6 +289,23 @@ class CopcSpec extends SparkTestBase {
     assert(both.count() == expectBoth)
   }
 
+  test("copc.maxlevel rejects malformed values and non-COPC sources") {
+    // over-delivering the FULL corpus where a ~1/8 preview was declared
+    // would be silent wrongness — the option fails instead (the bbox
+    // precedent), and a typo'd value fails as a parse error, not an
+    // empty result
+    val lasDir = tmpDir("ml-las")
+    fmt6Points(500).coalesce(1).writeLas(lasDir, Map("scale" -> "0.01"))
+    val e1 = intercept[Exception] {
+      spark.read.format("las").option("copc.maxlevel", "1").load(lasDir).count()
+    }
+    assert(e1.getMessage.contains("octree index"))
+    val e2 = intercept[Exception] {
+      spark.read.format("las").option("copc.maxlevel", "x").load(lasDir).count()
+    }
+    assert(e2.getMessage.contains("not an integer"))
+  }
+
   test("COPC survives schema-merged multi-file reads and header file-skip still applies") {
     val dir = tmpDir("copc-multi")
     val pts = fmt6Points(12000)
