@@ -301,7 +301,9 @@ class PointCloudScan(
     * than an error. */
   private val copcMaxLevel: Int = CopcPrune.maxLevelOption(options)
   if (copcMaxLevel >= 0) resolved.sections.foreach { sf =>
-    require(sf.laz.exists(_.chunkLevels != null),
+    // a zero-record section honors any preview trivially (empty task
+    // files are normal in a multi-task layout)
+    require(sf.section.count == 0 || sf.laz.exists(_.chunkLevels != null),
       s"copc.maxLevel declared but ${sf.section.location} carries no COPC " +
         "octree index, so the coarse preview cannot be honored there; " +
         "read it without the option instead")

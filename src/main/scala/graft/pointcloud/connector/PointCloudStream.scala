@@ -292,7 +292,7 @@ class PointCloudMicroBatchStream(
               // index must FAIL the stream (bbox precedent: silent
               // over-delivery is worse) — thrown as the marker the
               // catch below re-throws past the skip-unreadable path
-              if (copcMaxLevel >= 0 && lz.chunkLevels == null)
+              if (copcMaxLevel >= 0 && lz.chunkLevels == null && lz.numChunks > 0)
                 throw new CopcPreviewUnhonorable(
                   s"copc.maxLevel declared but $path carries no COPC " +
                     "octree index, so the coarse preview cannot be " +
@@ -303,7 +303,7 @@ class PointCloudMicroBatchStream(
                 s"(${planFilters.length} conjuncts)")
               LazPlanning.partitions(section, fid, lz, maxBytes, keep)
             case None =>
-              if (copcMaxLevel >= 0)
+              if (copcMaxLevel >= 0 && section.count != 0)
                 throw new CopcPreviewUnhonorable(
                   s"copc.maxLevel declared but $path is not compressed " +
                     "COPC, so the coarse preview cannot be honored there")

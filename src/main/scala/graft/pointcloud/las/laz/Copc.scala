@@ -163,6 +163,12 @@ object Copc {
   def chunkIndex(header: LasHeader, info: Info, entries: Seq[Entry],
       lz: LazInfo): ChunkIndex = {
     if (header.scale.exists(_ <= 0)) return null
+    // an EMPTY COPC file (a task that received zero rows still writes a
+    // valid container) carries an empty-but-present index: it is COPC,
+    // it binds trivially, and a declared preview is honored by it —
+    // only a NON-empty file whose hierarchy fails to bind degrades to
+    // plain LAZ (null)
+    if (lz.numChunks == 0) return ChunkIndex(Array.empty, Array.empty)
     val byOffset = entries.iterator.map(e => e.offset -> e).toMap
     val bounds = new Array[Array[Long]](lz.numChunks)
     val levels = Array.fill(lz.numChunks)(-1)

@@ -304,6 +304,25 @@ class CopcSpec extends SparkTestBase {
       spark.read.format("las").option("copc.maxlevel", "x").load(lasDir).count()
     }
     assert(e2.getMessage.contains("not an integer"))
+    // an EMPTY task file (a partition that received zero rows) in a
+    // multi-task COPC layout must not block a declared preview — it
+    // honors it trivially (the r14 bench incident: two 0-point files
+    // failed the whole pc30 read)
+    val dirM = tmpDir("ml-empty")
+    val pts = fmt6Points(6000)
+    // the empty arm must not be STATICALLY empty (PropagateEmptyRelation
+    // would erase it) nor AQE-coalesced away (adaptive shuffle reads drop
+    // 0-row partitions): a never-true runtime filter + AQE off keeps the
+    // zero-row task alive so it writes its empty container
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try pts.repartition(2).union(pts.filter($"intensity" < -1).repartition(1))
+      .writeCopc(dirM, Map("scale" -> "0.01", "copc.nodepoints" -> "512",
+        "copc.lod" -> "true"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val files = new java.io.File(dirM).listFiles().filter(_.getName.endsWith(".laz"))
+    assert(files.length == 3)
+    val n = spark.read.format("las").option("copc.maxlevel", "0").load(dirM).count()
+    assert(n > 0 && n < 6000)
   }
 
   test("COPC survives schema-merged multi-file reads and header file-skip still applies") {
