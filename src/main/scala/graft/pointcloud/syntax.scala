@@ -21,7 +21,14 @@ object syntax {
       * drives header file-skip and COPC chunk pruning at planning. It
       * is THE pushdown channel for `readStream` (Spark never pushes
       * predicates into a micro-batch source); on batch reads a plain
-      * `.where` gets the same pruning automatically. las/ply only. */
+      * `.where` gets the same pruning automatically. las/ply only.
+      *
+      * Read option `copc.maxlevel` = `K` over a [[PointCloudDataFrame.writeCopc]]
+      * LOD layout: the declared COARSE PREVIEW — only octree nodes at
+      * level ≤ K are planned (~1/8 of the data per level below the
+      * leaf), same option in batch and streaming. It CHANGES the result
+      * set by contract, so a source that cannot honor it (non-COPC
+      * file) is rejected rather than silently over-delivering. */
     def las(paths: String*): DataFrame = r.format("las").load(paths: _*)
     def ply(paths: String*): DataFrame = r.format("ply").load(paths: _*)
     def xyz(paths: String*): DataFrame = r.format("xyz").load(paths: _*)
@@ -124,8 +131,15 @@ object syntax {
       * it the write is shuffle-free and file skipping still applies,
       * just with whatever spatial overlap the input partitioning had.
       * Requires point format 6-8 columns (COPC is a LAS 1.4 layered-LAZ
-      * profile). Options: `copc.nodepoints` (target points per leaf
-      * node, default 16384), `copc.chunkcap`, `copc.files`, plus all
+      * profile). `copc.lod = true` additionally distributes points
+      * across octree LEVELS by a deterministic integer hash of the raw
+      * coordinates (~1/8 promoted per level — the published COPC shape
+      * where coarse levels hold a subsample), enabling the
+      * `copc.maxlevel` coarse-preview READ option: an approximate
+      * census at a fixed fraction of the scan cost, served by the SAME
+      * file as the exact read. Options: `copc.nodepoints` (target
+      * points per leaf node, default 16384), `copc.level` (explicit
+      * leaf level), `copc.lod`, `copc.chunkcap`, `copc.files`, plus all
       * [[writeLas]] options. Interop caveat as [[writeLaz]]. */
     def writeCopc(path: String, options: Map[String, String] = Map.empty): Unit = {
       import org.apache.spark.sql.functions.{coalesce, col, count, floor, greatest, least, lit, max, min, pow, when}
