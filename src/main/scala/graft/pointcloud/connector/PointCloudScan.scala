@@ -551,21 +551,36 @@ private[graft] object BboxOption {
               try java.lang.Long.valueOf(tok.toLong)
               catch {
                 case _: NumberFormatException =>
-                  try java.lang.Double.valueOf(tok.toDouble)
-                  catch {
+                  val d = try tok.toDouble catch {
                     case _: NumberFormatException =>
                       throw new IllegalArgumentException(
                         s"bbox $side bound for ${dims(a)} is not a number: '$tok'")
                   }
+                  // NaN/Infinity parse as doubles but make every
+                  // comparison false — a subscription that silently
+                  // matches nothing, the exact failure mode this option
+                  // exists to surface as an error
+                  require(java.lang.Double.isFinite(d),
+                    s"bbox $side bound for ${dims(a)} is not finite: '$tok'")
+                  java.lang.Double.valueOf(d)
               })
-          def num(v: Any): Double = v match {
-            case l: java.lang.Long => l.doubleValue
-            case d: java.lang.Double => d.doubleValue
-          }
           val lo = bound(parts(2 * a), "lower")
           val hi = bound(parts(2 * a + 1), "upper")
-          for (l <- lo; h <- hi) require(num(l) <= num(h),
-            s"bbox ${dims(a)} bounds are inverted: $l > $h")
+          for (l <- lo; h <- hi) {
+            // exact in the Long domain (a double round-trip would wave
+            // through inverted bounds past 2^53); mixed types compare
+            // via BigDecimal, exact for both
+            val inverted = (l, h) match {
+              case (a1: java.lang.Long, b1: java.lang.Long) => a1 > b1
+              case _ =>
+                def big(v: Any) = v match {
+                  case x: java.lang.Long => BigDecimal(x.longValue)
+                  case x: java.lang.Double => BigDecimal(x.doubleValue)
+                }
+                big(l) > big(h)
+            }
+            require(!inverted, s"bbox ${dims(a)} bounds are inverted: $l > $h")
+          }
           lo.foreach(v => out += FGe(dims(a), v))
           hi.foreach(v => out += FLe(dims(a), v))
           a += 1

@@ -286,7 +286,7 @@ class PointCloudMicroBatchStream(
             case Some(lz) =>
               // same COPC chunk skipping as the batch planner, from the
               // full conjunct set (bbox subscription + anything claimed);
-              // the readers evaluate readerFilters exactly on whatever
+              // the readers evaluate pushedFilters exactly on whatever
               // still decodes, so pruning only removes provably-empty IO
               // a declared preview over a file without a COPC octree
               // index must FAIL the stream (bbox precedent: silent

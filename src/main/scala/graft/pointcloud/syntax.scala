@@ -144,8 +144,15 @@ object syntax {
     def writeCopc(path: String, options: Map[String, String] = Map.empty): Unit = {
       import org.apache.spark.sql.functions.{coalesce, col, count, floor, greatest, least, lit, max, min, pow, when}
       // option lookup mirroring the DSv2 writer's case-insensitive map
+      // exactly: lowercase-fold with LAST occurrence winning, the
+      // CaseInsensitiveStringMap putAll rule — a different duplicate-key
+      // resolution here could derive the cube in one world frame while
+      // the writer encodes in another
+      val ciOpts = options.foldLeft(Map.empty[String, String]) {
+        case (m, (k, v)) => m + (k.toLowerCase(java.util.Locale.ROOT) -> v)
+      }
       def opt(key: String): Option[String] =
-        options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+        ciOpts.get(key.toLowerCase(java.util.Locale.ROOT))
       // the SAME scale/offset parser the writer uses (WriterUtil.parse3):
       // the cube must be derived in exactly the writer's world frame
       val sc = connector.WriterUtil.parse3(opt, "scale", 1.0)
@@ -169,8 +176,13 @@ object syntax {
       // tolerance; the pad keeps honest data clear of that boundary)
       val half = math.max(
         (0 until 3).map(a => (hi(a) - lo(a)) / 2).max * (1 + 1e-9) + 1e-9, 1e-6)
-      val target = opt("copc.nodepoints").getOrElse("16384").toInt
-      require(target > 0, s"copc.nodepoints must be positive, got $target")
+      val target = opt("copc.nodepoints").map { s =>
+        try s.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"copc.nodePoints '$s' is not an integer")
+        }
+      }.getOrElse(16384)
+      require(target > 0, s"copc.nodePoints must be positive, got $target")
       // an explicit copc.level wins (a caller wanting an oracle- or
       // interop-exact leaf level states it in integer arithmetic);
       // otherwise density-match: the smallest level whose 8^l leaves
@@ -218,8 +230,12 @@ object syntax {
         }
       val arranged = opt("copc.files") match {
         case Some(f) =>
-          require(f.toInt > 0, s"copc.files must be positive, got $f")
-          df.repartitionByRange(f.toInt, key).sortWithinPartitions(sortCols: _*)
+          val nf = try f.trim.toInt catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"copc.files '$f' is not an integer")
+          }
+          require(nf > 0, s"copc.files must be positive, got $nf")
+          df.repartitionByRange(nf, key).sortWithinPartitions(sortCols: _*)
         case None => df.sortWithinPartitions(sortCols: _*)
       }
       new PointCloudDataFrame(arranged).write("las", path,
