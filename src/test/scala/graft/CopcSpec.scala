@@ -247,6 +247,20 @@ class CopcSpec extends SparkTestBase {
       spark.read.format("las").option("bbox", "9,1,*,*,*,*").load(dir).count()
     }
     assert(err2.getMessage.contains("inverted"))
+    // NaN parses as a double but makes every comparison false — a
+    // subscription that silently matches nothing must be an error
+    val err3 = intercept[Exception] {
+      spark.read.format("las").option("bbox", "NaN,900,*,*,*,*").load(dir).count()
+    }
+    assert(err3.getMessage.contains("not finite"))
+    // inverted Long bounds past 2^53 must not slip through a double
+    // round-trip (both sides collapse to the same double there)
+    val err4 = intercept[Exception] {
+      spark.read.format("las")
+        .option("bbox", "9007199254740993,9007199254740992,*,*,*,*")
+        .load(dir).count()
+    }
+    assert(err4.getMessage.contains("inverted"))
   }
 
   test("copc.lod distributes levels deterministically; copc.maxlevel reads the preview") {
