@@ -394,7 +394,12 @@ object Bench {
         // OWN calib pair (before/after the loop), so box-speed drift
         // during the probe divides out of any cross-round comparison
         // without re-running anything
+        // calib_mt pair too (the r14 lesson): the single-threaded pair
+        // cannot explain variance in the parallelism-hungry entries
+        // (dd10's candidate join spans all cores) — a contended box shows
+        // up in calib_mt long before calib moves
         val pCalibPre = calibrateOnce()
+        val pCalibMtPre = calibrateMt(cpus.toInt)
         val pTimes = try probeNames.map { name =>
           // a failing pass STOPS the entry (no point paying a slow
           // failure path twice), and a pass-2-only transient error must
@@ -418,6 +423,7 @@ object Bench {
           name -> (if (passes.isEmpty) 0.0 else passes.min)
         } finally spark.conf.set(mpbKey, prevMpb)
         val pCalibPost = calibrateOnce()
+        val pCalibMtPost = calibrateMt(cpus.toInt)
         val pq = pTimes.map { case (k, v) =>
           "\"" + k + "\":" + (if (pErrs.contains(k)) "null" else ms(v).toString)
         }.mkString("{", ",", "}")
@@ -426,7 +432,9 @@ object Bench {
           else pErrs.map { case (k, v) => jstr(k) + ":" + jstr(v) }
             .mkString(""","errors":{""", ",", "}")
         s""","sf1_probe":{"scale":$scale,"rows":$rows,"gen_sec":${ms(genSec)},""" +
-          s""""calib":[${ms(pCalibPre)},${ms(pCalibPost)}],"passes":2,"queries":$pq$pe}"""
+          s""""calib":[${ms(pCalibPre)},${ms(pCalibPost)}],""" +
+          s""""calib_mt":[${ms(pCalibMtPre)},${ms(pCalibMtPost)}],""" +
+          s""""passes":2,"queries":$pq$pe}"""
       } catch { case t: Throwable =>
         s""","sf1_probe":{"error":${jstr(t.getClass.getSimpleName + ": " +
           Option(t.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))}}"""

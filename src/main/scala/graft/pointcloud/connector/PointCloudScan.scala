@@ -356,10 +356,15 @@ class PointCloudScan(
     private val totalRows =
       if (copcMaxLevel < 0) fullRows
       else resolved.sections.map { sf =>
-        val lz = sf.laz.get
-        (0 until lz.numChunks).iterator
-          .filter(i => lz.chunkLevels(i) < 0 || lz.chunkLevels(i) <= copcMaxLevel)
-          .map(lz.chunkPoints(_)).sum
+        // a zero-count section may carry no laz layout at all (an empty
+        // uncompressed task file in the directory — admitted by the
+        // construction require above); it contributes 0 rows, it must
+        // not crash stats estimation
+        sf.laz.fold(0L) { lz =>
+          (0 until lz.numChunks).iterator
+            .filter(i => lz.chunkLevels(i) < 0 || lz.chunkLevels(i) <= copcMaxLevel)
+            .map(lz.chunkPoints(_)).sum
+        }
       }.sum
     private val rows =
       if (limit >= 0) math.min(limit.toLong, totalRows) else totalRows

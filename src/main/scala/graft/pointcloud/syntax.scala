@@ -140,7 +140,14 @@ object syntax {
       * file as the exact read. Options: `copc.nodepoints` (target
       * points per leaf node, default 16384), `copc.level` (explicit
       * leaf level), `copc.lod`, `copc.chunkcap`, `copc.files`, plus all
-      * [[writeLas]] options. Interop caveat as [[writeLaz]]. */
+      * [[writeLas]] options. Interop caveat as [[writeLaz]] — plus one
+      * layout-level caveat: a voxel whose points overflow
+      * `copc.chunkcap` is split into several chunks SHARING one
+      * (level,x,y,z) hierarchy key (this repo's reader sums per-key
+      * entries; the published spec has at most one entry per key, so a
+      * foreign reader may mishandle such files). Size `copc.nodepoints`
+      * at or below `copc.chunkcap` (both default safe) to keep every
+      * key single-entry when foreign-tool interop matters. */
     def writeCopc(path: String, options: Map[String, String] = Map.empty): Unit = {
       import org.apache.spark.sql.functions.{coalesce, col, count, floor, greatest, least, lit, max, min, pow, when}
       // option lookup mirroring the DSv2 writer's case-insensitive map

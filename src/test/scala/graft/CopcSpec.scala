@@ -339,6 +339,31 @@ class CopcSpec extends SparkTestBase {
     assert(n > 0 && n < 6000)
   }
 
+  test("a laz-less empty section does not break copc.maxlevel stats estimation") {
+    // an empty UNCOMPRESSED task file (zero-count, laz = None) in a COPC
+    // directory is admitted by the scan's construction require; stats
+    // estimation must treat it as 0 preview rows, not throw on laz.get
+    val dir = tmpDir("ml-stats")
+    val pts = fmt6Points(6000)
+    pts.coalesce(1).writeCopc(dir, Map("scale" -> "0.01",
+      "copc.nodepoints" -> "512", "copc.lod" -> "true"))
+    val emptyDir = tmpDir("ml-stats-empty")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try pts.filter($"intensity" < -1).repartition(1)
+      .writeLas(emptyDir, Map("scale" -> "0.01"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val empty = new java.io.File(emptyDir).listFiles()
+      .filter(_.getName.endsWith(".las")).head
+    java.nio.file.Files.copy(empty.toPath,
+      java.nio.file.Paths.get(dir, empty.getName))
+    val df = spark.read.format("las").option("copc.maxlevel", "0").load(dir)
+    // force the stats path explicitly (the crash site), then the read
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0)
+    val n = df.count()
+    assert(n > 0 && n < 6000)
+  }
+
   test("COPC survives schema-merged multi-file reads and header file-skip still applies") {
     val dir = tmpDir("copc-multi")
     val pts = fmt6Points(12000)
