@@ -322,6 +322,20 @@ object OpsQueries {
     * fit + probe. The trained centroids are memoized per data dir: an
     * IVF index is built once and served for many queries — retraining
     * per query would benchmark index construction, not search. */
+  /** The ss-family query vector (vec_id 0), collected ONCE per dataset
+    * dir — the same train-once convention as [[ivfModel]]: every ss
+    * entry probes the same benchmark query row, and re-collecting it
+    * per entry paid one fixed driver job apiece (the r14 review's
+    * ss-family bench-noise term). The vector is immutable model-scale
+    * state (64 doubles), exactly like the centroids it probes. */
+  private val queryVecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
+  private def queryVec(s: SparkSession, d: String): Seq[Double] =
+    queryVecs.computeIfAbsent(d,
+      _ => Tables.embeddings(s, d).filter($"vec_id" === 0)
+        .select(transform($"embedding", _.cast("double")))
+        .collect().head.getSeq[Double](0))
+
   private val kmeansModels =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
   /** The ss04/ss07 coarse quantizer, trained once per dataset dir — ONE
@@ -333,9 +347,7 @@ object OpsQueries {
         "vec_id", "embedding", 64, Ss04Cells, Ss04Iters))
   private val ss04: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    val qv = e.filter($"vec_id" === 0)
-      .select(transform($"embedding", _.cast("double")))
-      .collect().head.getSeq[Double](0)
+    val qv = queryVec(s, d)
     Clustering.ivfTopK(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
         ivfModel(s, d), qv, 5, nProbe = Ss04Probe)
       .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
@@ -360,9 +372,7 @@ object OpsQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ss07: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    val qv = e.filter($"vec_id" === 0)
-      .select(transform($"embedding", _.cast("double")))
-      .collect().head.getSeq[Double](0)
+    val qv = queryVec(s, d)
     val centroids = ivfModel(s, d)
     // disk-backed temp, NOT Fs.fastTempBase: the layout lives until JVM
     // exit, and a long-lived artifact squatting on tmpfs would eat the
@@ -390,9 +400,7 @@ object OpsQueries {
     * the quantizer or probe breaks the hash, not just a vibe. */
   private val ss08: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    val qv = e.filter($"vec_id" === 0)
-      .select(transform($"embedding", _.cast("double")))
-      .collect().head.getSeq[Double](0)
+    val qv = queryVec(s, d)
     val q = array(qv.map(lit): _*)
     val rest = e.filter($"vec_id" =!= 0)
       .select($"vec_id", Similarity.cosine(
@@ -444,9 +452,7 @@ object OpsQueries {
       .select($"vec_id", Similarity.intDot($"q", $"qq").as("qscore"))
       .sort($"qscore".desc, $"vec_id")
       .limit(Ss09K)
-    val qvec = e.filter($"vec_id" === 0)
-      .select(transform($"embedding", _.cast("double")))
-      .collect().head.getSeq[Double](0)
+    val qvec = queryVec(s, d)
     val exact = Similarity.bruteForceTopK(
         e.filter($"vec_id" =!= 0), "vec_id", "embedding", qvec, Ss09K)
       .select($"id".as("eid"))
@@ -461,9 +467,7 @@ object OpsQueries {
     * shape, hyperplane code instead of a trained quantizer. */
   private val ss05: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    val qv = e.filter($"vec_id" === 0)
-      .select(transform($"embedding", _.cast("double")))
-      .collect().head.getSeq[Double](0)
+    val qv = queryVec(s, d)
     Similarity.multiProbeTopK(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
         64, qv, 5, planes = 4)
       .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
@@ -482,9 +486,7 @@ object OpsQueries {
     * predicate. */
   private val ss10: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    val qv = e.filter($"vec_id" === 0)
-      .select(transform($"embedding", _.cast("double")))
-      .collect().head.getSeq[Double](0)
+    val qv = queryVec(s, d)
     Similarity.multiProbeTopK(
         e.filter($"vec_id" =!= 0 && $"label" % 2 === 0),
         "vec_id", "embedding", 64, qv, 5, planes = 4)
@@ -518,9 +520,7 @@ object OpsQueries {
     require(loaded == ivfModel(s, d),
       "loaded IVF centroids drifted from the fitted model")
     val e = Tables.embeddings(s, d)
-    val qv = e.filter($"vec_id" === 0)
-      .select(transform($"embedding", _.cast("double")))
-      .collect().head.getSeq[Double](0)
+    val qv = queryVec(s, d)
     Clustering.ivfTopK(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
         loaded, qv, 5, nProbe = Ss04Probe)
       .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
@@ -568,9 +568,7 @@ object OpsQueries {
       (mp, lp)
     })
     val loaded = Clustering.loadCentroids(s, modelPath)
-    val qv = e.filter($"vec_id" === 0)
-      .select(transform($"embedding", _.cast("double")))
-      .collect().head.getSeq[Double](0)
+    val qv = queryVec(s, d)
     // two graded facts in one uniform (part, a, b) schema: the served
     // top-5 over the combined layout ('serve' rows), and the per-cell
     // census of the layout itself — total members and HOW MANY ARE
