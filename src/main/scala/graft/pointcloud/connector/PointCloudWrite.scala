@@ -765,8 +765,14 @@ class LasDataWriter(
           off += chunkByteCounts(i)
           e
         }
-        val payload = copcImport.entriesPayload(
-          copcImport.ancestorEntries(leaves) ++ leaves)
+        val ancestors = copcImport.ancestorEntries(leaves)
+        // the single root page this writer emits must stay under the
+        // reader's hierarchy bound — fail the TASK here (job aborts with
+        // the actionable message) rather than land a file this repo's
+        // own reader rejects at resolve time
+        copcImport.requireEntryBudget(
+          ancestors.length.toLong + leaves.length, finalPath.toString)
+        val payload = copcImport.entriesPayload(ancestors ++ leaves)
         // spacing is defined at the ROOT node by the published spec
         // (halved per level); the leaf side would be 2^level too fine
         // for a foreign LOD viewer picking its streaming depth

@@ -43,6 +43,22 @@ object Copc {
     * driver, so a file cannot declare an absurd page graph. */
   val MaxEntries = 1 << 22
 
+  /** Writer-side twin of the reader's hierarchy bound ([[readDataEntries]]
+    * caps both the per-page and the total entry count at [[MaxEntries]]):
+    * a single-root-page file whose entry count exceeds the cap would be
+    * REJECTED BY THIS REPO'S OWN READER, so the writer must fail the
+    * write with an actionable error instead of landing an unreadable
+    * file (~4M chunks at the default cap). `bound` is the spec hook —
+    * production callers use the default, and the spec pins that the
+    * predicate trips at exactly the threshold the reader enforces. */
+  def requireEntryBudget(entries: Long, location: String,
+      bound: Int = MaxEntries): Unit =
+    require(entries <= bound,
+      s"$location: COPC hierarchy would carry $entries entries, past the " +
+        s"$bound-entry reader bound for a single root page; raise " +
+        "copc.chunkcap / copc.nodepoints or lower copc.level so fewer " +
+        "chunks are cut")
+
   /** The `copc` info VLR payload (public spec, 160 bytes). */
   case class Info(
       centerX: Double, centerY: Double, centerZ: Double,

@@ -364,6 +364,38 @@ class CopcSpec extends SparkTestBase {
     assert(n > 0 && n < 6000)
   }
 
+  test("writer entry budget and reader hierarchy bound agree at the same threshold") {
+    // writer side: the shared predicate trips one past the bound (tiny
+    // spec bound, then the production default)
+    Copc.requireEntryBudget(8, "f", bound = 8)
+    val we = intercept[IllegalArgumentException] {
+      Copc.requireEntryBudget(9, "f", bound = 8)
+    }
+    assert(we.getMessage.contains("9 entries"))
+    Copc.requireEntryBudget(Copc.MaxEntries.toLong, "f")
+    intercept[IllegalArgumentException] {
+      Copc.requireEntryBudget(Copc.MaxEntries.toLong + 1, "f")
+    }
+    // reader side: a root page declaring one entry past MaxEntries is
+    // rejected BEFORE any byte is read (the require precedes readAt), so
+    // the two sides agree at exactly the same threshold
+    val info = Copc.Info(0, 0, 0, 1, 2, rootHierOffset = 0,
+      rootHierSize = (Copc.MaxEntries.toLong + 1) * Copc.EntryLen, 0, 0)
+    val re = intercept[IllegalArgumentException] {
+      Copc.readDataEntries(info,
+        (_, _) => fail("reader bound must fire before any read"),
+        Long.MaxValue)
+    }
+    assert(re.getMessage.contains("reader bound"))
+    // and exactly AT the bound the reader proceeds to the read itself
+    val okInfo = info.copy(rootHierSize = Copc.MaxEntries.toLong * Copc.EntryLen)
+    val reached = intercept[RuntimeException] {
+      Copc.readDataEntries(okInfo,
+        (_, _) => throw new RuntimeException("reached readAt"), Long.MaxValue)
+    }
+    assert(reached.getMessage.contains("reached readAt"))
+  }
+
   test("COPC survives schema-merged multi-file reads and header file-skip still applies") {
     val dir = tmpDir("copc-multi")
     val pts = fmt6Points(12000)
