@@ -102,12 +102,22 @@ object Laz {
     val streamed = leadOffset == -1L
     val (tableOffset, tableEnd) =
       if (streamed) {
-        require(fileLen >= header.pdrOffset.toLong + 8 + 8 + 8,
+        // the streamed footer sits at the end of the POINT REGION: a
+        // legal streamed LAZ 1.4 file may carry EVLRs after it, so when
+        // the header declares them the file's last 8 bytes are EVLR
+        // payload, not the table offset — read the footer from just
+        // before the declared EVLR block instead (conservatively bounded
+        // by fileLen against a lying header)
+        val regionEnd =
+          if (header.evlrCount > 0 && header.evlrOffset > 0)
+            math.min(header.evlrOffset, fileLen)
+          else fileLen
+        require(regionEnd >= header.pdrOffset.toLong + 8 + 8 + 8,
           s"${header.location}: file too short for the streamed (offset -1) chunk-table layout")
-        val tailBytes = readAt(fileLen - 8, 8)
+        val tailBytes = readAt(regionEnd - 8, 8)
         val off = java.nio.ByteBuffer.wrap(tailBytes)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
-        (off, fileLen - 8)
+        (off, regionEnd - 8)
       } else (leadOffset, fileLen)
     require(tableOffset > header.pdrOffset && tableOffset <= tableEnd - 8,
       s"${header.location}: chunk table offset $tableOffset outside the file (len $fileLen)")

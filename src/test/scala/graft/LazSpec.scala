@@ -320,6 +320,46 @@ class LazSpec extends SparkTestBase {
     assert(collectAll(back) == expect)
   }
 
+  test("streamed .laz with trailing EVLRs reads the footer from before the EVLR block") {
+    // a legal streamed LAZ 1.4 file may carry EVLRs after the chunk
+    // table: the 8-byte table-offset footer then ends the POINT REGION
+    // (just before the declared EVLR block), not the file — reading the
+    // file's literal last 8 bytes would land in EVLR payload and skip
+    // the whole file as unreadable
+    val pts = fmt0Points(6000)
+    val dir = tmpDir("laz-streamed-evlr")
+    pts.coalesce(1).writeLaz(dir, Map("scale" -> "0.01",
+      "laz.chunkSize" -> "2048", "minor" -> "4"))
+    val expect = collectAll(spark.read.las(dir))
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".laz")).head
+    val bytes = Files.readAllBytes(f.toPath)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val pdrOffset = bb.getInt(96)
+    val tableOffset = bb.getLong(pdrOffset)
+    bb.putLong(pdrOffset, -1L) // streamed layout
+    // trailing EVLR: 60-byte container (user "test", record 7) + payload
+    val evlr = new Array[Byte](60 + 16)
+    val eb = java.nio.ByteBuffer.wrap(evlr)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    eb.position(2); eb.put("test".getBytes("US-ASCII"))
+    eb.putShort(18, 7.toShort)
+    eb.putLong(20, 16L)
+    val out = java.nio.ByteBuffer.allocate(bytes.length + 8 + evlr.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(bytes); out.putLong(tableOffset); out.put(evlr)
+    // LAS 1.4 header: evlrOffset u64 at 235, evlrCount u32 at 243
+    out.putLong(235, bytes.length.toLong + 8)
+    out.putInt(243, 1)
+    Files.write(f.toPath, out.array())
+    val crc = new java.io.File(f.getParentFile, "." + f.getName + ".crc")
+    if (crc.exists()) crc.delete()
+    val back = spark.read.las(dir)
+    assert(back.count() == 6000)
+    assert(collectAll(back) == expect)
+  }
+
   test("variable chunk table round-trips irregular point/byte counts") {
     import graft.pointcloud.las.laz.Laz
     val pts = Seq(700L, 1300L, 250L, 1L, 16777216L)
