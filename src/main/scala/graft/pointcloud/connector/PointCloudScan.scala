@@ -219,6 +219,12 @@ private[connector] object SectionSkip {
         (Math.round((st.pMin(a) - st.offset(a)) / st.scale(a)).toDouble,
           Math.round((st.pMax(a) - st.offset(a)) / st.scale(a)).toDouble)
       }
+      // temporal file skip: COPC's info VLR carries the file's gpstime
+      // span (world-domain doubles, same domain as the exposed `time`
+      // column) — a time-sliced read of a lidar lake skips whole files
+      // here, before any split is cut, exactly like the bbox skip above
+      case "time" => sf.laz.flatMap(lz => Option(lz.gpsRange))
+        .map(r => (r(0), r(1)))
       case _ => None
     }
     def num(v: Any): Option[Double] = v match {

@@ -202,7 +202,11 @@ class PointCloudBatchWrite(
         }
       }
     }
-    PointCloudWriterFactory(kind, path, schema.json, options, queryId)
+    // append-mode jobs mark themselves so task files carry a per-query
+    // token (see WriterUtil.defaultBase): a fresh JVM's restarted task
+    // ids must never collide with files a previous session landed
+    val opts = if (truncate) options else options + ("__append" -> "true")
+    PointCloudWriterFactory(kind, path, schema.json, opts, queryId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -299,6 +303,21 @@ private[pointcloud] object WriterUtil {
         else parts.take(3).padTo(3, default)
       case None => Array.fill(3)(default)
     }
+
+  /** Default task-file base name. Append-mode jobs (the `__append`
+    * marker set by [[PointCloudBatchWrite]]) additionally carry a
+    * query-derived token: task ids restart per SparkContext, so a fresh
+    * JVM appending into an old directory could otherwise reuse a
+    * `part-<pid>-<tid>` name and the commit-time delete+rename would
+    * silently REPLACE an existing file instead of landing beside it. */
+  def defaultBase(options: Map[String, String], queryId: String,
+      partitionId: Int, taskId: Long): String = {
+    val suffix =
+      if (options.contains("__append"))
+        "-" + queryId.replaceAll("[^a-zA-Z0-9]", "").take(8)
+      else ""
+    f"part-$partitionId%05d-$taskId$suffix"
+  }
 
   /** The on-disk fields: input schema minus the generated id columns
     * (the reference's writers drop fid/pid too, ply/PlyOutputWriter.scala:49)
@@ -562,7 +581,8 @@ class LasDataWriter(
   }
 
   private val conf = new Configuration()
-  private val base = baseName.getOrElse(f"part-$partitionId%05d-$taskId")
+  private val base = baseName.getOrElse(
+    WriterUtil.defaultBase(options, queryId, partitionId, taskId))
   private val finalPath = new Path(dir, s"$base.${if (compressLaz) "laz" else "las"}")
   private val tmpPath = new Path(dir, s".graft-tmp-$queryId/$base-$partitionId-$taskId.pdr")
   private val fs = finalPath.getFileSystem(conf)
@@ -884,7 +904,8 @@ class PlyDataWriter(
   private val merge = options.get("merge").contains("true")
 
   private val conf = new Configuration()
-  private val base = baseName.getOrElse(f"part-$partitionId%05d-$taskId")
+  private val base = baseName.getOrElse(
+    WriterUtil.defaultBase(options, queryId, partitionId, taskId))
   private val bodyPath = new Path(dir, s".graft-tmp-$queryId/$base-$partitionId-$taskId.$element.body")
   private val finalPath = new Path(dir, s"$base.ply")
   private val fs = bodyPath.getFileSystem(conf)
@@ -957,7 +978,8 @@ class XyzDataWriter(
   private val ords: Array[(Int, DataType)] = dataSchema.fields.map { f =>
     (inputSchema.fieldNames.indexOf(f.name), f.dataType)
   }
-  private val base = baseName.getOrElse(f"part-$partitionId%05d-$taskId")
+  private val base = baseName.getOrElse(
+    WriterUtil.defaultBase(options, queryId, partitionId, taskId))
   private val finalPath = new Path(dir, s"$base.xyz")
   private val tmpPath = new Path(dir, s".graft-tmp-$queryId/$base-$partitionId-$taskId.txt")
   private val fs = finalPath.getFileSystem(new Configuration())

@@ -240,13 +240,16 @@ object Copc {
     * readable LAZ. */
   def indexFor(header: LasHeader, readAt: LasExtraBytes.ReadAt,
       fileLen: Long, lz: LazInfo): ChunkIndex =
+    (try readInfo(header, readAt) catch { case _: Exception => None })
+      .map(indexForInfo(header, readAt, fileLen, lz, _)).orNull
+
+  /** [[indexFor]] with the info VLR already parsed (the resolve path
+    * reads it once and shares it with the gpstime-range overlay). */
+  def indexForInfo(header: LasHeader, readAt: LasExtraBytes.ReadAt,
+      fileLen: Long, lz: LazInfo, info: Info): ChunkIndex =
     try {
-      readInfo(header, readAt) match {
-        case None => null
-        case Some(info) =>
-          require(info.halfsize > 0, s"copc cube halfsize ${info.halfsize} not positive")
-          chunkIndex(header, info, readDataEntries(info, readAt, fileLen), lz)
-      }
+      require(info.halfsize > 0, s"copc cube halfsize ${info.halfsize} not positive")
+      chunkIndex(header, info, readDataEntries(info, readAt, fileLen), lz)
     } catch { case _: Exception => null }
 
   /** Writer-side voxel index of a world coordinate along one dimension

@@ -29,7 +29,15 @@ case class LazInfo(
       * over LOD layouts — unlike the bbox bounds this one CHANGES the
       * result set (a declared coarse preview), so it is only ever
       * driven by an explicit read option, never by query predicates. */
-    chunkLevels: Array[Int] = null) extends Serializable {
+    chunkLevels: Array[Int] = null,
+    /** COPC only: the info VLR's [gpsMin, gpsMax] — the file's gpstime
+      * span (null = not COPC, or the 0/0 "unknown" sentinel). Powers
+      * WHOLE-FILE skipping for pushed `time` range predicates at
+      * planning, the temporal twin of the header-bbox file skip; the
+      * record predicate still exacts the residue, so like every other
+      * planner bound it only ever saves work. Attached whenever the
+      * info VLR parses, even if the octree hierarchy fails to bind. */
+    gpsRange: Array[Double] = null) extends Serializable {
   def numChunks: Int = chunkBytes.length
 }
 
@@ -175,10 +183,20 @@ object Laz {
     // COPC overlay: when a `copc` info VLR is present and its hierarchy
     // binds cleanly to the chunk table, attach per-chunk spatial bounds
     // and node levels for planner-side chunk skipping (degrades to none
-    // — the file is a valid LAZ with or without its index)
-    val idx = Copc.indexFor(header, readAt, fileLen, info)
-    if (idx == null) info
-    else info.copy(chunkRawBounds = idx.bounds, chunkLevels = idx.levels)
+    // — the file is a valid LAZ with or without its index). The info
+    // VLR's gpstime span attaches independently of the hierarchy (it is
+    // header-level metadata), skipping the published 0/0 "unknown"
+    // sentinel and any inverted range — conservative like every bound.
+    val copcInfo: Option[Copc.Info] =
+      try Copc.readInfo(header, readAt) catch { case _: Exception => None }
+    val gps: Array[Double] = copcInfo.collect {
+      case ci if ci.gpsMin <= ci.gpsMax && !(ci.gpsMin == 0.0 && ci.gpsMax == 0.0) =>
+        Array(ci.gpsMin, ci.gpsMax)
+    }.orNull
+    val idx = copcInfo.map(Copc.indexForInfo(header, readAt, fileLen, info, _)).orNull
+    if (idx == null) info.copy(gpsRange = gps)
+    else info.copy(chunkRawBounds = idx.bounds, chunkLevels = idx.levels,
+      gpsRange = gps)
   }
 
   /** The laszip VLR record (54-byte container header + payload) for a

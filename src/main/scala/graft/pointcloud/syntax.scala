@@ -88,8 +88,8 @@ object syntax {
     * `df.writeLas(path)` etc. */
   implicit class PointCloudDataFrame(private val df: DataFrame) extends AnyVal {
     private def write(format: String, path: String,
-        options: Map[String, String]): Unit = {
-      var w = df.write.format(format).option("__schema", df.schema.json).mode("overwrite")
+        options: Map[String, String], mode: String = "overwrite"): Unit = {
+      var w = df.write.format(format).option("__schema", df.schema.json).mode(mode)
       options.foreach { case (k, v) => w = w.option(k, v) }
       w.save(path)
     }
@@ -147,8 +147,18 @@ object syntax {
       * entries; the published spec has at most one entry per key, so a
       * foreign reader may mishandle such files). Size `copc.nodepoints`
       * at or below `copc.chunkcap` (both default safe) to keep every
-      * key single-entry when foreign-tool interop matters. */
-    def writeCopc(path: String, options: Map[String, String] = Map.empty): Unit = {
+      * key single-entry when foreign-tool interop matters.
+      *
+      * `mode = "append"` LANDS this frame as NEW files beside an
+      * existing COPC directory without touching the old ones — the
+      * daily-ingest shape of a living point-cloud lake: each appended
+      * file derives its OWN enclosing cube and octree over its own
+      * rows (COPC metadata is per-file), so bbox/gpstime pruning keeps
+      * working over the union, file-level first, then chunk-level. A
+      * batch-wide rewrite would re-shuffle the whole corpus; the append
+      * touches only the new rows. */
+    def writeCopc(path: String, options: Map[String, String] = Map.empty,
+        mode: String = "overwrite"): Unit = {
       import org.apache.spark.sql.functions.{coalesce, col, count, floor, greatest, least, lit, max, min, pow, when}
       // option lookup mirroring the DSv2 writer's case-insensitive map
       // exactly: lowercase-fold with LAST occurrence winning, the
@@ -249,7 +259,8 @@ object syntax {
         options ++ Map(
           "compress" -> "laz",
           "copc.cube" -> s"${ctr(0)},${ctr(1)},${ctr(2)},$half",
-          "copc.level" -> level.toString))
+          "copc.level" -> level.toString),
+        mode)
     }
     def writePly(path: String, options: Map[String, String] = Map.empty): Unit =
       write("ply", path, options)

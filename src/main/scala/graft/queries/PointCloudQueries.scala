@@ -948,7 +948,62 @@ object PointCloudQueries {
       .sort($"g")
   }
 
+  /** pc31's frame: format-6 points whose gpstime is BANDED — band
+    * b = l_linenumber % 4 occupies [b·2e6, b·2e6 + ~1.001e6), so the
+    * four bands are time-disjoint and each band's files carry a `copc`
+    * info-VLR gps range confined to their own band. The band also rides
+    * in `user` so the layout builder can slice without re-deriving. */
+  private def timeBandedFrame(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      ($"l_orderkey" % 1000000).cast("int").as("x"),
+      ($"l_partkey" % 1000000).cast("int").as("y"),
+      ($"l_suppkey" % 1000000).cast("int").as("z"),
+      ($"l_linenumber" % 32000).cast("short").as("intensity"),
+      ((($"l_linenumber" % 7) + 1) + lit(7 * 16)).cast("byte").as("return"),
+      (($"l_orderkey" % 2) * 16).cast("byte").as("flags"),
+      ($"l_partkey" % 64).cast("byte").as("classification"),
+      ($"l_linenumber" % 4).cast("byte").as("user"),
+      lit(0).cast("short").as("angle"),
+      ($"l_orderkey" % 3).cast("short").as("source"),
+      (($"l_linenumber" % 4).cast("double") * 2000000.0 +
+        ($"l_orderkey" % 1000000).cast("double") * 0.001 +
+        ($"l_partkey" % 1000000).cast("double")).as("time"))
+
+  /** pc31: GPS-TIME FILE SKIP — the temporal twin of pc28's spatial
+    * pruning, over the second most common lidar-lake predicate after
+    * bbox. Four time-disjoint batches land in ONE directory through
+    * `writeCopc(..., mode = "append")` (each file derives its own cube,
+    * octree and `copc` info-VLR gpstime range — the daily-ingest shape,
+    * no rewrite of earlier files), and a `time BETWEEN`-shaped read
+    * must skip the three out-of-range files at the header tier (the
+    * planner consults Info.gpsMin/gpsMax before any split is cut —
+    * CopcSpec pins the partition-count drop) while the residual record
+    * predicate keeps the census exact. The oracle re-derives the same
+    * time window from the source arithmetic, so one record leaking
+    * from (or dropped with) a skipped file scrambles a group. */
+  private val pc31: Q = (s, d) => {
+    val dir = layoutOnce("pc31", d) { out =>
+      val pts = timeBandedFrame(s, d)
+      (0 until 4).foreach { b =>
+        pts.filter($"user" === b).writeCopc(out,
+          Map("scale" -> "0.001", "copc.nodepoints" -> "4096"),
+          mode = if (b == 0) "overwrite" else "append")
+      }
+    }
+    s.read.las(dir)
+      .where($"time" >= 2000000.0 && $"time" < 4000000.0)
+      .groupBy(($"classification" % 8).cast("int").as("cls"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        sum($"y".cast("bigint")).as("sy"),
+        sum($"intensity".cast("bigint")).as("si"),
+        min($"time").as("mnt"), max($"time").as("mxt"))
+      .sort($"cls")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pc31_copc_gps_skip" -> pc31,
     "pc30_copc_lod_preview" -> pc30,
     "pc29_copc_stream_bbox" -> pc29,
     "pc28_copc_pruned_scan" -> pc28,
@@ -982,6 +1037,26 @@ object PointCloudQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same time window re-derived from the source arithmetic (the
+    // banded gpstime is integer-valued double math, exact in both
+    // engines): a hash match proves the gps-range file skip dropped
+    // ONLY out-of-window files and the record residue stayed exact
+    "pc31_copc_gps_skip" ->
+      """WITH t AS (
+        |  SELECT l_partkey, l_orderkey, l_linenumber,
+        |    CAST(l_linenumber % 4 AS DOUBLE) * 2000000
+        |      + CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |      + CAST(l_partkey % 1000000 AS DOUBLE) AS tm
+        |  FROM lineitem)
+        |SELECT CAST(l_partkey % 64 % 8 AS INT) AS cls,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | CAST(SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS BIGINT) AS sy,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si,
+        | MIN(tm) AS mnt, MAX(tm) AS mxt
+        |FROM t
+        |WHERE tm >= 2000000 AND tm < 4000000
+        |GROUP BY cls ORDER BY cls""".stripMargin,
     // every source row's LOD level re-derived with the SAME integer
     // ladder the writer applies (xor-mix hash, octal-trailing-zero
     // promotions capped at 4, leaf from COUNT(*)): a hash match proves

@@ -364,6 +364,38 @@ class CopcSpec extends SparkTestBase {
     assert(n > 0 && n < 6000)
   }
 
+  test("gpstime range predicates skip whole files via the COPC info VLR") {
+    val dir = tmpDir("copc-gps")
+    val pts = fmt6Points(8000) // time = id*0.25 -> [0, 2000)
+    // two appended batches with IDENTICAL xyz but disjoint gps ranges:
+    // any file skipped under a time predicate is skipped by the gps
+    // range alone, never by the bbox
+    pts.coalesce(1).writeCopc(dir,
+      Map("scale" -> "0.01", "copc.nodepoints" -> "2048"))
+    pts.withColumn("time", $"time" + 100000.0).coalesce(1).writeCopc(dir,
+      Map("scale" -> "0.01", "copc.nodepoints" -> "2048"), mode = "append")
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".laz"))
+    assert(files.length == 2, "append must land beside the first file")
+    // the resolve attaches the gps range from the info VLR
+    val (_, info, _) = lazInfoOf(dir)
+    assert(info.gpsRange != null)
+    val full = spark.read.las(dir)
+    assert(full.count() == 16000)
+    val nFull = full.rdd.getNumPartitions
+    val sliced = spark.read.las(dir).where($"time" >= 100000.0)
+    assert(sliced.rdd.getNumPartitions < nFull,
+      "a time-range predicate must skip the out-of-range file at planning")
+    assert(sliced.count() == 8000)
+    assert(sliced.agg(min($"time")).head().getDouble(0) == 100000.0)
+    // a window spanning both ranges keeps both files and stays exact
+    val both = spark.read.las(dir)
+      .where($"time" >= 1000.0 && $"time" <= 101000.0)
+    assert(both.count() ==
+      pts.filter($"time" >= 1000.0).count() +
+        pts.filter($"time" + 100000.0 <= 101000.0).count())
+  }
+
   test("writer entry budget and reader hierarchy bound agree at the same threshold") {
     // writer side: the shared predicate trips one past the bound (tiny
     // spec bound, then the production default)
