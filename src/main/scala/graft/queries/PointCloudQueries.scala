@@ -1002,7 +1002,43 @@ object PointCloudQueries {
       .sort($"cls")
   }
 
+  /** pc32: COPC APPEND — the point-cloud twin of ss12's train-once-
+    * append story, and the operation a living 100-TB lake performs
+    * daily: a NEW batch (x ≡ 1 mod 5, i.e. l_orderkey % 5 = 1) lands
+    * through `writeCopc(..., mode = "append")` as new files beside an
+    * existing `copc.files = 2` range-partitioned layout — own cube, own
+    * octree, own hierarchy EVLR, ZERO rewrite of the old files — and a
+    * bbox read over the UNION must still prune file-level (old files
+    * cover disjoint key ranges; the appended file its own bbox) and
+    * chunk-level (every file carries a hierarchy), with the record
+    * predicate exacting the residue. The graded census reports, per
+    * class group, total members AND how many are appended — so a
+    * silently-empty append (or a rewrite that dropped old rows) cannot
+    * hash-match. CopcSpec pins byte-identical old files across the
+    * append and the partition-count drop over the union. */
+  private val pc32: Q = (s, d) => {
+    val dir = layoutOnce("pc32", d) { out =>
+      val pts = layeredPointFrame(s, d)
+      pts.filter($"x" % 5 =!= 1).writeCopc(out,
+        Map("scale" -> "0.001", "copc.nodepoints" -> "4096", "copc.files" -> "2"))
+      pts.filter($"x" % 5 === 1).writeCopc(out,
+        Map("scale" -> "0.001", "copc.nodepoints" -> "4096"), mode = "append")
+    }
+    s.read.las(dir)
+      .where($"x" >= 200 && $"x" <= 900 && $"y" >= 20)
+      .groupBy(($"classification" % 8).cast("int").as("cls"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"x" % 5 === 1, 1L).otherwise(0L)).as("appended"),
+        sum($"x".cast("bigint")).as("sx"),
+        sum($"y".cast("bigint")).as("sy"),
+        sum($"intensity".cast("bigint")).as("si"),
+        min($"time").as("mnt"), max($"time").as("mxt"))
+      .sort($"cls")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pc32_copc_append" -> pc32,
     "pc31_copc_gps_skip" -> pc31,
     "pc30_copc_lod_preview" -> pc30,
     "pc29_copc_stream_bbox" -> pc29,
@@ -1037,6 +1073,26 @@ object PointCloudQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // pc28's box census over the FULL source (old slice + appended
+    // batch) with the appended membership re-derived from the key
+    // arithmetic (1e6 % 5 = 0, so x % 5 = l_orderkey % 5): a hash match
+    // proves the append landed every new row exactly once, rewrote no
+    // old row, and the two-tier pruning stayed exact over the union
+    "pc32_copc_append" ->
+      """SELECT CAST(l_partkey % 64 % 8 AS INT) AS cls,
+        | COUNT(*) AS n,
+        | CAST(SUM(CASE WHEN l_orderkey % 5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS appended,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | CAST(SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS BIGINT) AS sy,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si,
+        | MIN(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mnt,
+        | MAX(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mxt
+        |FROM lineitem
+        |WHERE (l_orderkey % 1000000) BETWEEN 200 AND 900
+        |  AND (l_partkey % 1000000) >= 20
+        |GROUP BY cls ORDER BY cls""".stripMargin,
     // the same time window re-derived from the source arithmetic (the
     // banded gpstime is integer-valued double math, exact in both
     // engines): a hash match proves the gps-range file skip dropped

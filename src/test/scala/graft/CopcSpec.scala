@@ -396,6 +396,37 @@ class CopcSpec extends SparkTestBase {
         pts.filter($"time" + 100000.0 <= 101000.0).count())
   }
 
+  test("append into a copc.files layout leaves old files byte-identical and pruning still fires") {
+    val dir = tmpDir("copc-append")
+    val pts = fmt6Points(32000)
+    pts.filter($"x" % 5 =!= 1).repartition(4).writeCopc(dir,
+      Map("scale" -> "0.01", "copc.files" -> "4", "copc.nodepoints" -> "2048"))
+    val before = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".laz"))
+      .map(f => (f.getName, f.length)).sortBy(_._1).toSeq
+    pts.filter($"x" % 5 === 1).coalesce(1).writeCopc(dir,
+      Map("scale" -> "0.01", "copc.nodepoints" -> "2048"), mode = "append")
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".laz"))
+      .map(f => (f.getName, f.length)).sortBy(_._1).toSeq
+    assert(after.length == before.length + 1,
+      s"append must land new files beside the old: $before -> $after")
+    before.foreach(old => assert(after.contains(old),
+      s"append must not rewrite old file $old"))
+    val full = spark.read.las(dir)
+    assert(full.count() == 32000)
+    // bbox read over the union: pruned at planning, exact at the record
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try {
+      val nFull = spark.read.las(dir).rdd.getNumPartitions
+      val pruned = spark.read.las(dir).where($"x" >= 10000 && $"x" <= 25000)
+      assert(pruned.rdd.getNumPartitions < nFull,
+        "bbox over the appended union must still prune chunk partitions")
+      assert(pruned.count() ==
+        pts.filter($"x" >= 10000 && $"x" <= 25000).count())
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("writer entry budget and reader hierarchy bound agree at the same threshold") {
     // writer side: the shared predicate trips one past the bound (tiny
     // spec bound, then the production default)
