@@ -137,26 +137,58 @@ object Clustering {
   }
 
   /** Two-level (coarse × fine) quantizer model — the rung past the flat
-    * model's broadcast budget: `coarse` is an ordinary k1-cell model,
-    * `fine` refines each coarse cell with up to `k2` sub-centroids, so
-    * the composite reaches k1·k2 cells while no single assignment step
-    * ever handles more than max(k1, k2·cellFanIn) candidates. `fine`
-    * rows are `(coarseCell, fineCell, centroid)`; the composite cell id
-    * is `coarse·k2 + fine` (a Long — k1·k2 can exceed Int range). */
+    * model's broadcast budget: `coarse` is an ordinary k1-cell model
+    * (driver-scale, like any broadcast ML model), `fine` refines each
+    * coarse cell with up to `k2` sub-centroids, so the composite reaches
+    * k1·k2 cells while no single assignment step ever handles more than
+    * max(k1, k2·cellFanIn) candidates. `fine` is a DATAFRAME of
+    * `(coarse: int, fine: int, centroid: array<double>)` — at this
+    * rung's own target regime (k1·k2 past the flat broadcast budget)
+    * the fine table is n/cellTarget rows and CANNOT live on the driver
+    * (the r14 review's dd16 finding: a collected fine model hits a
+    * driver-memory wall near n = 1e11 at dim 64, three decades short of
+    * the rung's advertised reach), so it stays data end-to-end: fitted
+    * by distributed aggregation, persisted as parquet
+    * ([[saveTwoLevel]]), consumed by equi-join. The composite cell id
+    * is `coarse·k2 + fine` (a Long — k1·k2 can exceed Int range).
+    * [[fineSeq]] is the bounded driver-side view for model inspection
+    * and specs. */
   case class TwoLevelModel(
       coarse: Seq[(Int, Seq[Double])],
-      fine: Seq[(Int, Int, Seq[Double])],
+      fine: DataFrame,
       k2: Int)
+
+  /** Driver-side view of a [[TwoLevelModel]]'s fine table, (coarse,
+    * fine, centroid) ascending — a model-inspection/spec hook guarded
+    * at `maxRows` (default 1 << 20): collecting the fine table is
+    * exactly the driver-residency wall the DataFrame representation
+    * exists to avoid, so past the guard this fails loudly instead of
+    * OOMing the driver. */
+  def fineSeq(model: TwoLevelModel,
+      maxRows: Long = 1L << 20): Seq[(Int, Int, Seq[Double])] = {
+    val n = model.fine.count()
+    require(n <= maxRows,
+      s"fine table holds $n rows, past the $maxRows-row driver guard; " +
+        "at this scale the model is DATA — join it, don't collect it")
+    model.fine.select(col("coarse"), col("fine"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .toSeq.sortBy(t => (t._1, t._2))
+  }
 
   /** Deterministic two-level Lloyd: a k1-cell [[kmeans]] coarse pass,
     * then per-coarse-cell fine k-means refined JOINTLY in one
     * distributed job per iteration — the fine-centroid table is plain
     * DATA equi-joined on the coarse cell (Catalyst broadcasts it while
-    * it fits and shuffle-joins past that, which is the entire point:
-    * nothing in this path requires the k1·k2 model to fit one broadcast
-    * or one expression tree). Init mirrors [[kmeans]]'s rule per cell
-    * (the k2 lowest-id members); means round to 1e-6 like every other
-    * model here, so the fit is engine-order-independent.
+    * it fits and shuffle-joins past that), and it STAYS a DataFrame
+    * across iterations: each Lloyd step ends in a localCheckpoint —
+    * severing the lineage exactly where the old collect() did — so the
+    * driver never materializes the k1·k2 model and the fit's reach is
+    * bounded by cluster storage, not driver heap. Init mirrors
+    * [[kmeans]]'s rule per cell (the k2 lowest-id members); means round
+    * to 1e-6 like every other model here, so the fit is
+    * engine-order-independent and the dd16/dd17 oracles re-derive it
+    * bit for bit.
     *
     * Scale shape per fine iteration: one n-row exchange for the per-id
     * arg-min (the equi-join fans each row out to its own coarse cell's
@@ -177,41 +209,37 @@ object Clustering {
       .localCheckpoint(eager = true) // coarse cells reused every fine iteration
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cell").orderBy("id")
-    var fine: Seq[(Int, Int, Seq[Double])] = pts
+    var fine: DataFrame = pts
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k2)
-      .select(col("cell"), (col("__rn") - 1).as("fine"), col("v"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
-      .toSeq.sortBy(t => (t._1, t._2))
+      .select(col("cell").as("coarse"), (col("__rn") - 1).as("fine"),
+        col("v").as("centroid"))
     for (_ <- 0 until iters) {
-      val fdf = fine.toDF("__coarse", "__fine", "__centroid")
-      val d = coalesce(sqdist(col("v"), col("__centroid")), lit(Double.MaxValue))
+      val fdf = fine.localCheckpoint(eager = true)
+      val d = coalesce(sqdist(col("v"), col("centroid")), lit(Double.MaxValue))
       val meanCols = (0 until dim).map(j =>
         round(avg(element_at(col("v"), j + 1)), 6).as(s"m$j"))
-      fine = pts.join(fdf, col("cell") === col("__coarse"))
+      fine = pts.join(fdf, col("cell") === col("coarse"))
         .groupBy(col("id"))
         .agg(first(col("cell")).as("c"), first(col("v")).as("v"),
-          min_by(col("__fine"), struct(d.as("d"), col("__fine"))).as("f"))
+          min_by(col("fine"), struct(d.as("d"), col("fine"))).as("f"))
         .groupBy(col("c"), col("f")).agg(meanCols.head, meanCols.tail: _*)
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1),
-          (0 until dim).map(j => r.getDouble(j + 2)): Seq[Double]))
-        .toSeq.sortBy(t => (t._1, t._2))
+        .select(col("c").as("coarse"), col("f").as("fine"),
+          array((0 until dim).map(j => col(s"m$j")): _*).as("centroid"))
     }
     // TOTAL coverage invariant: a coarse cell that lost every member
     // under final re-assignment (a standard Lloyd edge — the returned
     // centroids are means of the PREVIOUS iteration's clusters) would
-    // have no fine rows, and the inner fine-join in
-    // [[assignCellsTwoLevel]] would silently DROP any future row
-    // landing there (the append/serve pattern). Such a cell keeps its
-    // coarse centroid as its single fine centroid instead.
-    val covered = fine.iterator.map(_._1).toSet
-    val fallback = coarseModel.collect {
-      case (c, ctr) if !covered(c) => (c, 0, ctr)
-    }
+    // have no fine rows, and the fine-join in [[assignCellsTwoLevel]]
+    // would reject any future row landing there (the append/serve
+    // pattern). Such a cell keeps its coarse centroid as its single
+    // fine centroid instead — a k1-row anti-join, all data-side.
+    val coarseDf = coarseModel.toDF("coarse", "centroid")
+    val fallback = coarseDf
+      .join(fine.select(col("coarse")).distinct(), Seq("coarse"), "left_anti")
+      .select(col("coarse"), lit(0).as("fine"), col("centroid"))
     TwoLevelModel(coarseModel,
-      (fine ++ fallback).sortBy(t => (t._1, t._2)), k2)
+      fine.unionByName(fallback).localCheckpoint(eager = true), k2)
   }
 
   /** Composite cell assignment against a [[TwoLevelModel]]: coarse via
@@ -219,24 +247,29 @@ object Clustering {
     * coarse cell (each row meets only its own cell's ≤ k2 fine
     * candidates) and a per-id arg-min. Returns the input columns plus a
     * Long `cell` = coarse·k2 + fine. Ties resolve to the lowest fine
-    * cell, mirroring every other assignment path. */
+    * cell, mirroring every other assignment path.
+    *
+    * The fine-join is INNER, so a coarse cell without fine rows would
+    * silently drop every row assigned to it — deficient models (hand-
+    * built; [[kmeansTwoLevel]] and [[loadTwoLevel]] guarantee coverage)
+    * are rejected up front. The check collects only the DISTINCT COARSE
+    * values of the fine table (≤ k1 ints after a map-side-combined
+    * distinct), so it stays driver-bounded at ANY fine-table size —
+    * never the k1·k2 model itself. */
   def assignCellsTwoLevel(pts: DataFrame, idCol: String, vCol: String,
       model: TwoLevelModel): DataFrame = {
-    val spark = pts.sparkSession
-    import spark.implicits._
-    // the fine-join is INNER: a coarse cell without fine rows would not
-    // error, it would silently drop every row assigned to it — reject
-    // deficient models up front ([[kmeansTwoLevel]] guarantees coverage)
     locally {
-      val covered = model.fine.iterator.map(_._1).toSet
+      val covered = model.fine.select(col("coarse")).distinct()
+        .collect().map(_.getInt(0)).toSet
       val missing = model.coarse.iterator.map(_._1).filterNot(covered).take(3).toList
       require(missing.isEmpty,
         s"TwoLevelModel leaves coarse cells ${missing.mkString(",")} without " +
           "fine centroids; rows landing there would be silently dropped")
     }
+    val fdf = model.fine.select(col("coarse").as("__coarse"),
+      col("fine").as("__fine"), col("centroid").as("__centroid"))
     val coarse = assignCells(pts, idCol, vCol, model.coarse)
       .withColumnRenamed("cell", "__coarseCell")
-    val fdf = model.fine.toDF("__coarse", "__fine", "__centroid")
     val d = coalesce(sqdist(col(vCol), col("__centroid")), lit(Double.MaxValue))
     val carried = pts.columns.filter(_ != idCol).map(c => first(col(c)).as(c))
     val aggs = (carried :+ first(col("__coarseCell")).as("__c") :+
@@ -246,6 +279,38 @@ object Clustering {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("cell", col("__c").cast("long") * model.k2 + col("__f"))
       .select((pts.columns :+ "cell").map(col).toIndexedSeq: _*)
+  }
+
+  /** Persist a [[TwoLevelModel]] under `path`, the two-level analogue
+    * of the [[saveCentroids]] convention: the k1-row coarse model at
+    * `<path>/coarse` (one file — broadcast-scale state), the fine table
+    * at `<path>/fine` WRITTEN DISTRIBUTED (it is data: at the rung's
+    * target regime it never fits the driver), and `k2` — load-bearing
+    * composite arithmetic, not derivable from a fine table whose cells
+    * may be under-populated — in a one-row `<path>/meta`. Deterministic
+    * Lloyd + 1e-6 rounding + parquet's exact double round-trip make
+    * save→load the EXACT fitted model, so a loaded-model query grades
+    * against the refit oracle with zero tolerance (dd17). */
+  def saveTwoLevel(spark: org.apache.spark.sql.SparkSession,
+      model: TwoLevelModel, path: String): Unit = {
+    import spark.implicits._
+    saveCentroids(spark, model.coarse, s"$path/coarse")
+    model.fine.select(col("coarse"), col("fine"), col("centroid"))
+      .write.mode("overwrite").parquet(s"$path/fine")
+    Seq(model.k2).toDF("k2").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveTwoLevel]] model — coarse and k2 to the driver (both
+    * broadcast-scale), the fine table as a DataFrame over its parquet
+    * (never materialized). Bit-identical to the fitted model by the
+    * round-trip contract above. */
+  def loadTwoLevel(spark: org.apache.spark.sql.SparkSession,
+      path: String): TwoLevelModel = {
+    val coarse = loadCentroids(spark, s"$path/coarse")
+    val k2 = spark.read.parquet(s"$path/meta").select(col("k2"))
+      .collect().head.getInt(0)
+    TwoLevelModel(coarse, spark.read.parquet(s"$path/fine"), k2)
   }
 
   /** ANN top-k through the IVF index: rank by exact cosine inside the

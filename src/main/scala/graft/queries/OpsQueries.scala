@@ -193,6 +193,57 @@ object OpsQueries {
       .sort($"cell")
   }
 
+  /** dd17: the PERSISTED two-level quantizer — the save-load-append
+    * story for the fourth escalation rung (ss11/ss12's shape at dd16's
+    * model): the hierarchical model fits on the OLD slice only
+    * (vec_id % 5 ≠ 1), persists through [[graft.ops.Clustering.saveTwoLevel]]
+    * (coarse = k1-row parquet; the FINE TABLE WRITTEN DISTRIBUTED — it
+    * is data, never a driver object, the r14 review's dd16 fix), and
+    * the FULL grown corpus is assigned through the LOADED model — no
+    * refit, appended vectors quantized by centroids that never saw
+    * them, coarse cells the fit never populated falling back to their
+    * coarse centroid (the coverage rule that makes the served
+    * assignment total). The census pins membership AND appended counts
+    * AND id sums per composite cell; the oracle re-derives the
+    * two-level fit over the old slice, the fallback, and the union
+    * assignment bit for bit, so a refit sneaking into the append path
+    * or a drifted persisted model breaks the hash. */
+  private val twoLevelSaved =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dd17: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val path = twoLevelSaved.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_twolevel_model")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.Fs.deleteRecursively(dir)))
+      val p = dir.resolve("model").toString
+      val fitted = Clustering.kmeansTwoLevel(
+        e.filter($"vec_id" =!= 0 && $"vec_id" % 5 =!= 1),
+        "vec_id", "embedding", 64, Ss04Cells, Dd16Fine, Ss04Iters)
+      Clustering.saveTwoLevel(s, fitted, p)
+      // round-trip pin (ss11's contract at the two-level model):
+      // deterministic Lloyd + 1e-6 rounding + parquet's exact double
+      // round-trip make save→load EXACTLY the fitted model
+      val loaded = Clustering.loadTwoLevel(s, p)
+      require(loaded.coarse == fitted.coarse && loaded.k2 == fitted.k2,
+        "loaded two-level coarse model drifted from the fitted one")
+      require(Clustering.fineSeq(loaded) == Clustering.fineSeq(fitted),
+        "loaded two-level fine table drifted from the fitted one")
+      p
+    })
+    val loaded = Clustering.loadTwoLevel(s, path)
+    val pts = e.filter($"vec_id" =!= 0)
+      .select($"vec_id".as("id"),
+        transform($"embedding", _.cast("double")).as("v"))
+      .localCheckpoint(eager = true)
+    Clustering.assignCellsTwoLevel(pts, "id", "v", loaded)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("members"),
+        sum(when($"id" % 5 === 1, 1L).otherwise(0L)).as("appended"),
+        sum($"id").as("id_sum"))
+      .sort($"cell")
+  }
+
   /** dd13's contamination n-gram width (8 words — the published
     * decontamination screening family) and the benchmark slice: every
     * 25th document stands in for a held-out eval suite. */
@@ -1194,6 +1245,7 @@ object OpsQueries {
     "dd14_span_dedup" -> dd14,
     "dd15_span_trim" -> dd15,
     "dd16_twolevel_semantic" -> dd16,
+    "dd17_twolevel_persisted" -> dd17,
     "ss01_cosine_topk" -> ss01,
     "ss02_lsh_histogram" -> ss02,
     "ss03_ann_topk" -> ss03,
@@ -1668,32 +1720,59 @@ object OpsQueries {
     * coarse·k2 + fine) — the exact restatement of
     * [[graft.ops.Clustering.kmeansTwoLevel]] +
     * [[graft.ops.Clustering.assignCellsTwoLevel]]. */
-  private def fineOracleCtes(k2: Int): String = {
+  private def fineOracleCtes(k2: Int): String =
+    fineOracleCtesFor(k2, fitSrc = "af", assignSrc = "af", fallback = false)
+
+  /** [[fineOracleCtes]] generalized for dd17's train-once-append shape:
+    * the fine Lloyd CTEs run over `fitSrc` (the TRAIN slice's coarse
+    * assignment `atf`) while the final composite assignment `faf`/`comp`
+    * runs over `assignSrc` (the larger slice's `af`); with `fallback`
+    * set, coarse cells the fit never saw keep their coarse centroid as
+    * their single fine centroid — the exact restatement of
+    * [[graft.ops.Clustering.kmeansTwoLevel]]'s coverage fallback, which
+    * is what makes assignment through the persisted model TOTAL over a
+    * grown corpus. `fitSrc = assignSrc = "af", fallback = false`
+    * reproduces dd16's classic text. */
+  private def fineOracleCtesFor(k2: Int, fitSrc: String, assignSrc: String,
+      fallback: Boolean): String = {
     def flCte(src: String): String =
       s"SELECT cell, list(struct_pack(fine := fine, c := c) ORDER BY fine) AS fs " +
         s"FROM $src GROUP BY cell"
-    def faCte(l: String): String =
+    def faCte(l: String, src: String): String =
       s"SELECT vec_id, v, cell, list_reduce(list_transform(fs, s -> struct_pack(" +
         s"d := ${sqlSqd("v", "s.c")}, fine := s.fine)), " +
         s"(acc, x) -> CASE WHEN x.d < acc.d OR (x.d = acc.d AND x.fine < acc.fine) " +
-        s"THEN x ELSE acc END).fine AS fine FROM af JOIN $l USING (cell)"
+        s"THEN x ELSE acc END).fine AS fine FROM $src JOIN $l USING (cell)"
     def fcCte(a: String): String =
       s"SELECT cell, fine, list(m ORDER BY j) AS c FROM (" +
         s"SELECT cell, fine, j, ROUND(AVG(v[j]), 6) AS m FROM $a, " +
         s"(SELECT unnest(generate_series(1, 64)) AS j) tj GROUP BY cell, fine, j) t " +
         s"GROUP BY cell, fine"
     val iterCtes = (1 to Ss04Iters).map { i =>
-      s"fa$i AS (${faCte(s"fl${i - 1}")}), fc$i AS (${fcCte(s"fa$i")}), " +
+      s"fa$i AS (${faCte(s"fl${i - 1}", fitSrc)}), fc$i AS (${fcCte(s"fa$i")}), " +
         s"fl$i AS (${flCte(s"fc$i")})"
     }.mkString(",\n")
+    val finalList =
+      if (!fallback) s"fl$Ss04Iters"
+      else "flfull"
+    val fallbackCte =
+      if (!fallback) ""
+      else
+        s""",
+           |flfull AS (
+           |  SELECT cell, fs FROM fl$Ss04Iters
+           |  UNION ALL
+           |  SELECT cell, [struct_pack(fine := CAST(0 AS BIGINT), c := c)] AS fs
+           |  FROM c$Ss04Iters WHERE cell NOT IN (SELECT cell FROM fl$Ss04Iters)
+           |)""".stripMargin
     s"""f0 AS (
        |  SELECT cell, rn - 1 AS fine, v AS c FROM (
        |    SELECT cell, v, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
-       |    FROM af) t
+       |    FROM $fitSrc) t
        |  WHERE rn <= $k2
        |), fl0 AS (${flCte("f0")}),
-       |$iterCtes,
-       |faf AS (${faCte(s"fl$Ss04Iters")}),
+       |$iterCtes$fallbackCte,
+       |faf AS (${faCte(finalList, assignSrc)}),
        |comp AS (SELECT vec_id, v, CAST(cell AS BIGINT) * $k2 + fine AS cell FROM faf)""".stripMargin
   }
 
@@ -1727,6 +1806,14 @@ object OpsQueries {
          |  FROM embeddings WHERE $w
          |)""".stripMargin).getOrElse("")
     val afSrc = if (assignWhere.isDefined) "ea" else "e"
+    // the train slice's own assignment through the FINAL centroids —
+    // what a two-level oracle fits its fine level on (dd17); unused
+    // CTEs cost nothing in DuckDB, so it is emitted whenever the
+    // train/assign slices differ
+    val atfCte =
+      if (assignWhere.isDefined) s""",
+         |atf AS (${assignCte(s"l$Ss04Iters", "e")})""".stripMargin
+      else ""
     s"""e AS (
        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
        |  FROM embeddings WHERE $trainWhere
@@ -1739,7 +1826,7 @@ object OpsQueries {
        |  WHERE rn <= $Ss04Cells
        |), l0 AS (${listCte("c0")}),
        |$iterCtes,
-       |af AS (${assignCte(s"l$Ss04Iters", afSrc)})""".stripMargin
+       |af AS (${assignCte(s"l$Ss04Iters", afSrc)})$atfCte""".stripMargin
   }
 
   private val ss04Oracle: String =
@@ -1945,6 +2032,17 @@ object OpsQueries {
          |GROUP BY af.cell ORDER BY af.cell""".stripMargin,
     // dd12's census over the TWO-LEVEL quantizer: the coarse CTEs extend
     // with the fine Lloyd chain and the composite-cell drop rule
+    // dd17: the full two-level refit over the OLD slice (coarse CTEs
+    // with the train/assign split, fine CTEs fitted on atf), the
+    // coverage fallback, and the composite assignment of the UNION
+    // through the persisted model — members/appended/id sums per cell
+    "dd17_twolevel_persisted" ->
+      s"""WITH ${kmeansOracleCtesFor("vec_id <> 0 AND vec_id % 5 <> 1", Some("vec_id <> 0"))},
+         |${fineOracleCtesFor(Dd16Fine, fitSrc = "atf", assignSrc = "af", fallback = true)}
+         |SELECT cell, COUNT(*) AS members,
+         |  CAST(SUM(CASE WHEN vec_id % 5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS appended,
+         |  CAST(SUM(vec_id) AS BIGINT) AS id_sum
+         |FROM comp GROUP BY cell ORDER BY cell""".stripMargin,
     "dd16_twolevel_semantic" ->
       s"""WITH $kmeansOracleCtes,
          |${fineOracleCtes(Dd16Fine)},

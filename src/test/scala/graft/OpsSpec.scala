@@ -228,7 +228,8 @@ class OpsSpec extends SparkTestBase {
           ($"id" % 3).cast("double")).as("v"))
       .localCheckpoint(true)
     val model = Clustering.kmeansTwoLevel(pts, "id", "v", dim = 3, k1 = 3, k2 = 2, iters = 1)
-    assert(model.fine.nonEmpty && model.fine.forall(_._3.size == 3))
+    val fineRows = Clustering.fineSeq(model)
+    assert(fineRows.nonEmpty && fineRows.forall(_._3.size == 3))
     assert(model.k2 == 2)
     val got = Clustering.assignCellsTwoLevel(pts, "id", "v", model)
       .select("id", "cell").as[(Long, Long)].collect().toMap
@@ -239,7 +240,7 @@ class OpsSpec extends SparkTestBase {
     }
     val ref = pts.select("id", "v").as[(Long, Seq[Double])].collect().map { case (id, v) =>
       val coarse = model.coarse.map { case (c, cv) => (sq(v, cv), c) }.min._2
-      val fine = model.fine.filter(_._1 == coarse)
+      val fine = fineRows.filter(_._1 == coarse)
         .map { case (_, f, fv) => (sq(v, fv), f) }.min._2
       id -> (coarse.toLong * model.k2 + fine)
     }.toMap
@@ -257,20 +258,47 @@ class OpsSpec extends SparkTestBase {
         array(($"id" % 11).cast("double"), ($"id" % 5).cast("double")).as("v"))
       .localCheckpoint(true)
     val model = Clustering.kmeansTwoLevel(pts, "id", "v", dim = 2, k1 = 4, k2 = 3, iters = 2)
-    val covered = model.fine.map(_._1).toSet
+    val covered = Clustering.fineSeq(model).map(_._1).toSet
     assert(model.coarse.forall(c => covered(c._1)),
       s"coarse cells without fine rows: ${model.coarse.map(_._1).filterNot(covered)}")
     // total assignment: nothing dropped
     assert(Clustering.assignCellsTwoLevel(pts, "id", "v", model).count() == 40)
     // a handcrafted deficient model (coarse cell 1 has no fine rows)
-    // fails fast instead of silently dropping its rows
+    // fails fast instead of silently dropping its rows; the check
+    // collects only the distinct coarse values (k1-bounded), never the
+    // fine table
     val bad = Clustering.TwoLevelModel(
       Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(10.0, 10.0)),
-      Seq((0, 0, Seq(0.0, 0.0))), k2 = 1)
+      Seq((0, 0, Seq(0.0, 0.0))).toDF("coarse", "fine", "centroid"), k2 = 1)
     val err = intercept[IllegalArgumentException] {
       Clustering.assignCellsTwoLevel(pts, "id", "v", bad)
     }
-    assert(err.getMessage.contains("without"))
+    assert(err.getMessage.contains("without fine centroids"))
+  }
+
+  test("a two-level model saves, loads bit-identically, and the fit is collect-free past the guard") {
+    val pts = spark.range(50).select($"id",
+        array(($"id" % 9).cast("double"), ($"id" % 4).cast("double")).as("v"))
+      .localCheckpoint(true)
+    val model = Clustering.kmeansTwoLevel(pts, "id", "v", dim = 2, k1 = 3, k2 = 2, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-twolevel").toString
+    Clustering.saveTwoLevel(spark, model, dir)
+    val loaded = Clustering.loadTwoLevel(spark, dir)
+    assert(loaded.coarse == model.coarse)
+    assert(loaded.k2 == model.k2)
+    assert(Clustering.fineSeq(loaded) == Clustering.fineSeq(model))
+    // assignment through the LOADED model equals the fitted one
+    val a = Clustering.assignCellsTwoLevel(pts, "id", "v", model)
+      .select("id", "cell").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val b = Clustering.assignCellsTwoLevel(pts, "id", "v", loaded)
+      .select("id", "cell").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(a == b)
+    // the driver-side view refuses to collect past its guard — the
+    // collect-free contract is enforced, not advisory
+    val g = intercept[IllegalArgumentException] {
+      Clustering.fineSeq(model, maxRows = 1)
+    }
+    assert(g.getMessage.contains("driver guard"))
   }
 
   test("past the flat cell budget the escalation goes two-level (coarse x fine)") {
