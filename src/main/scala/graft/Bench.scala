@@ -143,7 +143,11 @@ object Bench {
         n.startsWith("pc27") || // build-once layered LAZ layout
         n.startsWith("pc28") || // build-once COPC octree layout
         n.startsWith("pc29") || // shares pc28's COPC layout
-        n.startsWith("pc30"))) // build-once COPC LOD layout
+        n.startsWith("pc30") || // build-once COPC LOD layout
+        n.startsWith("pc31") || // build-once gps-banded COPC layout
+        n.startsWith("pc32") || // build-once appended COPC layout
+        n.startsWith("pc33") || // shares pc30's COPC LOD layout
+        n.startsWith("dd17"))) // train-once persisted two-level model
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => } // a broken query still errors in the timed loop
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()

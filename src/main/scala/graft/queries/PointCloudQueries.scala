@@ -928,13 +928,19 @@ object PointCloudQueries {
     * is the storage-level "fast approximate answer" a 100-TB
     * interactive workload needs: no sampling operator, no second
     * dataset — the SAME file serves exact and preview reads. */
-  private val pc30: Q = (s, d) => {
-    val pts = layeredPointFrame(s, d)
+  /** pc30/pc33's shared LOD layout (build-once) and its leaf level. */
+  private def lodLayout(s: SparkSession, d: String): (String, Int) = {
     val leaf = lodLeafLevel(Tables.lineitem(s, d).count(), 4096L)
     val dir = layoutOnce("pc30", d) { out =>
-      pts.writeCopc(out, Map("scale" -> "0.001", "copc.nodepoints" -> "4096",
-        "copc.lod" -> "true", "copc.level" -> leaf.toString))
+      layeredPointFrame(s, d).writeCopc(out,
+        Map("scale" -> "0.001", "copc.nodepoints" -> "4096",
+          "copc.lod" -> "true", "copc.level" -> leaf.toString))
     }
+    (dir, leaf)
+  }
+
+  private val pc30: Q = (s, d) => {
+    val (dir, leaf) = lodLayout(s, d)
     s.read.format("las")
       .option("copc.maxlevel", math.max(leaf - 1, 0).toString).load(dir)
       .groupBy(($"classification" % 4).cast("int").as("g"))
@@ -1037,7 +1043,37 @@ object PointCloudQueries {
       .sort($"cls")
   }
 
+  /** pc33: the STREAMED LOD PREVIEW — pc30's declared coarse read as a
+    * subscription: `copc.maxlevel` is a read option, so it reaches the
+    * micro-batch source the same way `bbox` does (Spark never pushes
+    * predicates into a stream), and the streaming planner must cut
+    * splits for coarse-level chunks ONLY — a viewer tailing a growing
+    * lake at preview depth pays ~1/8 of each landing file, forever.
+    * Same oracle as pc30 (the preview slice is a deterministic function
+    * of the raw coordinates, independent of batch vs stream), so a
+    * stream that over-delivers leaf chunks or drops coarse ones
+    * scrambles the census. CopcSpec additionally pins numInputRows =
+    * the preview count (split-level evidence the leaf chunks were never
+    * planned). */
+  private val pc33: Q = (s, d) => {
+    val (dir, leaf) = lodLayout(s, d)
+    val stream = s.readStream.format("las")
+      .option("copc.maxlevel", math.max(leaf - 1, 0).toString).load(dir)
+    val agg = stream.groupBy(($"classification" % 4).cast("int").as("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        sum($"y".cast("bigint")).as("sy"),
+        sum($"z".cast("bigint")).as("sz"),
+        sum($"intensity".cast("bigint")).as("si"),
+        min($"time").as("mnt"), max($"time").as("mxt"))
+    StreamingQueries.runToCompletion(agg, "graft_pc33", "complete")
+      .select($"g", $"n", $"sx", $"sy", $"sz", $"si", $"mnt", $"mxt")
+      .sort($"g")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pc33_copc_stream_lod" -> pc33,
     "pc32_copc_append" -> pc32,
     "pc31_copc_gps_skip" -> pc31,
     "pc30_copc_lod_preview" -> pc30,
@@ -1071,6 +1107,48 @@ object PointCloudQueries {
     "pc18_ply_streaming" -> pc18,
     "pc19_xyz_streaming" -> pc19,
   )
+
+  /** pc30/pc33's shared oracle: every source row's LOD level
+    * re-derived with the SAME integer ladder the writer applies
+    * (xor-mix hash, octal-trailing-zero promotions capped at 4, leaf
+    * from COUNT(*)) — one text, two graded plan shapes (batch read
+    * and micro-batch stream deliver the identical preview slice). */
+  private val lodPreviewOracle: String =
+    """WITH lv AS (
+        |  SELECT CASE WHEN COUNT(*) <= 4096 THEN 0
+        |              WHEN COUNT(*) <= 32768 THEN 1
+        |              WHEN COUNT(*) <= 262144 THEN 2
+        |              WHEN COUNT(*) <= 2097152 THEN 3
+        |              ELSE 4 END AS leaf
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT CAST(l_orderkey % 1000000 AS BIGINT) AS x,
+        |         CAST(l_partkey % 1000000 AS BIGINT) AS y,
+        |         CAST(l_suppkey % 1000000 AS BIGINT) AS z,
+        |         l_partkey, l_linenumber
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT p.*, lv.leaf,
+        |         xor(xor(p.x * 73856093, p.y * 19349663), p.z * 83492791) AS hv
+        |  FROM p CROSS JOIN lv),
+        |l AS (
+        |  SELECT *, GREATEST(leaf - CASE WHEN hv % 8 <> 0 THEN 0
+        |                                 WHEN hv % 64 <> 0 THEN 1
+        |                                 WHEN hv % 512 <> 0 THEN 2
+        |                                 WHEN hv % 4096 <> 0 THEN 3
+        |                                 ELSE 4 END, 0) AS plevel
+        |  FROM h)
+        |SELECT CAST(l_partkey % 64 % 4 AS INT) AS g,
+        | COUNT(*) AS n,
+        | CAST(SUM(x) AS BIGINT) AS sx,
+        | CAST(SUM(y) AS BIGINT) AS sy,
+        | CAST(SUM(z) AS BIGINT) AS sz,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si,
+        | MIN(CAST(x AS DOUBLE) * 0.001 + CAST(y AS DOUBLE)) AS mnt,
+        | MAX(CAST(x AS DOUBLE) * 0.001 + CAST(y AS DOUBLE)) AS mxt
+        |FROM l
+        |WHERE plevel <= GREATEST(leaf - 1, 0)
+        |GROUP BY g ORDER BY g""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // pc28's box census over the FULL source (old slice + appended
@@ -1117,42 +1195,8 @@ object PointCloudQueries {
     // ladder the writer applies (xor-mix hash, octal-trailing-zero
     // promotions capped at 4, leaf from COUNT(*)): a hash match proves
     // the preview read returned exactly the declared coarse slice
-    "pc30_copc_lod_preview" ->
-      """WITH lv AS (
-        |  SELECT CASE WHEN COUNT(*) <= 4096 THEN 0
-        |              WHEN COUNT(*) <= 32768 THEN 1
-        |              WHEN COUNT(*) <= 262144 THEN 2
-        |              WHEN COUNT(*) <= 2097152 THEN 3
-        |              ELSE 4 END AS leaf
-        |  FROM lineitem),
-        |p AS (
-        |  SELECT CAST(l_orderkey % 1000000 AS BIGINT) AS x,
-        |         CAST(l_partkey % 1000000 AS BIGINT) AS y,
-        |         CAST(l_suppkey % 1000000 AS BIGINT) AS z,
-        |         l_partkey, l_linenumber
-        |  FROM lineitem),
-        |h AS (
-        |  SELECT p.*, lv.leaf,
-        |         xor(xor(p.x * 73856093, p.y * 19349663), p.z * 83492791) AS hv
-        |  FROM p CROSS JOIN lv),
-        |l AS (
-        |  SELECT *, GREATEST(leaf - CASE WHEN hv % 8 <> 0 THEN 0
-        |                                 WHEN hv % 64 <> 0 THEN 1
-        |                                 WHEN hv % 512 <> 0 THEN 2
-        |                                 WHEN hv % 4096 <> 0 THEN 3
-        |                                 ELSE 4 END, 0) AS plevel
-        |  FROM h)
-        |SELECT CAST(l_partkey % 64 % 4 AS INT) AS g,
-        | COUNT(*) AS n,
-        | CAST(SUM(x) AS BIGINT) AS sx,
-        | CAST(SUM(y) AS BIGINT) AS sy,
-        | CAST(SUM(z) AS BIGINT) AS sz,
-        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si,
-        | MIN(CAST(x AS DOUBLE) * 0.001 + CAST(y AS DOUBLE)) AS mnt,
-        | MAX(CAST(x AS DOUBLE) * 0.001 + CAST(y AS DOUBLE)) AS mxt
-        |FROM l
-        |WHERE plevel <= GREATEST(leaf - 1, 0)
-        |GROUP BY g ORDER BY g""".stripMargin,
+    "pc33_copc_stream_lod" -> lodPreviewOracle,
+    "pc30_copc_lod_preview" -> lodPreviewOracle,
     // the subscription box re-derived from the source arithmetic with NO
     // residual filter on the Spark side: a hash match proves the bbox
     // option alone delivered exactly the in-box records through file

@@ -303,6 +303,39 @@ class CopcSpec extends SparkTestBase {
     assert(both.count() == expectBoth)
   }
 
+  test("a copc.maxlevel stream plans coarse chunks only and emits exactly the preview") {
+    // the read option is the stream's only pushdown channel (Spark never
+    // pushes predicates into a micro-batch source): the source must emit
+    // exactly the deterministic preview slice, and numInputRows == that
+    // count < full count is split-level evidence the leaf chunks were
+    // never planned, not filtered after decode
+    val dir = tmpDir("copc-lod-stream")
+    val out = tmpDir("copc-lod-stream-out")
+    val pts = fmt6Points(30000)
+    pts.coalesce(1).writeCopc(dir, Map("scale" -> "0.01",
+      "copc.nodepoints" -> "2048", "copc.lod" -> "true"))
+    val (_, info, _) = lazInfoOf(dir)
+    val leaf = info.chunkLevels.max
+    val expectPreview = pts.collect().count { r =>
+      Copc.lodLevel(Copc.lodHash(r.getAs[Int]("x"), r.getAs[Int]("y"),
+        r.getAs[Int]("z")), leaf) <= leaf - 1
+    }
+    val q = spark.readStream
+      .schema(spark.read.las(dir).schema)
+      .format("las").option("copc.maxlevel", (leaf - 1).toString).load(dir)
+      .select($"x", $"z").writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("copc-lod-stream-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sourceRows = q.recentProgress.map(_.numInputRows).sum
+    assert(sourceRows == expectPreview,
+      s"stream emitted $sourceRows rows, the preview slice holds $expectPreview")
+    assert(expectPreview > 0 && expectPreview < 30000)
+    assert(spark.read.parquet(out).count() == expectPreview)
+  }
+
   test("copc.maxlevel rejects malformed values and non-COPC sources") {
     // over-delivering the FULL corpus where a ~1/8 preview was declared
     // would be silent wrongness — the option fails instead (the bbox
