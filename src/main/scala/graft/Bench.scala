@@ -247,6 +247,11 @@ object Bench {
       // FRACTION (~1/8) of the corpus, so the preview grows linearly
       // but stays ~8× under the full decode at every scale
       "pc30_copc_lod_preview",
+      // pc31: the gpstime file skip at 10× — the time window selects
+      // ONE of four bands, so the read must track ~1/4 of the corpus
+      // (the skipped files cost a header read each), the temporal twin
+      // of pc28's trend line
+      "pc31_copc_gps_skip",
       "ss07_ivf_served")
       .filter(names.contains)
     val probeJson: String =
@@ -326,7 +331,8 @@ object Bench {
         val needEvents = probeNames.exists(_.startsWith("st10"))
         val needLineitem = probeNames.exists(n =>
           n.startsWith("pc01") || n.startsWith("pc21") || n.startsWith("pc23") ||
-            n.startsWith("pc28") || n.startsWith("pc29") || n.startsWith("pc30"))
+            n.startsWith("pc28") || n.startsWith("pc29") ||
+            n.startsWith("pc30") || n.startsWith("pc31"))
         val tsTypeKey = "spark.sql.parquet.outputTimestampType"
         val prevTsType = spark.conf.get(tsTypeKey)
         try {
@@ -384,6 +390,10 @@ object Bench {
         if (probeNames.exists(_.startsWith("pc30")))
           try SparkEntry.queries("pc30_copc_lod_preview")(spark, dir.toString).count()
           catch { case _: Throwable => } // pc30 itself will surface the error
+        // pc31's gps-banded layout (four appended time bands) likewise
+        if (probeNames.exists(_.startsWith("pc31")))
+          try SparkEntry.queries("pc31_copc_gps_skip")(spark, dir.toString).count()
+          catch { case _: Throwable => } // pc31 itself will surface the error
         // split the small row groups into per-core partitions (default
         // 128 MiB maxPartitionBytes would re-bundle the whole file into
         // one split); restored right after the probe loop
