@@ -37,13 +37,15 @@ class PointCloudScanBuilder(
 
   private var readSchema: StructType = tableSchema
   private var pushedAggRow: Option[(StructType, Array[Array[Any]])] = None
-  /** Explicit spatial subscription (`bbox` read option, see
-    * [[BboxOption]]): synthesized filters seeded into BOTH pushdown
-    * layers so the declared box binds even when the query carries no
-    * WHERE — the batch twin of the streaming source's only pushdown
-    * channel (DSv2 micro-batch planning never calls pushFilters). */
+  /** Explicit subscriptions (`bbox` + `timerange` read options, see
+    * [[BboxOption]] / [[TimeRangeOption]]): synthesized filters seeded
+    * into BOTH pushdown layers so the declared region binds even when
+    * the query carries no WHERE — the batch twin of the streaming
+    * source's only pushdown channel (DSv2 micro-batch planning never
+    * calls pushFilters). */
   private val bboxFilters: Array[SourceFilter] =
-    BboxOption.filters(kind, tableSchema, options)
+    BboxOption.filters(kind, tableSchema, options) ++
+      TimeRangeOption.filters(kind, tableSchema, options)
   private var skipFilters: Array[SourceFilter] = bboxFilters
   private var recordFilters: Array[SourceFilter] = bboxFilters
   private var limit: Int = -1
@@ -601,6 +603,63 @@ private[graft] object BboxOption {
           require(RecordPredicate.pushable(f, tableSchema),
             s"bbox bound $f is not evaluable against this table's schema " +
               "(x/y/z must exist as numeric primitive columns)")
+        }
+        fs
+    }
+}
+
+/** Explicit TEMPORAL subscription: the `timerange` read option,
+  * `"lo,hi"` in the exposed `time` (gpstime) domain, `*` for an
+  * unbounded side — the temporal twin of [[BboxOption]] and, like it,
+  * THE pushdown channel for streaming reads (Spark never pushes
+  * predicates into a micro-batch source; a batch `WHERE time BETWEEN`
+  * gets the same planning effects automatically — pc31). The declared
+  * range is EXACT at the record level (same [[RecordPredicate]] path),
+  * and at planning it drives the COPC gps-range whole-file skip
+  * ([[SectionSkip]] reading `LazInfo.gpsRange`). Rejected when the
+  * table has no pushable `time` column — a silently over-delivering
+  * subscription is worse than an error (the bbox precedent). */
+private[graft] object TimeRangeOption {
+  def filters(kind: FormatKind, tableSchema: StructType,
+      options: CaseInsensitiveStringMap): Array[SourceFilter] =
+    Option(options.get("timerange")) match {
+      case None => Array.empty
+      case Some(raw) =>
+        require(kind != FormatKind.Xyz,
+          "timerange is not supported for xyz sources: text records have " +
+            "no reader-side predicate surface, so the declared range could " +
+            "not be honored exactly")
+        val parts = raw.split(",", -1).map(_.trim)
+        require(parts.length == 2,
+          s"timerange must be 'lo,hi' (gpstime domain, '*' for an " +
+            s"unbounded side), got '$raw'")
+        def bound(tok: String, side: String): Option[Double] =
+          if (tok == "*") None
+          else {
+            val d = try tok.toDouble catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"timerange $side bound is not a number: '$tok'")
+            }
+            // NaN parses but never compares true — a subscription that
+            // silently matches nothing must be an error
+            require(java.lang.Double.isFinite(d),
+              s"timerange $side bound is not finite: '$tok'")
+            Some(d)
+          }
+        val lo = bound(parts(0), "lower")
+        val hi = bound(parts(1), "upper")
+        require(lo.nonEmpty || hi.nonEmpty,
+          s"timerange '$raw' binds nothing; drop the option instead")
+        for (l <- lo; h <- hi)
+          require(l <= h, s"timerange bounds are inverted: $l > $h")
+        val fs: Array[SourceFilter] =
+          (lo.map(v => FGe("time", java.lang.Double.valueOf(v))).toSeq ++
+            hi.map(v => FLe("time", java.lang.Double.valueOf(v)))).toArray
+        fs.foreach { f =>
+          require(RecordPredicate.pushable(f, tableSchema),
+            s"timerange bound $f is not evaluable against this table's " +
+              "schema (a numeric 'time' column must exist)")
         }
         fs
     }

@@ -23,6 +23,12 @@ object syntax {
       * predicates into a micro-batch source); on batch reads a plain
       * `.where` gets the same pruning automatically. las/ply only.
       *
+      * Read option `timerange` = `"lo,hi"` (gpstime domain, `*` for an
+      * unbounded side): the TEMPORAL subscription twin — exact at the
+      * record level, and over COPC files it skips whole out-of-range
+      * files at planning via the info VLR's gps span. Same option in
+      * batch and streaming; requires a pushable `time` column.
+      *
       * Read option `copc.maxlevel` = `K` over a [[PointCloudDataFrame.writeCopc]]
       * LOD layout: the declared COARSE PREVIEW — only octree nodes at
       * level ≤ K are planned (~1/8 of the data per level below the

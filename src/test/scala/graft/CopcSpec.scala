@@ -429,6 +429,57 @@ class CopcSpec extends SparkTestBase {
         pts.filter($"time" + 100000.0 <= 101000.0).count())
   }
 
+  test("a timerange-subscribed stream skips out-of-range files and emits exactly the window") {
+    // the temporal twin of the bbox subscription: Spark never pushes
+    // predicates into a micro-batch source, so a consumer tailing the
+    // lake for one time window DECLARES it; the gps-range file skip
+    // must keep numInputRows at the window's count, and the record
+    // predicate makes the window exact
+    val dir = tmpDir("copc-tr")
+    val out = tmpDir("copc-tr-out")
+    val pts = fmt6Points(8000) // time = id*0.25 -> [0, 2000)
+    pts.coalesce(1).writeCopc(dir,
+      Map("scale" -> "0.01", "copc.nodepoints" -> "2048"))
+    pts.withColumn("time", $"time" + 100000.0).coalesce(1).writeCopc(dir,
+      Map("scale" -> "0.01", "copc.nodepoints" -> "2048"), mode = "append")
+    val q = spark.readStream
+      .schema(spark.read.las(dir).schema)
+      .format("las").option("timerange", "100500,*").load(dir)
+      .select($"x", $"time").writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("copc-tr-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wantN = pts.filter($"time" + 100000.0 >= 100500.0).count()
+    val sourceRows = q.recentProgress.map(_.numInputRows).sum
+    assert(sourceRows == wantN,
+      s"stream emitted $sourceRows rows, the window holds $wantN")
+    assert(wantN > 0 && wantN < 16000)
+    val got = spark.read.parquet(out)
+    assert(got.count() == wantN)
+    assert(got.agg(min($"time")).head().getDouble(0) == 100500.0)
+    // batch honors the identical option, with planning-time file skip
+    val batch = spark.read.format("las")
+      .option("timerange", "100500,*").load(dir)
+    assert(batch.count() == wantN)
+    assert(batch.rdd.getNumPartitions <
+      spark.read.las(dir).rdd.getNumPartitions)
+    // malformed windows fail fast
+    val e1 = intercept[Exception] {
+      spark.read.format("las").option("timerange", "9,1").load(dir).count()
+    }
+    assert(e1.getMessage.contains("inverted"))
+    val e2 = intercept[Exception] {
+      spark.read.format("las").option("timerange", "NaN,5").load(dir).count()
+    }
+    assert(e2.getMessage.contains("not finite"))
+    val e3 = intercept[Exception] {
+      spark.read.format("las").option("timerange", "*,*").load(dir).count()
+    }
+    assert(e3.getMessage.contains("binds nothing"))
+  }
+
   test("append into a copc.files layout leaves old files byte-identical and pruning still fires") {
     val dir = tmpDir("copc-append")
     val pts = fmt6Points(32000)
