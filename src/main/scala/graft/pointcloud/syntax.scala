@@ -90,6 +90,25 @@ object syntax {
     }.toSeq
   }
 
+  /** Compact a fragmented COPC directory — the lake-maintenance pass
+    * that follows a season of [[PointCloudDataFrame.writeCopc]] appends:
+    * many small per-batch files (each with its own cube and octree)
+    * read back as one frame and rewritten into a FRESH layout at
+    * `outDir`, typically with `copc.files` set so the result is
+    * spatially disjoint again and both pruning tiers bite at full
+    * strength. Out-of-place by design: the source directory stays
+    * readable throughout, and the caller swaps directories on success —
+    * the same discipline as parquet table compaction. Pass the lake's
+    * `scale`/`offset` (raw integer coordinates are interpreted under
+    * them; a lake written under one world frame compacts under the same
+    * one). Row CONTENT is preserved exactly — fid/pid are positional
+    * ids any read re-derives — and pc34 grades the census equality
+    * through a bbox read of the compacted layout. */
+  def compactCopc(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      outDir: String, options: Map[String, String] = Map.empty): Unit =
+    new PointCloudDataFrame(spark.read.format("las").load(srcDir))
+      .writeCopc(outDir, options)
+
   /** Dataset-side sugar so callers don't have to repeat the frame:
     * `df.writeLas(path)` etc. */
   implicit class PointCloudDataFrame(private val df: DataFrame) extends AnyVal {

@@ -1072,7 +1072,44 @@ object PointCloudQueries {
       .sort($"g")
   }
 
+  /** pc34: COPC COMPACTION — the third act of the lake-maintenance
+    * story (land pc28 → append pc32 → compact): a fragmented directory
+    * (pc32's shape — a range-partitioned base plus an appended batch,
+    * each file its own octree) is rewritten out-of-place by
+    * [[graft.pointcloud.syntax.compactCopc]] into a fresh
+    * `copc.files = 2` layout, and the SAME bbox census as pc32 must
+    * hash-match over the COMPACTED directory — compaction that drops,
+    * duplicates or re-quantizes one row scrambles a group. The oracle
+    * is pc32's text verbatim (the appended membership column survives
+    * compaction because it is key arithmetic, not file lineage).
+    * CopcSpec pins the file-count reduction and that both pruning
+    * tiers still fire on the result. */
+  private val pc34: Q = (s, d) => {
+    val dir = layoutOnce("pc34", d) { out =>
+      val pts = layeredPointFrame(s, d)
+      val frag = s"$out/frag"
+      pts.filter($"x" % 5 =!= 1).writeCopc(frag,
+        Map("scale" -> "0.001", "copc.nodepoints" -> "4096", "copc.files" -> "2"))
+      pts.filter($"x" % 5 === 1).writeCopc(frag,
+        Map("scale" -> "0.001", "copc.nodepoints" -> "4096"), mode = "append")
+      compactCopc(s, frag, s"$out/compact",
+        Map("scale" -> "0.001", "copc.nodepoints" -> "4096", "copc.files" -> "2"))
+    }
+    s.read.las(s"$dir/compact")
+      .where($"x" >= 200 && $"x" <= 900 && $"y" >= 20)
+      .groupBy(($"classification" % 8).cast("int").as("cls"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"x" % 5 === 1, 1L).otherwise(0L)).as("appended"),
+        sum($"x".cast("bigint")).as("sx"),
+        sum($"y".cast("bigint")).as("sy"),
+        sum($"intensity".cast("bigint")).as("si"),
+        min($"time").as("mnt"), max($"time").as("mxt"))
+      .sort($"cls")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pc34_copc_compact" -> pc34,
     "pc33_copc_stream_lod" -> pc33,
     "pc32_copc_append" -> pc32,
     "pc31_copc_gps_skip" -> pc31,
@@ -1150,14 +1187,12 @@ object PointCloudQueries {
         |WHERE plevel <= GREATEST(leaf - 1, 0)
         |GROUP BY g ORDER BY g""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    // pc28's box census over the FULL source (old slice + appended
-    // batch) with the appended membership re-derived from the key
-    // arithmetic (1e6 % 5 = 0, so x % 5 = l_orderkey % 5): a hash match
-    // proves the append landed every new row exactly once, rewrote no
-    // old row, and the two-tier pruning stayed exact over the union
-    "pc32_copc_append" ->
-      """SELECT CAST(l_partkey % 64 % 8 AS INT) AS cls,
+  /** pc32/pc34's shared oracle: pc28's box census over the FULL
+    * source with appended membership from the key arithmetic
+    * (1e6 % 5 = 0, so x % 5 = l_orderkey % 5) — one text, two graded
+    * layouts (the appended union and its compacted rewrite). */
+  private val copcBoxCensusOracle: String =
+    """SELECT CAST(l_partkey % 64 % 8 AS INT) AS cls,
         | COUNT(*) AS n,
         | CAST(SUM(CASE WHEN l_orderkey % 5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS appended,
         | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
@@ -1170,7 +1205,18 @@ object PointCloudQueries {
         |FROM lineitem
         |WHERE (l_orderkey % 1000000) BETWEEN 200 AND 900
         |  AND (l_partkey % 1000000) >= 20
-        |GROUP BY cls ORDER BY cls""".stripMargin,
+        |GROUP BY cls ORDER BY cls""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // pc28's box census over the FULL source (old slice + appended
+    // batch) with the appended membership re-derived from the key
+    // arithmetic (1e6 % 5 = 0, so x % 5 = l_orderkey % 5): a hash match
+    // proves the append landed every new row exactly once, rewrote no
+    // old row, and the two-tier pruning stayed exact over the union
+    // pc34 reads the COMPACTED rewrite of pc32's fragmented layout —
+    // same census, same text; compaction must be value-invisible
+    "pc34_copc_compact" -> copcBoxCensusOracle,
+    "pc32_copc_append" -> copcBoxCensusOracle,
     // the same time window re-derived from the source arithmetic (the
     // banded gpstime is integer-valued double math, exact in both
     // engines): a hash match proves the gps-range file skip dropped

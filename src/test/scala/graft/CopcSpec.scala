@@ -511,6 +511,37 @@ class CopcSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
   }
 
+  test("compactCopc rewrites a fragmented directory losslessly and pruning still fires") {
+    val frag = tmpDir("copc-frag")
+    val compact = tmpDir("copc-compact")
+    val pts = fmt6Points(32000)
+    // a season of appends: 4 batches, each its own file/cube/octree
+    (0 until 4).foreach { b =>
+      pts.filter($"x" % 4 === b).coalesce(1).writeCopc(frag,
+        Map("scale" -> "0.01", "copc.nodepoints" -> "2048"),
+        mode = if (b == 0) "overwrite" else "append")
+    }
+    val fragFiles = new java.io.File(frag).listFiles()
+      .count(_.getName.endsWith(".laz"))
+    assert(fragFiles == 4)
+    graft.pointcloud.syntax.compactCopc(spark, frag, compact,
+      Map("scale" -> "0.01", "copc.files" -> "2", "copc.nodepoints" -> "2048"))
+    val compactFiles = new java.io.File(compact).listFiles()
+      .count(_.getName.endsWith(".laz"))
+    assert(compactFiles == 2, s"expected 2 compacted files, got $compactFiles")
+    // lossless: same rows, value for value (fid/pid are positional)
+    assert(collectAll(spark.read.las(compact)) == collectAll(spark.read.las(frag)))
+    // the compacted layout prunes at planning like any fresh writeCopc
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try {
+      val nFull = spark.read.las(compact).rdd.getNumPartitions
+      val pruned = spark.read.las(compact).where($"x" >= 10000 && $"x" <= 25000)
+      assert(pruned.rdd.getNumPartitions < nFull)
+      assert(pruned.count() ==
+        pts.filter($"x" >= 10000 && $"x" <= 25000).count())
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("writer entry budget and reader hierarchy bound agree at the same threshold") {
     // writer side: the shared predicate trips one past the bound (tiny
     // spec bound, then the production default)
