@@ -333,6 +333,45 @@ object Clustering {
       .limit(k)
   }
 
+  /** ANN top-k through the TWO-LEVEL quantizer — the serve rung of the
+    * fourth escalation level (IMI-shaped probe): the query's nearest
+    * COARSE cell comes from driver arithmetic over the k1-row coarse
+    * model, that cell's `nProbe` nearest FINE centroids from a
+    * ≤ k2-row collect of ITS slice of the fine table (never the table
+    * itself — the probe is bounded by k2 at any model size, the same
+    * discipline as [[fineSeq]]'s guard), and the probed COMPOSITE cells
+    * re-rank by exact cosine. A coarse cell covered only by the
+    * coverage fallback probes its single fine-0 cell. Ties resolve low,
+    * mirroring every other probe path; the ss13 oracle re-derives the
+    * whole ladder. */
+  def ivfTopKTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+      model: TwoLevelModel, queryVec: Seq[Double], k: Int,
+      nProbe: Int): DataFrame = {
+    val coarseCell = model.coarse
+      .map { case (c, ctr) => (c, seqSqdist(queryVec, ctr)) }
+      .minBy { case (c, dd) => (dd, c) }._1
+    val fineRows = model.fine
+      .filter(col("coarse") === coarseCell)
+      .select(col("fine"), col("centroid"))
+      .collect() // ≤ k2 rows by the model contract
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+    val probes: Seq[Long] = fineRows
+      .map { case (f, c) => (f, seqSqdist(queryVec, c)) }
+      .sortBy { case (f, dd) => (dd, f) }
+      .take(nProbe)
+      .map { case (f, _) => coarseCell.toLong * model.k2 + f }.toSeq
+    val q = array(queryVec.map(lit): _*)
+    assignCellsTwoLevel(
+      df.select(col(idCol).as("id"),
+          transform(col(vecCol), _.cast("double")).as("v"))
+        .localCheckpoint(eager = true), // same inlining guard as kmeans
+      "id", "v", model)
+      .filter(col("cell").isin(probes: _*))
+      .select(col("id"), Similarity.cosine(col("v"), q).as("sim"))
+      .sort(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Persist the corpus partitioned by its IVF cell — the serving layout
     * for ANN at scale: a query's probe set becomes a partition-pruning
     * predicate, so the scan lists and reads ONLY the nProbe cell

@@ -639,6 +639,26 @@ object OpsQueries {
     served.unionByName(census).sort($"part", $"a")
   }
 
+  /** ss13: ANN top-5 through the TWO-LEVEL quantizer — the serve rung
+    * of the fourth escalation level (IMI-shaped probing, the shape a
+    * past-broadcast-budget index actually answers queries with): the
+    * query's nearest coarse cell by driver arithmetic over the k1-row
+    * model, that cell's 2 nearest fine centroids from a ≤ k2-row slice
+    * of the fine DataFrame (the probe is k2-bounded at any model
+    * size), exact cosine re-rank inside the probed composite cells.
+    * Shares dd16's memoized hierarchical model, so fit cost is paid
+    * once per dataset; the oracle re-runs the full two-level fit and
+    * restates the probe ladder — coarse argmin, fine top-2 (coverage
+    * fallback included), composite membership, cosine ranking — so a
+    * probe drifting by one fine cell scrambles the result. */
+  private val ss13: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qv = queryVec(s, d)
+    Clustering.ivfTopKTwoLevel(e.filter($"vec_id" =!= 0), "vec_id",
+        "embedding", twoLevelModel(s, d), qv, 5, nProbe = 2)
+      .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
+  }
+
   /** ss06: batched k-NN join — vectors 1..20 each find their top-3
     * LSH-bucket neighbors in the rest of the corpus, in ONE plan (bucket
     * equi-join + per-query window rank). The production shape: no
@@ -1258,6 +1278,7 @@ object OpsQueries {
     "ss10_filtered_ann" -> ss10,
     "ss11_ivf_persisted" -> ss11,
     "ss12_ivf_append" -> ss12,
+    "ss13_twolevel_topk" -> ss13,
     "tx01_token_stats" -> tx01,
     "tx02_quality_score" -> tx02,
     "tx03_langid" -> tx03,
@@ -2138,6 +2159,28 @@ object OpsQueries {
     // refit oracle grades it unchanged
     "ss11_ivf_persisted" -> ss04Oracle,
     "ss12_ivf_append" -> ss12Oracle,
+    // ss13: the full two-level refit, then the probe ladder restated —
+    // coarse argmin, the probed cell's fine top-2 (coverage fallback
+    // unioned in), composite membership, cosine ranking
+    "ss13_twolevel_topk" ->
+      s"""WITH $kmeansOracleCtes,
+         |${fineOracleCtes(Dd16Fine)},
+         |pc AS (SELECT cell FROM c$Ss04Iters, q ORDER BY ${sqlSqd("qv", "c")}, cell LIMIT 1),
+         |pfsrc AS (
+         |  SELECT cell, fine, c FROM fc$Ss04Iters
+         |  UNION ALL
+         |  SELECT cell, CAST(0 AS BIGINT) AS fine, c FROM c$Ss04Iters
+         |  WHERE cell NOT IN (SELECT cell FROM fc$Ss04Iters)
+         |), pf AS (
+         |  SELECT CAST(p.cell AS BIGINT) * $Dd16Fine + f.fine AS pcell
+         |  FROM pc p JOIN pfsrc f ON f.cell = p.cell, q
+         |  ORDER BY ${sqlSqd("qv", "f.c")}, f.fine
+         |  LIMIT 2
+         |)
+         |SELECT vec_id, ROUND(${sqlCosine("v", "qv", 64)}, 4) AS sim
+         |FROM comp JOIN pf ON comp.cell = pf.pcell, q
+         |ORDER BY ${sqlCosine("v", "qv", 64)} DESC, vec_id
+         |LIMIT 5""".stripMargin,
     "ss05_multiprobe_topk" -> ss05Oracle,
     // ss05's restatement with the metadata predicate applied before the
     // probe — pre-filter semantics stated definitionally

@@ -276,6 +276,38 @@ class OpsSpec extends SparkTestBase {
     assert(err.getMessage.contains("without fine centroids"))
   }
 
+  test("two-level IVF top-k equals the driver-side reference ladder") {
+    val pts = spark.range(1, 80).select($"id",
+        array(($"id" % 13).cast("double"), ($"id" % 7).cast("double"),
+          ($"id" % 5).cast("double")).as("v"))
+      .localCheckpoint(true)
+    val model = Clustering.kmeansTwoLevel(pts, "id", "v", dim = 3, k1 = 3, k2 = 2, iters = 2)
+    val qv = Seq(6.0, 3.0, 2.0)
+    val got = Clustering.ivfTopKTwoLevel(pts, "id", "v", model, qv, 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def sq(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val coarse = model.coarse.map { case (c, ctr) => (c, sq(qv, ctr)) }
+      .minBy { case (c, d) => (d, c) }._1
+    val probes = Clustering.fineSeq(model).filter(_._1 == coarse)
+      .map { case (_, f, c) => (f, sq(qv, c)) }
+      .sortBy { case (f, d) => (d, f) }.take(2)
+      .map { case (f, _) => coarse.toLong * model.k2 + f }.toSet
+    val assigned = Clustering.assignCellsTwoLevel(pts, "id", "v", model)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    val vmap = pts.select("id", "v").as[(Long, Seq[Double])].collect().toMap
+    val ref = vmap.toSeq.filter { case (id, _) => probes(assigned(id)) }
+      .map { case (id, v) => (id, cos(v, qv)) }
+      .sortBy { case (id, c) => (-c, id) }.take(4)
+    assert(got.map(_._1) == ref.map(_._1),
+      s"got ${got.map(_._1)}, reference ${ref.map(_._1)}")
+    got.zip(ref).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+  }
+
   test("a two-level model saves, loads bit-identically, and the fit is collect-free past the guard") {
     val pts = spark.range(50).select($"id",
         array(($"id" % 9).cast("double"), ($"id" % 4).cast("double")).as("v"))
