@@ -233,13 +233,17 @@ object Clustering {
     // have no fine rows, and the fine-join in [[assignCellsTwoLevel]]
     // would reject any future row landing there (the append/serve
     // pattern). Such a cell keeps its coarse centroid as its single
-    // fine centroid instead — a k1-row anti-join, all data-side.
+    // fine centroid instead — a k1-row anti-join, all data-side. The
+    // fitted table is checkpointed ONCE before the fallback derivation
+    // (both union branches read it; an un-pinned plan would recompute
+    // the final n-row join per branch), and the union itself stays a
+    // cheap lazy view over the pinned blocks.
+    val fitted = fine.localCheckpoint(eager = true)
     val coarseDf = coarseModel.toDF("coarse", "centroid")
     val fallback = coarseDf
-      .join(fine.select(col("coarse")).distinct(), Seq("coarse"), "left_anti")
+      .join(fitted.select(col("coarse")).distinct(), Seq("coarse"), "left_anti")
       .select(col("coarse"), lit(0).as("fine"), col("centroid"))
-    TwoLevelModel(coarseModel,
-      fine.unionByName(fallback).localCheckpoint(eager = true), k2)
+    TwoLevelModel(coarseModel, fitted.unionByName(fallback), k2)
   }
 
   /** Composite cell assignment against a [[TwoLevelModel]]: coarse via

@@ -70,8 +70,9 @@ class PointCloudScanBuilder(
     // no entropy-decode work), and the record readers evaluate pushed
     // filters on RAW record bytes — keep everything residual when any
     // section is compressed; header-bbox file skip still applies.
-    // bbox-option filters are NOT residual-droppable (Spark never saw
-    // them) so they stay in the reader-applied set unconditionally.
+    // option-derived filters (bbox / timerange) are NOT residual-
+    // droppable (Spark never saw them) so they stay in the
+    // reader-applied set unconditionally.
     val (push, residual) =
       if (kind == FormatKind.Xyz || resolved.sections.exists(_.laz.isDefined))
         (Array.empty[SourceFilter], filters)
