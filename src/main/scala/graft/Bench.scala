@@ -148,6 +148,7 @@ object Bench {
         n.startsWith("pc32") || // build-once appended COPC layout
         n.startsWith("pc33") || // shares pc30's COPC LOD layout
         n.startsWith("pc34") || // build-once fragmented+compacted layout
+        n.startsWith("ss14") || // build-once composite-cell served layout
         n.startsWith("dd17"))) // train-once persisted two-level model
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => } // a broken query still errors in the timed loop

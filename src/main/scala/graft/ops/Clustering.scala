@@ -351,19 +351,7 @@ object Clustering {
   def ivfTopKTwoLevel(df: DataFrame, idCol: String, vecCol: String,
       model: TwoLevelModel, queryVec: Seq[Double], k: Int,
       nProbe: Int): DataFrame = {
-    val coarseCell = model.coarse
-      .map { case (c, ctr) => (c, seqSqdist(queryVec, ctr)) }
-      .minBy { case (c, dd) => (dd, c) }._1
-    val fineRows = model.fine
-      .filter(col("coarse") === coarseCell)
-      .select(col("fine"), col("centroid"))
-      .collect() // ≤ k2 rows by the model contract
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
-    val probes: Seq[Long] = fineRows
-      .map { case (f, c) => (f, seqSqdist(queryVec, c)) }
-      .sortBy { case (f, dd) => (dd, f) }
-      .take(nProbe)
-      .map { case (f, _) => coarseCell.toLong * model.k2 + f }.toSeq
+    val probes = twoLevelProbes(model, queryVec, nProbe)
     val q = array(queryVec.map(lit): _*)
     assignCellsTwoLevel(
       df.select(col(idCol).as("id"),
@@ -372,6 +360,67 @@ object Clustering {
       "id", "v", model)
       .filter(col("cell").isin(probes: _*))
       .select(col("id"), Similarity.cosine(col("v"), q).as("sim"))
+      .sort(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
+  /** The probed COMPOSITE cells of a [[TwoLevelModel]] for a query
+    * vector (the IMI-shaped ladder shared by the direct and served
+    * two-level probe paths, and restated by the ss13/ss14 oracle):
+    * coarse argmin over the k1-row driver model, then the `nProbe`
+    * nearest fine centroids from a ≤ k2-row collect of THAT CELL's
+    * slice of the fine table — never the table itself, so the probe is
+    * k2-bounded at any model size. Ties resolve low everywhere. */
+  private def twoLevelProbes(model: TwoLevelModel, queryVec: Seq[Double],
+      nProbe: Int): Seq[Long] = {
+    val coarseCell = model.coarse
+      .map { case (c, ctr) => (c, seqSqdist(queryVec, ctr)) }
+      .minBy { case (c, dd) => (dd, c) }._1
+    model.fine
+      .filter(col("coarse") === coarseCell)
+      .select(col("fine"), col("centroid"))
+      .collect() // ≤ k2 rows by the model contract
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .map { case (f, c) => (f, seqSqdist(queryVec, c)) }
+      .sortBy { case (f, dd) => (dd, f) }
+      .take(nProbe)
+      .map { case (f, _) => coarseCell.toLong * model.k2 + f }.toSeq
+  }
+
+  /** Persist the corpus partitioned by its COMPOSITE two-level cell —
+    * the serving layout for the rung-4 index ([[writePartitionedByCell]]'s
+    * convention at the hierarchical model): a query's probed composite
+    * cells become a partition-pruning predicate, so the scan lists and
+    * reads only nProbe `cell=` directories out of k1·k2, never the
+    * corpus. `mode = "append"` grows the layout with a new batch
+    * assigned through the SAME (persisted) model — the ss12 ingest
+    * shape at this rung. */
+  def writePartitionedByCellTwoLevel(df: DataFrame, idCol: String,
+      vecCol: String, model: TwoLevelModel, path: String,
+      mode: String = "overwrite"): Unit =
+    assignCellsTwoLevel(
+      df.select(col(idCol).as("id"), col(vecCol).as("embedding"),
+          transform(col(vecCol), _.cast("double")).as("__v"))
+        .localCheckpoint(eager = true), // same inlining guard as kmeans
+      "id", "__v", model)
+      .drop("__v")
+      .write.partitionBy("cell").mode(mode).parquet(path)
+
+  /** ANN top-k against a [[writePartitionedByCellTwoLevel]] layout: the
+    * same probe ladder as [[ivfTopKTwoLevel]], with the probed
+    * composite cells pruning partitions at planning time
+    * (PartitionFilters on the scan) and exact cosine re-ranking the
+    * probed residue — the layout the rung-4 index actually serves
+    * queries from at 100 TB. */
+  def ivfTopKServedTwoLevel(spark: org.apache.spark.sql.SparkSession,
+      path: String, model: TwoLevelModel, queryVec: Seq[Double], k: Int,
+      nProbe: Int): DataFrame = {
+    val probes = twoLevelProbes(model, queryVec, nProbe)
+    val q = array(queryVec.map(lit): _*)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probes: _*))
+      .select(col("id"),
+        Similarity.cosine(transform(col("embedding"), _.cast("double")), q).as("sim"))
       .sort(col("sim").desc, col("id"))
       .limit(k)
   }

@@ -659,6 +659,35 @@ object OpsQueries {
       .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
   }
 
+  /** ss14: the SERVED two-level layout — ss07's partition-pruned
+    * serving convention at the rung-4 model: the corpus persists
+    * partitioned by its COMPOSITE cell
+    * ([[graft.ops.Clustering.writePartitionedByCellTwoLevel]], built
+    * once per dataset) and ss13's query is answered through
+    * [[graft.ops.Clustering.ivfTopKServedTwoLevel]], so the probe set
+    * becomes a partition-pruning predicate — the scan reads nProbe
+    * `cell=` directories out of k1·k2 instead of assigning the corpus
+    * per query (ss13's baseline shape). Same model, probes and re-rank
+    * as ss13, so the oracle is shared; what this entry adds is the
+    * pruned-scan plan, pinned by OpsSpec's PartitionFilters assertion. */
+  private val twoLevelLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ss14: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qv = queryVec(s, d)
+    val model = twoLevelModel(s, d)
+    val path = twoLevelLayouts.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_twolevel_served")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.Fs.deleteRecursively(dir)))
+      Clustering.writePartitionedByCellTwoLevel(
+        e.filter($"vec_id" =!= 0), "vec_id", "embedding", model, dir.toString)
+      dir.toString
+    })
+    Clustering.ivfTopKServedTwoLevel(s, path, model, qv, 5, nProbe = 2)
+      .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
+  }
+
   /** ss06: batched k-NN join — vectors 1..20 each find their top-3
     * LSH-bucket neighbors in the rest of the corpus, in ONE plan (bucket
     * equi-join + per-query window rank). The production shape: no
@@ -1279,6 +1308,7 @@ object OpsQueries {
     "ss11_ivf_persisted" -> ss11,
     "ss12_ivf_append" -> ss12,
     "ss13_twolevel_topk" -> ss13,
+    "ss14_twolevel_served" -> ss14,
     "tx01_token_stats" -> tx01,
     "tx02_quality_score" -> tx02,
     "tx03_langid" -> tx03,
@@ -2022,6 +2052,30 @@ object OpsQueries {
        |FROM v ORDER BY doc_id LIMIT 100""".stripMargin
   }
 
+  /** ss13/ss14's shared oracle: the two-level refit + the probe
+    * ladder (coarse argmin, fine top-2 with coverage fallback,
+    * composite membership, cosine ranking) — one text, two plan
+    * shapes (corpus assignment vs the partition-pruned layout). */
+  private val ss13Oracle: String =
+    s"""WITH $kmeansOracleCtes,
+         |${fineOracleCtes(Dd16Fine)},
+         |pc AS (SELECT cell FROM c$Ss04Iters, q ORDER BY ${sqlSqd("qv", "c")}, cell LIMIT 1),
+         |pfsrc AS (
+         |  SELECT cell, fine, c FROM fc$Ss04Iters
+         |  UNION ALL
+         |  SELECT cell, CAST(0 AS BIGINT) AS fine, c FROM c$Ss04Iters
+         |  WHERE cell NOT IN (SELECT cell FROM fc$Ss04Iters)
+         |), pf AS (
+         |  SELECT CAST(p.cell AS BIGINT) * $Dd16Fine + f.fine AS pcell
+         |  FROM pc p JOIN pfsrc f ON f.cell = p.cell, q
+         |  ORDER BY ${sqlSqd("qv", "f.c")}, f.fine
+         |  LIMIT 2
+         |)
+         |SELECT vec_id, ROUND(${sqlCosine("v", "qv", 64)}, 4) AS sim
+         |FROM comp JOIN pf ON comp.cell = pf.pcell, q
+         |ORDER BY ${sqlCosine("v", "qv", 64)} DESC, vec_id
+         |LIMIT 5""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dd01_exact_dedup" ->
       "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dups FROM documents GROUP BY text ORDER BY keep_id LIMIT 200",
@@ -2162,25 +2216,10 @@ object OpsQueries {
     // ss13: the full two-level refit, then the probe ladder restated —
     // coarse argmin, the probed cell's fine top-2 (coverage fallback
     // unioned in), composite membership, cosine ranking
-    "ss13_twolevel_topk" ->
-      s"""WITH $kmeansOracleCtes,
-         |${fineOracleCtes(Dd16Fine)},
-         |pc AS (SELECT cell FROM c$Ss04Iters, q ORDER BY ${sqlSqd("qv", "c")}, cell LIMIT 1),
-         |pfsrc AS (
-         |  SELECT cell, fine, c FROM fc$Ss04Iters
-         |  UNION ALL
-         |  SELECT cell, CAST(0 AS BIGINT) AS fine, c FROM c$Ss04Iters
-         |  WHERE cell NOT IN (SELECT cell FROM fc$Ss04Iters)
-         |), pf AS (
-         |  SELECT CAST(p.cell AS BIGINT) * $Dd16Fine + f.fine AS pcell
-         |  FROM pc p JOIN pfsrc f ON f.cell = p.cell, q
-         |  ORDER BY ${sqlSqd("qv", "f.c")}, f.fine
-         |  LIMIT 2
-         |)
-         |SELECT vec_id, ROUND(${sqlCosine("v", "qv", 64)}, 4) AS sim
-         |FROM comp JOIN pf ON comp.cell = pf.pcell, q
-         |ORDER BY ${sqlCosine("v", "qv", 64)} DESC, vec_id
-         |LIMIT 5""".stripMargin,
+    "ss13_twolevel_topk" -> ss13Oracle,
+    // ss14 serves ss13's query from the composite-cell layout —
+    // same model/probes/re-rank, pruned-scan plan pinned in OpsSpec
+    "ss14_twolevel_served" -> ss13Oracle,
     "ss05_multiprobe_topk" -> ss05Oracle,
     // ss05's restatement with the metadata predicate applied before the
     // probe — pre-filter semantics stated definitionally

@@ -448,6 +448,25 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("PartitionFilters: []"), plan)
   }
 
+  test("ss14 entry query: two-level served layout is partition-pruned and equals ss13") {
+    val served = graft.queries.OpsQueries.queries("ss14_twolevel_served")(spark, sfDir)
+    val rows = served.collect().toSeq // execute first so AQE finalizes the plan
+    val direct = graft.queries.OpsQueries.queries("ss13_twolevel_topk")(spark, sfDir)
+      .collect().toSeq
+    assert(rows == direct)
+    // the probed COMPOSITE cells must reach the layout scan as a
+    // partition-pruning predicate — nProbe cell dirs out of k1*k2
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    assert(!plan.contains("PartitionFilters: []"), plan)
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    val admitted = "IN \\(([^)]*)\\)".r.findFirstMatchIn(pf)
+      .map(_.group(1).split(',').map(_.trim).toSet).getOrElse(Set.empty)
+    assert(admitted.nonEmpty && admitted.size <= 2,
+      s"PartitionFilters admits cells $admitted, expected <= 2 (nProbe): $pf")
+  }
+
   test("IVF ANN recall@5 vs exact top-k stays pinned") {
     val ids = Seq(0L, 1L, 2L, 3L, 4L)
     val model = Clustering.kmeans(embs, "vec_id", "embedding", 64, 8, 2)
