@@ -480,6 +480,87 @@ class CopcSpec extends SparkTestBase {
     assert(e3.getMessage.contains("binds nothing"))
   }
 
+  test("bbox and timerange subscriptions compose on one stream") {
+    // a consumer can subscribe to a REGION and a TIME WINDOW at once:
+    // both option families synthesize into the same filter set, so the
+    // stream must emit exactly the conjunction
+    val dir = tmpDir("copc-both")
+    val out = tmpDir("copc-both-out")
+    val pts = fmt6Points(8000) // time = id*0.25 -> [0, 2000)
+    pts.coalesce(1).writeCopc(dir,
+      Map("scale" -> "0.01", "copc.nodepoints" -> "2048"))
+    pts.withColumn("time", $"time" + 100000.0).coalesce(1).writeCopc(dir,
+      Map("scale" -> "0.01", "copc.nodepoints" -> "2048"), mode = "append")
+    val q = spark.readStream
+      .schema(spark.read.las(dir).schema)
+      .format("las")
+      .option("bbox", "10000,60000,*,*,*,*")
+      .option("timerange", "100000,*").load(dir)
+      .select($"x", $"time").writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("copc-both-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wantN = pts.filter($"x" >= 10000 && $"x" <= 60000).count()
+    val sourceRows = q.recentProgress.map(_.numInputRows).sum
+    assert(sourceRows == wantN,
+      s"stream emitted $sourceRows rows, the box-and-window holds $wantN")
+    assert(wantN > 0 && wantN < 8000)
+    val got = spark.read.parquet(out)
+    assert(got.count() == wantN)
+    assert(got.agg(min($"time")).head().getDouble(0) >= 100000.0)
+    assert(got.agg(min($"x")).head().getInt(0) >= 10000)
+  }
+
+  test("an unknown (0/0) gps range never skips a file; records stay exact") {
+    // the published sentinel for "gps range not populated" is 0/0 —
+    // a file whose time column is all null writes it; the planner must
+    // keep the file (conservative) and the record predicate alone
+    // decides
+    val dir = tmpDir("copc-gps0")
+    val pts = fmt6Points(4000).withColumn("time", lit(null).cast("double"))
+    pts.coalesce(1).writeCopc(dir,
+      Map("scale" -> "0.01", "copc.nodepoints" -> "2048"))
+    val (_, info, _) = lazInfoOf(dir)
+    assert(info.gpsRange == null, "0/0 sentinel must not become a range")
+    val full = spark.read.las(dir)
+    val nFull = full.rdd.getNumPartitions
+    // nulls never match a range predicate: zero rows, but the FILE was
+    // not skipped at planning (partition count unchanged — the pruning
+    // had no gps evidence to act on)
+    val sliced = spark.read.las(dir).where($"time" >= 1.0 && $"time" <= 2.0)
+    assert(sliced.rdd.getNumPartitions == nFull)
+    assert(sliced.count() == 0)
+    assert(full.count() == 4000)
+  }
+
+  test("compacting an LOD layout with copc.lod preserves the preview read") {
+    val frag = tmpDir("copc-lodfrag")
+    val compact = tmpDir("copc-lodcompact")
+    val pts = fmt6Points(30000)
+    // fixed leaf level so the fragment and the compacted rewrite agree
+    // on the deterministic level split
+    val opts = Map("scale" -> "0.01", "copc.nodepoints" -> "2048",
+      "copc.lod" -> "true", "copc.level" -> "2")
+    pts.filter($"x" % 2 === 0).coalesce(1).writeCopc(frag, opts)
+    pts.filter($"x" % 2 === 1).coalesce(1).writeCopc(frag, opts, mode = "append")
+    graft.pointcloud.syntax.compactCopc(spark, frag, compact,
+      opts + ("copc.files" -> "2"))
+    // full read lossless
+    assert(collectAll(spark.read.las(compact)) == collectAll(spark.read.las(frag)))
+    // the preview slice is a deterministic function of the raw
+    // coordinates, so it survives compaction exactly
+    val expectPreview = pts.collect().count { r =>
+      Copc.lodLevel(Copc.lodHash(r.getAs[Int]("x"), r.getAs[Int]("y"),
+        r.getAs[Int]("z")), 2) <= 1
+    }
+    val preview = spark.read.format("las")
+      .option("copc.maxlevel", "1").load(compact)
+    assert(preview.count() == expectPreview)
+    assert(expectPreview > 0 && expectPreview < 30000)
+  }
+
   test("append into a copc.files layout leaves old files byte-identical and pruning still fires") {
     val dir = tmpDir("copc-append")
     val pts = fmt6Points(32000)
