@@ -103,6 +103,42 @@ object Bench {
     threads.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** IO-sensitive calibration leg: stream 64 MiB to a file in `dir`
+    * (fsync'd), read it back, delete; returns (write_sec, read_sec).
+    * The r15 incident: the official probe recorded st08 at 36 s where a
+    * quiet re-run reproduces 5.5 s, and BOTH CPU calib pairs sat clean
+    * — whatever degrades a late-session box (page-cache/IO pressure
+    * from the 10× layout writes, accumulated state-store dirs) is
+    * invisible to a pure-CPU loop. This leg runs on the SAME
+    * filesystem the probe queries hit, so IO/page-cache pressure shows
+    * up IN the artifact: an inflated probe entry with clean CPU calibs
+    * but an inflated calib_io is box IO pressure, not a regression. */
+  private def calibrateIo(dir: java.nio.file.Path): (Double, Double) = {
+    import java.nio.file.StandardOpenOption._
+    val f = dir.resolve("calib_io.bin")
+    val buf = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(buf, 0x5A.toByte)
+    val t0 = System.nanoTime()
+    val ch = java.nio.channels.FileChannel.open(f, CREATE, WRITE, TRUNCATE_EXISTING)
+    try {
+      var i = 0
+      while (i < 64) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
+      ch.force(false)
+    } finally ch.close()
+    val t1 = System.nanoTime()
+    var sink = 0L
+    val in = java.nio.channels.FileChannel.open(f, READ)
+    try {
+      val bb = java.nio.ByteBuffer.allocate(1 << 20)
+      var n = in.read(bb)
+      while (n >= 0) { sink += n; bb.clear(); n = in.read(bb) }
+    } finally in.close()
+    val t2 = System.nanoTime()
+    java.nio.file.Files.deleteIfExists(f)
+    if (sink == 42L) System.err.print("") // data dependency, never taken
+    ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -149,6 +185,7 @@ object Bench {
         n.startsWith("pc33") || // shares pc30's COPC LOD layout
         n.startsWith("pc34") || // build-once fragmented+compacted layout
         n.startsWith("ss14") || // build-once composite-cell served layout
+        n.startsWith("ss16") || // build-once appended two-level layout
         n.startsWith("dd17"))) // train-once persisted two-level model
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => } // a broken query still errors in the timed loop
@@ -416,6 +453,14 @@ object Bench {
         // up in calib_mt long before calib moves
         val pCalibPre = calibrateOnce()
         val pCalibMtPre = calibrateMt(cpus.toInt)
+        val pIoPre = calibrateIo(dir)
+        // per-entry per-pass times survive into the artifact (the r15
+        // lesson): a min can hide that BOTH passes of one entry were
+        // inflated while its neighbors ran quiet — with the raw passes
+        // recorded, an inflated entry self-explains (both passes high +
+        // calib_io moved ⇒ box IO pressure; one pass high ⇒ transient
+        // burst absorbed by the min; all entries high ⇒ CPU calib moved)
+        val pPasses = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
         val pTimes = try probeNames.map { name =>
           // a failing pass STOPS the entry (no point paying a slow
           // failure path twice), and a pass-2-only transient error must
@@ -436,12 +481,17 @@ object Bench {
             i += 1
           }
           if (passes.isEmpty) pErrs.getOrElseUpdate(name, failed.get)
+          pPasses(name) = passes.toSeq
           name -> (if (passes.isEmpty) 0.0 else passes.min)
         } finally spark.conf.set(mpbKey, prevMpb)
         val pCalibPost = calibrateOnce()
         val pCalibMtPost = calibrateMt(cpus.toInt)
+        val pIoPost = calibrateIo(dir)
         val pq = pTimes.map { case (k, v) =>
           "\"" + k + "\":" + (if (pErrs.contains(k)) "null" else ms(v).toString)
+        }.mkString("{", ",", "}")
+        val ppj = pPasses.map { case (k, vs) =>
+          "\"" + k + "\":" + vs.map(ms).mkString("[", ",", "]")
         }.mkString("{", ",", "}")
         val pe =
           if (pErrs.isEmpty) ""
@@ -450,7 +500,9 @@ object Bench {
         s""","sf1_probe":{"scale":$scale,"rows":$rows,"gen_sec":${ms(genSec)},""" +
           s""""calib":[${ms(pCalibPre)},${ms(pCalibPost)}],""" +
           s""""calib_mt":[${ms(pCalibMtPre)},${ms(pCalibMtPost)}],""" +
-          s""""passes":2,"queries":$pq$pe}"""
+          s""""calib_io_w":[${ms(pIoPre._1)},${ms(pIoPost._1)}],""" +
+          s""""calib_io_r":[${ms(pIoPre._2)},${ms(pIoPost._2)}],""" +
+          s""""passes":2,"passes_sec":$ppj,"queries":$pq$pe}"""
       } catch { case t: Throwable =>
         s""","sf1_probe":{"error":${jstr(t.getClass.getSimpleName + ": " +
           Option(t.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))}}"""
@@ -473,6 +525,20 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       line.getBytes("UTF-8"))
     catch { case _: Exception => } // the stdout line below still carries it
+    // cross-round archive (the r15 lesson: bench.json is overwritten
+    // every run and the driver's BENCH_rN.json keeps only a truncated
+    // stdout tail, so r14's rows/schema_hash fingerprint was
+    // unrecoverable exactly when the r15 probe question needed it):
+    // append every structured line, timestamped, to an in-repo jsonl
+    // that gets committed — filtered dev runs are marked by their own
+    // "filter" field and full runs carry the fingerprint forever
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_history.jsonl"),
+      (s"""{"at":"${java.time.Instant.now()}",""" + line.drop(1) + "\n")
+        .getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Exception => }
     // teardown BEFORE the structured line goes out: the state-store
     // maintenance tick otherwise races session shutdown and stack-traces
     // onto stderr after our output, pushing the JSON line out of a

@@ -156,7 +156,15 @@ object Clustering {
   case class TwoLevelModel(
       coarse: Seq[(Int, Seq[Double])],
       fine: DataFrame,
-      k2: Int)
+      k2: Int,
+      /** Coverage verdict, cached at fit/load: [[kmeansTwoLevel]]
+        * guarantees every coarse cell has fine rows by construction (the
+        * fallback union) and [[loadTwoLevel]] verifies it ONCE at load —
+        * so the per-call distinct()+collect coverage check in
+        * [[assignCellsTwoLevel]] (a blocking driver job on every query,
+        * assignment and served-layout write) runs only for hand-built
+        * models, which stay `trusted = false` by default. */
+      trusted: Boolean = false)
 
   /** Driver-side view of a [[TwoLevelModel]]'s fine table, (coarse,
     * fine, centroid) ascending — a model-inspection/spec hook guarded
@@ -243,7 +251,7 @@ object Clustering {
     val fallback = coarseDf
       .join(fitted.select(col("coarse")).distinct(), Seq("coarse"), "left_anti")
       .select(col("coarse"), lit(0).as("fine"), col("centroid"))
-    TwoLevelModel(coarseModel, fitted.unionByName(fallback), k2)
+    TwoLevelModel(coarseModel, fitted.unionByName(fallback), k2, trusted = true)
   }
 
   /** Composite cell assignment against a [[TwoLevelModel]]: coarse via
@@ -255,14 +263,26 @@ object Clustering {
     *
     * The fine-join is INNER, so a coarse cell without fine rows would
     * silently drop every row assigned to it — deficient models (hand-
-    * built; [[kmeansTwoLevel]] and [[loadTwoLevel]] guarantee coverage)
-    * are rejected up front. The check collects only the DISTINCT COARSE
-    * values of the fine table (≤ k1 ints after a map-side-combined
-    * distinct), so it stays driver-bounded at ANY fine-table size —
-    * never the k1·k2 model itself. */
+    * built; [[kmeansTwoLevel]] and [[loadTwoLevel]] guarantee coverage
+    * and carry `trusted = true`, so the check is skipped) are rejected
+    * up front. The check collects only the DISTINCT COARSE values of
+    * the fine table (≤ k1 ints after a map-side-combined distinct), so
+    * it stays driver-bounded at ANY fine-table size — never the k1·k2
+    * model itself. */
   def assignCellsTwoLevel(pts: DataFrame, idCol: String, vCol: String,
       model: TwoLevelModel): DataFrame = {
-    locally {
+    requireCoverage(model)
+    fineAssign(
+      assignCells(pts, idCol, vCol, model.coarse)
+        .withColumnRenamed("cell", "__coarseCell"),
+      pts.columns.toIndexedSeq, idCol, vCol, model)
+  }
+
+  /** The coverage invariant behind [[assignCellsTwoLevel]]'s inner
+    * fine-join, checked once per UNTRUSTED model (fit/load-time models
+    * cache the verdict in `trusted` — see [[TwoLevelModel]]). */
+  private def requireCoverage(model: TwoLevelModel): Unit =
+    if (!model.trusted) {
       val covered = model.fine.select(col("coarse")).distinct()
         .collect().map(_.getInt(0)).toSet
       val missing = model.coarse.iterator.map(_._1).filterNot(covered).take(3).toList
@@ -270,19 +290,27 @@ object Clustering {
         s"TwoLevelModel leaves coarse cells ${missing.mkString(",")} without " +
           "fine centroids; rows landing there would be silently dropped")
     }
+
+  /** The fine half of the composite assignment: equi-join the
+    * coarse-assigned rows (column `__coarseCell`) against their own
+    * coarse cell's ≤ k2 fine candidates and arg-min per id. Shared by
+    * the full assignment ([[assignCellsTwoLevel]]) and the probe-sliced
+    * top-k path ([[ivfTopKTwoLevel]]), which pre-filters the coarse
+    * assignment to the probed coarse cells so the join input shrinks by
+    * ~k1/topCoarse before any fine work happens. */
+  private def fineAssign(coarse: DataFrame, outCols: Seq[String],
+      idCol: String, vCol: String, model: TwoLevelModel): DataFrame = {
     val fdf = model.fine.select(col("coarse").as("__coarse"),
       col("fine").as("__fine"), col("centroid").as("__centroid"))
-    val coarse = assignCells(pts, idCol, vCol, model.coarse)
-      .withColumnRenamed("cell", "__coarseCell")
     val d = coalesce(sqdist(col(vCol), col("__centroid")), lit(Double.MaxValue))
-    val carried = pts.columns.filter(_ != idCol).map(c => first(col(c)).as(c))
+    val carried = outCols.filter(_ != idCol).map(c => first(col(c)).as(c))
     val aggs = (carried :+ first(col("__coarseCell")).as("__c") :+
       min_by(col("__fine"), struct(d.as("d"), col("__fine"))).as("__f")).toSeq
     coarse.join(fdf, col("__coarseCell") === col("__coarse"))
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("cell", col("__c").cast("long") * model.k2 + col("__f"))
-      .select((pts.columns :+ "cell").map(col).toIndexedSeq: _*)
+      .select((outCols :+ "cell").map(col).toIndexedSeq: _*)
   }
 
   /** Persist a [[TwoLevelModel]] under `path`, the two-level analogue
@@ -308,13 +336,18 @@ object Clustering {
   /** Load a [[saveTwoLevel]] model — coarse and k2 to the driver (both
     * broadcast-scale), the fine table as a DataFrame over its parquet
     * (never materialized). Bit-identical to the fitted model by the
-    * round-trip contract above. */
+    * round-trip contract above. Coverage is verified ONCE here (a
+    * ≤ k1-int distinct over the fine parquet — the persisted file could
+    * come from any writer), so every later assignment/query/write
+    * through the loaded model skips the per-call check. */
   def loadTwoLevel(spark: org.apache.spark.sql.SparkSession,
       path: String): TwoLevelModel = {
     val coarse = loadCentroids(spark, s"$path/coarse")
     val k2 = spark.read.parquet(s"$path/meta").select(col("k2"))
       .collect().head.getInt(0)
-    TwoLevelModel(coarse, spark.read.parquet(s"$path/fine"), k2)
+    val model = TwoLevelModel(coarse, spark.read.parquet(s"$path/fine"), k2)
+    requireCoverage(model)
+    model.copy(trusted = true)
   }
 
   /** ANN top-k through the IVF index: rank by exact cosine inside the
@@ -338,26 +371,41 @@ object Clustering {
   }
 
   /** ANN top-k through the TWO-LEVEL quantizer — the serve rung of the
-    * fourth escalation level (IMI-shaped probe): the query's nearest
-    * COARSE cell comes from driver arithmetic over the k1-row coarse
-    * model, that cell's `nProbe` nearest FINE centroids from a
-    * ≤ k2-row collect of ITS slice of the fine table (never the table
-    * itself — the probe is bounded by k2 at any model size, the same
-    * discipline as [[fineSeq]]'s guard), and the probed COMPOSITE cells
-    * re-rank by exact cosine. A coarse cell covered only by the
+    * fourth escalation level (IMI-shaped MULTIPROBE): the query's
+    * `topCoarse` nearest COARSE cells come from driver arithmetic over
+    * the k1-row coarse model, each descended cell contributes its
+    * `nProbe` nearest FINE centroids from a ≤ topCoarse·k2-row collect
+    * of the probed slice of the fine table (never the table itself —
+    * the probe is bounded at any model size, the same discipline as
+    * [[fineSeq]]'s guard), and the probed COMPOSITE cells re-rank by
+    * exact cosine. Descending more than one coarse cell is the quality
+    * contract of the rung: a query vector near a coarse Voronoi
+    * boundary has true neighbors that quantized into the ADJACENT
+    * coarse cell, and a single-coarse probe misses all of them (ss15
+    * measures exactly this recall). A coarse cell covered only by the
     * coverage fallback probes its single fine-0 cell. Ties resolve low,
     * mirroring every other probe path; the ss13 oracle re-derives the
-    * whole ladder. */
+    * whole ladder.
+    *
+    * Scale shape: the corpus is coarse-assigned and FILTERED to the
+    * probed coarse cells BEFORE the fine equi-join, so the join input
+    * is ~topCoarse/k1 of the corpus instead of all of it — the fine
+    * arg-min is paid only where a probed composite cell could come out.
+    * Value-identical: a row outside the probed coarse cells can never
+    * land in a probed composite cell. */
   def ivfTopKTwoLevel(df: DataFrame, idCol: String, vecCol: String,
       model: TwoLevelModel, queryVec: Seq[Double], k: Int,
-      nProbe: Int): DataFrame = {
-    val probes = twoLevelProbes(model, queryVec, nProbe)
+      nProbe: Int, topCoarse: Int = 1): DataFrame = {
+    val probes = twoLevelProbes(model, queryVec, nProbe, topCoarse)
+    val coarseProbes = probes.map(p => (p / model.k2).toInt).distinct
     val q = array(queryVec.map(lit): _*)
-    assignCellsTwoLevel(
-      df.select(col(idCol).as("id"),
-          transform(col(vecCol), _.cast("double")).as("v"))
-        .localCheckpoint(eager = true), // same inlining guard as kmeans
-      "id", "v", model)
+    val pts = df.select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .localCheckpoint(eager = true) // same inlining guard as kmeans
+    val coarseSlice = assignCells(pts, "id", "v", model.coarse)
+      .filter(col("cell").isin(coarseProbes: _*))
+      .withColumnRenamed("cell", "__coarseCell")
+    fineAssign(coarseSlice, pts.columns.toIndexedSeq, "id", "v", model)
       .filter(col("cell").isin(probes: _*))
       .select(col("id"), Similarity.cosine(col("v"), q).as("sim"))
       .sort(col("sim").desc, col("id"))
@@ -365,26 +413,34 @@ object Clustering {
   }
 
   /** The probed COMPOSITE cells of a [[TwoLevelModel]] for a query
-    * vector (the IMI-shaped ladder shared by the direct and served
-    * two-level probe paths, and restated by the ss13/ss14 oracle):
-    * coarse argmin over the k1-row driver model, then the `nProbe`
-    * nearest fine centroids from a ≤ k2-row collect of THAT CELL's
-    * slice of the fine table — never the table itself, so the probe is
-    * k2-bounded at any model size. Ties resolve low everywhere. */
+    * vector (the IMI-shaped multiprobe ladder shared by the direct and
+    * served two-level probe paths, and restated by the ss13/ss14/ss15
+    * oracles): the `topCoarse` nearest coarse cells by driver
+    * arithmetic over the k1-row model, then per descended coarse cell
+    * its `nProbe` nearest fine centroids from ONE ≤ topCoarse·k2-row
+    * collect of the probed cells' slice of the fine table — never the
+    * table itself, so the probe stays driver-bounded at any model
+    * size. Ties resolve low everywhere. */
   private def twoLevelProbes(model: TwoLevelModel, queryVec: Seq[Double],
-      nProbe: Int): Seq[Long] = {
-    val coarseCell = model.coarse
+      nProbe: Int, topCoarse: Int): Seq[Long] = {
+    require(nProbe > 0 && topCoarse > 0,
+      s"two-level probe needs nProbe, topCoarse > 0, got $nProbe/$topCoarse")
+    val coarseCells = model.coarse
       .map { case (c, ctr) => (c, seqSqdist(queryVec, ctr)) }
-      .minBy { case (c, dd) => (dd, c) }._1
-    model.fine
-      .filter(col("coarse") === coarseCell)
-      .select(col("fine"), col("centroid"))
-      .collect() // ≤ k2 rows by the model contract
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
-      .map { case (f, c) => (f, seqSqdist(queryVec, c)) }
-      .sortBy { case (f, dd) => (dd, f) }
-      .take(nProbe)
-      .map { case (f, _) => coarseCell.toLong * model.k2 + f }.toSeq
+      .sortBy { case (c, dd) => (dd, c) }
+      .take(topCoarse).map(_._1)
+    val slice = model.fine
+      .filter(col("coarse").isin(coarseCells.map(Integer.valueOf): _*))
+      .select(col("coarse"), col("fine"), col("centroid"))
+      .collect() // ≤ topCoarse·k2 rows by the model contract
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    coarseCells.flatMap { cc =>
+      slice.iterator.filter(_._1 == cc)
+        .map { case (_, f, c) => (f, seqSqdist(queryVec, c)) }
+        .toSeq.sortBy { case (f, dd) => (dd, f) }
+        .take(nProbe)
+        .map { case (f, _) => cc.toLong * model.k2 + f }
+    }.toSeq
   }
 
   /** Persist the corpus partitioned by its COMPOSITE two-level cell —
@@ -407,15 +463,16 @@ object Clustering {
       .write.partitionBy("cell").mode(mode).parquet(path)
 
   /** ANN top-k against a [[writePartitionedByCellTwoLevel]] layout: the
-    * same probe ladder as [[ivfTopKTwoLevel]], with the probed
+    * same multiprobe ladder as [[ivfTopKTwoLevel]], with the probed
     * composite cells pruning partitions at planning time
-    * (PartitionFilters on the scan) and exact cosine re-ranking the
+    * (PartitionFilters on the scan — ≤ topCoarse·nProbe `cell=`
+    * directories listed out of k1·k2) and exact cosine re-ranking the
     * probed residue — the layout the rung-4 index actually serves
     * queries from at 100 TB. */
   def ivfTopKServedTwoLevel(spark: org.apache.spark.sql.SparkSession,
       path: String, model: TwoLevelModel, queryVec: Seq[Double], k: Int,
-      nProbe: Int): DataFrame = {
-    val probes = twoLevelProbes(model, queryVec, nProbe)
+      nProbe: Int, topCoarse: Int = 1): DataFrame = {
+    val probes = twoLevelProbes(model, queryVec, nProbe, topCoarse)
     val q = array(queryVec.map(lit): _*)
     spark.read.parquet(path)
       .filter(col("cell").isin(probes: _*))

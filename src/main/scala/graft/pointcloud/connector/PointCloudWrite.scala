@@ -309,12 +309,17 @@ private[pointcloud] object WriterUtil {
     * query-derived token: task ids restart per SparkContext, so a fresh
     * JVM appending into an old directory could otherwise reuse a
     * `part-<pid>-<tid>` name and the commit-time delete+rename would
-    * silently REPLACE an existing file instead of landing beside it. */
+    * silently REPLACE an existing file instead of landing beside it.
+    * The FULL filename-safe queryId ([[PointCloudStreamingWrite.queryToken]]
+    * — the same token the streaming sink embeds), never a truncated
+    * prefix: a prefix carries ~5 bits per char, and a long-lived lake
+    * taking thousands of appends would turn the "can never clobber an
+    * earlier append's file" guarantee merely probabilistic. */
   def defaultBase(options: Map[String, String], queryId: String,
       partitionId: Int, taskId: Long): String = {
     val suffix =
       if (options.contains("__append"))
-        "-" + queryId.replaceAll("[^a-zA-Z0-9]", "").take(8)
+        "-" + PointCloudStreamingWrite.queryToken(queryId)
       else ""
     f"part-$partitionId%05d-$taskId$suffix"
   }
@@ -544,6 +549,24 @@ class LasDataWriter(
   // then pack (level, voxel-at-level).
   private val copcLod: Boolean =
     copc && options.get("copc.lod").exists(_.toBoolean)
+  // `copc.pageentries`: per-PAGE hierarchy entry budget — past it the
+  // hierarchy EVLR splits into the published page graph (root page +
+  // child-page references) instead of one monolithic root page, so a
+  // streaming viewer fetches only the pages along its descent path.
+  // Default = the reader's page bound: a single root page, the exact
+  // pre-paging bytes (paging is opt-in and byte-invisible until then).
+  private val copcPageEntries: Int =
+    if (!copc) 0
+    else {
+      val pe = options.get("copc.pageentries").map { s =>
+        try s.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"copc.pageEntries '$s' is not an integer")
+        }
+      }.getOrElse(graft.pointcloud.las.laz.Copc.MaxEntries)
+      require(pe > 0, s"copc.pageEntries must be positive, got $pe")
+      pe
+    }
   if (copc) {
     require(format >= 6 && format <= 8,
       s"COPC requires point format 6-8 (layered LAZ), got format $format")
@@ -624,6 +647,12 @@ class LasDataWriter(
     else inputSchema.fields.indexWhere(f => f.name == "time" && f.dataType == DoubleType)
   private var copcGpsMin = Double.PositiveInfinity
   private var copcGpsMax = Double.NegativeInfinity
+  // a null time ENCODES as raw 0.0 and reads back as time=0.0, so a file
+  // mixing null and non-null times must widen its gps range to include
+  // 0.0 — a range built from the non-null values alone could whole-file-
+  // skip a pushed `time <= t` predicate that the record predicate would
+  // match on the null rows' encoded zeros
+  private var copcSawNullTime = false
   // voxel geometry (derived once): cube min per axis and node side —
   // per LEVEL, so the per-record key path never divides or allocates
   private val copcSideAt: Array[Double] =
@@ -719,7 +748,7 @@ class LasDataWriter(
           val t = row.getDouble(copcTimeOrd)
           if (t < copcGpsMin) copcGpsMin = t
           if (t > copcGpsMax) copcGpsMax = t
-        }
+        } else if (copcTimeOrd >= 0) copcSawNullTime = true
       }
       System.arraycopy(encoder.encode(row), 0, chunkBuf,
         chunkFill * encoder.recordLength, encoder.recordLength)
@@ -786,20 +815,30 @@ class LasDataWriter(
           e
         }
         val ancestors = copcImport.ancestorEntries(leaves)
-        // the single root page this writer emits must stay under the
-        // reader's hierarchy bound — fail the TASK here (job aborts with
-        // the actionable message) rather than land a file this repo's
-        // own reader rejects at resolve time
+        // the TOTAL hierarchy must stay under the reader's bound (the
+        // per-PAGE size is handled by the paging below) — fail the TASK
+        // here (job aborts with the actionable message) rather than
+        // land a file this repo's own reader rejects at resolve time
         copcImport.requireEntryBudget(
           ancestors.length.toLong + leaves.length, finalPath.toString)
-        val payload = copcImport.entriesPayload(ancestors ++ leaves)
+        // page the hierarchy past copc.pageentries (default = one root
+        // page, byte-identical to the unpaged layout); the info VLR
+        // declares the ROOT page only and readers follow the
+        // child-page references
+        val (payload, rootPageSize) = copcImport.pagedHierarchyPayload(
+          ancestors ++ leaves, copcPageEntries, evlrOffset + 60)
         // spacing is defined at the ROOT node by the published spec
         // (halved per level); the leaf side would be 2^level too fine
         // for a foreign LOD viewer picking its streaming depth
+        // all-null times keep the published 0/0 "unknown" sentinel; a
+        // MIXED file widens the measured range to the nulls' encoded 0.0
+        // so the file-skip stays conservative wrt read-back values
         val info = copcImport.Info(copcCube(0), copcCube(1), copcCube(2),
-          copcCube(3), 2.0 * copcCube(3), evlrOffset + 60, payload.length.toLong,
-          if (copcGpsMin.isInfinite) 0.0 else copcGpsMin,
-          if (copcGpsMax.isInfinite) 0.0 else copcGpsMax)
+          copcCube(3), 2.0 * copcCube(3), evlrOffset + 60, rootPageSize.toLong,
+          if (copcGpsMin.isInfinite) 0.0
+          else if (copcSawNullTime) math.min(copcGpsMin, 0.0) else copcGpsMin,
+          if (copcGpsMax.isInfinite) 0.0
+          else if (copcSawNullTime) math.max(copcGpsMax, 0.0) else copcGpsMax)
         (copcImport.infoVlrRecord(info), copcImport.hierEvlrRecord(payload))
       }
     val (vlrBytes, numVlrs) =

@@ -44,18 +44,20 @@ object Copc {
   val MaxEntries = 1 << 22
 
   /** Writer-side twin of the reader's hierarchy bound ([[readDataEntries]]
-    * caps both the per-page and the total entry count at [[MaxEntries]]):
-    * a single-root-page file whose entry count exceeds the cap would be
-    * REJECTED BY THIS REPO'S OWN READER, so the writer must fail the
-    * write with an actionable error instead of landing an unreadable
-    * file (~4M chunks at the default cap). `bound` is the spec hook —
-    * production callers use the default, and the spec pins that the
-    * predicate trips at exactly the threshold the reader enforces. */
+    * caps the TOTAL entry count across all pages at [[MaxEntries]]): a
+    * file whose hierarchy exceeds the cap would be REJECTED BY THIS
+    * REPO'S OWN READER regardless of paging, so the writer must fail
+    * the write with an actionable error instead of landing an
+    * unreadable file (~4M chunks at the default cap). `bound` is the
+    * spec hook — production callers use the default, and the spec pins
+    * that the predicate trips at exactly the threshold the reader
+    * enforces. Per-PAGE size is handled separately by
+    * [[pagedHierarchyPayload]] (child pages past `copc.pageentries`). */
   def requireEntryBudget(entries: Long, location: String,
       bound: Int = MaxEntries): Unit =
     require(entries <= bound,
       s"$location: COPC hierarchy would carry $entries entries, past the " +
-        s"$bound-entry reader bound for a single root page; raise " +
+        s"$bound-entry reader bound; raise " +
         "copc.chunkcap / copc.nodepoints or lower copc.level so fewer " +
         "chunks are cut")
 
@@ -226,25 +228,20 @@ object Copc {
   }
 
   /** The file's `copc` info VLR, if present (throws on a malformed
-    * payload — callers wanting the degrade-to-plain-LAZ behavior go
-    * through [[indexFor]]). */
+    * payload — the resolve path wraps the call and degrades to plain
+    * LAZ itself, keeping the one parse it shares with the gpstime-range
+    * overlay). */
   def readInfo(header: LasHeader, readAt: LasExtraBytes.ReadAt): Option[Info] =
     LasExtraBytes.findVlrPayloads(header, readAt, VlrUserId, InfoRecordId)
       .headOption.map(parseInfo)
 
-  /** Resolve a compressed file's COPC metadata into a per-chunk index
-    * (bounds + node levels), or null when the file is not COPC (no
-    * `copc` info VLR) or its hierarchy cannot be bound to the chunk
+  /** Resolve a compressed file's COPC metadata (info VLR already parsed
+    * — the resolve path reads it once and shares it with the
+    * gpstime-range overlay) into a per-chunk index (bounds + node
+    * levels), or null when the hierarchy cannot be bound to the chunk
     * table. Degrades to null — never throws — because COPC metadata is
     * an OPTIMIZATION layer over a file that is already a fully
     * readable LAZ. */
-  def indexFor(header: LasHeader, readAt: LasExtraBytes.ReadAt,
-      fileLen: Long, lz: LazInfo): ChunkIndex =
-    (try readInfo(header, readAt) catch { case _: Exception => None })
-      .map(indexForInfo(header, readAt, fileLen, lz, _)).orNull
-
-  /** [[indexFor]] with the info VLR already parsed (the resolve path
-    * reads it once and shares it with the gpstime-range overlay). */
   def indexForInfo(header: LasHeader, readAt: LasExtraBytes.ReadAt,
       fileLen: Long, lz: LazInfo, info: Info): ChunkIndex =
     try {
@@ -269,6 +266,83 @@ object Copc {
   def unpackKey(key: Long, level: Int): (Int, Int, Int) = {
     val mask = (1L << level) - 1
     (((key >> (2 * level)) & mask).toInt, ((key >> level) & mask).toInt, (key & mask).toInt)
+  }
+
+  /** Serialize a hierarchy (ancestors ++ leaves, writer order) into one
+    * or more PAGES under a per-page entry budget, the published COPC
+    * page graph: a page holding more than `pageBudget` entries keeps
+    * its subtree-root-level entries and replaces each child subtree
+    * with a child-page REFERENCE entry (pointCount −1, offset/byteSize
+    * addressing the child page), recursively. Returns the full
+    * payload (root page first, children preorder) and the ROOT page's
+    * byte size — the info VLR declares the root page only; readers
+    * (ours: [[readDataEntries]]) discover the rest through the
+    * references. Why pages at all: a viewer streaming one region of a
+    * huge file fetches the root + the pages along its descent path
+    * instead of one monolithic multi-MiB root, and the per-page size
+    * stays under any reader's page bound. `payloadStart` is the
+    * absolute file offset the payload lands at (EVLR header end) —
+    * reference offsets are absolute per the published layout. A
+    * hierarchy within the budget serializes BYTE-IDENTICALLY to the
+    * unpaged layout (one root page), so paging is invisible until a
+    * writer opts in via `copc.pageentries` or overflows it.
+    *
+    * A subtree that cannot split further (several chunk entries
+    * sharing ONE voxel key — the chunkcap-overflow encoding) emits one
+    * oversized page rather than failing: the reader's per-page cap is
+    * [[MaxEntries]], which [[requireEntryBudget]] already enforces for
+    * the total. */
+  def pagedHierarchyPayload(entries: Seq[Entry], pageBudget: Int,
+      payloadStart: Long): (Array[Byte], Int) = {
+    require(pageBudget > 0, s"page budget must be positive, got $pageBudget")
+    if (entries.length <= pageBudget) {
+      val p = entriesPayload(entries)
+      return (p, p.length)
+    }
+    // build the page tree: a node's OWN entries are those at its root
+    // level; deeper entries group by their ancestor voxel one level
+    // down, each group becoming a child page (recursively split)
+    case class Node(own: Seq[Entry], children: Seq[((Int, Int, Int, Int), Node)]) {
+      val size: Int = (own.size + children.size) * EntryLen
+    }
+    def build(es: Seq[Entry], rootLevel: Int): Node = {
+      if (es.length <= pageBudget) Node(es, Nil)
+      else {
+        val (own, deeper) = es.partition(_.level == rootLevel)
+        if (deeper.isEmpty) Node(es, Nil) // unsplittable: multi-entry key run
+        else {
+          val groups = deeper.groupBy { e =>
+            val s = e.level - (rootLevel + 1)
+            (rootLevel + 1, e.x >> s, e.y >> s, e.z >> s)
+          }
+          Node(own, groups.toSeq.sortBy(_._1)
+            .map { case (k, g) => (k, build(g, rootLevel + 1)) })
+        }
+      }
+    }
+    val root = build(entries, 0)
+    // preorder offset assignment: a parent's reference entries need its
+    // children's offsets, which depend only on sizes (known up front)
+    var cursor = payloadStart
+    case class Placed(node: Node, offset: Long,
+        children: Seq[((Int, Int, Int, Int), Placed)])
+    def place(n: Node): Placed = {
+      val off = cursor
+      cursor += n.size
+      Placed(n, off, n.children.map { case (k, c) => (k, place(c)) })
+    }
+    val placedRoot = place(root)
+    val total = (cursor - payloadStart).toInt
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    def emit(p: Placed): Unit = {
+      val refs = p.children.map { case ((l, x, y, z), c) =>
+        Entry(l, x, y, z, c.offset, c.node.size, -1)
+      }
+      buf.put(entriesPayload(p.node.own ++ refs))
+      p.children.foreach { case (_, c) => emit(c) }
+    }
+    emit(placedRoot)
+    (buf.array(), root.size)
   }
 
   /** The ancestor closure of a data-entry set: every proper ancestor

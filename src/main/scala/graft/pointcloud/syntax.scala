@@ -164,8 +164,12 @@ object syntax {
       * census at a fixed fraction of the scan cost, served by the SAME
       * file as the exact read. Options: `copc.nodepoints` (target
       * points per leaf node, default 16384), `copc.level` (explicit
-      * leaf level), `copc.lod`, `copc.chunkcap`, `copc.files`, plus all
-      * [[writeLas]] options. Interop caveat as [[writeLaz]] — plus one
+      * leaf level), `copc.lod`, `copc.chunkcap`, `copc.files`,
+      * `copc.pageentries` (per-page hierarchy entry budget — past it
+      * the hierarchy EVLR splits into the published page graph of
+      * child-page references instead of one monolithic root page, the
+      * shape a streaming viewer fetches page-by-page; default one root
+      * page), plus all [[writeLas]] options. Interop caveat as [[writeLaz]] — plus one
       * layout-level caveat: a voxel whose points overflow
       * `copc.chunkcap` is split into several chunks SHARING one
       * (level,x,y,z) hierarchy key (this repo's reader sums per-key

@@ -210,15 +210,17 @@ object OpsQueries {
     * or a drifted persisted model breaks the hash. */
   private val twoLevelSaved =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val dd17: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
-    val path = twoLevelSaved.computeIfAbsent(d, { _ =>
+  /** The persisted old-slice two-level model, fitted/saved once per
+    * dataset dir — dd17's assignment story and ss16's served-append
+    * layout both load THIS artifact (train once, serve forever). */
+  private def twoLevelSavedPath(s: SparkSession, d: String): String =
+    twoLevelSaved.computeIfAbsent(d, { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft_twolevel_model")
       Runtime.getRuntime.addShutdownHook(
         new Thread(() => graft.Fs.deleteRecursively(dir)))
       val p = dir.resolve("model").toString
       val fitted = Clustering.kmeansTwoLevel(
-        e.filter($"vec_id" =!= 0 && $"vec_id" % 5 =!= 1),
+        Tables.embeddings(s, d).filter($"vec_id" =!= 0 && $"vec_id" % 5 =!= 1),
         "vec_id", "embedding", 64, Ss04Cells, Dd16Fine, Ss04Iters)
       Clustering.saveTwoLevel(s, fitted, p)
       // round-trip pin (ss11's contract at the two-level model):
@@ -231,6 +233,9 @@ object OpsQueries {
         "loaded two-level fine table drifted from the fitted one")
       p
     })
+  private val dd17: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val path = twoLevelSavedPath(s, d)
     val loaded = Clustering.loadTwoLevel(s, path)
     val pts = e.filter($"vec_id" =!= 0)
       .select($"vec_id".as("id"),
@@ -639,23 +644,36 @@ object OpsQueries {
     served.unionByName(census).sort($"part", $"a")
   }
 
+  /** ss13/ss14/ss15/ss16's probe budget: descend the [[Ss13Coarse]]
+    * nearest coarse cells (MULTIPROBE — the published IMI shape; a
+    * single-coarse probe silently loses every neighbor that quantized
+    * across the nearest coarse Voronoi boundary) and take each
+    * descended cell's [[Ss13Probe]] nearest fine centroids. */
+  private final val Ss13Coarse = 2
+  private final val Ss13Probe = 2
+
   /** ss13: ANN top-5 through the TWO-LEVEL quantizer — the serve rung
-    * of the fourth escalation level (IMI-shaped probing, the shape a
+    * of the fourth escalation level (IMI-shaped MULTIPROBE, the shape a
     * past-broadcast-budget index actually answers queries with): the
-    * query's nearest coarse cell by driver arithmetic over the k1-row
-    * model, that cell's 2 nearest fine centroids from a ≤ k2-row slice
-    * of the fine DataFrame (the probe is k2-bounded at any model
-    * size), exact cosine re-rank inside the probed composite cells.
-    * Shares dd16's memoized hierarchical model, so fit cost is paid
-    * once per dataset; the oracle re-runs the full two-level fit and
-    * restates the probe ladder — coarse argmin, fine top-2 (coverage
-    * fallback included), composite membership, cosine ranking — so a
-    * probe drifting by one fine cell scrambles the result. */
+    * query's 2 nearest coarse cells by driver arithmetic over the
+    * k1-row model, each descended cell's 2 nearest fine centroids from
+    * one ≤ 2·k2-row slice of the fine DataFrame (the probe stays
+    * driver-bounded at any model size), exact cosine re-rank inside
+    * the ≤ 4 probed composite cells — and the corpus is coarse-sliced
+    * to the 2 probed coarse cells BEFORE the fine join, so the
+    * per-query fine arg-min touches ~2/k1 of the corpus, not all of
+    * it. Shares dd16's memoized hierarchical model, so fit cost is
+    * paid once per dataset; the oracle re-runs the full two-level fit
+    * and restates the probe ladder — coarse top-2, per-coarse fine
+    * top-2 (coverage fallback included), composite membership, cosine
+    * ranking — so a probe drifting by one fine cell scrambles the
+    * result. */
   private val ss13: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     val qv = queryVec(s, d)
     Clustering.ivfTopKTwoLevel(e.filter($"vec_id" =!= 0), "vec_id",
-        "embedding", twoLevelModel(s, d), qv, 5, nProbe = 2)
+        "embedding", twoLevelModel(s, d), qv, 5, nProbe = Ss13Probe,
+        topCoarse = Ss13Coarse)
       .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
   }
 
@@ -665,11 +683,12 @@ object OpsQueries {
     * ([[graft.ops.Clustering.writePartitionedByCellTwoLevel]], built
     * once per dataset) and ss13's query is answered through
     * [[graft.ops.Clustering.ivfTopKServedTwoLevel]], so the probe set
-    * becomes a partition-pruning predicate — the scan reads nProbe
-    * `cell=` directories out of k1·k2 instead of assigning the corpus
-    * per query (ss13's baseline shape). Same model, probes and re-rank
-    * as ss13, so the oracle is shared; what this entry adds is the
-    * pruned-scan plan, pinned by OpsSpec's PartitionFilters assertion. */
+    * becomes a partition-pruning predicate — the scan reads the
+    * ≤ topCoarse·nProbe probed `cell=` directories out of k1·k2
+    * instead of assigning the corpus per query (ss13's baseline
+    * shape). Same model, probes and re-rank as ss13, so the oracle is
+    * shared; what this entry adds is the pruned-scan plan, pinned by
+    * OpsSpec's PartitionFilters assertion. */
   private val twoLevelLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ss14: Q = (s, d) => {
@@ -684,8 +703,98 @@ object OpsQueries {
         e.filter($"vec_id" =!= 0), "vec_id", "embedding", model, dir.toString)
       dir.toString
     })
-    Clustering.ivfTopKServedTwoLevel(s, path, model, qv, 5, nProbe = 2)
+    Clustering.ivfTopKServedTwoLevel(s, path, model, qv, 5,
+        nProbe = Ss13Probe, topCoarse = Ss13Coarse)
       .select($"id".as("vec_id"), round($"sim", 4).as("sim"))
+  }
+
+  /** ss15: recall@k of the TWO-LEVEL multiprobe, MEASURED — ss08's
+    * accuracy contract at the fourth escalation rung: the rung-4 index
+    * owes its users a stated recall, and the single quantity that
+    * justifies descending [[Ss13Coarse]] coarse cells instead of one
+    * is what this entry grades. The multiprobe (coarse top-2, fine
+    * top-2 per descended cell) and the exact cosine ranking both
+    * produce top-10 lists; per k ∈ {1, 5, 10}, `hits@k` counts how
+    * many of the exact top-k the probe recovered — integer-exact, and
+    * the oracle re-derives BOTH rankings (exact from raw cosine,
+    * approximate through the full two-level refit + the multiprobe
+    * ladder), so a silent quality regression anywhere in the rung-4
+    * fit or probe breaks the hash, not just a vibe. */
+  private val ss15: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qv = queryVec(s, d)
+    val q = array(qv.map(lit): _*)
+    val rest = e.filter($"vec_id" =!= 0)
+      .select($"vec_id", Similarity.cosine(
+        transform($"embedding", _.cast("double")), q).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"sim".desc, $"vec_id")
+    val exact = rest.sort($"sim".desc, $"vec_id").limit(10)
+      .withColumn("re", row_number().over(w)).select($"vec_id", $"re")
+    val approx = Clustering.ivfTopKTwoLevel(e.filter($"vec_id" =!= 0),
+        "vec_id", "embedding", twoLevelModel(s, d), qv, 10,
+        nProbe = Ss13Probe, topCoarse = Ss13Coarse)
+      .withColumn("ra", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"sim".desc, $"id")))
+      .select($"id".as("vec_id"), $"ra")
+    exact.join(approx, "vec_id")
+      .agg(
+        coalesce(sum(when($"re" <= 1 && $"ra" <= 1, 1L).otherwise(0L)), lit(0L))
+          .as("hits_at_1"),
+        coalesce(sum(when($"re" <= 5 && $"ra" <= 5, 1L).otherwise(0L)), lit(0L))
+          .as("hits_at_5"),
+        coalesce(sum(when($"re" <= 10 && $"ra" <= 10, 1L).otherwise(0L)), lit(0L))
+          .as("hits_at_10"))
+  }
+
+  /** ss16: the APPEND path of the SERVED two-level layout — ss12's
+    * train-once-append story at the rung-4 index: the hierarchical
+    * model fits on the OLD slice only and persists (dd17's saved
+    * model, built once per dataset), the composite-cell layout is
+    * written from the old slice THROUGH THE LOADED MODEL, then a NEW
+    * batch (vec_id % 5 = 1) lands via
+    * `writePartitionedByCellTwoLevel(mode = "append")` — no refit, no
+    * rewrite of existing cells, appended files inside the matching
+    * `cell=` directories (OpsSpec pins the old partition files
+    * byte-identical across the append) — and ss13's multiprobe query
+    * is served over the combined layout. Two graded facts in ss12's
+    * uniform (part, a, b) schema: the served top-5 and the per-cell
+    * census with appended counts — a silently-empty append could
+    * hash-match a top-k-only result; it cannot match the census. The
+    * oracle re-fits on the old slice, applies the coverage fallback,
+    * assigns the union through the trained model, and restates the
+    * multiprobe ladder. */
+  private val twoLevelAppendLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ss16: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qv = queryVec(s, d)
+    val loaded = Clustering.loadTwoLevel(s, twoLevelSavedPath(s, d))
+    val path = twoLevelAppendLayouts.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_twolevel_append")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.Fs.deleteRecursively(dir)))
+      val lp = dir.resolve("layout").toString
+      // both writes go through the LOADED model — the layout must be
+      // what a fresh serving process (which has only the file) builds
+      Clustering.writePartitionedByCellTwoLevel(
+        e.filter($"vec_id" =!= 0 && $"vec_id" % 5 =!= 1),
+        "vec_id", "embedding", loaded, lp)
+      Clustering.writePartitionedByCellTwoLevel(
+        e.filter($"vec_id" =!= 0 && $"vec_id" % 5 === 1),
+        "vec_id", "embedding", loaded, lp, mode = "append")
+      lp
+    })
+    val served = Clustering.ivfTopKServedTwoLevel(s, path, loaded, qv, 5,
+        nProbe = Ss13Probe, topCoarse = Ss13Coarse)
+      .select(lit("serve").as("part"), $"id".as("a"), round($"sim", 4).as("b"))
+    val census = s.read.parquet(path)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"id" % 5 === 1, 1L).otherwise(0L)).as("nn"))
+      .select(concat(lit("cell_"), $"cell").as("part"),
+        $"n".as("a"), $"nn".cast("double").as("b"))
+    served.unionByName(census).sort($"part", $"a")
   }
 
   /** ss06: batched k-NN join — vectors 1..20 each find their top-3
@@ -1309,6 +1418,8 @@ object OpsQueries {
     "ss12_ivf_append" -> ss12,
     "ss13_twolevel_topk" -> ss13,
     "ss14_twolevel_served" -> ss14,
+    "ss15_twolevel_recall" -> ss15,
+    "ss16_twolevel_append" -> ss16,
     "tx01_token_stats" -> tx01,
     "tx02_quality_score" -> tx02,
     "tx03_langid" -> tx03,
@@ -2052,29 +2163,94 @@ object OpsQueries {
        |FROM v ORDER BY doc_id LIMIT 100""".stripMargin
   }
 
-  /** ss13/ss14's shared oracle: the two-level refit + the probe
-    * ladder (coarse argmin, fine top-2 with coverage fallback,
-    * composite membership, cosine ranking) — one text, two plan
-    * shapes (corpus assignment vs the partition-pruned layout). */
+  /** The IMI multiprobe ladder as DuckDB CTEs, shared by every rung-4
+    * serve oracle (ss13/ss14/ss15/ss16): `pc` is the query's
+    * [[Ss13Coarse]] nearest coarse cells from the final coarse
+    * centroids, `pfsrc` the fallback-complete fine list (the fitted
+    * fine centroids plus, for coarse cells the fine fit never
+    * populated, the coarse centroid as fine 0 — exactly
+    * [[graft.ops.Clustering.kmeansTwoLevel]]'s coverage rule), and
+    * `pf` the probed COMPOSITE cells: per descended coarse cell, its
+    * [[Ss13Probe]] nearest fine centroids (row_number partitioned by
+    * coarse cell — the per-cell top-n the multiprobe takes). */
+  private val twoLevelProbeCtes: String =
+    s"""pc AS (SELECT cell FROM c$Ss04Iters, q ORDER BY ${sqlSqd("qv", "c")}, cell LIMIT $Ss13Coarse),
+       |pfsrc AS (
+       |  SELECT cell, fine, c FROM fc$Ss04Iters
+       |  UNION ALL
+       |  SELECT cell, CAST(0 AS BIGINT) AS fine, c FROM c$Ss04Iters
+       |  WHERE cell NOT IN (SELECT cell FROM fc$Ss04Iters)
+       |), pf AS (
+       |  SELECT pcell FROM (
+       |    SELECT CAST(p.cell AS BIGINT) * $Dd16Fine + f.fine AS pcell,
+       |      ROW_NUMBER() OVER (PARTITION BY p.cell
+       |        ORDER BY ${sqlSqd("qv", "f.c")}, f.fine) AS prn
+       |    FROM pc p JOIN pfsrc f ON f.cell = p.cell, q
+       |  ) WHERE prn <= $Ss13Probe
+       |)""".stripMargin
+
+  /** ss13/ss14's shared oracle: the two-level refit (coverage fallback
+    * included in the ASSIGNMENT too, so `comp` is total exactly like
+    * `assignCellsTwoLevel`) + the multiprobe ladder + cosine ranking —
+    * one text, two plan shapes (coarse-sliced corpus assignment vs the
+    * partition-pruned layout). */
   private val ss13Oracle: String =
     s"""WITH $kmeansOracleCtes,
-         |${fineOracleCtes(Dd16Fine)},
-         |pc AS (SELECT cell FROM c$Ss04Iters, q ORDER BY ${sqlSqd("qv", "c")}, cell LIMIT 1),
-         |pfsrc AS (
-         |  SELECT cell, fine, c FROM fc$Ss04Iters
-         |  UNION ALL
-         |  SELECT cell, CAST(0 AS BIGINT) AS fine, c FROM c$Ss04Iters
-         |  WHERE cell NOT IN (SELECT cell FROM fc$Ss04Iters)
-         |), pf AS (
-         |  SELECT CAST(p.cell AS BIGINT) * $Dd16Fine + f.fine AS pcell
-         |  FROM pc p JOIN pfsrc f ON f.cell = p.cell, q
-         |  ORDER BY ${sqlSqd("qv", "f.c")}, f.fine
-         |  LIMIT 2
-         |)
+         |${fineOracleCtesFor(Dd16Fine, fitSrc = "af", assignSrc = "af", fallback = true)},
+         |$twoLevelProbeCtes
          |SELECT vec_id, ROUND(${sqlCosine("v", "qv", 64)}, 4) AS sim
          |FROM comp JOIN pf ON comp.cell = pf.pcell, q
          |ORDER BY ${sqlCosine("v", "qv", 64)} DESC, vec_id
          |LIMIT 5""".stripMargin
+
+  /** ss15's oracle: ss08's recall contract restated at rung 4 — exact
+    * top-10 from raw cosine, approximate top-10 through the full
+    * two-level refit + multiprobe ladder, per-k hit counts. */
+  private val ss15Oracle: String =
+    s"""WITH $kmeansOracleCtes,
+         |${fineOracleCtesFor(Dd16Fine, fitSrc = "af", assignSrc = "af", fallback = true)},
+         |$twoLevelProbeCtes,
+         |ex AS (
+         |  SELECT vec_id, ROW_NUMBER() OVER (
+         |    ORDER BY ${sqlCosine("v", "qv", 64)} DESC, vec_id) AS re
+         |  FROM e, q QUALIFY re <= 10
+         |), ap AS (
+         |  SELECT vec_id, ROW_NUMBER() OVER (
+         |    ORDER BY ${sqlCosine("v", "qv", 64)} DESC, vec_id) AS ra
+         |  FROM comp JOIN pf ON comp.cell = pf.pcell, q QUALIFY ra <= 10
+         |)
+         |SELECT
+         |  CAST(COALESCE(SUM(CASE WHEN re <= 1 AND ra <= 1 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS hits_at_1,
+         |  CAST(COALESCE(SUM(CASE WHEN re <= 5 AND ra <= 5 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS hits_at_5,
+         |  CAST(COALESCE(SUM(CASE WHEN re <= 10 AND ra <= 10 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS hits_at_10
+         |FROM ex JOIN ap USING (vec_id)""".stripMargin
+
+  /** ss16's oracle: the two-level fit over the OLD slice only (coarse
+    * train/assign split + fine fit on the train slice's assignment
+    * `atf`), the coverage fallback, the UNION assigned through the
+    * trained model (`comp` — exactly what the loaded persisted model
+    * serves), then the multiprobe serve + the per-cell appended
+    * census. */
+  private val ss16Oracle: String =
+    s"""WITH ${kmeansOracleCtesFor("vec_id <> 0 AND vec_id % 5 <> 1", Some("vec_id <> 0"))},
+         |${fineOracleCtesFor(Dd16Fine, fitSrc = "atf", assignSrc = "af", fallback = true)},
+         |$twoLevelProbeCtes,
+         |serve AS (
+         |  SELECT 'serve' AS part, vec_id AS a, ROUND(${sqlCosine("v", "qv", 64)}, 4) AS b
+         |  FROM comp JOIN pf ON comp.cell = pf.pcell, q
+         |  ORDER BY ${sqlCosine("v", "qv", 64)} DESC, vec_id
+         |  LIMIT 5
+         |), census AS (
+         |  SELECT 'cell_' || CAST(cell AS VARCHAR) AS part, COUNT(*) AS a,
+         |    CAST(SUM(CASE WHEN vec_id % 5 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS b
+         |  FROM comp GROUP BY cell
+         |)
+         |SELECT part, a, b FROM serve
+         |UNION ALL SELECT part, a, b FROM census
+         |ORDER BY part, a""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dd01_exact_dedup" ->
@@ -2220,6 +2396,12 @@ object OpsQueries {
     // ss14 serves ss13's query from the composite-cell layout —
     // same model/probes/re-rank, pruned-scan plan pinned in OpsSpec
     "ss14_twolevel_served" -> ss13Oracle,
+    // ss15: the rung-4 recall contract (ss08's shape over the
+    // two-level refit + multiprobe ladder)
+    "ss15_twolevel_recall" -> ss15Oracle,
+    // ss16: the served two-level append — old-slice fit, union
+    // assignment through the persisted model, multiprobe serve + census
+    "ss16_twolevel_append" -> ss16Oracle,
     "ss05_multiprobe_topk" -> ss05Oracle,
     // ss05's restatement with the metadata predicate applied before the
     // probe — pre-filter semantics stated definitionally

@@ -535,6 +535,29 @@ class CopcSpec extends SparkTestBase {
     assert(full.count() == 4000)
   }
 
+  test("a file mixing null and non-null times widens its gps range to the nulls' encoded 0.0") {
+    // null times ENCODE as raw 0.0 and read back as time=0.0; a range
+    // built from the non-null values alone ([500, 1500]) would let a
+    // pushed `time <= 1` predicate whole-file-skip rows the record
+    // predicate matches — the gps range must stay conservative wrt
+    // READ-BACK values, so a mixed file widens it to include 0.0
+    val dir = tmpDir("copc-gpsmix")
+    val pts = fmt6Points(4000).withColumn("time",
+      when($"x" % 2 === 0, $"time" + 500.0)) // odd-x rows: null time
+    pts.coalesce(1).writeCopc(dir,
+      Map("scale" -> "0.01", "copc.nodepoints" -> "2048"))
+    val (_, info, _) = lazInfoOf(dir)
+    assert(info.gpsRange != null, "a mixed file still declares a range")
+    assert(info.gpsRange(0) == 0.0,
+      s"gps range min ${info.gpsRange(0)} must widen to the nulls' encoded 0.0")
+    assert(info.gpsRange(1) >= 500.0)
+    // the window that only the null rows' encoded zeros satisfy: the
+    // file must NOT be skipped, and the read-back zeros must all match
+    val zeros = spark.read.las(dir).where($"time" >= -1.0 && $"time" <= 1.0)
+    assert(zeros.count() == pts.filter($"x" % 2 =!= 0).count(),
+      "the widened range must keep the file; encoded-zero rows match the window")
+  }
+
   test("compacting an LOD layout with copc.lod preserves the preview read") {
     val frag = tmpDir("copc-lodfrag")
     val compact = tmpDir("copc-lodcompact")
@@ -578,6 +601,18 @@ class CopcSpec extends SparkTestBase {
       s"append must land new files beside the old: $before -> $after")
     before.foreach(old => assert(after.contains(old),
       s"append must not rewrite old file $old"))
+    // append task files embed the FULL filename-safe queryId (a 32-char
+    // UUID token), never a truncated prefix — a prefix would make the
+    // "a restarted JVM's task ids can never clobber an old append"
+    // guarantee merely probabilistic (the streaming sink's own
+    // queryToken rationale)
+    val appended = after.map(_._1).filterNot(n => before.exists(_._1 == n))
+    appended.foreach { n =>
+      val m = "^part-\\d{5}-\\d+-([a-zA-Z0-9]+)\\.laz$".r.findFirstMatchIn(n)
+      assert(m.isDefined, s"append file '$n' lacks the query token suffix")
+      assert(m.get.group(1).length >= 32,
+        s"append file '$n' carries a TRUNCATED query token (${m.get.group(1).length} chars)")
+    }
     val full = spark.read.las(dir)
     assert(full.count() == 32000)
     // bbox read over the union: pruned at planning, exact at the record
@@ -618,6 +653,54 @@ class CopcSpec extends SparkTestBase {
       val nFull = spark.read.las(compact).rdd.getNumPartitions
       val pruned = spark.read.las(compact).where($"x" >= 10000 && $"x" <= 25000)
       assert(pruned.rdd.getNumPartitions < nFull)
+      assert(pruned.count() ==
+        pts.filter($"x" >= 10000 && $"x" <= 25000).count())
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
+  test("copc.pageentries splits the hierarchy into a page graph that reads back exactly") {
+    val dir = tmpDir("copc-paged")
+    val flat = tmpDir("copc-flat")
+    val pts = fmt6Points(20000)
+    pts.coalesce(1).writeCopc(dir, Map("scale" -> "0.01",
+      "copc.nodepoints" -> "2048", "copc.pageentries" -> "4"))
+    pts.coalesce(1).writeCopc(flat, Map("scale" -> "0.01",
+      "copc.nodepoints" -> "2048"))
+    // the paged file reads back value-identically to its flat twin
+    assert(collectAll(spark.read.las(dir)) == collectAll(spark.read.las(flat)))
+    def graphOf(d: String) = {
+      val (header, _, bytes) = lazInfoOf(d)
+      def readAt(off: Long, len: Int): Array[Byte] =
+        java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+      val ci = Copc.readInfo(header, readAt).get
+      (ci, readAt _, bytes.length.toLong)
+    }
+    // the root page is a PROPER page graph: bounded size, and at least
+    // one child-page reference entry (pointCount -1)
+    val (ci, readAt, len) = graphOf(dir)
+    val rootEntries = Copc.parseEntries(
+      readAt(ci.rootHierOffset, ci.rootHierSize.toInt))
+    assert(rootEntries.exists(_.pointCount == -1),
+      s"paged hierarchy must carry child-page references, got $rootEntries")
+    val (fci, freadAt, flen) = graphOf(flat)
+    val flatRoot = Copc.parseEntries(freadAt(fci.rootHierOffset, fci.rootHierSize.toInt))
+    assert(flatRoot.forall(_.pointCount != -1), "flat twin must stay single-page")
+    assert(ci.rootHierSize < fci.rootHierSize,
+      "the paged root page must be smaller than the monolithic one")
+    // walking the page graph yields EXACTLY the flat twin's data entries
+    def key(e: Copc.Entry) = (e.level, e.x, e.y, e.z, e.byteSize, e.pointCount)
+    val paged = Copc.readDataEntries(ci, readAt, len).map(key).sorted
+    val unpaged = Copc.readDataEntries(fci, freadAt, flen).map(key).sorted
+    assert(paged == unpaged,
+      s"page graph lost/invented entries: ${paged.size} vs ${unpaged.size}")
+    assert(paged.nonEmpty)
+    // chunk pruning still fires through the page graph
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try {
+      val nFull = spark.read.las(dir).rdd.getNumPartitions
+      val pruned = spark.read.las(dir).where($"x" >= 10000 && $"x" <= 25000)
+      assert(pruned.rdd.getNumPartitions < nFull,
+        "bbox pruning must bind through the paged hierarchy")
       assert(pruned.count() ==
         pts.filter($"x" >= 10000 && $"x" <= 25000).count())
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")

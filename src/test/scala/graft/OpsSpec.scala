@@ -308,6 +308,115 @@ class OpsSpec extends SparkTestBase {
     got.zip(ref).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
   }
 
+  test("two-level MULTIPROBE descends the top-T coarse cells and equals the reference ladder") {
+    val pts = spark.range(1, 80).select($"id",
+        array(($"id" % 13).cast("double"), ($"id" % 7).cast("double"),
+          ($"id" % 5).cast("double")).as("v"))
+      .localCheckpoint(true)
+    val model = Clustering.kmeansTwoLevel(pts, "id", "v", dim = 3, k1 = 3, k2 = 2, iters = 2)
+    val qv = Seq(6.0, 3.0, 2.0)
+    val got = Clustering.ivfTopKTwoLevel(pts, "id", "v", model, qv, 6,
+        nProbe = 2, topCoarse = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def sq(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // reference ladder: top-2 coarse cells, per descended cell its 2
+    // nearest fine centroids, composite membership, cosine ranking
+    val coarseCells = model.coarse.map { case (c, ctr) => (c, sq(qv, ctr)) }
+      .sortBy { case (c, d) => (d, c) }.take(2).map(_._1)
+    val fineRows = Clustering.fineSeq(model)
+    val probes = coarseCells.flatMap { cc =>
+      fineRows.filter(_._1 == cc)
+        .map { case (_, f, c) => (f, sq(qv, c)) }
+        .sortBy { case (f, d) => (d, f) }.take(2)
+        .map { case (f, _) => cc.toLong * model.k2 + f }
+    }.toSet
+    val assigned = Clustering.assignCellsTwoLevel(pts, "id", "v", model)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    val vmap = pts.select("id", "v").as[(Long, Seq[Double])].collect().toMap
+    val ref = vmap.toSeq.filter { case (id, _) => probes(assigned(id)) }
+      .map { case (id, v) => (id, cos(v, qv)) }
+      .sortBy { case (id, c) => (-c, id) }.take(6)
+    assert(got.map(_._1) == ref.map(_._1),
+      s"got ${got.map(_._1)}, reference ${ref.map(_._1)}")
+    // the multiprobe candidate set contains the single-coarse probe's —
+    // recall@k against exact top-k is monotone in the candidate set, so
+    // descending a second coarse cell can only help a boundary query
+    val single = Clustering.ivfTopKTwoLevel(pts, "id", "v", model, qv, 6,
+        nProbe = 2, topCoarse = 1)
+      .select("id").as[Long].collect().toSet
+    val exact6 = vmap.toSeq.map { case (id, v) => (id, cos(v, qv)) }
+      .sortBy { case (id, c) => (-c, id) }.take(6).map(_._1).toSet
+    val multiHits = got.map(_._1).count(exact6)
+    val singleHits = single.count(exact6)
+    assert(multiHits >= singleHits,
+      s"multiprobe recall $multiHits < single-coarse recall $singleHits")
+  }
+
+  test("two-level served append: old partition files stay byte-identical, appends serve seamlessly") {
+    val pts = spark.range(1, 101).select($"id",
+        array(($"id" % 11).cast("double"), ($"id" % 7).cast("double")).as("v"))
+      .localCheckpoint(true)
+    val oldSlice = pts.filter($"id" % 5 =!= 1)
+    val newBatch = pts.filter($"id" % 5 === 1)
+    val model = Clustering.kmeansTwoLevel(oldSlice, "id", "v", dim = 2, k1 = 3, k2 = 2, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-twolevel-append")
+    try {
+      val path = dir.toString
+      Clustering.writePartitionedByCellTwoLevel(oldSlice, "id", "v", model, path)
+      def partFiles(): Map[String, String] = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val out = scala.collection.mutable.Map[String, String]()
+        java.nio.file.Files.walk(dir).forEach { p =>
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            md.reset()
+            out(dir.relativize(p).toString) =
+              md.digest(java.nio.file.Files.readAllBytes(p))
+                .map("%02x".format(_)).mkString
+          }
+        }
+        out.toMap
+      }
+      val before = partFiles()
+      assert(before.nonEmpty)
+      Clustering.writePartitionedByCellTwoLevel(newBatch, "id", "v", model,
+        path, mode = "append")
+      val after = partFiles()
+      // zero-rewrite contract: every pre-append file survives the append
+      // byte for byte; the new batch lands BESIDE them
+      before.foreach { case (f, h) =>
+        assert(after.contains(f), s"append removed $f")
+        assert(after(f) == h, s"append rewrote $f")
+      }
+      assert(after.size > before.size, "append landed no new files")
+      // the combined layout is the full corpus's assignment — nothing
+      // dropped, appended rows quantized by the train-once model
+      val combined = spark.read.parquet(path)
+        .groupBy($"cell").count().as[(Long, Long)].collect().toMap
+      val direct = Clustering.assignCellsTwoLevel(pts, "id", "v", model)
+        .groupBy($"cell").count().as[(Long, Long)].collect().toMap
+      assert(combined == direct)
+    } finally Fs.deleteRecursively(dir)
+  }
+
+  test("loadTwoLevel verifies coverage once at load; a deficient persisted model is rejected") {
+    val bad = Clustering.TwoLevelModel(
+      Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(10.0, 10.0)),
+      Seq((0, 0, Seq(0.0, 0.0))).toDF("coarse", "fine", "centroid"), k2 = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-twolevel-bad")
+    try {
+      Clustering.saveTwoLevel(spark, bad, dir.toString)
+      val err = intercept[IllegalArgumentException] {
+        Clustering.loadTwoLevel(spark, dir.toString)
+      }
+      assert(err.getMessage.contains("without fine centroids"))
+    } finally Fs.deleteRecursively(dir)
+  }
+
   test("a two-level model saves, loads bit-identically, and the fit is collect-free past the guard") {
     val pts = spark.range(50).select($"id",
         array(($"id" % 9).cast("double"), ($"id" % 4).cast("double")).as("v"))
@@ -455,7 +564,8 @@ class OpsSpec extends SparkTestBase {
       .collect().toSeq
     assert(rows == direct)
     // the probed COMPOSITE cells must reach the layout scan as a
-    // partition-pruning predicate — nProbe cell dirs out of k1*k2
+    // partition-pruning predicate — <= topCoarse*nProbe cell dirs out
+    // of k1*k2
     val plan = served.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
     assert(!plan.contains("PartitionFilters: []"), plan)
@@ -463,8 +573,8 @@ class OpsSpec extends SparkTestBase {
       .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
     val admitted = "IN \\(([^)]*)\\)".r.findFirstMatchIn(pf)
       .map(_.group(1).split(',').map(_.trim).toSet).getOrElse(Set.empty)
-    assert(admitted.nonEmpty && admitted.size <= 2,
-      s"PartitionFilters admits cells $admitted, expected <= 2 (nProbe): $pf")
+    assert(admitted.nonEmpty && admitted.size <= 4,
+      s"PartitionFilters admits cells $admitted, expected <= 4 (topCoarse*nProbe): $pf")
   }
 
   test("IVF ANN recall@5 vs exact top-k stays pinned") {
