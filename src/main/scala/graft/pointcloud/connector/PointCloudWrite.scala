@@ -514,9 +514,10 @@ class LasDataWriter(
   // declared octree the way parquet readers trust row-group stats. Use
   // `writeCopc` (syntax.scala), which derives an enclosing cube and a
   // density-matched level in one columnar pass. A node whose points
-  // overflow `copc.chunkcap` splits into several chunks sharing one
-  // voxel key (each with its own hierarchy entry) — readers that sum
-  // entries per key (ours) see all points.
+  // overflow `copc.chunkcap` splits LEVEL-LOCALLY into child voxels
+  // (single-entry keys — see the copcSplittable block below); only the
+  // non-splittable paths fall back to several chunks sharing one key,
+  // which readers that sum entries per key (ours) still read whole.
   private val copcCube: Array[Double] =
     if (!compressLaz) null
     else options.get("copc.cube") match {
@@ -549,6 +550,34 @@ class LasDataWriter(
   // then pack (level, voxel-at-level).
   private val copcLod: Boolean =
     copc && options.get("copc.lod").exists(_.toBoolean)
+  // Chunkcap-overflow SPLITTING (the published one-entry-per-node
+  // shape): a voxel run overflowing copc.chunkcap used to emit several
+  // cap-sized chunks SHARING one hierarchy key — readable by this
+  // repo's entry-summing reader but off-spec for foreign tools. On the
+  // splittable path (non-LOD, leaf level deep enough to descend) the
+  // writer now buffers the whole run and, past the cap, counting-sorts
+  // it LEVEL-LOCALLY into child voxels (recursively) so every
+  // hierarchy key stays single-entry. LOD layouts keep the old
+  // encoding (splitting an interior subsample level into children
+  // would collide with the real child-level data). Runs longer than
+  // `copc.overflowbuffer` points (default 8× the cap) flush in bounded
+  // segments — the residue can then share keys again, the documented
+  // memory-bound fallback.
+  private val copcSplittable: Boolean =
+    copc && !copcLod && copcLevel < graft.pointcloud.las.laz.Copc.MaxLodLevel
+  private val copcOverflowPoints: Int =
+    if (!copcSplittable) 0
+    else {
+      val ob = options.get("copc.overflowbuffer").map { s =>
+        try s.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"copc.overflowBuffer '$s' is not an integer")
+        }
+      }.getOrElse(math.min(8L * lazChunkSize, 1L << 22).toInt)
+      require(ob >= lazChunkSize,
+        s"copc.overflowBuffer must be >= the chunk cap $lazChunkSize, got $ob")
+      ob
+    }
   // `copc.pageentries`: per-PAGE hierarchy entry budget — past it the
   // hierarchy EVLR splits into the published page graph (root page +
   // child-page references) instead of one monolithic root page, so a
@@ -626,8 +655,16 @@ class LasDataWriter(
     require(lazChunkSize.toLong * encoder.recordLength <= Int.MaxValue,
       s"laz chunk geometry $lazChunkSize points x ${encoder.recordLength}-byte " +
         "records overflows the Int chunk-buffer size; lower laz.chunkSize")
-  private val chunkBuf: Array[Byte] =
+  if (copcSplittable)
+    require(copcOverflowPoints.toLong * encoder.recordLength <= Int.MaxValue,
+      s"copc.overflowBuffer $copcOverflowPoints points x ${encoder.recordLength}-byte " +
+        "records overflows the Int run-buffer size; lower copc.overflowBuffer")
+  // the splittable COPC path grows this buffer up to copcOverflowPoints
+  // records to hold a whole voxel run; every other path keeps the fixed
+  // cap-sized allocation
+  private var chunkBuf: Array[Byte] =
     if (compressLaz) new Array[Byte](lazChunkSize * encoder.recordLength) else null
+  private var runScratch: Array[Byte] = null
   private var chunkFill = 0
   private val chunkByteCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
   private val chunkPointCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -721,6 +758,102 @@ class LasDataWriter(
     }
   }
 
+  /** Flush the buffered voxel RUN (splittable COPC path): a run within
+    * the chunk cap emits one chunk under its leaf key — the common
+    * case, chunk-for-chunk identical to the pre-splitting layout — and
+    * an overflowing run splits LEVEL-LOCALLY into child voxels
+    * ([[emitRun]]) so every hierarchy key stays single-entry, the
+    * published one-entry-per-node COPC shape. */
+  private def flushRun(): Unit = {
+    if (chunkFill > 0) {
+      emitRun(0, chunkFill, copcLevel, copcCurKey)
+      chunkFill = 0
+    }
+  }
+
+  /** Emit `count` buffered records (all inside voxel `key` at `level`)
+    * as chunks: within the cap (or at the depth bound) one chunk per
+    * cap-slice under this key; past it, a stable counting sort by child
+    * OCTANT partitions the records into the ≤ 8 child voxels and each
+    * recurses one level deeper. The octant comes from the record's own
+    * raw x/y/z re-derived through the same scale/offset voxel
+    * arithmetic the leaf key used, clamped into the parent's octant
+    * pair per axis — the same ±1-quantum edge discipline as the leaf
+    * clamp, and the reader widens node bounds by exactly that quantum.
+    * Chunk keys carry (level, voxel) packed LOD-style because split
+    * chunks live DEEPER than the declared leaf level. */
+  private def emitRun(startRec: Int, count: Int, level: Int, key: Long): Unit = {
+    val copcImport = graft.pointcloud.las.laz.Copc
+    val rl = encoder.recordLength
+    if (count <= chunkTarget || level >= copcImport.MaxLodLevel) {
+      var off = startRec
+      var left = count
+      while (left > 0) {
+        val n = math.min(chunkTarget, left)
+        val chunk = lazEncoder.encode(chunkBuf, off * rl, n)
+        body.write(chunk)
+        chunkPointCounts += n.toLong
+        chunkByteCounts += chunk.length.toLong
+        copcChunkKeys += copcImport.packLodKey(level, key)
+        off += n
+        left -= n
+      }
+    } else {
+      val (kx, ky, kz) = copcImport.unpackKey(key, level)
+      val childLevel = level + 1
+      val side = 2.0 * copcCube(3) / (1 << childLevel)
+      val oct = new Array[Byte](count)
+      val cnt = new Array[Int](8)
+      var i = 0
+      while (i < count) {
+        val base = (startRec + i) * rl
+        var o = 0
+        var a = 0
+        while (a < 3) {
+          val raw = (chunkBuf(base + 4 * a) & 0xff) |
+            ((chunkBuf(base + 4 * a + 1) & 0xff) << 8) |
+            ((chunkBuf(base + 4 * a + 2) & 0xff) << 16) |
+            ((chunkBuf(base + 4 * a + 3) & 0xff) << 24)
+          val w = raw * scale(a) + offset(a)
+          val p = if (a == 0) kx else if (a == 1) ky else kz
+          var ci = copcImport.voxelIdx(w, copcMin(a), side, childLevel)
+          if (ci < 2 * p) ci = 2 * p else if (ci > 2 * p + 1) ci = 2 * p + 1
+          o = (o << 1) | (ci - 2 * p)
+          a += 1
+        }
+        oct(i) = o.toByte
+        cnt(o) += 1
+        i += 1
+      }
+      val startOfs = new Array[Int](8)
+      var acc = 0
+      var o = 0
+      while (o < 8) { startOfs(o) = acc; acc += cnt(o); o += 1 }
+      if (runScratch == null || runScratch.length < count * rl)
+        runScratch = new Array[Byte](count * rl)
+      val cur = startOfs.clone()
+      i = 0
+      while (i < count) {
+        val d = cur(oct(i))
+        cur(oct(i)) += 1
+        System.arraycopy(chunkBuf, (startRec + i) * rl, runScratch, d * rl, rl)
+        i += 1
+      }
+      System.arraycopy(runScratch, 0, chunkBuf, startRec * rl, count * rl)
+      o = 0
+      while (o < 8) {
+        if (cnt(o) > 0) {
+          val bx = (o >> 2) & 1
+          val by = (o >> 1) & 1
+          val bz = o & 1
+          val ck = copcImport.packKey(2 * kx + bx, 2 * ky + by, 2 * kz + bz, childLevel)
+          emitRun(startRec + startOfs(o), cnt(o), childLevel, ck)
+        }
+        o += 1
+      }
+    }
+  }
+
   // streaming stats
   private var count = 0L
   private val minRaw = Array.fill(3)(Long.MaxValue)
@@ -742,7 +875,9 @@ class LasDataWriter(
         // from writeCopc; unsorted input stays CORRECT — every key run
         // still gets key-pure chunks — just with more, smaller chunks)
         val key = copcKeyOf(row)
-        if (chunkFill > 0 && key != copcCurKey) flushChunk()
+        if (chunkFill > 0 && key != copcCurKey) {
+          if (copcSplittable) flushRun() else flushChunk()
+        }
         copcCurKey = key
         if (copcTimeOrd >= 0 && !row.isNullAt(copcTimeOrd)) {
           val t = row.getDouble(copcTimeOrd)
@@ -750,10 +885,23 @@ class LasDataWriter(
           if (t > copcGpsMax) copcGpsMax = t
         } else if (copcTimeOrd >= 0) copcSawNullTime = true
       }
-      System.arraycopy(encoder.encode(row), 0, chunkBuf,
-        chunkFill * encoder.recordLength, encoder.recordLength)
+      val rl = encoder.recordLength
+      if (copcSplittable && (chunkFill + 1) * rl > chunkBuf.length) {
+        // grow the run buffer (doubling, capped at the overflow bound)
+        // — an overflowing voxel run buffers WHOLE so it can split into
+        // single-entry child voxels instead of cap-sized same-key chunks
+        chunkBuf = java.util.Arrays.copyOf(chunkBuf,
+          math.min(copcOverflowPoints.toLong * rl,
+            math.max(chunkBuf.length.toLong * 2, (chunkFill + 1).toLong * rl)).toInt)
+      }
+      System.arraycopy(encoder.encode(row), 0, chunkBuf, chunkFill * rl, rl)
       chunkFill += 1
-      if (chunkFill == chunkTarget) flushChunk()
+      if (copcSplittable) {
+        // bound hit: split what is buffered; the run's residue may then
+        // share keys with this flush — the documented memory-bound
+        // fallback to the multi-entry encoding
+        if (chunkFill == copcOverflowPoints) flushRun()
+      } else if (chunkFill == chunkTarget) flushChunk()
     } else {
       body.write(encoder.encode(row))
     }
@@ -775,7 +923,7 @@ class LasDataWriter(
   }
 
   override def commit(): WriterCommitMessage = {
-    if (compressLaz) flushChunk()
+    if (compressLaz) { if (copcSplittable) flushRun() else flushChunk() }
     body.close()
     val extrasVlr: Array[Byte] =
       if (extraFields.nonEmpty) LasExtraBytes.writeVlr(extraFields) else Array.empty
@@ -806,8 +954,14 @@ class LasDataWriter(
         var off = dataStart
         val leaves = copcChunkKeys.indices.map { i =>
           val packed = copcChunkKeys(i)
-          val lvl = if (copcLod) copcImport.unpackLodLevel(packed) else copcLevel
-          val kraw = if (copcLod) copcImport.unpackLodKey(packed) else packed
+          // LOD layouts and the splittable path both pack (level, key):
+          // split chunks live DEEPER than the declared leaf level
+          val lvl =
+            if (copcLod || copcSplittable) copcImport.unpackLodLevel(packed)
+            else copcLevel
+          val kraw =
+            if (copcLod || copcSplittable) copcImport.unpackLodKey(packed)
+            else packed
           val (kx, ky, kz) = copcImport.unpackKey(kraw, lvl)
           val e = copcImport.Entry(lvl, kx, ky, kz, off,
             chunkByteCounts(i).toInt, chunkPointCounts(i).toInt)

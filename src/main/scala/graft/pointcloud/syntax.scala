@@ -169,14 +169,17 @@ object syntax {
       * the hierarchy EVLR splits into the published page graph of
       * child-page references instead of one monolithic root page, the
       * shape a streaming viewer fetches page-by-page; default one root
-      * page), plus all [[writeLas]] options. Interop caveat as [[writeLaz]] — plus one
-      * layout-level caveat: a voxel whose points overflow
-      * `copc.chunkcap` is split into several chunks SHARING one
-      * (level,x,y,z) hierarchy key (this repo's reader sums per-key
-      * entries; the published spec has at most one entry per key, so a
-      * foreign reader may mishandle such files). Size `copc.nodepoints`
-      * at or below `copc.chunkcap` (both default safe) to keep every
-      * key single-entry when foreign-tool interop matters.
+      * page), plus all [[writeLas]] options. Interop caveat as
+      * [[writeLaz]]. A voxel whose points overflow `copc.chunkcap`
+      * SPLITS LEVEL-LOCALLY into child voxels (recursively), so every
+      * hierarchy key stays single-entry — the published
+      * one-entry-per-node shape. Narrow residual caveat: LOD layouts
+      * (`copc.lod`, where splitting an interior subsample level would
+      * collide with real child-level data), leaf levels at the depth
+      * bound, and single-voxel runs past `copc.overflowbuffer` points
+      * (default 8× the cap — the split's memory bound) still fall back
+      * to several chunks sharing one key, which this repo's reader
+      * sums per key but a foreign reader may mishandle.
       *
       * `mode = "append"` LANDS this frame as NEW files beside an
       * existing COPC directory without touching the old ones — the

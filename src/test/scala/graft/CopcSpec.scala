@@ -658,6 +658,51 @@ class CopcSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
   }
 
+  test("chunkcap overflow splits level-locally: every hierarchy key single-entry, values exact") {
+    // 20000 points forced into a shallow octree (level 1) with a tiny
+    // chunk cap: the old encoding emitted ~78 cap-sized chunks sharing
+    // 8 voxel keys (off-spec for foreign readers); the splitter must
+    // descend until each chunk owns its voxel
+    val dir = tmpDir("copc-split")
+    val twin = tmpDir("copc-split-twin")
+    val pts = fmt6Points(20000)
+    pts.coalesce(1).writeCopc(dir, Map("scale" -> "0.01", "copc.level" -> "1",
+      "copc.chunkcap" -> "256", "copc.overflowbuffer" -> "32768"))
+    pts.coalesce(1).writeCopc(twin, Map("scale" -> "0.01",
+      "copc.nodepoints" -> "2048")) // an ordinary non-overflowing layout
+    // value-identical read
+    assert(collectAll(spark.read.las(dir)) == collectAll(spark.read.las(twin)))
+    // hierarchy: every (level,x,y,z) key appears ONCE, splitting went
+    // deeper than the declared leaf level, and the point total holds
+    val (header, _, bytes) = lazInfoOf(dir)
+    def readAt(off: Long, len: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+    val ci = Copc.readInfo(header, readAt).get
+    val data = Copc.readDataEntries(ci, readAt, bytes.length.toLong)
+    val dup = data.groupBy(e => (e.level, e.x, e.y, e.z)).filter(_._2.size > 1)
+    assert(dup.isEmpty, s"multi-entry keys survived the split: ${dup.keys.take(3)}")
+    assert(data.map(_.pointCount.toLong).sum == 20000L)
+    assert(data.forall(_.pointCount <= 256),
+      s"a chunk exceeds the cap: ${data.map(_.pointCount).max}")
+    assert(data.exists(_.level > 1), "overflow must descend below the leaf level")
+    // split chunks still prune: a narrow x-box reads fewer partitions
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try {
+      val nFull = spark.read.las(dir).rdd.getNumPartitions
+      val pruned = spark.read.las(dir).where($"x" >= 10000 && $"x" <= 25000)
+      assert(pruned.rdd.getNumPartitions < nFull)
+      assert(pruned.count() ==
+        pts.filter($"x" >= 10000 && $"x" <= 25000).count())
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    // the memory-bound fallback: a run past copc.overflowbuffer still
+    // lands every point (keys may then repeat — the documented residue)
+    val capped = tmpDir("copc-split-capped")
+    pts.coalesce(1).writeCopc(capped, Map("scale" -> "0.01", "copc.level" -> "0",
+      "copc.chunkcap" -> "256", "copc.overflowbuffer" -> "1024"))
+    assert(spark.read.las(capped).count() == 20000)
+    assert(collectAll(spark.read.las(capped)) == collectAll(spark.read.las(twin)))
+  }
+
   test("copc.pageentries splits the hierarchy into a page graph that reads back exactly") {
     val dir = tmpDir("copc-paged")
     val flat = tmpDir("copc-flat")
