@@ -186,6 +186,7 @@ object Bench {
         n.startsWith("pc34") || // build-once fragmented+compacted layout
         n.startsWith("ss14") || // build-once composite-cell served layout
         n.startsWith("ss16") || // build-once appended two-level layout
+        n.startsWith("ss17") || // build-once quantized two-level layout
         n.startsWith("dd17"))) // train-once persisted two-level model
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => } // a broken query still errors in the timed loop
@@ -291,7 +292,12 @@ object Bench {
       // (the skipped files cost a header read each), the temporal twin
       // of pc28's trend line
       "pc31_copc_gps_skip",
-      "ss07_ivf_served")
+      "ss07_ivf_served",
+      // ss14: the rung-4 TWO-LEVEL served read at 10× — the multiprobe
+      // set prunes to <= topCoarse*nProbe `cell=` dirs of k1*k2, so the
+      // steady-state serve must stay near-flat like ss07's (the layout
+      // build + hierarchical fit are warmed untimed below)
+      "ss14_twolevel_served")
       .filter(names.contains)
     val probeJson: String =
       if (probeNames.isEmpty || sys.env.get("SPARK_GRAFT_SF1_PROBE").contains("0")) ""
@@ -419,6 +425,12 @@ object Bench {
         if (probeNames.exists(_.startsWith("ss07")))
           try SparkEntry.queries("ss07_ivf_served")(spark, dir.toString).count()
           catch { case _: Throwable => } // ss07 itself will surface the error
+        // and ss14: the first call fits the TWO-LEVEL model and writes
+        // the composite-cell layout for the probe dir — both untimed,
+        // the timed entry is the partition-pruned steady-state serve
+        if (probeNames.exists(_.startsWith("ss14")))
+          try SparkEntry.queries("ss14_twolevel_served")(spark, dir.toString).count()
+          catch { case _: Throwable => } // ss14 itself will surface the error
         // and pc28/pc29: the first call builds their SHARED COPC octree
         // layout (a 10× write); the timed entries are the pruned reads
         // that layout exists to serve

@@ -412,6 +412,15 @@ object Clustering {
       .limit(k)
   }
 
+  /** Public surface of [[twoLevelProbes]] for custom served payloads:
+    * a layout that stores something other than float embeddings (ss17's
+    * int8-quantized cells rank by integer dot product) still prunes by
+    * the SAME multiprobe composite-cell set, it just cannot reuse
+    * [[ivfTopKServedTwoLevel]]'s cosine re-rank. */
+  def twoLevelProbeCells(model: TwoLevelModel, queryVec: Seq[Double],
+      nProbe: Int, topCoarse: Int): Seq[Long] =
+    twoLevelProbes(model, queryVec, nProbe, topCoarse)
+
   /** The probed COMPOSITE cells of a [[TwoLevelModel]] for a query
     * vector (the IMI-shaped multiprobe ladder shared by the direct and
     * served two-level probe paths, and restated by the ss13/ss14/ss15

@@ -797,6 +797,63 @@ object OpsQueries {
     served.unionByName(census).sort($"part", $"a")
   }
 
+  /** ss17's result size (quantized served top-k). */
+  private final val Ss17K = 10
+
+  /** ss17: the int8-QUANTIZED rung-4 served layout — the two levers a
+    * 100 TB embedding store pulls at once: 4× smaller at rest (ss09's
+    * scalar quantization: one-pass per-dim bounds, row-local int8
+    * encode) AND a partition-pruned serve (ss14's composite-cell
+    * layout: the multiprobe set prunes the scan to ≤ topCoarse·nProbe
+    * `cell=` directories of k1·k2). The layout stores ONLY (id, q,
+    * cell) — the float vectors never land in the serving index; the
+    * float model is driver state and assignment happens at WRITE time.
+    * Query: quantize the query vector through the same bounds, rank
+    * the probed cells by EXACT integer dot product (no float summation
+    * order to drift), ties to the lowest id; each returned row carries
+    * `in_exact10` — membership in the float-cosine exact top-10 — so
+    * the compression × probe quality loss is measured in the graded
+    * result, never assumed. The oracle restates the bounds fit, the
+    * quantization arithmetic, the full two-level refit, the multiprobe
+    * ladder and the integer ranking. */
+  private val quantizedTwoLevel =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Double], Seq[Double])]()
+  private val ss17: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val model = twoLevelModel(s, d)
+    val (path, lo, span) = quantizedTwoLevel.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_twolevel_quant")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.Fs.deleteRecursively(dir)))
+      val (blo, bspan) = Similarity.quantizationBounds(e, "embedding", 64)
+      val pts = e.filter($"vec_id" =!= 0)
+        .select($"vec_id".as("id"),
+          Similarity.quantizeInt8($"embedding", blo, bspan).as("q"),
+          transform($"embedding", _.cast("double")).as("__v"))
+        .localCheckpoint(eager = true) // same inlining guard as kmeans
+      Clustering.assignCellsTwoLevel(pts, "id", "__v", model)
+        .drop("__v")
+        .write.partitionBy("cell").mode("overwrite").parquet(dir.toString)
+      (dir.toString, blo, bspan)
+    })
+    val qv = queryVec(s, d)
+    val probes = Clustering.twoLevelProbeCells(model, qv, Ss13Probe, Ss13Coarse)
+    val qq = e.filter($"vec_id" === 0)
+      .select(Similarity.quantizeInt8($"embedding", lo, span).as("qq"))
+    val scored = s.read.parquet(path)
+      .filter($"cell".isin(probes: _*))
+      .crossJoin(broadcast(qq))
+      .select($"id", Similarity.intDot($"q", $"qq").as("qscore"))
+      .sort($"qscore".desc, $"id")
+      .limit(Ss17K)
+    val exact = Similarity.bruteForceTopK(
+        e.filter($"vec_id" =!= 0), "vec_id", "embedding", qv, Ss17K)
+      .select($"id".as("eid"))
+    scored.join(exact, $"id" === $"eid", "left")
+      .select($"id".as("vec_id"), $"qscore", $"eid".isNotNull.as("in_exact10"))
+      .sort($"qscore".desc, $"vec_id")
+  }
+
   /** ss06: batched k-NN join — vectors 1..20 each find their top-3
     * LSH-bucket neighbors in the rest of the corpus, in ONE plan (bucket
     * equi-join + per-query window rank). The production shape: no
@@ -1420,6 +1477,7 @@ object OpsQueries {
     "ss14_twolevel_served" -> ss14,
     "ss15_twolevel_recall" -> ss15,
     "ss16_twolevel_append" -> ss16,
+    "ss17_twolevel_quantized" -> ss17,
     "tx01_token_stats" -> tx01,
     "tx02_quality_score" -> tx02,
     "tx03_langid" -> tx03,
@@ -2228,6 +2286,47 @@ object OpsQueries {
          |    AS BIGINT) AS hits_at_10
          |FROM ex JOIN ap USING (vec_id)""".stripMargin
 
+  /** ss17's oracle: ss09's bounds-refit + quantization restatement
+    * composed with the two-level refit and the multiprobe ladder — the
+    * probed composite cells' members ranked by the exact integer dot
+    * product, each with its float-cosine exact-top-10 membership. */
+  private val ss17Oracle: String =
+    s"""WITH $kmeansOracleCtes,
+         |${fineOracleCtesFor(Dd16Fine, fitSrc = "af", assignSrc = "af", fallback = true)},
+         |$twoLevelProbeCtes,
+         |bounds AS (
+         |  SELECT k, min(CAST(embedding[k] AS DOUBLE)) AS lo,
+         |         max(CAST(embedding[k] AS DOUBLE)) AS hi
+         |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS k) dims
+         |  GROUP BY k
+         |), b AS (
+         |  SELECT list(lo ORDER BY k) AS lo,
+         |         list(CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END ORDER BY k) AS sp
+         |  FROM bounds
+         |), qz AS (
+         |  SELECT vec_id,
+         |    [CAST(least(255.0, greatest(0.0,
+         |       round((CAST(embedding[k] AS DOUBLE) - b.lo[k]) * 255.0 / b.sp[k])))
+         |     AS BIGINT) - 128 FOR k IN generate_series(1, 64)] AS qvec
+         |  FROM embeddings CROSS JOIN b
+         |), qrow AS (SELECT qvec AS qq FROM qz WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT z.vec_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [z.qvec[k] * qrow.qq[k] FOR k IN generate_series(1, 64)]),
+         |    (acc, x) -> acc + x) AS qscore
+         |  FROM qz z JOIN comp c2 ON z.vec_id = c2.vec_id
+         |  JOIN pf ON c2.cell = pf.pcell
+         |  CROSS JOIN qrow
+         |  ORDER BY qscore DESC, z.vec_id LIMIT $Ss17K
+         |), ex AS (
+         |  SELECT vec_id FROM e, q
+         |  ORDER BY ${sqlCosine("v", "qv", 64)} DESC, vec_id
+         |  LIMIT $Ss17K
+         |)
+         |SELECT s.vec_id, s.qscore,
+         |  s.vec_id IN (SELECT vec_id FROM ex) AS in_exact10
+         |FROM scored s ORDER BY s.qscore DESC, s.vec_id""".stripMargin
+
   /** ss16's oracle: the two-level fit over the OLD slice only (coarse
     * train/assign split + fine fit on the train slice's assignment
     * `atf`), the coverage fallback, the UNION assigned through the
@@ -2402,6 +2501,10 @@ object OpsQueries {
     // ss16: the served two-level append — old-slice fit, union
     // assignment through the persisted model, multiprobe serve + census
     "ss16_twolevel_append" -> ss16Oracle,
+    // ss17: the int8-quantized rung-4 serve — bounds refit +
+    // quantization arithmetic + two-level refit + multiprobe + integer
+    // dot ranking, quality loss measured per row
+    "ss17_twolevel_quantized" -> ss17Oracle,
     "ss05_multiprobe_topk" -> ss05Oracle,
     // ss05's restatement with the metadata predicate applied before the
     // probe — pre-filter semantics stated definitionally

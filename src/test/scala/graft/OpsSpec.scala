@@ -577,6 +577,35 @@ class OpsSpec extends SparkTestBase {
       s"PartitionFilters admits cells $admitted, expected <= 4 (topCoarse*nProbe): $pf")
   }
 
+  test("ss17 entry query: quantized two-level layout is partition-pruned and stores no floats") {
+    val res = graft.queries.OpsQueries.queries("ss17_twolevel_quantized")(spark, sfDir)
+    val rows = res.collect().toSeq // execute first so AQE finalizes the plan
+    assert(rows.nonEmpty)
+    // the integer ranking must agree with a driver-side re-rank of the
+    // returned rows (monotone qscore, ties low)
+    val scores = rows.map(r => (r.getLong(1), r.getLong(0)))
+    assert(scores == scores.sortBy { case (sc, id) => (-sc, id) })
+    // all plan pins scope to the LAYOUT scan line: the in_exact10
+    // re-rank side legitimately reads the (unpartitioned, float)
+    // source embeddings table, so whole-plan assertions would misfire
+    val plan = res.queryExecution.executedPlan.toString
+    val layoutScan = plan.linesIterator
+      .find(_.contains("graft_twolevel_quant")).getOrElse("")
+    assert(layoutScan.nonEmpty, plan)
+    // the layout stores ONLY the int8 payload — no float embeddings
+    assert(!layoutScan.contains("embedding"),
+      s"the quantized serving layout must not carry float embeddings: $layoutScan")
+    // the multiprobe set reaches the layout scan as a partition-pruning
+    // predicate admitting <= topCoarse*nProbe of the k1*k2 cells
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(layoutScan).map(_.group(1)).getOrElse("")
+    assert(pf.nonEmpty && pf.contains("cell"), layoutScan)
+    val admitted = "IN \\(([^)]*)\\)".r.findFirstMatchIn(pf)
+      .map(_.group(1).split(',').map(_.trim).toSet).getOrElse(Set.empty)
+    assert(admitted.nonEmpty && admitted.size <= 4,
+      s"PartitionFilters admits cells $admitted, expected <= 4 (topCoarse*nProbe): $pf")
+  }
+
   test("IVF ANN recall@5 vs exact top-k stays pinned") {
     val ids = Seq(0L, 1L, 2L, 3L, 4L)
     val model = Clustering.kmeans(embs, "vec_id", "embedding", 64, 8, 2)
