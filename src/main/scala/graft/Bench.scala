@@ -117,27 +117,40 @@ object Bench {
   private def calibrateIo(dir: java.nio.file.Path): (Double, Double) = {
     import java.nio.file.StandardOpenOption._
     val f = dir.resolve("calib_io.bin")
-    val buf = new Array[Byte](1 << 20)
-    java.util.Arrays.fill(buf, 0x5A.toByte)
-    val t0 = System.nanoTime()
-    val ch = java.nio.channels.FileChannel.open(f, CREATE, WRITE, TRUNCATE_EXISTING)
     try {
-      var i = 0
-      while (i < 64) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
-      ch.force(false)
-    } finally ch.close()
-    val t1 = System.nanoTime()
-    var sink = 0L
-    val in = java.nio.channels.FileChannel.open(f, READ)
-    try {
-      val bb = java.nio.ByteBuffer.allocate(1 << 20)
-      var n = in.read(bb)
-      while (n >= 0) { sink += n; bb.clear(); n = in.read(bb) }
-    } finally in.close()
-    val t2 = System.nanoTime()
-    java.nio.file.Files.deleteIfExists(f)
-    if (sink == 42L) System.err.print("") // data dependency, never taken
-    ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+      val buf = new Array[Byte](1 << 20)
+      java.util.Arrays.fill(buf, 0x5A.toByte)
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f, CREATE, WRITE, TRUNCATE_EXISTING)
+      try {
+        var i = 0
+        while (i < 64) {
+          // drain short writes — a partial write would silently shrink
+          // the measured 64 MiB and skew the cross-round comparison
+          val bb = java.nio.ByteBuffer.wrap(buf)
+          while (bb.hasRemaining) ch.write(bb)
+          i += 1
+        }
+        ch.force(false)
+      } finally ch.close()
+      val t1 = System.nanoTime()
+      var sink = 0L
+      val in = java.nio.channels.FileChannel.open(f, READ)
+      try {
+        val bb = java.nio.ByteBuffer.allocate(1 << 20)
+        var n = in.read(bb)
+        while (n >= 0) { sink += n; bb.clear(); n = in.read(bb) }
+      } finally in.close()
+      val t2 = System.nanoTime()
+      if (sink == 42L) System.err.print("") // data dependency, never taken
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    } finally {
+      // delete even when the measurement throws (disk pressure is the
+      // very condition this leg detects) — a leaked 64 MiB file inside
+      // the probe dataset dir would perturb the rest of the run
+      try java.nio.file.Files.deleteIfExists(f)
+      catch { case _: Exception => }
+    }
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -396,6 +396,12 @@ object Clustering {
   def ivfTopKTwoLevel(df: DataFrame, idCol: String, vecCol: String,
       model: TwoLevelModel, queryVec: Seq[Double], k: Int,
       nProbe: Int, topCoarse: Int = 1): DataFrame = {
+    // same up-front rejection as [[assignCellsTwoLevel]] (free for
+    // trusted models): a deficient hand-built model whose PROBED coarse
+    // cell lacks fine rows would contribute zero probes and silently
+    // drop that cell's rows from the candidate set — wrong top-k
+    // instead of a loud error
+    requireCoverage(model)
     val probes = twoLevelProbes(model, queryVec, nProbe, topCoarse)
     val coarseProbes = probes.map(p => (p / model.k2).toInt).distinct
     val q = array(queryVec.map(lit): _*)

@@ -550,34 +550,6 @@ class LasDataWriter(
   // then pack (level, voxel-at-level).
   private val copcLod: Boolean =
     copc && options.get("copc.lod").exists(_.toBoolean)
-  // Chunkcap-overflow SPLITTING (the published one-entry-per-node
-  // shape): a voxel run overflowing copc.chunkcap used to emit several
-  // cap-sized chunks SHARING one hierarchy key — readable by this
-  // repo's entry-summing reader but off-spec for foreign tools. On the
-  // splittable path (non-LOD, leaf level deep enough to descend) the
-  // writer now buffers the whole run and, past the cap, counting-sorts
-  // it LEVEL-LOCALLY into child voxels (recursively) so every
-  // hierarchy key stays single-entry. LOD layouts keep the old
-  // encoding (splitting an interior subsample level into children
-  // would collide with the real child-level data). Runs longer than
-  // `copc.overflowbuffer` points (default 8× the cap) flush in bounded
-  // segments — the residue can then share keys again, the documented
-  // memory-bound fallback.
-  private val copcSplittable: Boolean =
-    copc && !copcLod && copcLevel < graft.pointcloud.las.laz.Copc.MaxLodLevel
-  private val copcOverflowPoints: Int =
-    if (!copcSplittable) 0
-    else {
-      val ob = options.get("copc.overflowbuffer").map { s =>
-        try s.trim.toInt catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"copc.overflowBuffer '$s' is not an integer")
-        }
-      }.getOrElse(math.min(8L * lazChunkSize, 1L << 22).toInt)
-      require(ob >= lazChunkSize,
-        s"copc.overflowBuffer must be >= the chunk cap $lazChunkSize, got $ob")
-      ob
-    }
   // `copc.pageentries`: per-PAGE hierarchy entry budget — past it the
   // hierarchy EVLR splits into the published page graph (root page +
   // child-page references) instead of one monolithic root page, so a
@@ -631,6 +603,40 @@ class LasDataWriter(
     require(lazChunkSize <= (1 << 24),
       s"laz chunk size $lazChunkSize exceeds the ${1 << 24}-point chunk bound")
   }
+  // Chunkcap-overflow SPLITTING (the published one-entry-per-node
+  // shape): a voxel run overflowing copc.chunkcap used to emit several
+  // cap-sized chunks SHARING one hierarchy key — readable by this
+  // repo's entry-summing reader but off-spec for foreign tools. On the
+  // splittable path (non-LOD, leaf level deep enough to descend) the
+  // writer now buffers the whole run and, past the cap, counting-sorts
+  // it LEVEL-LOCALLY into child voxels (recursively) so every
+  // hierarchy key stays single-entry. LOD layouts keep the old
+  // encoding (splitting an interior subsample level into children
+  // would collide with the real child-level data). Runs longer than
+  // `copc.overflowbuffer` points (default 8× the cap) flush in bounded
+  // segments — the residue can then share keys again, the documented
+  // memory-bound fallback.
+  //
+  // DECLARATION ORDER MATTERS: these read `lazChunkSize`, so they must
+  // initialize after it — a forward reference to a later val reads 0
+  // in Scala's in-order class initialization, and a 0 default here
+  // zeroed the grown run buffer at 10x scale (caught by the r16 probe).
+  private val copcSplittable: Boolean =
+    copc && !copcLod && copcLevel < graft.pointcloud.las.laz.Copc.MaxLodLevel
+  private val copcOverflowPoints: Int =
+    if (!copcSplittable) 0
+    else {
+      require(lazChunkSize > 0, s"chunk cap must be set before the overflow bound")
+      val ob = options.get("copc.overflowbuffer").map { s =>
+        try s.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"copc.overflowBuffer '$s' is not an integer")
+        }
+      }.getOrElse(math.min(8L * lazChunkSize, 1L << 22).toInt)
+      require(ob >= lazChunkSize,
+        s"copc.overflowBuffer must be >= the chunk cap $lazChunkSize, got $ob")
+      ob
+    }
 
   private val conf = new Configuration()
   private val base = baseName.getOrElse(
@@ -768,6 +774,13 @@ class LasDataWriter(
     if (chunkFill > 0) {
       emitRun(0, chunkFill, copcLevel, copcCurKey)
       chunkFill = 0
+      // an oversized run grew the buffers up to ~2x the overflow bound;
+      // shrink back to the steady-state cap so one dense voxel doesn't
+      // pin that footprint for the task's whole lifetime (x concurrent
+      // writer tasks per executor)
+      val capBytes = lazChunkSize * encoder.recordLength
+      if (chunkBuf.length > capBytes) chunkBuf = new Array[Byte](capBytes)
+      runScratch = null
     }
   }
 
@@ -981,6 +994,13 @@ class LasDataWriter(
         // child-page references
         val (payload, rootPageSize) = copcImport.pagedHierarchyPayload(
           ancestors ++ leaves, copcPageEntries, evlrOffset + 60)
+        // the reader's total bound counts SERIALIZED entries — child-page
+        // REFERENCE entries included — so the authoritative check is on
+        // the paged payload, not the data entries alone: a near-cap
+        // hierarchy plus thousands of refs would otherwise pass the
+        // pre-check and land a file our own reader rejects at resolve
+        copcImport.requireEntryBudget(
+          (payload.length / copcImport.EntryLen).toLong, finalPath.toString)
         // spacing is defined at the ROOT node by the published spec
         // (halved per level); the leaf side would be 2^level too fine
         // for a foreign LOD viewer picking its streaming depth

@@ -701,6 +701,16 @@ class CopcSpec extends SparkTestBase {
       "copc.chunkcap" -> "256", "copc.overflowbuffer" -> "1024"))
     assert(spark.read.las(capped).count() == 20000)
     assert(collectAll(spark.read.las(capped)) == collectAll(spark.read.las(twin)))
+    // the DEFAULT overflow bound (no option set) on an overflowing run:
+    // the r16 probe caught a val-initialization-order bug where the
+    // default read a not-yet-initialized chunk cap as 0 and the first
+    // buffer growth zeroed the run buffer (arraycopy into byte[0]) —
+    // this exercises growth AND the default bound-hit flush
+    val dflt = tmpDir("copc-split-dflt")
+    pts.coalesce(1).writeCopc(dflt, Map("scale" -> "0.01", "copc.level" -> "1",
+      "copc.chunkcap" -> "256"))
+    assert(spark.read.las(dflt).count() == 20000)
+    assert(collectAll(spark.read.las(dflt)) == collectAll(spark.read.las(twin)))
   }
 
   test("copc.pageentries splits the hierarchy into a page graph that reads back exactly") {

@@ -274,6 +274,13 @@ class OpsSpec extends SparkTestBase {
       Clustering.assignCellsTwoLevel(pts, "id", "v", bad)
     }
     assert(err.getMessage.contains("without fine centroids"))
+    // the probe path rejects it too: a deficient probed coarse cell
+    // would otherwise contribute zero probes and silently drop its rows
+    // from the candidate set (wrong top-k, no error)
+    val err2 = intercept[IllegalArgumentException] {
+      Clustering.ivfTopKTwoLevel(pts, "id", "v", bad, Seq(0.0, 0.0), 3, nProbe = 1)
+    }
+    assert(err2.getMessage.contains("without fine centroids"))
   }
 
   test("two-level IVF top-k equals the driver-side reference ladder") {
