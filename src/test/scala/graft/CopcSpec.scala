@@ -761,6 +761,47 @@ class CopcSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
   }
 
+  test("hierarchy paging round-trips arbitrary entry sets at any page budget") {
+    // property sweep (seeded): random octree entry sets — mixed levels,
+    // duplicate voxels (the multi-entry overflow shape), empty ancestor
+    // entries — paged at random budgets must walk back to EXACTLY the
+    // data entries, and a budget covering everything must serialize
+    // byte-identically to the unpaged layout
+    val rnd = new scala.util.Random(20260815L)
+    for (iter <- 0 until 50) {
+      val maxLevel = 1 + rnd.nextInt(6)
+      val n = 1 + rnd.nextInt(300)
+      val entries = (0 until n).map { _ =>
+        val l = rnd.nextInt(maxLevel + 1)
+        val m = 1 << l
+        Copc.Entry(l, rnd.nextInt(m), rnd.nextInt(m), rnd.nextInt(m),
+          math.abs(rnd.nextLong()) % (1L << 40), 1 + rnd.nextInt(1 << 20),
+          if (rnd.nextInt(5) == 0) 0 else 1 + rnd.nextInt(1 << 16))
+      }
+      // the writer always ships the ancestor closure, so the page tree
+      // has a level-0 root to hang references from
+      val all = Copc.ancestorEntries(entries.filter(_.pointCount > 0)) ++ entries
+      val budget = 1 + rnd.nextInt(2 * all.size)
+      val start = rnd.nextInt(1 << 16).toLong
+      val (payload, rootSize) = Copc.pagedHierarchyPayload(all, budget, start)
+      assert(rootSize <= payload.length && rootSize % Copc.EntryLen == 0)
+      val file = new Array[Byte](start.toInt + payload.length)
+      System.arraycopy(payload, 0, file, start.toInt, payload.length)
+      def readAt(off: Long, len: Int): Array[Byte] =
+        java.util.Arrays.copyOfRange(file, off.toInt, off.toInt + len)
+      val info = Copc.Info(0, 0, 0, 1, 2, start, rootSize.toLong, 0, 0)
+      val got = Copc.readDataEntries(info, readAt, file.length.toLong)
+      def key(e: Copc.Entry) =
+        (e.level, e.x, e.y, e.z, e.offset, e.byteSize, e.pointCount)
+      val want = all.filter(_.pointCount > 0).map(key).sorted
+      assert(got.map(key).sorted == want,
+        s"iter $iter budget $budget entries ${all.size}")
+      val (flat, flatRoot) = Copc.pagedHierarchyPayload(all, all.size, start)
+      assert(flat.sameElements(Copc.entriesPayload(all)) && flatRoot == flat.length,
+        s"iter $iter: a covering budget must be byte-identical to the unpaged layout")
+    }
+  }
+
   test("writer entry budget and reader hierarchy bound agree at the same threshold") {
     // writer side: the shared predicate trips one past the bound (tiny
     // spec bound, then the production default)
