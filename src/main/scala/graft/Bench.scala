@@ -310,7 +310,12 @@ object Bench {
       // set prunes to <= topCoarse*nProbe `cell=` dirs of k1*k2, so the
       // steady-state serve must stay near-flat like ss07's (the layout
       // build + hierarchical fit are warmed untimed below)
-      "ss14_twolevel_served")
+      "ss14_twolevel_served",
+      // dd17: the rung-4 ASSIGN at 10× — the grown corpus quantized
+      // through the LOADED persisted model (the ingest shape: one
+      // n-row coarse pass + the fine equi-join), must scale linearly
+      // (model fit + persist are warmed untimed via dd17's memo)
+      "dd17_twolevel_persisted")
       .filter(names.contains)
     val probeJson: String =
       if (probeNames.isEmpty || sys.env.get("SPARK_GRAFT_SF1_PROBE").contains("0")) ""
@@ -444,6 +449,12 @@ object Bench {
         if (probeNames.exists(_.startsWith("ss14")))
           try SparkEntry.queries("ss14_twolevel_served")(spark, dir.toString).count()
           catch { case _: Throwable => } // ss14 itself will surface the error
+        // dd17: the first call fits + persists the old-slice two-level
+        // model for the probe dir; the timed passes measure the
+        // load-and-assign ingest path, never index construction
+        if (probeNames.exists(_.startsWith("dd17")))
+          try SparkEntry.queries("dd17_twolevel_persisted")(spark, dir.toString).count()
+          catch { case _: Throwable => } // dd17 itself will surface the error
         // and pc28/pc29: the first call builds their SHARED COPC octree
         // layout (a 10× write); the timed entries are the pruned reads
         // that layout exists to serve

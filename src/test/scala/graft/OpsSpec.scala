@@ -613,6 +613,37 @@ class OpsSpec extends SparkTestBase {
       s"PartitionFilters admits cells $admitted, expected <= 4 (topCoarse*nProbe): $pf")
   }
 
+  test("two-level multiprobe mean recall@5 over several queries beats single-coarse") {
+    // the rung-4 quality contract over a QUERY SET (ss15 grades one
+    // vector bit-for-bit; this pins the average behavior): descending a
+    // second coarse cell can only grow the candidate set, so multiprobe
+    // recall is structurally >= single-coarse per query — assert that,
+    // plus a loose absolute floor that survives per-round data regen
+    val corpus = embs.filter($"vec_id" >= 5)
+    val model = Clustering.kmeansTwoLevel(corpus, "vec_id", "embedding",
+      64, k1 = 8, k2 = 3, iters = 2)
+    val recalls = (0L to 4L).map { qid =>
+      val qv = embs.filter($"vec_id" === qid)
+        .select(transform($"embedding", _.cast("double")))
+        .as[Seq[Double]].head()
+      val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", qv, 5)
+        .select("id").as[Long].collect().toSet
+      def rec(topCoarse: Int): Double = {
+        val got = Clustering.ivfTopKTwoLevel(corpus, "vec_id", "embedding",
+            model, qv, 5, nProbe = 2, topCoarse = topCoarse)
+          .select("id").as[Long].collect().toSet
+        exact.intersect(got).size.toDouble / exact.size
+      }
+      (rec(1), rec(2))
+    }
+    recalls.foreach { case (r1, r2) =>
+      assert(r2 >= r1, s"multiprobe recall $r2 below single-coarse $r1")
+    }
+    val mean2 = recalls.map(_._2).sum / recalls.size
+    assert(mean2 >= 0.3,
+      s"two-level multiprobe mean recall@5 = $mean2 (${recalls.map(_._2)})")
+  }
+
   test("IVF ANN recall@5 vs exact top-k stays pinned") {
     val ids = Seq(0L, 1L, 2L, 3L, 4L)
     val model = Clustering.kmeans(embs, "vec_id", "embedding", 64, 8, 2)
