@@ -244,6 +244,32 @@ object Similarity {
     (lo.toIndexedSeq, span.toIndexedSeq)
   }
 
+  /** Persist [[quantizationBounds]] as a tiny (dim rows) parquet of
+    * `(j, lo, span)` — the quantization codebook is index-build model
+    * state like a centroid table: a serving process holding only the
+    * quantized layout CANNOT re-derive the bounds (the floats are not
+    * stored), and refitting against a corpus that changed since the
+    * layout was written would silently decode every stored int8 against
+    * the WRONG codebook. Exact data values + parquet's exact double
+    * round-trip make save→load the exact fit (ss17 requires it
+    * bit-for-bit each run, ss11's discipline). */
+  def saveQuantization(spark: org.apache.spark.sql.SparkSession,
+      lo: Seq[Double], span: Seq[Double], path: String): Unit = {
+    import spark.implicits._
+    lo.indices.map(j => (j, lo(j), span(j))).toDF("j", "lo", "span")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveQuantization]] codebook, dimensions ascending —
+    * bit-identical to the fitted bounds by the round-trip contract. */
+  def loadQuantization(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[Double], Seq[Double]) = {
+    val rows = spark.read.parquet(path).select(col("j"), col("lo"), col("span"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    (rows.map(_._2).toIndexedSeq, rows.map(_._3).toIndexedSeq)
+  }
+
   /** int8 scalar quantization of a vector against
     * [[quantizationBounds]]: q_j = clamp(round((v_j − lo_j)·255/span_j),
     * 0, 255) − 128 ∈ [−128, 127]. Row-local; 4× smaller than float32 at

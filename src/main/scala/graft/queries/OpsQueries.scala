@@ -808,8 +808,13 @@ object OpsQueries {
     * `cell=` directories of k1·k2). The layout stores ONLY (id, q,
     * cell) — the float vectors never land in the serving index; the
     * float model is driver state and assignment happens at WRITE time.
-    * Query: quantize the query vector through the same bounds, rank
-    * the probed cells by EXACT integer dot product (no float summation
+    * The quantization codebook PERSISTS beside the layout
+    * ([[graft.ops.Similarity.saveQuantization]] — the floats are not
+    * stored, so the saved bounds are the ONLY way a fresh serving
+    * process can decode the index; save→load is required bit-for-bit
+    * and every query decodes through the loaded artifact). Query:
+    * quantize the query vector through the loaded bounds, rank the
+    * probed cells by EXACT integer dot product (no float summation
     * order to drift), ties to the lowest id; each returned row carries
     * `in_exact10` — membership in the float-cosine exact top-10 — so
     * the compression × probe quality loss is measured in the graded
@@ -817,25 +822,38 @@ object OpsQueries {
     * quantization arithmetic, the full two-level refit, the multiprobe
     * ladder and the integer ranking. */
   private val quantizedTwoLevel =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Double], Seq[Double])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private val ss17: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     val model = twoLevelModel(s, d)
-    val (path, lo, span) = quantizedTwoLevel.computeIfAbsent(d, { _ =>
+    val (path, boundsPath) = quantizedTwoLevel.computeIfAbsent(d, { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft_twolevel_quant")
       Runtime.getRuntime.addShutdownHook(
         new Thread(() => graft.Fs.deleteRecursively(dir)))
+      val lp = dir.resolve("layout").toString
+      val bp = dir.resolve("bounds").toString
+      // the codebook PERSISTS beside the layout (ss11's discipline): the
+      // floats never land in the index, so a fresh serving process must
+      // decode through the saved bounds, never a refit — save→load is
+      // required bit-for-bit every graded run
       val (blo, bspan) = Similarity.quantizationBounds(e, "embedding", 64)
+      Similarity.saveQuantization(s, blo, bspan, bp)
+      val (llo, lspan) = Similarity.loadQuantization(s, bp)
+      require(llo == blo && lspan == bspan,
+        "loaded quantization bounds drifted from the fitted ones")
       val pts = e.filter($"vec_id" =!= 0)
         .select($"vec_id".as("id"),
-          Similarity.quantizeInt8($"embedding", blo, bspan).as("q"),
+          Similarity.quantizeInt8($"embedding", llo, lspan).as("q"),
           transform($"embedding", _.cast("double")).as("__v"))
         .localCheckpoint(eager = true) // same inlining guard as kmeans
       Clustering.assignCellsTwoLevel(pts, "id", "__v", model)
         .drop("__v")
-        .write.partitionBy("cell").mode("overwrite").parquet(dir.toString)
-      (dir.toString, blo, bspan)
+        .write.partitionBy("cell").mode("overwrite").parquet(lp)
+      (lp, bp)
     })
+    // every query process decodes through the LOADED codebook — the
+    // artifact a fresh server would hold, never the in-memory fit
+    val (lo, span) = Similarity.loadQuantization(s, boundsPath)
     val qv = queryVec(s, d)
     val probes = Clustering.twoLevelProbeCells(model, qv, Ss13Probe, Ss13Coarse)
     val qq = e.filter($"vec_id" === 0)

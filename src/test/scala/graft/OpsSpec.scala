@@ -410,6 +410,21 @@ class OpsSpec extends SparkTestBase {
     } finally Fs.deleteRecursively(dir)
   }
 
+  test("quantization codebook saves and loads bit-identically") {
+    // the bounds are the ONLY decode key for a quantized layout (the
+    // floats are not stored) — the persisted artifact must round-trip
+    // exactly, including negative, tiny and guarded-identity spans
+    val lo = Seq(-0.75, 0.0, 1e-12, -3.5e8)
+    val span = Seq(1.5, 1.0, 2.25e-12, 7.0e8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-quant-bounds")
+    try {
+      val p = dir.resolve("bounds").toString
+      Similarity.saveQuantization(spark, lo, span, p)
+      val (l2, s2) = Similarity.loadQuantization(spark, p)
+      assert(l2 == lo && s2 == span)
+    } finally Fs.deleteRecursively(dir)
+  }
+
   test("loadTwoLevel verifies coverage once at load; a deficient persisted model is rejected") {
     val bad = Clustering.TwoLevelModel(
       Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(10.0, 10.0)),
