@@ -424,8 +424,14 @@ object Clustering {
     * the SAME multiprobe composite-cell set, it just cannot reuse
     * [[ivfTopKServedTwoLevel]]'s cosine re-rank. */
   def twoLevelProbeCells(model: TwoLevelModel, queryVec: Seq[Double],
-      nProbe: Int, topCoarse: Int): Seq[Long] =
+      nProbe: Int, topCoarse: Int): Seq[Long] = {
+    // same up-front rejection as [[ivfTopKTwoLevel]] (free for trusted
+    // models): a deficient model whose probed coarse cell has no fine
+    // rows contributes zero probes and a custom served payload would
+    // silently return a wrong top-k instead of a loud error
+    requireCoverage(model)
     twoLevelProbes(model, queryVec, nProbe, topCoarse)
+  }
 
   /** The probed COMPOSITE cells of a [[TwoLevelModel]] for a query
     * vector (the IMI-shaped multiprobe ladder shared by the direct and
@@ -487,6 +493,9 @@ object Clustering {
   def ivfTopKServedTwoLevel(spark: org.apache.spark.sql.SparkSession,
       path: String, model: TwoLevelModel, queryVec: Seq[Double], k: Int,
       nProbe: Int, topCoarse: Int = 1): DataFrame = {
+    // the served path owes the same loud rejection of a deficient model
+    // as the direct path — free for trusted (fit/load-time) models
+    requireCoverage(model)
     val probes = twoLevelProbes(model, queryVec, nProbe, topCoarse)
     val q = array(queryVec.map(lit): _*)
     spark.read.parquet(path)

@@ -267,6 +267,16 @@ object Similarity {
     val rows = spark.read.parquet(path).select(col("j"), col("lo"), col("span"))
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
+    // shape validation: a truncated/partially-written or duplicated-row
+    // bounds parquet would otherwise load silently as a shorter or
+    // misaligned (lo, span) and every vector would decode against the
+    // WRONG per-dimension bounds — the exact silent-wrong-codebook
+    // failure the save-side doc warns about
+    require(rows.nonEmpty, s"quantization codebook at $path is empty")
+    require(rows.iterator.map(_._1).sameElements(rows.indices),
+      s"quantization codebook at $path is not a dense 0..${rows.length - 1} " +
+        s"dimension table (got j = ${rows.map(_._1).take(8).mkString(",")}…) — " +
+        "truncated or duplicated rows would decode against the wrong bounds")
     (rows.map(_._2).toIndexedSeq, rows.map(_._3).toIndexedSeq)
   }
 

@@ -632,7 +632,12 @@ class LasDataWriter(
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"copc.overflowBuffer '$s' is not an integer")
         }
-      }.getOrElse(math.min(8L * lazChunkSize, 1L << 22).toInt)
+      // the default must never fall below the cap itself: chunkcap may
+      // legally reach 2^24, and a sub-cap default would abort the write
+      // with a message about an option the user never set — the
+      // require below exists to reject an EXPLICITLY too-small option
+      }.getOrElse(math.max(lazChunkSize.toLong,
+        math.min(8L * lazChunkSize, 1L << 22)).toInt)
       require(ob >= lazChunkSize,
         s"copc.overflowBuffer must be >= the chunk cap $lazChunkSize, got $ob")
       ob

@@ -818,7 +818,10 @@ object OpsQueries {
     * order to drift), ties to the lowest id; each returned row carries
     * `in_exact10` — membership in the float-cosine exact top-10 — so
     * the compression × probe quality loss is measured in the graded
-    * result, never assumed. The oracle restates the bounds fit, the
+    * result, never assumed. The bounds fit on the CORPUS ONLY (never
+    * the query row — queries arrive after the index is built and may
+    * clamp, exactly like a real server). The oracle restates the
+    * corpus-only bounds fit, the
     * quantization arithmetic, the full two-level refit, the multiprobe
     * ladder and the integer ranking. */
   private val quantizedTwoLevel =
@@ -835,8 +838,11 @@ object OpsQueries {
       // the codebook PERSISTS beside the layout (ss11's discipline): the
       // floats never land in the index, so a fresh serving process must
       // decode through the saved bounds, never a refit — save→load is
-      // required bit-for-bit every graded run
-      val (blo, bspan) = Similarity.quantizationBounds(e, "embedding", 64)
+      // required bit-for-bit every graded run. The fit sees the CORPUS
+      // ONLY: queries arrive later at a real server and may clamp — the
+      // query row must never leak into the stored decode key
+      val (blo, bspan) = Similarity.quantizationBounds(
+        e.filter($"vec_id" =!= 0), "embedding", 64)
       Similarity.saveQuantization(s, blo, bspan, bp)
       val (llo, lspan) = Similarity.loadQuantization(s, bp)
       require(llo == blo && lspan == bspan,
@@ -2316,6 +2322,7 @@ object OpsQueries {
          |  SELECT k, min(CAST(embedding[k] AS DOUBLE)) AS lo,
          |         max(CAST(embedding[k] AS DOUBLE)) AS hi
          |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS k) dims
+         |  WHERE vec_id <> 0
          |  GROUP BY k
          |), b AS (
          |  SELECT list(lo ORDER BY k) AS lo,

@@ -713,6 +713,28 @@ class CopcSpec extends SparkTestBase {
     assert(collectAll(spark.read.las(dflt)) == collectAll(spark.read.las(twin)))
   }
 
+  test("a legal chunkcap past 2^22 with no explicit overflowbuffer still writes") {
+    // the default overflow bound used to be min(8*cap, 2^22), which for
+    // caps in (2^22, 2^24] fell BELOW the cap and aborted the write with
+    // a message about an option the user never set; the default now
+    // floors at the cap itself
+    val dir = tmpDir("copc-bigcap")
+    val pts = fmt6Points(2000)
+    pts.coalesce(1).writeCopc(dir, Map("scale" -> "0.01", "copc.level" -> "1",
+      "copc.chunkcap" -> (1 << 23).toString))
+    assert(spark.read.las(dir).count() == 2000)
+    // an EXPLICITLY sub-cap bound still trips the loud require
+    val err = intercept[org.apache.spark.SparkException] {
+      pts.coalesce(1).writeCopc(tmpDir("copc-bigcap-bad"),
+        Map("scale" -> "0.01", "copc.level" -> "1",
+          "copc.chunkcap" -> (1 << 23).toString,
+          "copc.overflowbuffer" -> "1024"))
+    }
+    assert(Option(err.getMessage).getOrElse("").contains("overflowBuffer") ||
+      Option(err.getCause).exists(c =>
+        Option(c.getMessage).getOrElse("").contains("overflowBuffer")))
+  }
+
   test("copc.pageentries splits the hierarchy into a page graph that reads back exactly") {
     val dir = tmpDir("copc-paged")
     val flat = tmpDir("copc-flat")

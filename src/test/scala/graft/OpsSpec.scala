@@ -425,6 +425,48 @@ class OpsSpec extends SparkTestBase {
     } finally Fs.deleteRecursively(dir)
   }
 
+  test("loadQuantization rejects a truncated or duplicated codebook loudly") {
+    // a partially-written or duplicated-row bounds parquet must never
+    // load as a shorter/misaligned (lo, span) — every stored int8 would
+    // silently decode against the WRONG per-dimension bounds
+    val dir = java.nio.file.Files.createTempDirectory("graft-quant-bad")
+    try {
+      val dup = dir.resolve("dup").toString
+      Seq((0, 0.0, 1.0), (0, 0.5, 2.0), (1, 1.0, 1.0))
+        .toDF("j", "lo", "span").write.parquet(dup)
+      val e1 = intercept[IllegalArgumentException] {
+        Similarity.loadQuantization(spark, dup)
+      }
+      assert(e1.getMessage.contains("dense"))
+      val gap = dir.resolve("gap").toString
+      Seq((0, 0.0, 1.0), (2, 1.0, 1.0)) // dimension 1 missing
+        .toDF("j", "lo", "span").write.parquet(gap)
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.loadQuantization(spark, gap)
+      }
+      assert(e2.getMessage.contains("dense"))
+    } finally Fs.deleteRecursively(dir)
+  }
+
+  test("twoLevelProbeCells and the served two-level probe reject a deficient model loudly") {
+    // ADVICE r16: the served path (and the public probe-cells surface a
+    // custom payload like ss17 prunes with) must reject an untrusted
+    // model whose probed coarse cell has no fine rows — zero probes
+    // would otherwise return a silently wrong top-k
+    val bad = Clustering.TwoLevelModel(
+      Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(10.0, 10.0)),
+      Seq((0, 0, Seq(0.0, 0.0))).toDF("coarse", "fine", "centroid"), k2 = 1)
+    val e1 = intercept[IllegalArgumentException] {
+      Clustering.twoLevelProbeCells(bad, Seq(9.0, 9.0), nProbe = 1, topCoarse = 1)
+    }
+    assert(e1.getMessage.contains("without fine centroids"))
+    val e2 = intercept[IllegalArgumentException] {
+      Clustering.ivfTopKServedTwoLevel(spark, "/nonexistent", bad,
+        Seq(9.0, 9.0), 5, nProbe = 1, topCoarse = 1)
+    }
+    assert(e2.getMessage.contains("without fine centroids"))
+  }
+
   test("loadTwoLevel verifies coverage once at load; a deficient persisted model is rejected") {
     val bad = Clustering.TwoLevelModel(
       Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(10.0, 10.0)),
