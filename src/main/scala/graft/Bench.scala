@@ -200,6 +200,7 @@ object Bench {
         n.startsWith("ss14") || // build-once composite-cell served layout
         n.startsWith("ss16") || // build-once appended two-level layout
         n.startsWith("ss17") || // build-once quantized two-level layout
+        n.startsWith("ss18") || // build-once appended quantized layout
         n.startsWith("dd17"))) // train-once persisted two-level model
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => } // a broken query still errors in the timed loop

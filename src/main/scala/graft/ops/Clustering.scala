@@ -483,6 +483,31 @@ object Clustering {
       .drop("__v")
       .write.partitionBy("cell").mode(mode).parquet(path)
 
+  /** The QUANTIZED serving layout of the rung-4 index (ss17/ss18):
+    * the corpus lands as ONLY (id, int8 q, composite cell) — the float
+    * vectors never enter the index (4× smaller at rest; the codebook
+    * persists separately via [[graft.ops.Similarity.saveQuantization]]
+    * and is the sole decode key a serving process holds). Assignment
+    * runs through the float vectors at WRITE time, exactly like the
+    * float layout; `mode = "append"` grows the index with a new batch
+    * quantized through the SAME loaded codebook and assigned through
+    * the SAME loaded model — no refit, no rewrite, appended files
+    * beside the old ones inside matching `cell=` directories. A
+    * drifting batch (values outside the saved bounds) clamps; measure
+    * it with [[graft.ops.Similarity.clampedDims]] rather than assuming
+    * it away. */
+  def writeQuantizedByCellTwoLevel(df: DataFrame, idCol: String,
+      vecCol: String, model: TwoLevelModel, lo: Seq[Double],
+      span: Seq[Double], path: String, mode: String = "overwrite"): Unit =
+    assignCellsTwoLevel(
+      df.select(col(idCol).as("id"),
+          Similarity.quantizeInt8(col(vecCol), lo, span).as("q"),
+          transform(col(vecCol), _.cast("double")).as("__v"))
+        .localCheckpoint(eager = true), // same inlining guard as kmeans
+      "id", "__v", model)
+      .drop("__v")
+      .write.partitionBy("cell").mode(mode).parquet(path)
+
   /** ANN top-k against a [[writePartitionedByCellTwoLevel]] layout: the
     * same multiprobe ladder as [[ivfTopKTwoLevel]], with the probed
     * composite cells pruning partitions at planning time

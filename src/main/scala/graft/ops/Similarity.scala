@@ -302,6 +302,24 @@ object Similarity {
   def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** How many components of `v` CLAMP under [[quantizeInt8]] against
+    * these bounds — the drift cost of quantizing a vector through a
+    * codebook fitted before it arrived (ss18's append batch: values
+    * outside the saved per-dim [lo, lo+span] silently saturate at
+    * -128/127, and an index that never measures that loss can degrade
+    * unnoticed as the corpus drifts). Row-local; same subtract-scale-
+    * round arithmetic as the encoder, so the oracle restates it
+    * literally. */
+  def clampedDims(v: Column, lo: Seq[Double], span: Seq[Double]): Column = {
+    val loLit = array(lo.map(lit): _*)
+    val spanLit = array(span.map(lit): _*)
+    size(filter(
+      transform(v, (x, i) =>
+        round((x.cast("double") - element_at(loLit, i + 1)) * 255.0 /
+          element_at(spanLit, i + 1))),
+      r => r < 0.0 || r > 255.0))
+  }
+
   /** Batched k-NN join — the production ANN shape: EVERY query vector
     * finds its top-k neighbors in one plan, instead of one driver-side
     * search per query. Candidates come from the hyperplane-LSH bucket

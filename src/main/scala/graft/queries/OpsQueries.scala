@@ -847,14 +847,8 @@ object OpsQueries {
       val (llo, lspan) = Similarity.loadQuantization(s, bp)
       require(llo == blo && lspan == bspan,
         "loaded quantization bounds drifted from the fitted ones")
-      val pts = e.filter($"vec_id" =!= 0)
-        .select($"vec_id".as("id"),
-          Similarity.quantizeInt8($"embedding", llo, lspan).as("q"),
-          transform($"embedding", _.cast("double")).as("__v"))
-        .localCheckpoint(eager = true) // same inlining guard as kmeans
-      Clustering.assignCellsTwoLevel(pts, "id", "__v", model)
-        .drop("__v")
-        .write.partitionBy("cell").mode("overwrite").parquet(lp)
+      Clustering.writeQuantizedByCellTwoLevel(
+        e.filter($"vec_id" =!= 0), "vec_id", "embedding", model, llo, lspan, lp)
       (lp, bp)
     })
     // every query process decodes through the LOADED codebook — the
@@ -876,6 +870,82 @@ object OpsQueries {
     scored.join(exact, $"id" === $"eid", "left")
       .select($"id".as("vec_id"), $"qscore", $"eid".isNotNull.as("in_exact10"))
       .sort($"qscore".desc, $"vec_id")
+  }
+
+  /** ss18: APPEND to the QUANTIZED rung-4 layout through the LOADED
+    * artifacts — the last layout without a lifecycle gets one (ss16's
+    * train-once-append story at ss17's compression): the quantization
+    * bounds fit on the OLD slice only and persist
+    * ([[graft.ops.Similarity.saveQuantization]]), the two-level model
+    * is dd17's persisted old-slice fit, the (id, int8, cell) layout is
+    * written from the old slice through the LOADED codebook + LOADED
+    * model, and a NEW batch (vec_id % 5 = 1) lands via
+    * `writeQuantizedByCellTwoLevel(mode = "append")` — quantized by
+    * bounds that never saw it, assigned by centroids that never saw it,
+    * no refit, no rewrite (OpsSpec pins the old partition files
+    * byte-identical across the append). Three graded facts in ss16's
+    * uniform (part, a, b) schema: the multiprobe integer-dot top-10
+    * over the union ('serve'), the per-cell census with appended counts
+    * ('cell_N' — a silently-empty append cannot match it), and the
+    * BOUNDS-DRIFT COST ('clamp': how many of the appended batch's
+    * components saturate under the old codebook, and how many rows
+    * carry at least one — measured, never assumed; at this SF the batch
+    * really clamps, so a drift-blind encoder breaks the hash). The
+    * oracle restates the old-slice bounds fit, the quantization and
+    * clamp arithmetic, the old-slice two-level refit with coverage
+    * fallback, the union assignment, the multiprobe ladder and the
+    * integer ranking. */
+  private val quantizedAppendLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val ss18: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val loaded = Clustering.loadTwoLevel(s, twoLevelSavedPath(s, d))
+    val oldSlice = e.filter($"vec_id" =!= 0 && $"vec_id" % 5 =!= 1)
+    val newBatch = e.filter($"vec_id" =!= 0 && $"vec_id" % 5 === 1)
+    val (path, boundsPath) = quantizedAppendLayouts.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_quant_append")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.Fs.deleteRecursively(dir)))
+      val lp = dir.resolve("layout").toString
+      val bp = dir.resolve("bounds").toString
+      // the codebook fits on the OLD slice only and persists — the
+      // append batch arrives after the index is built, exactly like a
+      // real ingest, and must flow through the LOADED artifact
+      val (blo, bspan) = Similarity.quantizationBounds(oldSlice, "embedding", 64)
+      Similarity.saveQuantization(s, blo, bspan, bp)
+      val (llo, lspan) = Similarity.loadQuantization(s, bp)
+      require(llo == blo && lspan == bspan,
+        "loaded quantization bounds drifted from the fitted ones")
+      Clustering.writeQuantizedByCellTwoLevel(
+        oldSlice, "vec_id", "embedding", loaded, llo, lspan, lp)
+      Clustering.writeQuantizedByCellTwoLevel(
+        newBatch, "vec_id", "embedding", loaded, llo, lspan, lp, mode = "append")
+      (lp, bp)
+    })
+    val (lo, span) = Similarity.loadQuantization(s, boundsPath)
+    val qv = queryVec(s, d)
+    val probes = Clustering.twoLevelProbeCells(loaded, qv, Ss13Probe, Ss13Coarse)
+    val qq = e.filter($"vec_id" === 0)
+      .select(Similarity.quantizeInt8($"embedding", lo, span).as("qq"))
+    val served = s.read.parquet(path)
+      .filter($"cell".isin(probes: _*))
+      .crossJoin(broadcast(qq))
+      .select($"id", Similarity.intDot($"q", $"qq").as("qscore"))
+      .sort($"qscore".desc, $"id")
+      .limit(Ss17K)
+      .select(lit("serve").as("part"), $"id".as("a"), $"qscore".cast("double").as("b"))
+    val census = s.read.parquet(path)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"id" % 5 === 1, 1L).otherwise(0L)).as("nn"))
+      .select(concat(lit("cell_"), $"cell").as("part"),
+        $"n".as("a"), $"nn".cast("double").as("b"))
+    val clamp = newBatch
+      .select(Similarity.clampedDims($"embedding", lo, span).as("nc"))
+      .agg(coalesce(sum($"nc".cast("long")), lit(0L)).as("a"),
+        coalesce(sum(when($"nc" > 0, 1.0).otherwise(0.0)), lit(0.0)).as("b"))
+      .select(lit("clamp").as("part"), $"a", $"b")
+    served.unionByName(census).unionByName(clamp).sort($"part", $"a")
   }
 
   /** ss06: batched k-NN join — vectors 1..20 each find their top-3
@@ -1502,6 +1572,7 @@ object OpsQueries {
     "ss15_twolevel_recall" -> ss15,
     "ss16_twolevel_append" -> ss16,
     "ss17_twolevel_quantized" -> ss17,
+    "ss18_quantized_append" -> ss18,
     "tx01_token_stats" -> tx01,
     "tx02_quality_score" -> tx02,
     "tx03_langid" -> tx03,
@@ -2376,6 +2447,63 @@ object OpsQueries {
          |UNION ALL SELECT part, a, b FROM census
          |ORDER BY part, a""".stripMargin
 
+  /** ss18's oracle: ss16's old-slice two-level refit + union assignment
+    * + multiprobe ladder, composed with ss17's quantization restatement
+    * — except the bounds fit on the OLD SLICE only (the append batch
+    * arrives after the codebook is built), the serve ranks by the exact
+    * integer dot product, and the clamp row counts the appended batch's
+    * components that saturate under the old bounds (the measured
+    * bounds-drift cost). */
+  private val ss18Oracle: String =
+    s"""WITH ${kmeansOracleCtesFor("vec_id <> 0 AND vec_id % 5 <> 1", Some("vec_id <> 0"))},
+         |${fineOracleCtesFor(Dd16Fine, fitSrc = "atf", assignSrc = "af", fallback = true)},
+         |$twoLevelProbeCtes,
+         |bounds AS (
+         |  SELECT k, min(CAST(embedding[k] AS DOUBLE)) AS lo,
+         |         max(CAST(embedding[k] AS DOUBLE)) AS hi
+         |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS k) dims
+         |  WHERE vec_id <> 0 AND vec_id % 5 <> 1
+         |  GROUP BY k
+         |), b AS (
+         |  SELECT list(lo ORDER BY k) AS lo,
+         |         list(CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END ORDER BY k) AS sp
+         |  FROM bounds
+         |), qz AS (
+         |  SELECT vec_id,
+         |    [CAST(least(255.0, greatest(0.0,
+         |       round((CAST(embedding[k] AS DOUBLE) - b.lo[k]) * 255.0 / b.sp[k])))
+         |     AS BIGINT) - 128 FOR k IN generate_series(1, 64)] AS qvec
+         |  FROM embeddings CROSS JOIN b
+         |), qrow AS (SELECT qvec AS qq FROM qz WHERE vec_id = 0),
+         |serve AS (
+         |  SELECT 'serve' AS part, z.vec_id AS a,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [z.qvec[k] * qrow.qq[k] FOR k IN generate_series(1, 64)]),
+         |      (acc, x) -> acc + x) AS DOUBLE) AS b
+         |  FROM qz z JOIN comp c2 ON z.vec_id = c2.vec_id
+         |  JOIN pf ON c2.cell = pf.pcell
+         |  CROSS JOIN qrow
+         |  ORDER BY b DESC, z.vec_id LIMIT $Ss17K
+         |), census AS (
+         |  SELECT 'cell_' || CAST(cell AS VARCHAR) AS part, COUNT(*) AS a,
+         |    CAST(SUM(CASE WHEN vec_id % 5 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS b
+         |  FROM comp GROUP BY cell
+         |), clamps AS (
+         |  SELECT len(list_filter(
+         |    [round((CAST(embedding[k] AS DOUBLE) - b.lo[k]) * 255.0 / b.sp[k])
+         |     FOR k IN generate_series(1, 64)], r -> r < 0 OR r > 255)) AS nc
+         |  FROM embeddings CROSS JOIN b WHERE vec_id <> 0 AND vec_id % 5 = 1
+         |), clamp AS (
+         |  SELECT 'clamp' AS part,
+         |    CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS a,
+         |    CAST(COALESCE(SUM(CASE WHEN nc > 0 THEN 1 ELSE 0 END), 0) AS DOUBLE) AS b
+         |  FROM clamps
+         |)
+         |SELECT part, a, b FROM serve
+         |UNION ALL SELECT part, a, b FROM census
+         |UNION ALL SELECT part, a, b FROM clamp
+         |ORDER BY part, a""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dd01_exact_dedup" ->
       "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dups FROM documents GROUP BY text ORDER BY keep_id LIMIT 200",
@@ -2530,6 +2658,10 @@ object OpsQueries {
     // quantization arithmetic + two-level refit + multiprobe + integer
     // dot ranking, quality loss measured per row
     "ss17_twolevel_quantized" -> ss17Oracle,
+    // ss18: the quantized layout's append lifecycle — old-slice bounds
+    // + model, union quantized/assigned through the loaded artifacts,
+    // integer-dot multiprobe serve + census + measured clamp drift
+    "ss18_quantized_append" -> ss18Oracle,
     "ss05_multiprobe_topk" -> ss05Oracle,
     // ss05's restatement with the metadata predicate applied before the
     // probe — pre-filter semantics stated definitionally

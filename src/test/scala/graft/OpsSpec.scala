@@ -410,6 +410,72 @@ class OpsSpec extends SparkTestBase {
     } finally Fs.deleteRecursively(dir)
   }
 
+  test("quantized two-level append: old files byte-identical, floats never stored, clamps measured") {
+    val pts = spark.range(1, 101).select($"id",
+        array(($"id" % 11).cast("double"), ($"id" % 7).cast("double")).as("v"))
+      .localCheckpoint(true)
+    val oldSlice = pts.filter($"id" % 5 =!= 1)
+    val newBatch = pts.filter($"id" % 5 === 1)
+    val model = Clustering.kmeansTwoLevel(oldSlice, "id", "v", dim = 2, k1 = 3, k2 = 2, iters = 2)
+    // fit the bounds on a deliberately NARROWED old slice so the new
+    // batch genuinely falls outside them — the clamp measurement below
+    // must exercise real saturation, not a vacuous zero
+    val (lo, span) = Similarity.quantizationBounds(
+      oldSlice.filter($"id" <= 9), "v", 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-quant-append")
+    try {
+      val path = dir.toString
+      Clustering.writeQuantizedByCellTwoLevel(oldSlice, "id", "v", model, lo, span, path)
+      // the layout stores ONLY (id, q, cell) — no float column leaks in
+      val cols = spark.read.parquet(path).columns.toSet
+      assert(cols == Set("id", "q", "cell"), s"quantized layout stores $cols")
+      def partFiles(): Map[String, String] = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val out = scala.collection.mutable.Map[String, String]()
+        java.nio.file.Files.walk(dir).forEach { p =>
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            md.reset()
+            out(dir.relativize(p).toString) =
+              md.digest(java.nio.file.Files.readAllBytes(p))
+                .map("%02x".format(_)).mkString
+          }
+        }
+        out.toMap
+      }
+      val before = partFiles()
+      assert(before.nonEmpty)
+      Clustering.writeQuantizedByCellTwoLevel(newBatch, "id", "v", model,
+        lo, span, path, mode = "append")
+      val after = partFiles()
+      before.foreach { case (f, h) =>
+        assert(after.contains(f), s"append removed $f")
+        assert(after(f) == h, s"append rewrote $f")
+      }
+      assert(after.size > before.size, "append landed no new files")
+      // the combined census equals the direct full assignment
+      val combined = spark.read.parquet(path)
+        .groupBy($"cell").count().as[(Long, Long)].collect().toMap
+      val direct = Clustering.assignCellsTwoLevel(pts, "id", "v", model)
+        .groupBy($"cell").count().as[(Long, Long)].collect().toMap
+      assert(combined == direct)
+      // the drift is measured, not assumed: the shrunken-bounds batch
+      // really clamps, and each quantized component sits at a saturation
+      // endpoint exactly when clampedDims counted it
+      val clamped = newBatch
+        .select(Similarity.clampedDims($"v", lo, span).as("nc"))
+        .agg(org.apache.spark.sql.functions.sum($"nc")).as[Long].collect().head
+      assert(clamped > 0, "test geometry produced no clamping — vacuous")
+      val qn = newBatch.select($"id",
+          Similarity.quantizeInt8($"v", lo, span).as("q"),
+          Similarity.clampedDims($"v", lo, span).as("nc"))
+        .as[(Long, Seq[Long], Int)].collect()
+      qn.foreach { case (id, q, nc) =>
+        val sat = q.count(x => x == -128L || x == 127L)
+        assert(sat >= nc, s"row $id: $nc clamps but only $sat saturated components")
+      }
+    } finally Fs.deleteRecursively(dir)
+  }
+
   test("quantization codebook saves and loads bit-identically") {
     // the bounds are the ONLY decode key for a quantized layout (the
     // floats are not stored) — the persisted artifact must round-trip
