@@ -574,6 +574,58 @@ object Clustering {
       .limit(k)
   }
 
+  /** TAKEDOWN: remove a set of ids from a `cell=`-partitioned serving
+    * layout ([[writePartitionedByCell]], [[writePartitionedByCellTwoLevel]],
+    * [[writeQuantizedByCellTwoLevel]] — any of them) WITHOUT a refit
+    * and WITHOUT rewriting the unaffected partitions. The legal-removal
+    * shape a training-data lake owes its sources (copyright/PII
+    * takedown): given the id set, (1) ONE column-pruned scan of the
+    * layout locates the affected cells (the layout is the only id→cell
+    * map once the floats are gone; the collect is bounded by the MODEL
+    * size k1·k2, never the corpus), (2) only those cells' survivors are
+    * rewritten under dynamic partition overwrite — untouched `cell=`
+    * directories keep their files byte-identical — and (3) a cell whose
+    * every member was removed (dynamic overwrite never sees an output
+    * row for it, so it would silently survive) has its directory
+    * deleted explicitly. The survivors are localCheckpoint-materialized
+    * before the overwrite (bounded by the AFFECTED cells' volume, spill
+    * to disk allowed) — severing the self-read that Spark otherwise
+    * rejects on an overwrite of its own source. Returns the affected
+    * cells (rewritten or deleted), ascending. */
+  def deleteFromCellLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, removals: DataFrame, idCol: String = "id"): Seq[Long] = {
+    val layout = spark.read.parquet(path)
+    val rm = removals.select(col(idCol).as("__rm_id")).distinct()
+    val affected = layout.join(rm, layout("id") === col("__rm_id"), "left_semi")
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    if (affected.nonEmpty) {
+      val survivors = layout
+        .filter(col("cell").isin(affected: _*))
+        .join(rm, layout("id") === col("__rm_id"), "left_anti")
+        .localCheckpoint(eager = true)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try survivors.write.partitionBy("cell").mode("overwrite").parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      val remaining = survivors.select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val emptied = affected.filterNot(remaining)
+      if (emptied.nonEmpty) {
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        emptied.foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"cell=$c"), true)
+        }
+      }
+    }
+    affected
+  }
+
   /** Persist a trained centroid model as a tiny (k rows) parquet of
     * `(cell, centroid)` — an IVF deployment trains ONCE and serves the
     * model forever; refitting per process re-spends the k-means passes

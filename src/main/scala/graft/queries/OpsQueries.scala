@@ -249,6 +249,61 @@ object OpsQueries {
       .sort($"cell")
   }
 
+  /** dd18's takedown id rule: every 37th vector (vec_id % 37 = 5) — a
+    * specific, corpus-spanning id list, the shape of a legal removal
+    * request. Small enough that several cells stay untouched at
+    * sf0.001 (the byte-identical contract is spec-pinned, not graded). */
+  private[queries] final val Dd18Mod = 37
+  private[queries] final val Dd18Res = 5
+
+  /** dd18: TAKEDOWN from a served layout without refit — the deletion
+    * story a training-data lake legally needs (copyright/PII removal):
+    * the rung-4 composite-cell layout is built once from the corpus
+    * through the full-fit two-level model, then the removal id set
+    * (every 37th vector) is deleted via
+    * [[graft.ops.Clustering.deleteFromCellLayout]] — ONE column-pruned
+    * scan locates the affected cells, ONLY those partitions rewrite
+    * (dynamic partition overwrite; untouched `cell=` directories stay
+    * byte-identical, OpsSpec-pinned), fully-emptied cells' directories
+    * are deleted outright, and no model/bounds artifact changes. Two
+    * graded facts in the uniform (part, a, b) schema: ss13's multiprobe
+    * serve over the post-delete layout ('serve' — a removed id
+    * resurfacing near the query breaks it) and the surviving census per
+    * cell with ID SUMS ('cell_N': a = members, b = Σ vec_id — the sum
+    * pins WHICH rows survived, so a takedown that dropped the wrong
+    * rows, left a removed id behind, or lost an untouched neighbor
+    * cannot hash-match). The oracle re-derives the full two-level refit
+    * + multiprobe ladder and restates the takedown as an anti-join. */
+  private val takedownLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dd18: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val model = twoLevelModel(s, d)
+    val path = takedownLayouts.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_takedown")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.Fs.deleteRecursively(dir)))
+      val lp = dir.resolve("layout").toString
+      Clustering.writePartitionedByCellTwoLevel(
+        e.filter($"vec_id" =!= 0), "vec_id", "embedding", model, lp)
+      val removals = e
+        .filter($"vec_id" =!= 0 && $"vec_id" % Dd18Mod === Dd18Res)
+        .select($"vec_id".as("id"))
+      Clustering.deleteFromCellLayout(s, lp, removals)
+      lp
+    })
+    val qv = queryVec(s, d)
+    val served = Clustering.ivfTopKServedTwoLevel(s, path, model, qv, 5,
+        nProbe = Ss13Probe, topCoarse = Ss13Coarse)
+      .select(lit("serve").as("part"), $"id".as("a"), round($"sim", 4).as("b"))
+    val census = s.read.parquet(path)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"), sum($"id").as("ids"))
+      .select(concat(lit("cell_"), $"cell").as("part"),
+        $"n".as("a"), $"ids".cast("double").as("b"))
+    served.unionByName(census).sort($"part", $"a")
+  }
+
   /** dd13's contamination n-gram width (8 words — the published
     * decontamination screening family) and the benchmark slice: every
     * 25th document stands in for a held-out eval suite. */
@@ -1555,6 +1610,7 @@ object OpsQueries {
     "dd15_span_trim" -> dd15,
     "dd16_twolevel_semantic" -> dd16,
     "dd17_twolevel_persisted" -> dd17,
+    "dd18_takedown" -> dd18,
     "ss01_cosine_topk" -> ss01,
     "ss02_lsh_histogram" -> ss02,
     "ss03_ann_topk" -> ss03,
@@ -2504,6 +2560,31 @@ object OpsQueries {
          |UNION ALL SELECT part, a, b FROM clamp
          |ORDER BY part, a""".stripMargin
 
+  /** dd18's oracle: the full two-level refit + multiprobe ladder
+    * (ss13's CTEs), with the takedown restated definitionally as an
+    * anti-join — the post-delete layout must equal "the corpus minus
+    * the removal set, assigned through the unchanged model", served and
+    * censused (id sums pin WHICH rows survived). */
+  private val dd18Oracle: String =
+    s"""WITH $kmeansOracleCtes,
+         |${fineOracleCtesFor(Dd16Fine, fitSrc = "af", assignSrc = "af", fallback = true)},
+         |$twoLevelProbeCtes,
+         |surv AS (
+         |  SELECT vec_id, v, cell FROM comp WHERE vec_id % $Dd18Mod <> $Dd18Res
+         |), serve AS (
+         |  SELECT 'serve' AS part, vec_id AS a, ROUND(${sqlCosine("v", "qv", 64)}, 4) AS b
+         |  FROM surv JOIN pf ON surv.cell = pf.pcell, q
+         |  ORDER BY ${sqlCosine("v", "qv", 64)} DESC, vec_id
+         |  LIMIT 5
+         |), census AS (
+         |  SELECT 'cell_' || CAST(cell AS VARCHAR) AS part, COUNT(*) AS a,
+         |    CAST(SUM(vec_id) AS DOUBLE) AS b
+         |  FROM surv GROUP BY cell
+         |)
+         |SELECT part, a, b FROM serve
+         |UNION ALL SELECT part, a, b FROM census
+         |ORDER BY part, a""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dd01_exact_dedup" ->
       "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dups FROM documents GROUP BY text ORDER BY keep_id LIMIT 200",
@@ -2546,6 +2627,8 @@ object OpsQueries {
          |  CAST(SUM(CASE WHEN vec_id % 5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS appended,
          |  CAST(SUM(vec_id) AS BIGINT) AS id_sum
          |FROM comp GROUP BY cell ORDER BY cell""".stripMargin,
+    // dd18: takedown without refit — refit + probe ladder + anti-join
+    "dd18_takedown" -> dd18Oracle,
     "dd16_twolevel_semantic" ->
       s"""WITH $kmeansOracleCtes,
          |${fineOracleCtes(Dd16Fine)},

@@ -476,6 +476,64 @@ class OpsSpec extends SparkTestBase {
     } finally Fs.deleteRecursively(dir)
   }
 
+  test("takedown rewrites only affected cells, deletes emptied ones, leaves the rest byte-identical") {
+    val pts = spark.range(1, 101).select($"id",
+        array(($"id" % 11).cast("double"), ($"id" % 7).cast("double")).as("v"))
+      .localCheckpoint(true)
+    val model = Clustering.kmeansTwoLevel(pts, "id", "v", dim = 2, k1 = 3, k2 = 2, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-takedown")
+    try {
+      val path = dir.toString
+      Clustering.writePartitionedByCellTwoLevel(pts, "id", "v", model, path)
+      val byCell = Clustering.assignCellsTwoLevel(pts, "id", "v", model)
+        .select("cell", "id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sorted.toSeq }
+      val (cellA, membersA) = byCell.filter(_._2.size >= 2).head
+      val (cellB, membersB) = (byCell - cellA).head
+      def partFiles(): Map[String, String] = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val out = scala.collection.mutable.Map[String, String]()
+        java.nio.file.Files.walk(dir).forEach { p =>
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            md.reset()
+            out(dir.relativize(p).toString) =
+              md.digest(java.nio.file.Files.readAllBytes(p))
+                .map("%02x".format(_)).mkString
+          }
+        }
+        out.toMap
+      }
+      val before = partFiles()
+      // takedown of ONE member of cellA: only cellA's partition rewrites
+      val affected = Clustering.deleteFromCellLayout(spark, path,
+        Seq(membersA.head).toDF("id"))
+      assert(affected == Seq(cellA))
+      val after = partFiles()
+      before.filterNot(_._1.startsWith(s"cell=$cellA")).foreach { case (f, h) =>
+        assert(after.get(f).contains(h), s"takedown touched unaffected file $f")
+      }
+      val surviving = spark.read.parquet(path).select("id").as[Long].collect().toSet
+      assert(!surviving(membersA.head), "removed id survived the takedown")
+      assert(membersA.tail.forall(surviving), "takedown dropped an innocent neighbor")
+      assert(membersB.forall(surviving))
+      // takedown of ALL of cellB: its directory must disappear outright
+      // (dynamic overwrite alone would silently leave it behind)
+      val affected2 = Clustering.deleteFromCellLayout(spark, path,
+        membersB.toDF("id"))
+      assert(affected2 == Seq(cellB))
+      assert(!java.nio.file.Files.exists(dir.resolve(s"cell=$cellB")),
+        s"emptied cell=$cellB directory survived")
+      val finalIds = spark.read.parquet(path).select("id").as[Long].collect().toSet
+      assert(membersB.forall(id => !finalIds(id)))
+      assert(finalIds.size == 100 - 1 - membersB.size)
+      // an empty removal set is a no-op that touches nothing
+      val beforeNoop = partFiles()
+      assert(Clustering.deleteFromCellLayout(spark, path,
+        Seq.empty[Long].toDF("id")).isEmpty)
+      assert(partFiles() == beforeNoop)
+    } finally Fs.deleteRecursively(dir)
+  }
+
   test("quantization codebook saves and loads bit-identically") {
     // the bounds are the ONLY decode key for a quantized layout (the
     // floats are not stored) — the persisted artifact must round-trip
