@@ -1108,7 +1108,43 @@ object PointCloudQueries {
       .sort($"cls")
   }
 
+  /** pc35: the PAGED HIERARCHY on the strict oracle path — pc28's
+    * two-tier pruned box census re-read from a layout whose hierarchy
+    * was split into a page GRAPH at write time (`copc.pageentries` far
+    * below the per-file node count, so every file's root page holds
+    * child-page references, the published COPC shape for large
+    * hierarchies: a reader pages in only the subtree its query
+    * touches instead of one monolithic EVLR). The planner must resolve
+    * data entries THROUGH the page references before it can prune
+    * chunks — a lost page, a double-walked reference or a bad absolute
+    * offset drops or double-counts whole voxels and scrambles the
+    * census against pc28's oracle. `copc.nodepoints` is 1/16 of
+    * pc28's so every file's hierarchy outgrows the page budget at the
+    * smallest SF — verified: each sf0.001 file's root page carries
+    * child-page references (CopcSpec pins the graph shape; this entry
+    * grades the read). */
+  private val pc35: Q = (s, d) => {
+    val dir = layoutOnce("pc35", d) { out =>
+      layeredPointFrame(s, d).writeCopc(out,
+        Map("scale" -> "0.001", "copc.nodepoints" -> "256",
+          "copc.files" -> "3", "copc.pageentries" -> "4"))
+    }
+    s.read.las(dir)
+      .where($"x" >= 200 && $"x" <= 900 && $"y" >= 20)
+      .groupBy(($"classification" % 8).cast("int").as("cls"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        sum($"y".cast("bigint")).as("sy"),
+        sum($"z".cast("bigint")).as("sz"),
+        sum($"intensity".cast("bigint")).as("si"),
+        min($"x").as("mnx"), max($"x").as("mxx"),
+        min($"time").as("mnt"), max($"time").as("mxt"))
+      .sort($"cls")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pc35_copc_paged_hierarchy" -> pc35,
     "pc34_copc_compact" -> pc34,
     "pc33_copc_stream_lod" -> pc33,
     "pc32_copc_append" -> pc32,
@@ -1207,6 +1243,28 @@ object PointCloudQueries {
         |  AND (l_partkey % 1000000) >= 20
         |GROUP BY cls ORDER BY cls""".stripMargin
 
+  /** pc28/pc35's shared oracle: the bbox census re-derived from the
+    * source arithmetic — a hash match proves the (flat or paged)
+    * hierarchy resolved every chunk exactly once and the pruning +
+    * record residue stayed exact. One text, two layouts. */
+  private val prunedBoxCensusOracle: String =
+      """SELECT CAST(l_partkey % 64 % 8 AS INT) AS cls,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | CAST(SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS BIGINT) AS sy,
+        | CAST(SUM(CAST(l_suppkey % 1000000 AS BIGINT)) AS BIGINT) AS sz,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si,
+        | MIN(CAST(l_orderkey % 1000000 AS INT)) AS mnx,
+        | MAX(CAST(l_orderkey % 1000000 AS INT)) AS mxx,
+        | MIN(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mnt,
+        | MAX(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mxt
+        |FROM lineitem
+        |WHERE (l_orderkey % 1000000) BETWEEN 200 AND 900
+        |  AND (l_partkey % 1000000) >= 20
+        |GROUP BY cls ORDER BY cls""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // pc28's box census over the FULL source (old slice + appended
     // batch) with the appended membership re-derived from the key
@@ -1266,23 +1324,10 @@ object PointCloudQueries {
     // the same bbox re-derived from the source arithmetic: a hash match
     // proves the octree pruning dropped ONLY out-of-box chunks and the
     // residual record filter kept the census exact
-    "pc28_copc_pruned_scan" ->
-      """SELECT CAST(l_partkey % 64 % 8 AS INT) AS cls,
-        | COUNT(*) AS n,
-        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
-        | CAST(SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS BIGINT) AS sy,
-        | CAST(SUM(CAST(l_suppkey % 1000000 AS BIGINT)) AS BIGINT) AS sz,
-        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si,
-        | MIN(CAST(l_orderkey % 1000000 AS INT)) AS mnx,
-        | MAX(CAST(l_orderkey % 1000000 AS INT)) AS mxx,
-        | MIN(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
-        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mnt,
-        | MAX(CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
-        |     + CAST(l_partkey % 1000000 AS DOUBLE)) AS mxt
-        |FROM lineitem
-        |WHERE (l_orderkey % 1000000) BETWEEN 200 AND 900
-        |  AND (l_partkey % 1000000) >= 20
-        |GROUP BY cls ORDER BY cls""".stripMargin,
+    // pc35 reads the SAME census through a PAGED hierarchy (page-graph
+    // resolution precedes chunk pruning) — one text, two layouts
+    "pc35_copc_paged_hierarchy" -> prunedBoxCensusOracle,
+    "pc28_copc_pruned_scan" -> prunedBoxCensusOracle,
     // every waveform field re-derived from the source rows: a hash match
     // proves the WAVEPACKET13 codec cycle (offset classifier, size /
     // location / direction correctors) is lossless. Floats are integral
