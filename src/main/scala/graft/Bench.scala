@@ -203,7 +203,8 @@ object Bench {
         n.startsWith("ss17") || // build-once quantized two-level layout
         n.startsWith("ss18") || // build-once appended quantized layout
         n.startsWith("dd17") || // train-once persisted two-level model
-        n.startsWith("dd18"))) // build-once post-takedown layout
+        n.startsWith("dd18") || // build-once post-takedown layout
+        n.startsWith("st12"))) // build-once streamed ANN layout
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => } // a broken query still errors in the timed loop
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -213,7 +213,7 @@ object OpsQueries {
   /** The persisted old-slice two-level model, fitted/saved once per
     * dataset dir — dd17's assignment story and ss16's served-append
     * layout both load THIS artifact (train once, serve forever). */
-  private def twoLevelSavedPath(s: SparkSession, d: String): String =
+  private[queries] def twoLevelSavedPath(s: SparkSession, d: String): String =
     twoLevelSaved.computeIfAbsent(d, { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft_twolevel_model")
       Runtime.getRuntime.addShutdownHook(
@@ -441,7 +441,7 @@ object OpsQueries {
     * state (64 doubles), exactly like the centroids it probes. */
   private val queryVecs =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
-  private def queryVec(s: SparkSession, d: String): Seq[Double] =
+  private[queries] def queryVec(s: SparkSession, d: String): Seq[Double] =
     queryVecs.computeIfAbsent(d,
       _ => Tables.embeddings(s, d).filter($"vec_id" === 0)
         .select(transform($"embedding", _.cast("double")))
@@ -704,8 +704,8 @@ object OpsQueries {
     * single-coarse probe silently loses every neighbor that quantized
     * across the nearest coarse Voronoi boundary) and take each
     * descended cell's [[Ss13Probe]] nearest fine centroids. */
-  private final val Ss13Coarse = 2
-  private final val Ss13Probe = 2
+  private[queries] final val Ss13Coarse = 2
+  private[queries] final val Ss13Probe = 2
 
   /** ss13: ANN top-5 through the TWO-LEVEL quantizer — the serve rung
     * of the fourth escalation level (IMI-shaped MULTIPROBE, the shape a
@@ -2485,7 +2485,7 @@ object OpsQueries {
     * trained model (`comp` — exactly what the loaded persisted model
     * serves), then the multiprobe serve + the per-cell appended
     * census. */
-  private val ss16Oracle: String =
+  private[queries] val ss16Oracle: String =
     s"""WITH ${kmeansOracleCtesFor("vec_id <> 0 AND vec_id % 5 <> 1", Some("vec_id <> 0"))},
          |${fineOracleCtesFor(Dd16Fine, fitSrc = "atf", assignSrc = "af", fallback = true)},
          |$twoLevelProbeCtes,

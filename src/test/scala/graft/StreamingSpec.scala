@@ -714,4 +714,64 @@ class StreamingSpec extends SparkTestBase {
     assert(bloomIdx > joinIdx && joinIdx >= 0,
       s"bloom screen must sit under the broadcast join:\n$plan")
   }
+
+  test("AnnIngest epochs land restart-safe files: replay overwrites, new epochs append") {
+    import graft.ops.Clustering
+    import org.apache.spark.sql.functions._
+    val pts = spark.range(1, 81).select($"id",
+        array(($"id" % 11).cast("double"), ($"id" % 7).cast("double")).as("v"))
+      .localCheckpoint(true)
+    val model = Clustering.kmeansTwoLevel(pts, "id", "v", dim = 2, k1 = 3, k2 = 2, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-ingest")
+    try {
+      val path = dir.toString
+      val b0 = pts.filter($"id" <= 40)
+      val b1 = pts.filter($"id" > 40)
+      graft.streaming.AnnIngest.appendBatchIdempotent(b0, 0L, "id", "v", model, path, "tok")
+      def files(): Map[String, String] = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val out = scala.collection.mutable.Map[String, String]()
+        java.nio.file.Files.walk(dir).forEach { p =>
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            md.reset()
+            out(dir.relativize(p).toString) =
+              md.digest(java.nio.file.Files.readAllBytes(p))
+                .map("%02x".format(_)).mkString
+          }
+        }
+        out.toMap
+      }
+      val afterE0 = files()
+      assert(afterE0.nonEmpty)
+      // every landed file carries the (epoch, seq, token) name — the
+      // restart-safe discipline, never a random writer UUID
+      afterE0.keys.foreach { f =>
+        assert(f.matches("cell=\\d+/part-0-\\d+-tok\\.parquet"), f)
+      }
+      // a later epoch appends BESIDE epoch 0, byte-identical old files
+      graft.streaming.AnnIngest.appendBatchIdempotent(b1, 1L, "id", "v", model, path, "tok")
+      val afterE1 = files()
+      afterE0.foreach { case (f, h) => assert(afterE1.get(f).contains(h)) }
+      assert(afterE1.size > afterE0.size)
+      // replaying epoch 1 (the restarted-query shape) changes NOTHING:
+      // same file set, same union census
+      graft.streaming.AnnIngest.appendBatchIdempotent(b1, 1L, "id", "v", model, path, "tok")
+      val afterReplay = files()
+      assert(afterReplay.keySet == afterE1.keySet,
+        s"replay changed the file set: ${afterE1.keySet} -> ${afterReplay.keySet}")
+      val combined = spark.read.parquet(path)
+        .groupBy($"cell").count().as[(Long, Long)].collect().toMap
+      val direct = Clustering.assignCellsTwoLevel(pts, "id", "v", model)
+        .groupBy($"cell").count().as[(Long, Long)].collect().toMap
+      assert(combined == direct)
+      // no staging residue survives a completed epoch
+      val stray = java.nio.file.Files.list(dir).iterator()
+      var hidden = List.empty[String]
+      while (stray.hasNext) {
+        val p = stray.next().getFileName.toString
+        if (p.startsWith(".graft-stage")) hidden ::= p
+      }
+      assert(hidden.isEmpty, s"staging residue: $hidden")
+    } finally Fs.deleteRecursively(dir)
+  }
 }
