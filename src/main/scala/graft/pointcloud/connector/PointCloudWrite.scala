@@ -613,9 +613,12 @@ class LasDataWriter(
   // hierarchy key stays single-entry. LOD layouts keep the old
   // encoding (splitting an interior subsample level into children
   // would collide with the real child-level data). Runs longer than
-  // `copc.overflowbuffer` points (default 8× the cap) flush in bounded
-  // segments — the residue can then share keys again, the documented
-  // memory-bound fallback.
+  // `copc.overflowbuffer` points (default 8× the cap) SPILL to a
+  // task-local temp file and split from disk ([[emitRunFromFile]]), so
+  // single-entry keys hold UNCONDITIONALLY — the option now only sizes
+  // the in-memory buffer, it no longer changes the encoding. The sole
+  // remaining multi-entry residue is a >cap voxel at the depth bound
+  // (level 19 — a cube side of 2·halfsize/2^19).
   //
   // DECLARATION ORDER MATTERS: these read `lazChunkSize`, so they must
   // initialize after it — a forward reference to a later val reads 0
@@ -677,6 +680,18 @@ class LasDataWriter(
     if (compressLaz) new Array[Byte](lazChunkSize * encoder.recordLength) else null
   private var runScratch: Array[Byte] = null
   private var chunkFill = 0
+  // spilled-run state (splittable COPC path): a voxel run past the
+  // in-memory overflow bound streams to a task-local temp file, so even
+  // an arbitrarily dense voxel still splits LEVEL-LOCALLY into
+  // single-entry child keys — the old memory-bound fallback re-shared
+  // hierarchy keys, the one foreign-reader caveat this removes. The
+  // spill lives on the JVM temp dir (task-local scratch disk, the same
+  // class of storage a shuffle spill uses), costs one sequential
+  // write + O(depth) sequential passes, and only ever exists while ONE
+  // overflowing run is open.
+  private var runSpillPath: java.nio.file.Path = null
+  private var runSpillOut: java.io.OutputStream = null
+  private var runSpillCount: Long = 0L
   private val chunkByteCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
   private val chunkPointCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
   // current chunk's target point count: fixed, the plan entry (cycled),
@@ -776,10 +791,24 @@ class LasDataWriter(
     * ([[emitRun]]) so every hierarchy key stays single-entry, the
     * published one-entry-per-node COPC shape. */
   private def flushRun(): Unit = {
-    if (chunkFill > 0) {
+    if (runSpillOut != null) {
+      // the run outgrew the in-memory bound and has been streaming to a
+      // temp file: land the buffered residue, then split the WHOLE run
+      // from disk — single-entry keys regardless of run length
+      if (chunkFill > 0) spillRun()
+      runSpillOut.close()
+      runSpillOut = null
+      val file = runSpillPath
+      val total = runSpillCount
+      runSpillPath = null
+      runSpillCount = 0L
+      emitRunFromFile(file, total, copcLevel, copcCurKey)
+    } else if (chunkFill > 0) {
       emitRun(0, chunkFill, copcLevel, copcCurKey)
+    }
+    if (chunkFill > 0 || runScratch != null) {
       chunkFill = 0
-      // an oversized run grew the buffers up to ~2x the overflow bound;
+      // an oversized run grew the buffers up to the overflow bound;
       // shrink back to the steady-state cap so one dense voxel doesn't
       // pin that footprint for the task's whole lifetime (x concurrent
       // writer tasks per executor)
@@ -787,6 +816,151 @@ class LasDataWriter(
       if (chunkBuf.length > capBytes) chunkBuf = new Array[Byte](capBytes)
       runScratch = null
     }
+  }
+
+  /** Append the buffered records to the open run-spill file (opening it
+    * on first overflow) and recycle the in-memory buffer. */
+  private def spillRun(): Unit = {
+    val rl = encoder.recordLength
+    if (runSpillOut == null) {
+      runSpillPath = java.nio.file.Files.createTempFile("graft-copc-run", ".spill")
+      runSpillOut = new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(runSpillPath), 1 << 16)
+    }
+    runSpillOut.write(chunkBuf, 0, chunkFill * rl)
+    runSpillCount += chunkFill
+    chunkFill = 0
+  }
+
+  /** [[emitRun]] for a run that lives in a SPILL FILE: a subtree that
+    * fits the in-memory bound loads and splits in memory; a larger one
+    * pays one sequential classification pass that partitions it into
+    * ≤ 8 child spill files and recurses a level deeper. Total IO is the
+    * run size × the levels until each subtree fits memory — the
+    * counting-sort recursion of [[emitRun]] restated on files. The only
+    * residue that can still share a hierarchy key is a single voxel AT
+    * THE DEPTH BOUND holding more than a chunk cap — level
+    * [[graft.pointcloud.las.laz.Copc.MaxLodLevel]], a cube side of
+    * 2·halfsize/2^19. Deletes `file` before returning. */
+  private def emitRunFromFile(file: java.nio.file.Path, count: Long,
+      level: Int, key: Long): Unit = {
+    val copcImport = graft.pointcloud.las.laz.Copc
+    val rl = encoder.recordLength
+    try {
+      if (count <= copcOverflowPoints) {
+        val bytes = (count * rl).toInt
+        if (chunkBuf.length < bytes) chunkBuf = new Array[Byte](bytes)
+        val in = java.nio.file.Files.newInputStream(file)
+        try {
+          var off = 0
+          while (off < bytes) {
+            val n = in.read(chunkBuf, off, bytes - off)
+            require(n > 0, s"run spill truncated at $off of $bytes bytes")
+            off += n
+          }
+        } finally in.close()
+        emitRun(0, count.toInt, level, key)
+      } else if (level >= copcImport.MaxLodLevel) {
+        // depth bound: stream the file out as cap-sized chunks under
+        // this deepest key — the one remaining multi-entry residue
+        val in = new java.io.BufferedInputStream(
+          java.nio.file.Files.newInputStream(file), 1 << 16)
+        try {
+          var left = count
+          while (left > 0) {
+            val n = math.min(chunkTarget.toLong, left).toInt
+            var off = 0
+            while (off < n * rl) {
+              val r = in.read(chunkBuf, off, n * rl - off)
+              require(r > 0, s"run spill truncated at $off of ${n * rl} bytes")
+              off += r
+            }
+            val chunk = lazEncoder.encode(chunkBuf, 0, n)
+            body.write(chunk)
+            chunkPointCounts += n.toLong
+            chunkByteCounts += chunk.length.toLong
+            copcChunkKeys += copcImport.packLodKey(level, key)
+            left -= n
+          }
+        } finally in.close()
+      } else {
+        val (kx, ky, kz) = copcImport.unpackKey(key, level)
+        val childLevel = level + 1
+        val side = 2.0 * copcCube(3) / (1 << childLevel)
+        val paths = new Array[java.nio.file.Path](8)
+        val outs = new Array[java.io.OutputStream](8)
+        val cnt = new Array[Long](8)
+        val in = new java.io.BufferedInputStream(
+          java.nio.file.Files.newInputStream(file), 1 << 16)
+        try {
+          val blockRecs = math.max(1, chunkBuf.length / rl)
+          var left = count
+          while (left > 0) {
+            val n = math.min(blockRecs.toLong, left).toInt
+            var off = 0
+            while (off < n * rl) {
+              val r = in.read(chunkBuf, off, n * rl - off)
+              require(r > 0, s"run spill truncated at $off of ${n * rl} bytes")
+              off += r
+            }
+            var i = 0
+            while (i < n) {
+              val o = octantOf(chunkBuf, i * rl, kx, ky, kz, side, childLevel)
+              if (outs(o) == null) {
+                paths(o) = java.nio.file.Files.createTempFile("graft-copc-run", ".spill")
+                outs(o) = new java.io.BufferedOutputStream(
+                  java.nio.file.Files.newOutputStream(paths(o)), 1 << 16)
+              }
+              outs(o).write(chunkBuf, i * rl, rl)
+              cnt(o) += 1
+              i += 1
+            }
+            left -= n
+          }
+        } finally {
+          in.close()
+          outs.foreach(o => if (o != null) o.close())
+        }
+        java.nio.file.Files.deleteIfExists(file)
+        var o = 0
+        while (o < 8) {
+          if (cnt(o) > 0) {
+            val bx = (o >> 2) & 1
+            val by = (o >> 1) & 1
+            val bz = o & 1
+            val ck = copcImport.packKey(2 * kx + bx, 2 * ky + by, 2 * kz + bz, childLevel)
+            emitRunFromFile(paths(o), cnt(o), childLevel, ck)
+          }
+          o += 1
+        }
+      }
+    } finally {
+      try java.nio.file.Files.deleteIfExists(file)
+      catch { case _: Exception => }
+    }
+  }
+
+  /** The child OCTANT of the record at `base` (same ±1-quantum clamp
+    * discipline as the leaf key), shared by the in-memory and spilled
+    * counting sorts. */
+  private def octantOf(buf: Array[Byte], base: Int, kx: Int, ky: Int,
+      kz: Int, side: Double, childLevel: Int): Int = {
+    val copcImport = graft.pointcloud.las.laz.Copc
+    var o = 0
+    var a = 0
+    while (a < 3) {
+      val raw = (buf(base + 4 * a) & 0xff) |
+        ((buf(base + 4 * a + 1) & 0xff) << 8) |
+        ((buf(base + 4 * a + 2) & 0xff) << 16) |
+        ((buf(base + 4 * a + 3) & 0xff) << 24)
+      val w = raw * scale(a) + offset(a)
+      val p = if (a == 0) kx else if (a == 1) ky else kz
+      var ci = copcImport.voxelIdx(w, copcMin(a), side, childLevel)
+      if (ci < 2 * p) ci = 2 * p else if (ci > 2 * p + 1) ci = 2 * p + 1
+      o = (o << 1) | (ci - 2 * p)
+      a += 1
+    }
+    o
   }
 
   /** Emit `count` buffered records (all inside voxel `key` at `level`)
@@ -824,21 +998,7 @@ class LasDataWriter(
       val cnt = new Array[Int](8)
       var i = 0
       while (i < count) {
-        val base = (startRec + i) * rl
-        var o = 0
-        var a = 0
-        while (a < 3) {
-          val raw = (chunkBuf(base + 4 * a) & 0xff) |
-            ((chunkBuf(base + 4 * a + 1) & 0xff) << 8) |
-            ((chunkBuf(base + 4 * a + 2) & 0xff) << 16) |
-            ((chunkBuf(base + 4 * a + 3) & 0xff) << 24)
-          val w = raw * scale(a) + offset(a)
-          val p = if (a == 0) kx else if (a == 1) ky else kz
-          var ci = copcImport.voxelIdx(w, copcMin(a), side, childLevel)
-          if (ci < 2 * p) ci = 2 * p else if (ci > 2 * p + 1) ci = 2 * p + 1
-          o = (o << 1) | (ci - 2 * p)
-          a += 1
-        }
+        val o = octantOf(chunkBuf, (startRec + i) * rl, kx, ky, kz, side, childLevel)
         oct(i) = o.toByte
         cnt(o) += 1
         i += 1
@@ -915,10 +1075,10 @@ class LasDataWriter(
       System.arraycopy(encoder.encode(row), 0, chunkBuf, chunkFill * rl, rl)
       chunkFill += 1
       if (copcSplittable) {
-        // bound hit: split what is buffered; the run's residue may then
-        // share keys with this flush — the documented memory-bound
-        // fallback to the multi-entry encoding
-        if (chunkFill == copcOverflowPoints) flushRun()
+        // bound hit: the run keeps growing on DISK (task-local spill),
+        // so the eventual key-change flush still splits the whole run
+        // level-locally — single-entry keys at any run length
+        if (chunkFill == copcOverflowPoints) spillRun()
       } else if (chunkFill == chunkTarget) flushChunk()
     } else {
       body.write(encoder.encode(row))
@@ -1095,6 +1255,16 @@ class LasDataWriter(
 
   override def abort(): Unit = {
     try body.close() catch { case _: Exception => }
+    // an aborted task may hold an open run spill — release and reap it
+    if (runSpillOut != null) {
+      try runSpillOut.close() catch { case _: Exception => }
+      runSpillOut = null
+    }
+    if (runSpillPath != null) {
+      try java.nio.file.Files.deleteIfExists(runSpillPath)
+      catch { case _: Exception => }
+      runSpillPath = null
+    }
     fs.delete(tmpPath, false)
     fs.delete(finalPath, false)
   }

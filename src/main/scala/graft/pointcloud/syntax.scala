@@ -173,13 +173,15 @@ object syntax {
       * [[writeLaz]]. A voxel whose points overflow `copc.chunkcap`
       * SPLITS LEVEL-LOCALLY into child voxels (recursively), so every
       * hierarchy key stays single-entry — the published
-      * one-entry-per-node shape. Narrow residual caveat: LOD layouts
-      * (`copc.lod`, where splitting an interior subsample level would
-      * collide with real child-level data), leaf levels at the depth
-      * bound, and single-voxel runs past `copc.overflowbuffer` points
-      * (default 8× the cap — the split's memory bound) still fall back
-      * to several chunks sharing one key, which this repo's reader
-      * sums per key but a foreign reader may mishandle.
+      * one-entry-per-node shape; runs past `copc.overflowbuffer`
+      * points (default 8× the cap — the split's in-MEMORY bound) spill
+      * to a task-local temp file and split from disk, so the guarantee
+      * is unconditional on run length. Narrow residual caveat: LOD
+      * layouts (`copc.lod`, where splitting an interior subsample
+      * level would collide with real child-level data) and single
+      * voxels denser than a chunk cap at the depth bound (level 19)
+      * still emit several chunks sharing one key, which this repo's
+      * reader sums per key but a foreign reader may mishandle.
       *
       * `mode = "append"` LANDS this frame as NEW files beside an
       * existing COPC directory without touching the old ones — the

@@ -694,13 +694,36 @@ class CopcSpec extends SparkTestBase {
       assert(pruned.count() ==
         pts.filter($"x" >= 10000 && $"x" <= 25000).count())
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
-    // the memory-bound fallback: a run past copc.overflowbuffer still
-    // lands every point (keys may then repeat — the documented residue)
+    // past copc.overflowbuffer the run SPILLS to a task-local temp file
+    // and still splits level-locally — single-entry keys are now
+    // UNCONDITIONAL on run length (the old memory-bound fallback
+    // re-shared keys; r16's one remaining foreign-reader caveat).
+    // copc.level 0 puts ALL 20000 points in one level-0 voxel run, 20×
+    // the 1024-point buffer — the spill path end to end
     val capped = tmpDir("copc-split-capped")
     pts.coalesce(1).writeCopc(capped, Map("scale" -> "0.01", "copc.level" -> "0",
       "copc.chunkcap" -> "256", "copc.overflowbuffer" -> "1024"))
     assert(spark.read.las(capped).count() == 20000)
     assert(collectAll(spark.read.las(capped)) == collectAll(spark.read.las(twin)))
+    val (cheader, _, cbytes) = lazInfoOf(capped)
+    def creadAt(off: Long, len: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(cbytes, off.toInt, off.toInt + len)
+    val cci = Copc.readInfo(cheader, creadAt).get
+    val cdata = Copc.readDataEntries(cci, creadAt, cbytes.length.toLong)
+    val cdup = cdata.groupBy(e => (e.level, e.x, e.y, e.z)).filter(_._2.size > 1)
+    assert(cdup.isEmpty, s"spilled run re-shared keys: ${cdup.keys.take(3)}")
+    assert(cdata.map(_.pointCount.toLong).sum == 20000L)
+    assert(cdata.forall(_.pointCount <= 256))
+    // no spill residue survives the write
+    val strays = java.nio.file.Files.list(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      .iterator()
+    var leaked = List.empty[String]
+    while (strays.hasNext) {
+      val n = strays.next().getFileName.toString
+      if (n.startsWith("graft-copc-run")) leaked ::= n
+    }
+    assert(leaked.isEmpty, s"run spill files leaked: $leaked")
     // the DEFAULT overflow bound (no option set) on an overflowing run:
     // the r16 probe caught a val-initialization-order bug where the
     // default read a not-yet-initialized chunk cap as 0 and the first
