@@ -794,6 +794,77 @@ class OpsSpec extends SparkTestBase {
       s"PartitionFilters admits cells $admitted, expected <= 4 (topCoarse*nProbe): $pf")
   }
 
+  test("ss18 entry query: quantized append serves partition-pruned, floats absent, clamp measured") {
+    val res = graft.queries.OpsQueries.queries("ss18_quantized_append")(spark, sfDir)
+    val rows = res.collect().toSeq // execute first so AQE finalizes the plan
+    val serve = rows.filter(_.getString(0) == "serve")
+    assert(serve.nonEmpty)
+    // all plan pins scope to the LAYOUT scan line (the ss17 lesson: the
+    // clamp/census sides read other sources with empty filter lists)
+    val plan = res.queryExecution.executedPlan.toString
+    val layoutScan = plan.linesIterator
+      .find(_.contains("graft_quant_append")).getOrElse("")
+    assert(layoutScan.nonEmpty, plan)
+    assert(!layoutScan.contains("embedding"),
+      s"the quantized layout must not carry float embeddings: $layoutScan")
+    // the census proves the append landed: some cell carries appended rows
+    val census = rows.filter(_.getString(0).startsWith("cell_"))
+    assert(census.map(_.getDouble(2)).sum > 0, "append landed no rows")
+    // the bounds-drift cost is measured and non-vacuous at this SF: the
+    // appended batch's extremes fall outside the old-slice codebook
+    val clamp = rows.filter(_.getString(0) == "clamp")
+    assert(clamp.size == 1)
+    assert(clamp.head.getLong(1) > 0, "clamp row is vacuously zero")
+  }
+
+  test("dd18 entry query: takedown serve is partition-pruned and removed ids are gone") {
+    val res = graft.queries.OpsQueries.queries("dd18_takedown")(spark, sfDir)
+    val rows = res.collect().toSeq
+    // no served neighbor and no census id-sum can contain a removed id:
+    // re-derive the census id sums from the post-takedown rule directly
+    val serveIds = rows.filter(_.getString(0) == "serve").map(_.getLong(1))
+    assert(serveIds.nonEmpty)
+    assert(serveIds.forall(id => id % 37 != 5), s"removed id served: $serveIds")
+    val plan = res.queryExecution.executedPlan.toString
+    val layoutScan = plan.linesIterator
+      .find(l => l.contains("graft_takedown") && l.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(layoutScan.nonEmpty, plan)
+    assert(!layoutScan.contains("PartitionFilters: []"), layoutScan)
+  }
+
+  test("st12 entry query: the streamed ANN layout equals the batch append entry exactly") {
+    // one contract, two ingest paths: ss16 (batch append) and st12
+    // (streaming epochs + graded replay) share the oracle; pin the two
+    // ENGINE results equal row for row as well
+    val streamed = graft.SparkEntry.queries("st12_ann_ingest")(spark, sfDir)
+      .collect().toSeq
+    val batch = graft.queries.OpsQueries.queries("ss16_twolevel_append")(spark, sfDir)
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("takedown works on the QUANTIZED layout too — the op is layout-agnostic") {
+    val pts = spark.range(1, 101).select($"id",
+        array(($"id" % 11).cast("double"), ($"id" % 7).cast("double")).as("v"))
+      .localCheckpoint(true)
+    val model = Clustering.kmeansTwoLevel(pts, "id", "v", dim = 2, k1 = 3, k2 = 2, iters = 2)
+    val (lo, span) = Similarity.quantizationBounds(pts, "v", 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-takedown-quant")
+    try {
+      val path = dir.toString
+      Clustering.writeQuantizedByCellTwoLevel(pts, "id", "v", model, lo, span, path)
+      val removals = Seq(3L, 17L, 41L).toDF("id")
+      Clustering.deleteFromCellLayout(spark, path, removals)
+      val surviving = spark.read.parquet(path).select("id").as[Long].collect().toSet
+      assert(Seq(3L, 17L, 41L).forall(!surviving(_)))
+      assert(surviving.size == 97)
+      // the rewritten partitions keep the quantized schema — no float
+      // column appears through the rewrite
+      assert(spark.read.parquet(path).columns.toSet == Set("id", "q", "cell"))
+    } finally Fs.deleteRecursively(dir)
+  }
+
   test("two-level multiprobe mean recall@5 over several queries beats single-coarse") {
     // the rung-4 quality contract over a QUERY SET (ss15 grades one
     // vector bit-for-bit; this pins the average behavior): descending a
