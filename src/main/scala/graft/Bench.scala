@@ -515,6 +515,7 @@ object Bench {
         n.startsWith("ss16") || // build-once appended two-level layout
         n.startsWith("ss17") || // build-once quantized two-level layout
         n.startsWith("ss18") || // build-once appended quantized layout
+        n.startsWith("ss19") || // build-once compacted layout
         n.startsWith("dd17") || // train-once persisted two-level model
         n.startsWith("dd18") || // build-once post-takedown layout
         n.startsWith("st12"))) // build-once streamed ANN layout

@@ -626,6 +626,28 @@ object Clustering {
     affected
   }
 
+  /** COMPACTION for a `cell=`-partitioned serving layout — the third
+    * act of the embedding lake-ops ladder (land → append/stream →
+    * takedown → compact), the [[graft.pointcloud.syntax.compactCopc]]
+    * precedent at the ANN layouts: a season of appends (ss16/ss18) and
+    * streamed epochs (st12's per-epoch files) leaves every `cell=`
+    * directory holding MANY SMALL FILES, and the serve's
+    * partition-pruned scan pays per-file open/footer costs that grow
+    * with ingest history instead of data size. This rewrites the layout
+    * OUT-OF-PLACE into `dst` with exactly one file per cell (one hash
+    * shuffle on the cell key — each cell lands whole in one task), value-
+    * identical rows, same partition scheme, so pruning and every serve
+    * path work unchanged. Schema-agnostic: float (id, embedding, cell)
+    * and quantized (id, q, cell) layouts compact identically.
+    * Out-of-place because a compaction that rewrites under live readers
+    * would race them; the caller swaps directories at its own cadence,
+    * exactly like the COPC compactor. */
+  def compactCellLayout(spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String): Unit =
+    spark.read.parquet(src)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(dst)
+
   /** Persist a trained centroid model as a tiny (k rows) parquet of
     * `(cell, centroid)` — an IVF deployment trains ONCE and serves the
     * model forever; refitting per process re-spends the k-means passes

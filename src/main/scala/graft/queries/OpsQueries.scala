@@ -821,11 +821,14 @@ object OpsQueries {
     * multiprobe ladder. */
   private val twoLevelAppendLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val ss16: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
-    val qv = queryVec(s, d)
-    val loaded = Clustering.loadTwoLevel(s, twoLevelSavedPath(s, d))
-    val path = twoLevelAppendLayouts.computeIfAbsent(d, { _ =>
+  /** ss16/ss19's shared APPENDED (fragmented) layout: the old slice
+    * written through the LOADED persisted model, the new batch appended
+    * — built once per dataset dir, so the compaction entry compacts the
+    * exact layout the append entry grades. */
+  private def twoLevelAppendLayout(s: SparkSession, d: String): String =
+    twoLevelAppendLayouts.computeIfAbsent(d, { _ =>
+      val e = Tables.embeddings(s, d)
+      val loaded = Clustering.loadTwoLevel(s, twoLevelSavedPath(s, d))
       val dir = java.nio.file.Files.createTempDirectory("graft_twolevel_append")
       Runtime.getRuntime.addShutdownHook(
         new Thread(() => graft.Fs.deleteRecursively(dir)))
@@ -840,6 +843,10 @@ object OpsQueries {
         "vec_id", "embedding", loaded, lp, mode = "append")
       lp
     })
+  private val ss16: Q = (s, d) => {
+    val qv = queryVec(s, d)
+    val loaded = Clustering.loadTwoLevel(s, twoLevelSavedPath(s, d))
+    val path = twoLevelAppendLayout(s, d)
     val served = Clustering.ivfTopKServedTwoLevel(s, path, loaded, qv, 5,
         nProbe = Ss13Probe, topCoarse = Ss13Coarse)
       .select(lit("serve").as("part"), $"id".as("a"), round($"sim", 4).as("b"))
@@ -1001,6 +1008,45 @@ object OpsQueries {
         coalesce(sum(when($"nc" > 0, 1.0).otherwise(0.0)), lit(0.0)).as("b"))
       .select(lit("clamp").as("part"), $"a", $"b")
     served.unionByName(census).unionByName(clamp).sort($"part", $"a")
+  }
+
+  /** ss19: COMPACTION of an appended serving layout — the embedding
+    * lake-ops ladder's last act (land ss14 → append ss16/ss18 → stream
+    * st12 → takedown dd18 → COMPACT), pc34's `compactCopc` precedent at
+    * the ANN layouts: a season of appends/epochs leaves every `cell=`
+    * directory holding many small files, and the partition-pruned serve
+    * pays per-file open/footer costs that grow with INGEST HISTORY
+    * instead of data size.
+    * [[graft.ops.Clustering.compactCellLayout]] rewrites ss16's
+    * appended layout out-of-place into one file per cell (one hash
+    * shuffle on the cell key), and this entry serves ss13's multiprobe
+    * query + the appended census from the COMPACTED directory —
+    * graded with ss16's oracle text verbatim, so compaction must be
+    * value-invisible row for row (OpsSpec additionally pins the
+    * one-file-per-cell shape and that pruning still fires). */
+  private val compactedLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ss19: Q = (s, d) => {
+    val qv = queryVec(s, d)
+    val loaded = Clustering.loadTwoLevel(s, twoLevelSavedPath(s, d))
+    val path = compactedLayouts.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_twolevel_compact")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.Fs.deleteRecursively(dir)))
+      val dst = dir.resolve("compact").toString
+      Clustering.compactCellLayout(s, twoLevelAppendLayout(s, d), dst)
+      dst
+    })
+    val served = Clustering.ivfTopKServedTwoLevel(s, path, loaded, qv, 5,
+        nProbe = Ss13Probe, topCoarse = Ss13Coarse)
+      .select(lit("serve").as("part"), $"id".as("a"), round($"sim", 4).as("b"))
+    val census = s.read.parquet(path)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"id" % 5 === 1, 1L).otherwise(0L)).as("nn"))
+      .select(concat(lit("cell_"), $"cell").as("part"),
+        $"n".as("a"), $"nn".cast("double").as("b"))
+    served.unionByName(census).sort($"part", $"a")
   }
 
   /** ss06: batched k-NN join — vectors 1..20 each find their top-3
@@ -1629,6 +1675,7 @@ object OpsQueries {
     "ss16_twolevel_append" -> ss16,
     "ss17_twolevel_quantized" -> ss17,
     "ss18_quantized_append" -> ss18,
+    "ss19_layout_compact" -> ss19,
     "tx01_token_stats" -> tx01,
     "tx02_quality_score" -> tx02,
     "tx03_langid" -> tx03,
@@ -2745,6 +2792,9 @@ object OpsQueries {
     // + model, union quantized/assigned through the loaded artifacts,
     // integer-dot multiprobe serve + census + measured clamp drift
     "ss18_quantized_append" -> ss18Oracle,
+    // ss19 serves ss16's exact contract from the COMPACTED rewrite —
+    // one oracle text, fragmented and compacted layouts both held to it
+    "ss19_layout_compact" -> ss16Oracle,
     "ss05_multiprobe_topk" -> ss05Oracle,
     // ss05's restatement with the metadata predicate applied before the
     // probe — pre-filter semantics stated definitionally

@@ -865,6 +865,52 @@ class OpsSpec extends SparkTestBase {
     } finally Fs.deleteRecursively(dir)
   }
 
+  test("compactCellLayout: one file per cell, value-invisible, pruning intact") {
+    val pts = spark.range(1, 101).select($"id",
+        array(($"id" % 11).cast("double"), ($"id" % 7).cast("double")).as("v"))
+      .localCheckpoint(true)
+    val model = Clustering.kmeansTwoLevel(pts, "id", "v", dim = 2, k1 = 3, k2 = 2, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+    try {
+      val frag = dir.resolve("frag").toString
+      val compact = dir.resolve("compact").toString
+      // a season of ingest: three appended batches, each landing its own
+      // files — at least one cell ends up fragmented
+      Clustering.writePartitionedByCellTwoLevel(
+        pts.filter($"id" % 3 === 0), "id", "v", model, frag)
+      Clustering.writePartitionedByCellTwoLevel(
+        pts.filter($"id" % 3 === 1), "id", "v", model, frag, mode = "append")
+      Clustering.writePartitionedByCellTwoLevel(
+        pts.filter($"id" % 3 === 2), "id", "v", model, frag, mode = "append")
+      def filesPerCell(root: String): Map[String, Int] = {
+        val out = scala.collection.mutable.Map[String, Int]()
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root)).forEach { p =>
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            val cell = p.getParent.getFileName.toString
+            out(cell) = out.getOrElse(cell, 0) + 1
+          }
+        }
+        out.toMap
+      }
+      assert(filesPerCell(frag).values.exists(_ > 1),
+        "test fixture is not fragmented — vacuous")
+      Clustering.compactCellLayout(spark, frag, compact)
+      val fpc = filesPerCell(compact)
+      assert(fpc.nonEmpty && fpc.values.forall(_ == 1),
+        s"compaction must leave one file per cell, got $fpc")
+      assert(fpc.keySet == filesPerCell(frag).keySet)
+      // value-invisible: same rows, cell for cell
+      def rowsOf(root: String) = spark.read.parquet(root)
+        .select($"id", $"cell").as[(Long, Long)].collect().toSeq.sorted
+      assert(rowsOf(compact) == rowsOf(frag))
+      // partition pruning still fires on the compacted layout
+      val pruned = spark.read.parquet(compact).filter($"cell" === 0L)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && !plan.contains("PartitionFilters: []"),
+        plan)
+    } finally Fs.deleteRecursively(dir)
+  }
+
   test("two-level multiprobe mean recall@5 over several queries beats single-coarse") {
     // the rung-4 quality contract over a QUERY SET (ss15 grades one
     // vector bit-for-bit; this pins the average behavior): descending a
