@@ -511,6 +511,7 @@ object Bench {
         n.startsWith("pc33") || // shares pc30's COPC LOD layout
         n.startsWith("pc34") || // build-once fragmented+compacted layout
         n.startsWith("pc35") || // build-once paged-hierarchy layout
+        n.startsWith("pc36") || // build-once post-takedown COPC layout
         n.startsWith("ss14") || // build-once composite-cell served layout
         n.startsWith("ss16") || // build-once appended two-level layout
         n.startsWith("ss17") || // build-once quantized two-level layout

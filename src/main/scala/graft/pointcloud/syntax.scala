@@ -109,6 +109,70 @@ object syntax {
     new PointCloudDataFrame(spark.read.format("las").load(srcDir))
       .writeCopc(outDir, options)
 
+  /** TAKEDOWN from a COPC directory — dd18's legal-removal story at the
+    * point-cloud lake: remove every point whose gpstime falls in
+    * [timeLo, timeHi] WITHOUT a full-lake rewrite. One PRUNED distributed
+    * pass locates the affected files (the info VLR's gps range skips
+    * disjoint files at planning and the octree prunes chunks, so the
+    * locate cost is proportional to the WINDOW's share of the lake, not
+    * the lake); then per affected file: fully-emptied files are deleted
+    * outright, straddling files are rewritten IN PLACE from their
+    * surviving points (own cube/octree over the survivors — the same
+    * per-file-metadata discipline as `writeCopc(mode = "append")`), and
+    * untouched files are never opened, let alone rewritten. The rewrite
+    * loop is driver-sequenced one distributed write per affected file
+    * ([[writePerSource]]'s discipline) — a takedown window touches few
+    * files by construction; a window spanning the whole lake is a
+    * compaction job, use [[compactCopc]] with a filter instead. Null
+    * times never match the window (a legal removal names a concrete
+    * span). Pass the lake's `scale`/`offset` options like
+    * [[compactCopc]]. Returns the affected file paths (rewritten or
+    * deleted). */
+  def deleteFromCopc(spark: org.apache.spark.sql.SparkSession, dir: String,
+      timeLo: Double, timeHi: Double,
+      options: Map[String, String] = Map.empty): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    require(timeLo <= timeHi, s"empty takedown window [$timeLo, $timeHi]")
+    val df = spark.read.format("las").load(dir)
+    val meta = df.schema("fid").metadata
+    require(meta.contains("paths"), "fid column carries no source paths metadata")
+    val paths = meta.getStringArray("paths")
+    val removeP = col("time").isNotNull &&
+      col("time") >= timeLo && col("time") <= timeHi
+    // the pruned locate pass: files disjoint from the window drop at the
+    // gps file-skip tier and never decode a chunk
+    val affected = df.where(removeP).select(col("fid")).distinct()
+      .collect().map(_.getAs[Number](0).intValue).sorted
+    val conf = new org.apache.hadoop.conf.Configuration()
+    affected.map { fid =>
+      val src = paths(fid)
+      val srcPath = new org.apache.hadoop.fs.Path(src)
+      val fs = srcPath.getFileSystem(conf)
+      val survivors = spark.read.format("las").load(src).where(!removeP)
+      if (survivors.isEmpty) {
+        require(fs.delete(srcPath, false), s"takedown failed to delete $src")
+      } else {
+        // in-place rewrite via an out-of-place write + atomic-ish swap:
+        // the new file keeps the ORIGINAL name so directory readers and
+        // any recorded path stay valid
+        val tmp = new org.apache.hadoop.fs.Path(
+          srcPath.getParent, s".graft-takedown-${srcPath.getName}")
+        fs.delete(tmp, true)
+        new PointCloudDataFrame(survivors.coalesce(1))
+          .writeCopc(tmp.toString, options)
+        val produced = fs.listStatus(tmp)
+          .map(_.getPath).filter(_.getName.endsWith(".laz"))
+        require(produced.length == 1,
+          s"takedown rewrite of $src produced ${produced.length} files")
+        fs.delete(srcPath, false)
+        require(fs.rename(produced.head, srcPath),
+          s"takedown failed to swap ${produced.head} -> $src")
+        fs.delete(tmp, true)
+      }
+      src
+    }.toSeq
+  }
+
   /** Dataset-side sugar so callers don't have to repeat the frame:
     * `df.writeLas(path)` etc. */
   implicit class PointCloudDataFrame(private val df: DataFrame) extends AnyVal {

@@ -1008,6 +1008,45 @@ object PointCloudQueries {
       .sort($"cls")
   }
 
+  /** pc36: COPC TAKEDOWN — dd18's legal-removal story at the point-cloud
+    * lake: a gpstime window is REMOVED from pc31's banded appended
+    * layout through [[graft.pointcloud.syntax.deleteFromCopc]] — one
+    * PRUNED locate pass (gps file-skip + octree chunk pruning make it
+    * proportional to the window's share of the lake), then only the
+    * straddling band-1 files are rewritten IN PLACE from their
+    * survivors (the window [2e6, 2e6+100] removes roughly the low-y
+    * half of band 1 at the smallest SF, so the rewrite path is
+    * genuinely exercised — a full-band window would only ever delete
+    * whole files); the three disjoint bands are never opened (CopcSpec
+    * pins untouched files byte-identical and whole-band deletion). The
+    * graded census runs over the ENTIRE post-takedown directory with NO
+    * residual filter — the takedown itself must have removed exactly
+    * the window — and the oracle anti-filters the same tm arithmetic,
+    * so one leaked or over-deleted record scrambles a group. */
+  private val pc36: Q = (s, d) => {
+    val dir = layoutOnce("pc36", d) { out =>
+      val pts = timeBandedFrame(s, d)
+      (0 until 4).foreach { b =>
+        pts.filter($"user" === b).writeCopc(out,
+          Map("scale" -> "0.001", "copc.nodepoints" -> "4096"),
+          mode = if (b == 0) "overwrite" else "append")
+      }
+      // the takedown is part of the build-once fixture: the graded
+      // operation is the post-takedown read
+      graft.pointcloud.syntax.deleteFromCopc(s, out, 2000000.0, 2000100.0,
+        Map("scale" -> "0.001", "copc.nodepoints" -> "4096"))
+    }
+    s.read.las(dir)
+      .groupBy(($"classification" % 8).cast("int").as("cls"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("bigint")).as("sx"),
+        sum($"y".cast("bigint")).as("sy"),
+        sum($"intensity".cast("bigint")).as("si"),
+        min($"time").as("mnt"), max($"time").as("mxt"))
+      .sort($"cls")
+  }
+
   /** pc32: COPC APPEND — the point-cloud twin of ss12's train-once-
     * append story, and the operation a living 100-TB lake performs
     * daily: a NEW batch (x ≡ 1 mod 5, i.e. l_orderkey % 5 = 1) lands
@@ -1144,6 +1183,7 @@ object PointCloudQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "pc36_copc_takedown" -> pc36,
     "pc35_copc_paged_hierarchy" -> pc35,
     "pc34_copc_compact" -> pc34,
     "pc33_copc_stream_lod" -> pc33,
@@ -1266,6 +1306,26 @@ object PointCloudQueries {
         |GROUP BY cls ORDER BY cls""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // pc36: the takedown window anti-filtered from the same tm
+    // arithmetic as pc31's oracle — the post-takedown directory must
+    // hold EXACTLY the out-of-window rows, nothing residual on the
+    // Spark side
+    "pc36_copc_takedown" ->
+      """WITH t AS (
+        |  SELECT l_partkey, l_orderkey, l_linenumber,
+        |    CAST(l_linenumber % 4 AS DOUBLE) * 2000000
+        |      + CAST(l_orderkey % 1000000 AS DOUBLE) * 0.001
+        |      + CAST(l_partkey % 1000000 AS DOUBLE) AS tm
+        |  FROM lineitem)
+        |SELECT CAST(l_partkey % 64 % 8 AS INT) AS cls,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_orderkey % 1000000 AS BIGINT)) AS BIGINT) AS sx,
+        | CAST(SUM(CAST(l_partkey % 1000000 AS BIGINT)) AS BIGINT) AS sy,
+        | CAST(SUM(CAST(l_linenumber % 32000 AS BIGINT)) AS BIGINT) AS si,
+        | MIN(tm) AS mnt, MAX(tm) AS mxt
+        |FROM t
+        |WHERE NOT (tm >= 2000000 AND tm <= 2000100)
+        |GROUP BY cls ORDER BY cls""".stripMargin,
     // pc28's box census over the FULL source (old slice + appended
     // batch) with the appended membership re-derived from the key
     // arithmetic (1e6 % 5 = 0, so x % 5 = l_orderkey % 5): a hash match

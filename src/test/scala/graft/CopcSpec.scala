@@ -736,6 +736,58 @@ class CopcSpec extends SparkTestBase {
     assert(collectAll(spark.read.las(dflt)) == collectAll(spark.read.las(twin)))
   }
 
+  test("deleteFromCopc: straddled files rewritten in place, disjoint untouched, emptied deleted") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("copc-takedown")
+    val pts = fmt6Points(8000)
+      .withColumn("time", ($"x" % 2).cast("double") * lit(1000000.0) +
+        $"y".cast("double"))
+    // two time bands in two appended files
+    pts.filter($"x" % 2 === 0).coalesce(1).writeCopc(dir,
+      Map("scale" -> "0.01", "copc.nodepoints" -> "2048"))
+    pts.filter($"x" % 2 === 1).coalesce(1).writeCopc(dir,
+      Map("scale" -> "0.01", "copc.nodepoints" -> "2048"), mode = "append")
+    def files(): Map[String, String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".laz"))
+        .map { f =>
+          md.reset()
+          f.getName -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = files()
+    assert(before.size == 2)
+    // a window INSIDE band 1: the band-1 file must be rewritten in
+    // place (same name, different bytes), the band-0 file untouched
+    val touched = graft.pointcloud.syntax.deleteFromCopc(spark, dir,
+      1000000.0, 1000400.0, Map("scale" -> "0.01", "copc.nodepoints" -> "2048"))
+    assert(touched.size == 1, s"expected 1 touched file, got $touched")
+    val after = files()
+    assert(after.keySet == before.keySet, "in-place rewrite must keep filenames")
+    val changed = after.filter { case (f, h) => before(f) != h }.keys.toSeq
+    assert(changed.size == 1 && touched.head.endsWith(changed.head))
+    // value contract: exactly the anti-filtered source survives —
+    // compared through a reference write of the expected survivors so
+    // both sides flow through the identical encode/decode path
+    val expect = pts.filter(!($"time" >= 1000000.0 && $"time" <= 1000400.0))
+    val twin = tmpDir("copc-takedown-twin")
+    expect.coalesce(1).writeCopc(twin, Map("scale" -> "0.01", "copc.nodepoints" -> "2048"))
+    assert(spark.read.las(dir).count() == expect.count())
+    assert(collectAll(spark.read.las(dir)) == collectAll(spark.read.las(twin)))
+    // a window covering ALL of band 0: its file is deleted outright
+    val touched2 = graft.pointcloud.syntax.deleteFromCopc(spark, dir,
+      0.0, 999999.0, Map("scale" -> "0.01", "copc.nodepoints" -> "2048"))
+    assert(touched2.size == 1)
+    assert(files().size == 1, "a fully-emptied file must disappear")
+    assert(spark.read.las(dir).count() ==
+      pts.filter($"x" % 2 === 1 &&
+        !($"time" >= 1000000.0 && $"time" <= 1000400.0)).count())
+    // an all-missing window is a no-op
+    assert(graft.pointcloud.syntax.deleteFromCopc(spark, dir,
+      9e9, 9.1e9, Map("scale" -> "0.01")).isEmpty)
+  }
+
   test("a legal chunkcap past 2^22 with no explicit overflowbuffer still writes") {
     // the default overflow bound used to be min(8*cap, 2^22), which for
     // caps in (2^22, 2^24] fell BELOW the cap and aborted the write with
