@@ -146,6 +146,11 @@ object syntax {
     val conf = new org.apache.hadoop.conf.Configuration()
     affected.map { fid =>
       val src = paths(fid)
+      // the in-place swap below writes a COPC .laz body — renaming it
+      // under a .las/.xyz name would corrupt a mixed directory, so the
+      // takedown refuses loudly rather than guessing
+      require(src.endsWith(".laz"),
+        s"deleteFromCopc only rewrites COPC .laz files, found affected $src")
       val srcPath = new org.apache.hadoop.fs.Path(src)
       val fs = srcPath.getFileSystem(conf)
       val survivors = spark.read.format("las").load(src).where(!removeP)
