@@ -791,7 +791,8 @@ class LasDataWriter(
     * ([[emitRun]]) so every hierarchy key stays single-entry, the
     * published one-entry-per-node COPC shape. */
   private def flushRun(): Unit = {
-    if (runSpillOut != null) {
+    val spilled = runSpillOut != null
+    if (spilled) {
       // the run outgrew the in-memory bound and has been streaming to a
       // temp file: land the buffered residue, then split the WHOLE run
       // from disk — single-entry keys regardless of run length
@@ -806,12 +807,14 @@ class LasDataWriter(
     } else if (chunkFill > 0) {
       emitRun(0, chunkFill, copcLevel, copcCurKey)
     }
-    if (chunkFill > 0 || runScratch != null) {
+    if (chunkFill > 0 || runScratch != null || spilled) {
       chunkFill = 0
-      // an oversized run grew the buffers up to the overflow bound;
-      // shrink back to the steady-state cap so one dense voxel doesn't
-      // pin that footprint for the task's whole lifetime (x concurrent
-      // writer tasks per executor)
+      // an oversized run grew the buffers up to the overflow bound
+      // (spilled runs reach it even when every subtree then emitted
+      // without a counting sort — chunkFill zeroed, runScratch never
+      // allocated); shrink back to the steady-state cap so one dense
+      // voxel doesn't pin that footprint for the task's whole lifetime
+      // (x concurrent writer tasks per executor)
       val capBytes = lazChunkSize * encoder.recordLength
       if (chunkBuf.length > capBytes) chunkBuf = new Array[Byte](capBytes)
       runScratch = null
@@ -890,6 +893,12 @@ class LasDataWriter(
         val paths = new Array[java.nio.file.Path](8)
         val outs = new Array[java.io.OutputStream](8)
         val cnt = new Array[Long](8)
+        // if the classification pass or a child recursion throws, the
+        // already-created sibling child spill files must not leak on the
+        // JVM temp dir (abort() only reaps runSpillPath) — reap them all
+        // here; children that completed deleted their own file already,
+        // so deleteIfExists is a no-op for them
+        try {
         val in = new java.io.BufferedInputStream(
           java.nio.file.Files.newInputStream(file), 1 << 16)
         try {
@@ -932,6 +941,14 @@ class LasDataWriter(
             emitRunFromFile(paths(o), cnt(o), childLevel, ck)
           }
           o += 1
+        }
+        } finally {
+          paths.foreach { p =>
+            if (p != null) {
+              try java.nio.file.Files.deleteIfExists(p)
+              catch { case _: Exception => }
+            }
+          }
         }
       }
     } finally {
@@ -1053,7 +1070,12 @@ class LasDataWriter(
         // from writeCopc; unsorted input stays CORRECT — every key run
         // still gets key-pure chunks — just with more, smaller chunks)
         val key = copcKeyOf(row)
-        if (chunkFill > 0 && key != copcCurKey) {
+        // the run is "open" if records are buffered OR spilled to disk
+        // (after spillRun, chunkFill is 0 while runSpillOut stays open —
+        // a run whose length is an exact multiple of the overflow bound
+        // must still flush on key change, or the next voxel's records
+        // would merge into the previous voxel's spilled run)
+        if ((chunkFill > 0 || runSpillOut != null) && key != copcCurKey) {
           if (copcSplittable) flushRun() else flushChunk()
         }
         copcCurKey = key

@@ -159,7 +159,13 @@ object syntax {
       } else {
         // in-place rewrite via an out-of-place write + atomic-ish swap:
         // the new file keeps the ORIGINAL name so directory readers and
-        // any recorded path stay valid
+        // any recorded path stay valid. Crash-safety ordering: the
+        // original is RENAMED to a visible backup (non-.laz suffix, so
+        // directory readers skip it) BEFORE the swap and deleted only
+        // after the swap succeeds — a crash mid-swap leaves either the
+        // original in place or the backup recoverable by renaming
+        // `<name>.takedown-bak` back; at no point is the only copy of
+        // the source under a hidden temp name
         val tmp = new org.apache.hadoop.fs.Path(
           srcPath.getParent, s".graft-takedown-${srcPath.getName}")
         fs.delete(tmp, true)
@@ -169,9 +175,17 @@ object syntax {
           .map(_.getPath).filter(_.getName.endsWith(".laz"))
         require(produced.length == 1,
           s"takedown rewrite of $src produced ${produced.length} files")
-        fs.delete(srcPath, false)
-        require(fs.rename(produced.head, srcPath),
-          s"takedown failed to swap ${produced.head} -> $src")
+        val bak = new org.apache.hadoop.fs.Path(
+          srcPath.getParent, s"${srcPath.getName}.takedown-bak")
+        fs.delete(bak, false)
+        require(fs.rename(srcPath, bak),
+          s"takedown failed to back up $src -> $bak")
+        if (!fs.rename(produced.head, srcPath)) {
+          // restore the original before failing — no data-loss window
+          fs.rename(bak, srcPath)
+          sys.error(s"takedown failed to swap ${produced.head} -> $src")
+        }
+        fs.delete(bak, false)
         fs.delete(tmp, true)
       }
       src

@@ -931,6 +931,53 @@ class CopcSpec extends SparkTestBase {
     assert(reached.getMessage.contains("reached readAt"))
   }
 
+  test("spilled run length an exact multiple of the overflow bound still flushes on key change") {
+    // after spillRun, chunkFill is 0 while the spill file stays open: a
+    // key change arriving exactly at that boundary must still flush the
+    // run, or the next voxel's records append into the PREVIOUS voxel's
+    // spill and the merged run is emitted under the later key — chunks
+    // then claim points outside their voxel (octantOf clamps them into
+    // the wrong subtree) and bbox chunk pruning silently drops rows.
+    // 2048 low-x points (= 2 × overflowbuffer exactly) then 1024 high-x
+    // points (also an exact multiple, so the bug fires whichever voxel
+    // sorts first)
+    val dir = tmpDir("copc-exact-spill")
+    val pts = spark.range(3072).select(
+      when(col("id") < 2048, (col("id") % 997).cast("int"))
+        .otherwise((lit(60000) + col("id") % 997).cast("int")).as("x"),
+      lit(0).cast("int").as("y"),
+      lit(0).cast("int").as("z"),
+      (col("id") % 4096).cast("short").as("intensity"),
+      (((col("id") % 7) + 1) + lit(7 * 16)).cast("byte").as("return"),
+      ((col("id") % 2) * 16).cast("byte").as("flags"),
+      (col("id") % 64).cast("byte").as("classification"),
+      lit(0).cast("byte").as("user"),
+      ((col("id") % 3600) - 1800).cast("short").as("angle"),
+      (col("id") % 3).cast("short").as("source"),
+      (col("id").cast("double") * 0.25).as("time"))
+    pts.coalesce(1).writeCopc(dir, Map("scale" -> "0.01", "copc.level" -> "1",
+      "copc.chunkcap" -> "256", "copc.overflowbuffer" -> "1024"))
+    assert(spark.read.las(dir).count() == 3072)
+    // structural pin: BOTH x-halves of the octree hold entries (a merged
+    // run lands entirely under one level-1 voxel's subtree)
+    val (header, _, bytes) = lazInfoOf(dir)
+    def readAt(off: Long, len: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+    val ci = Copc.readInfo(header, readAt).get
+    val data = Copc.readDataEntries(ci, readAt, bytes.length.toLong)
+    assert(data.map(_.pointCount.toLong).sum == 3072L)
+    val deep = data.filter(_.level >= 1)
+    assert(deep.exists(e => e.x < (1 << (e.level - 1))),
+      "no hierarchy entry in the low-x half: runs merged across the key change")
+    assert(deep.exists(e => e.x >= (1 << (e.level - 1))),
+      "no hierarchy entry in the high-x half: runs merged across the key change")
+    val dup = data.groupBy(e => (e.level, e.x, e.y, e.z)).filter(_._2.size > 1)
+    assert(dup.isEmpty, s"multi-entry keys: ${dup.keys.take(3)}")
+    // behavioral pin: chunk pruning answers exactly under both clusters
+    assert(spark.read.las(dir).where($"x" <= 1000).count() == 2048)
+    assert(spark.read.las(dir).where($"x" >= 59000).count() == 1024)
+  }
+
   test("COPC survives schema-merged multi-file reads and header file-skip still applies") {
     val dir = tmpDir("copc-multi")
     val pts = fmt6Points(12000)
