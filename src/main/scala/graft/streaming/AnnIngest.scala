@@ -57,28 +57,54 @@ object AnnIngest {
     // the replay rule, step 1: remove every file this (token, epoch)
     // pair landed in a previous attempt — the batch content is the
     // checkpoint's replayed offsets, but its FILE SPLIT need not be
-    // byte-reproducible, so delete-then-land is the robust idempotence
-    val namePat = s"^part-$epochId-\\d+-$queryToken\\.parquet$$".r
-    fs.listStatus(root).iterator
+    // byte-reproducible, so delete-then-land is the robust idempotence.
+    // Cleanup is confined to the cells this epoch TOUCHES — the staged
+    // cell set (assignment through the loaded model is deterministic, so
+    // a replayed batch stages exactly the cells its previous attempt
+    // landed in) unioned with the epoch's manifest from that previous
+    // attempt (belt-and-braces for a crash between promote and manifest
+    // write) — never a listing of all k1·k2 `cell=` directories: at
+    // production cell counts that full listing is 10^5 metadata calls
+    // per micro-batch for a cleanup that only ever matches files in the
+    // epoch's own cells.
+    val stagedCells = fs.listStatus(stage).iterator
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .foreach { d =>
-        fs.listStatus(d.getPath).iterator
+      .map(_.getPath.getName).toSeq
+    val manifest = new Path(root, s".graft-manifest-$queryToken-$epochId")
+    val prevCells: Seq[String] =
+      if (!fs.exists(manifest)) Seq.empty
+      else {
+        val in = fs.open(manifest)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toList
+        finally in.close()
+      }
+    val namePat = s"^part-$epochId-\\d+-$queryToken\\.parquet$$".r
+    (stagedCells ++ prevCells).distinct.foreach { name =>
+      val d = new Path(root, name)
+      if (fs.exists(d))
+        fs.listStatus(d).iterator
           .filter(f => namePat.findFirstIn(f.getPath.getName).isDefined)
           .foreach(f => fs.delete(f.getPath, false))
-      }
+    }
     // step 2: promote the staged files under their deterministic names
-    fs.listStatus(stage).iterator
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .foreach { d =>
-        val dest = new Path(root, d.getPath.getName)
-        fs.mkdirs(dest)
-        val files = fs.listStatus(d.getPath).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        files.zipWithIndex.foreach { case (src, i) =>
-          val dst = new Path(dest, s"part-$epochId-$i-$queryToken.parquet")
-          require(fs.rename(src, dst), s"promote $src -> $dst failed")
-        }
+    stagedCells.foreach { name =>
+      val dest = new Path(root, name)
+      fs.mkdirs(dest)
+      val files = fs.listStatus(new Path(stage, name)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (src, i) =>
+        val dst = new Path(dest, s"part-$epochId-$i-$queryToken.parquet")
+        require(fs.rename(src, dst), s"promote $src -> $dst failed")
       }
+    }
+    // step 3: record the epoch's cell set — the tiny per-epoch manifest a
+    // replay's cleanup consults (one file of `cell=` names, written AFTER
+    // promote so a crash mid-epoch leaves the previous attempt's manifest
+    // in place for the next replay)
+    val out = fs.create(manifest, true)
+    try out.write(stagedCells.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
     fs.delete(stage, true)
   }
 }

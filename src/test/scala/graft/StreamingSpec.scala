@@ -774,4 +774,53 @@ class StreamingSpec extends SparkTestBase {
       assert(hidden.isEmpty, s"staging residue: $hidden")
     } finally Fs.deleteRecursively(dir)
   }
+
+  test("AnnIngest replay cleanup is confined to the epoch's manifest cells") {
+    import graft.ops.Clustering
+    import org.apache.spark.sql.functions._
+    val pts = spark.range(1, 81).select($"id",
+        array(($"id" % 11).cast("double"), ($"id" % 7).cast("double")).as("v"))
+      .localCheckpoint(true)
+    val model = Clustering.kmeansTwoLevel(pts, "id", "v", dim = 2, k1 = 3, k2 = 2, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-manifest")
+    try {
+      val path = dir.toString
+      val b0 = pts.filter($"id" <= 40)
+      val b1 = pts.filter($"id" > 40)
+      graft.streaming.AnnIngest.appendBatchIdempotent(b0, 0L, "id", "v", model, path, "tok")
+      graft.streaming.AnnIngest.appendBatchIdempotent(b1, 1L, "id", "v", model, path, "tok")
+      // the per-epoch manifest exists and lists EXACTLY the cells the
+      // epoch landed in — the set a replay's cleanup is confined to
+      // (never a listing of every cell= dir in the layout)
+      val manifest = dir.resolve(".graft-manifest-tok-1")
+      assert(java.nio.file.Files.exists(manifest), "epoch manifest missing")
+      val listed = scala.io.Source.fromFile(manifest.toFile, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
+      val expected = Clustering.assignCellsTwoLevel(b1, "id", "v", model)
+        .select($"cell").distinct().as[Long].collect()
+        .map(c => s"cell=$c").toSet
+      assert(listed == expected, s"manifest $listed != epoch cells $expected")
+      def files(): Set[String] = {
+        val out = scala.collection.mutable.Set[String]()
+        java.nio.file.Files.walk(dir).forEach { p =>
+          if (p.getFileName.toString.endsWith(".parquet"))
+            out += dir.relativize(p).toString
+        }
+        out.toSet
+      }
+      val before = files()
+      // crash shape: the previous attempt promoted its files but died
+      // before writing the manifest — the deterministic staged cell set
+      // alone must still overwrite every replayed file in place
+      java.nio.file.Files.delete(manifest)
+      graft.streaming.AnnIngest.appendBatchIdempotent(b1, 1L, "id", "v", model, path, "tok")
+      assert(files() == before, "manifest-less replay changed the file set")
+      assert(java.nio.file.Files.exists(manifest), "replay must rewrite the manifest")
+      val census = spark.read.parquet(path)
+        .groupBy($"cell").count().as[(Long, Long)].collect().toMap
+      val direct = Clustering.assignCellsTwoLevel(pts, "id", "v", model)
+        .groupBy($"cell").count().as[(Long, Long)].collect().toMap
+      assert(census == direct, "replay duplicated or lost rows")
+    } finally Fs.deleteRecursively(dir)
+  }
 }
