@@ -319,13 +319,38 @@ object Dedup extends org.apache.spark.internal.Logging {
     * label self-join + one hash-agg shuffle per round; throws instead of
     * returning silently-split components if the cap is ever hit.
     */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  /** Driver-side edge budget for [[connectedComponents]]' local path:
+    * up to this many (undirected) edges the component labeling runs as
+    * one collect + union-find on the driver — bounded state (16 bytes an
+    * edge ≈ 64 MB at the cap, the broadcast-join class of driver
+    * footprint), the same measured-count dispatch as the Bloom screen
+    * and LSH geometry. Past it the distributed label-propagation loop
+    * below is the only shape that scales. The local path exists because
+    * the loop's cost at ANY graph size has a floor of
+    * rounds × (2 joins + 1 agg + 1 checkpoint + 1 collect) jobs —
+    * measured 1.5–4 s of pure scheduling on sub-thousand-edge graphs
+    * (dd07/dd08/tx08) that the driver labels in microseconds. */
+  final val LocalCcMaxEdges: Long = 1L << 22
+
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame =
+    connectedComponents(pairs, maxIterations, LocalCcMaxEdges)
+
+  /** [[connectedComponents]] with an explicit local-path budget — the
+    * spec hook (pass 0 to force the distributed loop; production callers
+    * use the default). */
+  private[graft] def connectedComponents(pairs: DataFrame, maxIterations: Int,
+      localMaxEdges: Long): DataFrame = {
     // undirected edge list, materialized once — every iteration joins
     // against it, and without the checkpoint each round would re-execute
     // the whole upstream pair-generation pipeline
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(eager = true)
+    // measured-count dispatch: a bounded edge set is labeled on the
+    // driver in one pass (value-identical — min id per component either
+    // way; OpsSpec pins the two paths against each other)
+    val edgeCount = edges.count()
+    if (edgeCount <= localMaxEdges) return localConnectedComponents(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     var converged = false
@@ -360,6 +385,58 @@ object Dedup extends org.apache.spark.internal.Logging {
         s"connectedComponents did not converge in $maxIterations rounds; " +
           "results would be silently split — raise maxIterations")
     labels.select(col("label").as("rep"), col("id").as("member"))
+  }
+
+  /** The driver-local path of [[connectedComponents]]: one collect of the
+    * (already measured-bounded) edge list, union-find with path
+    * compression, components labeled by their minimal member id — the
+    * exact value contract of the distributed loop. Output column types
+    * mirror the input's id type so the dispatch is schema-invisible. */
+  private def localConnectedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val idType = edges.schema("src").dataType
+    val rows = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+    // boxed map: a primitive-typed java.util.HashMap would silently
+    // unbox a missing-key null to 0 and alias every new id to node 0
+    val idx = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def nodeOf(id: Long): Int = {
+      val existing = idx.get(id)
+      if (existing != null) existing.intValue
+      else { val i = ids.length; idx.put(id, i); ids += id; i }
+    }
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    rows.foreach { r =>
+      val a = nodeOf(r.getLong(0)); val b = nodeOf(r.getLong(1))
+      while (parent.length < ids.length) parent += parent.length
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    // minimal member id per component root
+    val minOf = new java.util.HashMap[Int, Long]()
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (!minOf.containsKey(r) || ids(i) < cur) minOf.put(r, ids(i))
+      i += 1
+    }
+    val out = (0 until ids.length).map(j => (minOf.get(find(j)).longValue, ids(j)))
+    val df = out.toDF("rep", "member")
+      .select(col("rep").cast(idType).as("rep"),
+        col("member").cast(idType).as("member"))
+    // the distributed loop's columns are nullable (join-produced); the
+    // dispatch must be schema-invisible down to nullability — a Verify
+    // parquet dump flips optional->required otherwise
+    spark.createDataFrame(df.rdd,
+      org.apache.spark.sql.types.StructType(df.schema.map(_.copy(nullable = true))))
   }
 
   /** Embedding near-dup pairs via banded-LSH blocking — the plan that

@@ -664,6 +664,30 @@ class OpsSpec extends SparkTestBase {
       (10L, 10L), (10L, 11L), (20L, 20L), (20L, 21L)))
   }
 
+  test("connected components: driver-local union-find equals the distributed loop") {
+    // a hash-derived random graph with chains, cliques, isolated pairs
+    // and a long path (pointer-jumping stressor) — the local path (the
+    // measured-count default at this size) must be row-identical to the
+    // distributed label-propagation loop it replaces below the budget
+    val pairs = spark.range(1, 400).select(
+        pmod(xxhash64($"id"), lit(300)).as("id_a"),
+        pmod(xxhash64($"id" * 7 + 3), lit(300)).as("id_b"))
+      .filter($"id_a" =!= $"id_b")
+      .unionByName(spark.range(1000, 1100).select(
+        $"id".as("id_a"), ($"id" + 1).as("id_b"))) // 100-long path
+      .localCheckpoint(true)
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    val distributed = Dedup.connectedComponents(pairs, 20, localMaxEdges = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(local == distributed,
+      s"paths disagree: onlyLocal=${(local -- distributed).take(5)} " +
+        s"onlyDist=${(distributed -- local).take(5)}")
+    // schema-invisible dispatch: same column names and types
+    assert(Dedup.connectedComponents(pairs).schema ==
+      Dedup.connectedComponents(pairs, 20, localMaxEdges = 0).schema)
+  }
+
   test("deterministic k-means: assignment is partition-invariant and cells partition the data") {
     val corpus = embs.filter($"vec_id" =!= 0)
     val c1 = Clustering.kmeans(corpus, "vec_id", "embedding", 64, 8, 2)
