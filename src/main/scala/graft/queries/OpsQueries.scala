@@ -1119,7 +1119,7 @@ object OpsQueries {
   /** tx05: character-bigram frequency profile — the n-gram statistics
     * layer under language/quality heuristics. */
   private val tx05: Q = (s, d) =>
-    Tables.documents(s, d)
+    Tables.fanOut(Tables.documents(s, d))
       .select(explode(graft.functions.exprs.char_ngrams($"text", 2)).as("bg"))
       .groupBy($"bg")
       .agg(count(lit(1)).as("n"))

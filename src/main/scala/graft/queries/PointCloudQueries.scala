@@ -678,7 +678,7 @@ object PointCloudQueries {
   private val pc23: Q = (s, d) => {
     val pts = layeredPointFrame(s, d)
     val dir = tmpDir("pc23", d)
-    pts.writeLaz(dir, Map("scale" -> "0.001", "laz.chunkSize" -> "8192"))
+    Tables.fanOut(pts).writeLaz(dir, Map("scale" -> "0.001", "laz.chunkSize" -> "8192"))
     s.read.las(dir)
       .groupBy(expr("cast(flags as bigint) div 16 % 4").as("channel"))
       .agg(
@@ -783,7 +783,7 @@ object PointCloudQueries {
       (($"l_suppkey" % 200) - 100).cast("float").as("yt"),
       (($"l_orderkey" % 200) - 100).cast("float").as("zt"))
     val dir = tmpDir("pc26", d)
-    pts.writeLaz(dir, Map("scale" -> "0.001", "laz.chunkSize" -> "8192"))
+    Tables.fanOut(pts).writeLaz(dir, Map("scale" -> "0.001", "laz.chunkSize" -> "8192"))
     s.read.las(dir)
       .groupBy($"index".cast("int").as("widx"))
       .agg(
