@@ -144,7 +144,17 @@ object syntax {
     val affected = df.where(removeP).select(col("fid")).distinct()
       .collect().map(_.getAs[Number](0).intValue).sorted
     val conf = new org.apache.hadoop.conf.Configuration()
-    affected.map { fid =>
+    // per-file rewrites are INDEPENDENT Spark jobs (each reads only its
+    // own source file and swaps only its own path), so they run from a
+    // small driver thread pool — the optimization-guide §2.6 shape: the
+    // next file's locate/encode tasks back-fill executors freed by the
+    // previous file's coalesce(1) tail instead of serializing a
+    // many-file takedown behind one single-task write at a time. Result
+    // order (and each file's bytes, derived only from its own
+    // survivors) is unchanged; failures propagate like the serial
+    // loop's (first failing file throws, files already swapped stay
+    // swapped — each swap is individually crash-safe via its backup).
+    def rewriteOne(fid: Int): String = {
       val src = paths(fid)
       // the in-place swap below writes a COPC .laz body — renaming it
       // under a .las/.xyz name would corrupt a mixed directory, so the
@@ -189,7 +199,22 @@ object syntax {
         fs.delete(tmp, true)
       }
       src
-    }.toSeq
+    }
+    if (affected.length <= 1) affected.map(rewriteOne).toSeq
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, affected.length))
+      try {
+        val futures = affected.map(fid =>
+          pool.submit(new java.util.concurrent.Callable[String] {
+            override def call(): String = rewriteOne(fid)
+          }))
+        futures.map(_.get()).toSeq
+      } catch {
+        // unwrap so callers see the same exception type as the serial path
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      } finally pool.shutdown()
+    }
   }
 
   /** Dataset-side sugar so callers don't have to repeat the frame:

@@ -788,6 +788,41 @@ class CopcSpec extends SparkTestBase {
       9e9, 9.1e9, Map("scale" -> "0.01")).isEmpty)
   }
 
+  test("deleteFromCopc: a window straddling several files rewrites them concurrently, value-identical") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("copc-takedown-par")
+    // four time bands in four appended files: band k holds
+    // times k*1e6 + y (y in [0, 900))
+    val pts = fmt6Points(8000)
+      .withColumn("time", ($"x" % 4).cast("double") * lit(1000000.0) +
+        $"y".cast("double"))
+    val opts = Map("scale" -> "0.01", "copc.nodepoints" -> "2048")
+    (0 until 4).foreach { k =>
+      pts.filter($"x" % 4 === k).coalesce(1).writeCopc(dir, opts,
+        mode = if (k == 0) "overwrite" else "append")
+    }
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".laz")) == 4)
+    // one contiguous window straddling EVERY band's file ([500, 3000400]
+    // covers band 0 partially from y >= 500, bands 1-2 fully, band 3 up
+    // to y <= 400) — the >1-affected-files path runs the rewrites from
+    // the driver pool; band 1 and 2's files are deleted outright, bands
+    // 0 and 3 rewritten in place
+    val removeLo = 500.0
+    val removeHi = 3000400.0
+    val touched = graft.pointcloud.syntax.deleteFromCopc(spark, dir,
+      removeLo, removeHi, opts)
+    assert(touched.size == 4, s"expected all 4 files affected, got $touched")
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".laz")) == 2,
+      "fully-covered band files must be deleted")
+    // value contract: exactly the anti-filtered source survives, via a
+    // reference write through the identical encode/decode path
+    val expect = pts.filter(!($"time" >= removeLo && $"time" <= removeHi))
+    val twin = tmpDir("copc-takedown-par-twin")
+    expect.coalesce(1).writeCopc(twin, opts)
+    assert(spark.read.las(dir).count() == expect.count())
+    assert(collectAll(spark.read.las(dir)) == collectAll(spark.read.las(twin)))
+  }
+
   test("a legal chunkcap past 2^22 with no explicit overflowbuffer still writes") {
     // the default overflow bound used to be min(8*cap, 2^22), which for
     // caps in (2^22, 2^24] fell BELOW the cap and aborted the write with
