@@ -165,6 +165,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // fork-free local FS (chmod/readlink shell-outs dominate the
+      // micro-batch and task-commit floor without the native lib)
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.hadoop.NoForkLocalFileSystem].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[graft.hadoop.NoForkLocalFs].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated name-prefix filter, for iterating on one

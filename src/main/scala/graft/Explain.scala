@@ -13,6 +13,12 @@ object Explain {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fork-free local FS (chmod/readlink shell-outs dominate the
+      // micro-batch and task-commit floor without the native lib)
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.hadoop.NoForkLocalFileSystem].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[graft.hadoop.NoForkLocalFs].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries

@@ -25,7 +25,7 @@ class BinarySectionColumnarReader(p: BinaryPartition, readSchema: StructType,
     p.littleEndian, sectionSchema, p.stride)
 
   private val path = new Path(p.location)
-  private val in = path.getFileSystem(new Configuration()).open(path)
+  private val in = path.getFileSystem(LocalIo.conf).open(path)
   in.seek(p.sectionOffset + p.startRecord * p.stride)
 
   private val batchSize: Int =
@@ -101,7 +101,7 @@ class LazSectionColumnarReader(p: LazPartition, readSchema: StructType,
   private val chunkDecoder = new graft.pointcloud.las.laz.LazChunkDecoder(p.format, p.stride)
 
   private val path = new Path(p.location)
-  private val in = path.getFileSystem(new Configuration()).open(path)
+  private val in = path.getFileSystem(LocalIo.conf).open(path)
 
   private val batchSize: Int =
     math.max(1, p.chunkCounts.foldLeft(0L)(math.max).toInt)

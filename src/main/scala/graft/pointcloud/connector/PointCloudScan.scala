@@ -883,7 +883,7 @@ class BinarySectionReader(p: BinaryPartition, readSchema: StructType,
   private val decoder = new RecordDecoder(section, readSchema, p.fid)
 
   private val path = new Path(p.location)
-  private val in = path.getFileSystem(new Configuration()).open(path)
+  private val in = path.getFileSystem(LocalIo.conf).open(path)
   in.seek(p.sectionOffset + p.startRecord * p.stride)
 
   // chunked reads: ~4 MiB of whole records at a time
@@ -939,7 +939,7 @@ class LazSectionReader(p: LazPartition, readSchema: StructType,
   private val chunkDecoder = new graft.pointcloud.las.laz.LazChunkDecoder(p.format, p.stride)
 
   private val path = new Path(p.location)
-  private val in = path.getFileSystem(new Configuration()).open(path)
+  private val in = path.getFileSystem(LocalIo.conf).open(path)
 
   private var chunkIdx = -1
   private var buf: ByteBuffer = _
@@ -988,7 +988,7 @@ class XyzReader(p: XyzPartition, readSchema: StructType)
   private val fileSchema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
   private val path = new Path(p.location)
   private val reader = new BufferedReader(new InputStreamReader(
-    path.getFileSystem(new Configuration()).open(path), "UTF-8"))
+    path.getFileSystem(LocalIo.conf).open(path), "UTF-8"))
 
   private val row = new SpecificInternalRow(readSchema)
   // for each output field: source token index (or -1 for fid/pid/absent)

@@ -141,7 +141,7 @@ class PointCloudMicroBatchStream(
 
   private def listFiles(): Seq[String] =
     PointCloudUtil.expandPaths(
-      PointCloudUtil.explicitPaths(options), kind, new Configuration()).sorted
+      PointCloudUtil.explicitPaths(options), kind, LocalIo.conf).sorted
 
   /** File set frozen by `prepareForTriggerAvailableNow`: under
     * `Trigger.AvailableNow` only these files are ever admitted, and the
@@ -195,7 +195,7 @@ class PointCloudMicroBatchStream(
           .foldLeft(0L)(math.max)
         if (need > 0L) {
           val p = new Path(path)
-          val len = p.getFileSystem(new Configuration()).getFileStatus(p).getLen
+          val len = p.getFileSystem(LocalIo.conf).getFileStatus(p).getLen
           if (len < need) throw new java.io.IOException(
             s"file is $len bytes but the header promises $need (mid-copy?)")
         }

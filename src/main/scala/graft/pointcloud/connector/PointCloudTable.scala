@@ -92,7 +92,7 @@ abstract class PointCloudProvider extends TableProvider
     val key = cacheKey(options)
     val c = cached
     if (c != null && c._1 == key) return c._2
-    val conf = new Configuration()
+    val conf = LocalIo.conf
     val files = PointCloudUtil.expandPaths(PointCloudUtil.explicitPaths(options), kind, conf)
     // Header reads are tiny metadata IO, but a 100 TB dataset is ~1e5
     // files and a serial driver loop is 1e5 sequential storage round
@@ -180,7 +180,7 @@ abstract class PointCloudProvider extends TableProvider
   /** Per-file sections for the streaming source (header read per batch). */
   private[connector] def streamSections(path: String,
       options: CaseInsensitiveStringMap): Seq[FileSection] =
-    readSections(path, options, new Configuration())
+    readSections(path, options, LocalIo.conf)
 }
 
 /** One resolved section of one file: the record geometry plus any

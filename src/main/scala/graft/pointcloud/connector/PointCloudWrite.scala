@@ -85,7 +85,7 @@ class PointCloudStreamingWrite(
 
   private val token = PointCloudStreamingWrite.queryToken(queryId)
 
-  private def fs(): FileSystem = new Path(path).getFileSystem(new Configuration())
+  private def fs(): FileSystem = new Path(path).getFileSystem(LocalIo.conf)
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
@@ -187,7 +187,7 @@ class PointCloudBatchWrite(
     truncate: Boolean)
   extends BatchWrite {
 
-  private def fs(): FileSystem = new Path(path).getFileSystem(new Configuration())
+  private def fs(): FileSystem = new Path(path).getFileSystem(LocalIo.conf)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val f = fs()
@@ -402,7 +402,7 @@ class KeyedDataWriter(
     if (current != null) { current.abort(); current = null }
     // per-key files already finalized by this task must not survive a
     // task abort — they never reach the job-level abort's message list
-    val fs = new Path(dir).getFileSystem(new Configuration())
+    val fs = new Path(dir).getFileSystem(LocalIo.conf)
     done.foreach(WriterUtil.deleteOutputs(fs, _))
   }
 
@@ -646,13 +646,13 @@ class LasDataWriter(
       ob
     }
 
-  private val conf = new Configuration()
+  private val conf = LocalIo.conf
   private val base = baseName.getOrElse(
     WriterUtil.defaultBase(options, queryId, partitionId, taskId))
   private val finalPath = new Path(dir, s"$base.${if (compressLaz) "laz" else "las"}")
   private val tmpPath = new Path(dir, s".graft-tmp-$queryId/$base-$partitionId-$taskId.pdr")
   private val fs = finalPath.getFileSystem(conf)
-  private val body = new DataOutputStream(new BufferedOutputStream(fs.create(tmpPath, true), 1 << 16))
+  private val body = new DataOutputStream(new BufferedOutputStream(LocalIo.create(fs, tmpPath), 1 << 16))
 
   private val encoder = new RecordEncoder(fileSchema, inputSchema, littleEndian = true)
 
@@ -1239,7 +1239,7 @@ class LasDataWriter(
     // final name appears atomically, so a crash mid-commit can never
     // leave a partial file under a name readers pick up
     val finPath = new Path(tmpPath.getParent, tmpPath.getName + ".fin")
-    val out = new DataOutputStream(new BufferedOutputStream(fs.create(finPath, true), 1 << 16))
+    val out = new DataOutputStream(new BufferedOutputStream(LocalIo.create(fs, finPath), 1 << 16))
     try {
       header.write(out)
       if (vlrBytes.nonEmpty) out.write(vlrBytes)
@@ -1251,7 +1251,7 @@ class LasDataWriter(
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(tableOffset)
         out.write(ob.array())
       }
-      val in = fs.open(tmpPath)
+      val in = LocalIo.open(fs, tmpPath)
       try {
         val buf = new Array[Byte](1 << 20)
         var n = in.read(buf)
@@ -1264,14 +1264,10 @@ class LasDataWriter(
     } finally out.close()
     // a crashed earlier attempt may have left a stale file under the
     // final name (keyed writes derive it from the KEY, not the taskId);
-    // rename does not overwrite, so clear the destination first — the
-    // window between delete and rename exposes an absent name, never a
-    // partial file
-    fs.delete(finalPath, false)
-    if (!fs.rename(finPath, finalPath)) {
-      throw new java.io.IOException(s"failed to finalize $finPath -> $finalPath")
-    }
-    fs.delete(tmpPath, false)
+    // LocalIo.rename replaces it atomically (Hadoop fallback: delete
+    // first — an absent-name window, never a partial file)
+    LocalIo.rename(fs, finPath, finalPath)
+    LocalIo.delete(fs, tmpPath)
     LasPartMessage(finalPath.toString, count)
   }
 
@@ -1287,8 +1283,8 @@ class LasDataWriter(
       catch { case _: Exception => }
       runSpillPath = null
     }
-    fs.delete(tmpPath, false)
-    fs.delete(finalPath, false)
+    LocalIo.delete(fs, tmpPath)
+    LocalIo.delete(fs, finalPath)
   }
 
   override def close(): Unit = ()
@@ -1313,13 +1309,13 @@ class PlyDataWriter(
   private val littleEndian = !options.get("bigendian").contains("true")
   private val merge = options.get("merge").contains("true")
 
-  private val conf = new Configuration()
+  private val conf = LocalIo.conf
   private val base = baseName.getOrElse(
     WriterUtil.defaultBase(options, queryId, partitionId, taskId))
   private val bodyPath = new Path(dir, s".graft-tmp-$queryId/$base-$partitionId-$taskId.$element.body")
   private val finalPath = new Path(dir, s"$base.ply")
   private val fs = bodyPath.getFileSystem(conf)
-  private val body = new DataOutputStream(new BufferedOutputStream(fs.create(bodyPath, true), 1 << 16))
+  private val body = new DataOutputStream(new BufferedOutputStream(LocalIo.create(fs, bodyPath), 1 << 16))
   private val encoder = new RecordEncoder(dataSchema, inputSchema, littleEndian)
   private var count = 0L
 
@@ -1337,29 +1333,26 @@ class PlyDataWriter(
       // header+body assembled in the temp dir, renamed into place — the
       // final name appears atomically (see LasDataWriter.commit)
       val finPath = new Path(bodyPath.getParent, bodyPath.getName + ".fin")
-      val out = new DataOutputStream(new BufferedOutputStream(fs.create(finPath, true), 1 << 16))
+      val out = new DataOutputStream(new BufferedOutputStream(LocalIo.create(fs, finPath), 1 << 16))
       try {
         out.write(header.headerText.getBytes(StandardCharsets.US_ASCII))
-        val in = fs.open(bodyPath)
+        val in = LocalIo.open(fs, bodyPath)
         try {
           val buf = new Array[Byte](1 << 20)
           var n = in.read(buf)
           while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
         } finally in.close()
       } finally out.close()
-      fs.delete(finalPath, false) // stale keyed final from a crashed attempt (see LAS)
-      if (!fs.rename(finPath, finalPath)) {
-        throw new java.io.IOException(s"failed to finalize $finPath -> $finalPath")
-      }
-      fs.delete(bodyPath, false)
+      LocalIo.rename(fs, finPath, finalPath)
+      LocalIo.delete(fs, bodyPath)
       PlyPartMessage(finalPath.toString, count, dataSchema.json)
     }
   }
 
   override def abort(): Unit = {
     try body.close() catch { case _: Exception => }
-    fs.delete(bodyPath, false)
-    fs.delete(finalPath, false)
+    LocalIo.delete(fs, bodyPath)
+    LocalIo.delete(fs, finalPath)
   }
 
   override def close(): Unit = ()
@@ -1392,8 +1385,8 @@ class XyzDataWriter(
     WriterUtil.defaultBase(options, queryId, partitionId, taskId))
   private val finalPath = new Path(dir, s"$base.xyz")
   private val tmpPath = new Path(dir, s".graft-tmp-$queryId/$base-$partitionId-$taskId.txt")
-  private val fs = finalPath.getFileSystem(new Configuration())
-  private val out = new DataOutputStream(new BufferedOutputStream(fs.create(tmpPath, true), 1 << 16))
+  private val fs = finalPath.getFileSystem(LocalIo.conf)
+  private val out = new DataOutputStream(new BufferedOutputStream(LocalIo.create(fs, tmpPath), 1 << 16))
   private var count = 0L
   private val sb = new StringBuilder
 
@@ -1413,17 +1406,14 @@ class XyzDataWriter(
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    fs.delete(finalPath, false) // stale keyed final from a crashed attempt (see LAS)
-    if (!fs.rename(tmpPath, finalPath)) {
-      throw new java.io.IOException(s"failed to finalize $tmpPath -> $finalPath")
-    }
+    LocalIo.rename(fs, tmpPath, finalPath)
     XyzPartMessage(finalPath.toString, count)
   }
 
   override def abort(): Unit = {
     try out.close() catch { case _: Exception => }
-    fs.delete(tmpPath, false)
-    fs.delete(finalPath, false)
+    LocalIo.delete(fs, tmpPath)
+    LocalIo.delete(fs, finalPath)
   }
 
   override def close(): Unit = ()

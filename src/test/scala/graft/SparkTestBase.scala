@@ -23,5 +23,9 @@ object SparkTestBase {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.hadoop.fs.file.impl",
+      classOf[graft.hadoop.NoForkLocalFileSystem].getName)
+    .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+      classOf[graft.hadoop.NoForkLocalFs].getName)
     .getOrCreate()
 }
