@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console RAW: the default LoggedOutput
+// strategy prefixes every program line with "[info] ", which turns the
+// Bench result line into `[info] {...}` — unparseable as a bare JSON
+// line by anything that splits the captured tail on newlines.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -2,9 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{name:sec,...}}, also
+  * prints a JSON line {"metric":...,"queries":{name:sec,...}}, also
   * written to ./bench.json so a truncated stdout tail can't lose the
-  * structured result. Per-query time is the median of
+  * structured result. stdout ends with a SLIM copy of that line (same
+  * metric/value/unit/queries/sf, minus run_totals/queries_min/rows/
+  * sf1_probe) sized to fit the driver's bounded tail capture — the
+  * verbose line outgrew it in r17/r18 and the driver parsed nothing. Per-query time is the median of
   * SPARK_GRAFT_BENCH_RUNS passes (default 3, BASELINE.md protocol),
   * rounded to 1 ms to keep the line short. A short untimed warmup (one
   * scan-shaped query) absorbs session/codegen startup; each pass runs
@@ -615,6 +618,24 @@ object Bench {
     catch { case _: Throwable => }
     try spark.stop()
     catch { case _: Throwable => }
+    // The driver captures only a bounded TAIL of stdout and parses the
+    // JSON line out of it; the verbose line above grew past that window
+    // (BENCH_r17/r18: parsed=null — the driver saw only the back half of
+    // a ~10 KB line). So stdout now ends with a SLIM line that carries
+    // the contract fields (metric/value/unit/queries/sf), the min-based
+    // total, the per-pass CPU calibrations and the testdata schema hash —
+    // ~4.4 KB for 159 queries, inside the capture window. Everything
+    // dropped from it (run_totals, queries_min, per-table rows, the
+    // sf1_probe block) still lands in ./bench.json and in the committed
+    // bench_history.jsonl, and the verbose line is printed FIRST so a
+    // full log keeps both. Measurement methodology is unchanged — this
+    // is output framing only (OPTIMIZATION_r19.md "bench line fix").
+    val slim =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+        s""""total_min":$totalMin,"calib":$calibJson,"calib_mt":$calibMtJson,""" +
+        s""""schema_hash":"$schemaHash",""" +
+        s""""queries":$qs$errJson$filterJson,"sf":"$sfDir"}"""
     println(line)
+    println(slim)
   }
 }

@@ -43,9 +43,12 @@ object ProfStream {
           .takeWhile(_ != '\n').take(70))
       }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val j = jobOfStage.get(t.stageId)
-        val a = taskMs.get(j)
-        if (a != null && t.taskInfo != null) a.addAndGet(t.taskInfo.duration)
+        // untracked stage (resubmitted/speculative): drop the task rather
+        // than let the null Integer unbox to job 0 and skew its taskSum
+        if (jobOfStage.containsKey(t.stageId)) {
+          val a = taskMs.get(jobOfStage.get(t.stageId))
+          if (a != null && t.taskInfo != null) a.addAndGet(t.taskInfo.duration)
+        }
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         val start = t0.getOrDefault(j.jobId, 0L)

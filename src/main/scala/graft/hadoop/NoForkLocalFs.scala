@@ -17,10 +17,13 @@ import org.apache.hadoop.fs.permission.FsPermission
   * forks, not the data, dominating the per-micro-batch floor.
   *
   * Overrides, both value-preserving on a local FS:
-  *  - `setPermission` is a no-op: the JVM already creates files at
-  *    0666 & umask, which is exactly the default-permission chmod Hadoop
-  *    issues; only a caller requesting a NON-default mode would observe
-  *    a difference, and nothing in this engine does.
+  *  - `setPermission` is a no-op ONLY for the default modes (file 666,
+  *    dir 777, raw or umask-applied): the JVM already creates files at
+  *    0666 & umask, which is exactly what the default-permission chmod
+  *    would set. A caller requesting a NON-default mode (e.g. a 700
+  *    staging dir) falls through to the real chmod instead of being
+  *    silently dropped — nothing in this engine does today, but the
+  *    class is registered session-wide.
   *  - `getFileLinkStatus` answers from `getFileStatus` (no readlink
   *    fork): the engine writes no symlinks, and for a regular file both
   *    calls return the same status.
@@ -29,12 +32,26 @@ import org.apache.hadoop.fs.permission.FsPermission
   * classes never engage. Registered via `fs.file.impl` (FileSystem API)
   * and `fs.AbstractFileSystem.file.impl` (FileContext API, the one
   * streaming checkpoints use). Note the FileContext binding replaces the
-  * checksummed `LocalFs`: Spark's streaming checkpoints carry their own
-  * checksum layer, so dropping Hadoop's duplicate `.crc` sidecars loses
-  * no integrity coverage.
+  * checksummed `LocalFs`, so FileContext writes (streaming offset/commit
+  * logs) lose their `.crc` sidecars: those logs are ephemeral
+  * run-to-completion artifacts here (fresh checkpoint per query, deleted
+  * after), where a crc sidecar buys nothing — not because another layer
+  * checksums them.
   */
 class NoForkRawLocalFileSystem extends RawLocalFileSystem {
-  override def setPermission(p: Path, permission: FsPermission): Unit = ()
+  // computed once per FS instance (after initialize has set the conf) —
+  // the hot create path must not re-parse the umask per file
+  private lazy val defaultModes: Set[Short] = {
+    val umask = FsPermission.getUMask(getConf)
+    Set(
+      FsPermission.getFileDefault.toShort,
+      FsPermission.getDirDefault.toShort,
+      FsPermission.getFileDefault.applyUMask(umask).toShort,
+      FsPermission.getDirDefault.applyUMask(umask).toShort)
+  }
+  override def setPermission(p: Path, permission: FsPermission): Unit =
+    if (permission != null && !defaultModes.contains(permission.toShort))
+      super.setPermission(p, permission)
   override def getFileLinkStatus(f: Path): FileStatus = getFileStatus(f)
   override def supportsSymlinks(): Boolean = false
 }

@@ -596,7 +596,23 @@ object Clustering {
       path: String, removals: DataFrame, idCol: String = "id"): Seq[Long] = {
     val layout = spark.read.parquet(path)
     val rm = removals.select(col(idCol).as("__rm_id")).distinct()
-    val affected = layout.join(rm, layout("id") === col("__rm_id"), "left_semi")
+    // Middle-rung locate pruning: every ingest path already writes
+    // per-file min/max `id` statistics into the parquet FOOTERS for
+    // free, so the locate pass first reads those (metadata only, no
+    // data pages) and keeps just the cells whose some file's [min, max]
+    // id range can contain a removal id. On a corpus whose ids cluster
+    // by cell this prunes the locate scan to a strict subset of files;
+    // on an id-scattered layout every cell stays candidate and the only
+    // cost is the footer reads (KB-scale each). Files without usable
+    // stats make their cell unconditionally candidate — never a
+    // correctness term. The semi-join below then confirms candidates
+    // against the actual rows, so false candidates only cost IO.
+    val locateSrc = takedownCandidateCells(spark, path, rm) match {
+      case Some(cells) if cells.isEmpty => layout.filter(lit(false))
+      case Some(cells) => layout.filter(col("cell").isin(cells: _*))
+      case None => layout
+    }
+    val affected = locateSrc.join(rm, locateSrc("id") === col("__rm_id"), "left_semi")
       .select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted.toIndexedSeq
     if (affected.nonEmpty) {
@@ -625,6 +641,90 @@ object Clustering {
     }
     affected
   }
+
+  /** The cells whose files' footer id ranges can contain a removal id
+    * (plus every cell with a stats-less file) — the locate scan's
+    * candidate set; `None` = stats unavailable, scan the whole layout.
+    * Package-private so the spec can pin "strict subset on a
+    * clustered-id corpus" directly. `rm` must expose the removal ids as
+    * `__rm_id`. */
+  private[graft] def takedownCandidateCells(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, rm: DataFrame): Option[Seq[Long]] =
+    fileIdStats(spark, path).map { stats =>
+      val always = stats.collect { case (cell, None) => cell }.distinct
+      val ranged = stats.collect { case (cell, Some((mn, mx))) => (cell, mn, mx) }
+      val hit =
+        if (ranged.isEmpty) Seq.empty[Long]
+        else {
+          import spark.implicits._
+          val statsDf = broadcast(ranged.toDF("__cell", "__fmin", "__fmax"))
+          rm.join(statsDf,
+              col("__rm_id").cast("long") >= col("__fmin") &&
+                col("__rm_id").cast("long") <= col("__fmax"))
+            .select(col("__cell")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+        }
+      (always ++ hit).distinct.sorted
+    }
+
+  /** Per-file `id`-range stats for a `cell=`-partitioned layout, read
+    * from the parquet FOOTERS (metadata pages only — the statistics
+    * every writer in this engine already emits for the int64 id column,
+    * so the takedown's locate pruning costs the ingest paths nothing).
+    * Returns one `(cell, Some((min, max)))` entry per data file, or
+    * `(cell, None)` for a file whose id stats are missing/untyped
+    * (that cell must stay unconditionally candidate); `None` overall
+    * when the layout cannot be listed/footer-read at all — the caller
+    * then keeps the full-layout locate scan. */
+  private def fileIdStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Seq[(Long, Option[(Long, Long)])]] =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      val files = fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .flatMap { d =>
+          val cell = d.getPath.getName.stripPrefix("cell=").toLong
+          fs.listStatus(d.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(f => (cell, f.getPath))
+        }
+      Some(files.toSeq.map { case (cell, p) =>
+        val range: Option[(Long, Long)] =
+          try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              import scala.jdk.CollectionConverters._
+              var mn = Long.MaxValue
+              var mx = Long.MinValue
+              var usable = true
+              for (b <- r.getFooter.getBlocks.asScala if b.getRowCount > 0) {
+                b.getColumns.asScala.find(_.getPath.toDotString == "id") match {
+                  case Some(c) => c.getStatistics match {
+                    case s: org.apache.parquet.column.statistics.LongStatistics
+                        if s.hasNonNullValue =>
+                      mn = math.min(mn, s.genericGetMin)
+                      mx = math.max(mx, s.genericGetMax)
+                    case s: org.apache.parquet.column.statistics.IntStatistics
+                        if s.hasNonNullValue =>
+                      mn = math.min(mn, s.genericGetMin.toLong)
+                      mx = math.max(mx, s.genericGetMax.toLong)
+                    case _ => usable = false
+                  }
+                  case None => usable = false
+                }
+              }
+              if (usable && mn <= mx) Some((mn, mx))
+              else if (usable) Some((0L, -1L)) // zero-row file: matches nothing
+              else None
+            } finally r.close()
+          } catch { case _: Exception => None }
+        (cell, range)
+      })
+    } catch { case _: Exception => None }
 
   /** COMPACTION for a `cell=`-partitioned serving layout — the third
     * act of the embedding lake-ops ladder (land → append/stream →

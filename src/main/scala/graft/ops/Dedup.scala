@@ -348,17 +348,32 @@ object Dedup extends org.apache.spark.internal.Logging {
       .localCheckpoint(eager = true)
     // measured-count dispatch: a bounded edge set is labeled on the
     // driver in one pass (value-identical — min id per component either
-    // way; OpsSpec pins the two paths against each other)
+    // way; OpsSpec pins the two paths against each other). Guarded on an
+    // INTEGRAL id type: the local path round-trips ids through Long
+    // (nodeOf/minOf), which would silently corrupt string or fractional
+    // ids — those fall through to the type-agnostic distributed loop.
+    val integralIds = edges.schema("src").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     val edgeCount = edges.count()
-    if (edgeCount <= localMaxEdges) return localConnectedComponents(edges)
+    if (integralIds && edgeCount <= localMaxEdges)
+      return localConnectedComponents(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     var converged = false
     var i = 0
-    // per-id labels are monotone non-increasing (each round takes a min
-    // that includes the old label), so the label sum strictly decreases
-    // iff any label changed — convergence needs no old-vs-new join, just
-    // one cheap aggregate over the already-materialized checkpoint
+    // numeric ids: per-id labels are monotone non-increasing (each round
+    // takes a min that includes the old label), so the label sum strictly
+    // decreases iff any label changed — convergence needs no old-vs-new
+    // join, just one cheap aggregate over the already-materialized
+    // checkpoint. Non-numeric ids (strings — no sound numeric embedding
+    // of their ordering) pay an explicit old-vs-new comparison join
+    // instead; they only reach here, the distributed loop being the one
+    // path that never reinterprets the id type.
+    val numericIds = edges.schema("src").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     var prevSum: java.math.BigDecimal = null
     while (!converged && i < maxIterations) {
       val viaEdges = edges.join(labels, edges("dst") === labels("id"))
@@ -371,13 +386,21 @@ object Dedup extends org.apache.spark.internal.Logging {
       val lut = hop.select(col("id").as("lut_id"), col("label").as("lut_label"))
       val next = hop.join(lut, col("label") === col("lut_id"))
         .select(col("id"), least(col("label"), col("lut_label")).as("label"))
+      val prevLabels = labels
       labels = next.localCheckpoint(eager = true) // cut the growing lineage
-      val sum = labels
-        .agg(coalesce(org.apache.spark.sql.functions.sum(col("label").cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")))
-        .head().getDecimal(0)
-      converged = prevSum != null && sum.compareTo(prevSum) == 0
-      prevSum = sum
+      if (numericIds) {
+        val sum = labels
+          .agg(coalesce(org.apache.spark.sql.functions.sum(col("label").cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")))
+          .head().getDecimal(0)
+        converged = prevSum != null && sum.compareTo(prevSum) == 0
+        prevSum = sum
+      } else {
+        converged = labels.as("n")
+          .join(prevLabels.as("p"), col("n.id") === col("p.id"))
+          .filter(col("n.label") =!= col("p.label"))
+          .isEmpty
+      }
       i += 1
     }
     if (!converged)

@@ -75,14 +75,21 @@ private[pointcloud] object LocalIo {
       Files.deleteIfExists(nio(crcSidecar(p)))
     } else { fs.delete(p, false); () }
 
-  /** Atomically move `src` over `dst` (same directory in every caller).
-    * POSIX rename replaces the destination, so unlike the Hadoop path
-    * there is no absent-name window; throws on failure like the callers'
-    * existing rename-failed branch. */
+  /** Atomically move `src` over `dst` (same filesystem/mount in every
+    * caller — the writers rename from a temp subdirectory into its
+    * parent output dir). POSIX rename replaces the destination, so
+    * unlike the Hadoop path there is no absent-name window; throws on
+    * failure like the callers' existing rename-failed branch. A
+    * cross-mount destination (no atomic rename possible) falls back to
+    * a copy-then-delete move rather than failing where the Hadoop path
+    * would have copied. */
   def rename(fs: FileSystem, src: Path, dst: Path): Unit =
     if (isLocal(fs)) {
       Files.deleteIfExists(nio(crcSidecar(dst)))
-      Files.move(nio(src), nio(dst), StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(nio(src), nio(dst), StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(nio(src), nio(dst), StandardCopyOption.REPLACE_EXISTING)
+      }
       ()
     } else {
       fs.delete(dst, false)

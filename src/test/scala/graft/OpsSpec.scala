@@ -534,6 +534,37 @@ class OpsSpec extends SparkTestBase {
     } finally Fs.deleteRecursively(dir)
   }
 
+  test("takedown locate prunes to candidate cells via parquet footer id stats") {
+    // clustered-id layout: cell c holds exactly ids [25c, 25c+24], so the
+    // per-file footer min/max id stats (written for free by every parquet
+    // write) must prune the locate scan to a STRICT subset of cells
+    val dir = java.nio.file.Files.createTempDirectory("graft-takedown-stats")
+    try {
+      val path = dir.toString
+      spark.range(0, 100)
+        .select($"id", ($"id" % 5).cast("double").as("payload"),
+          ($"id" / 25).cast("long").as("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(path)
+      val rm = Seq(30L, 31L).toDF("id").select($"id".as("__rm_id"))
+      val cand = Clustering.takedownCandidateCells(spark, path, rm)
+      assert(cand.contains(Seq(1L)),
+        s"expected locate candidates [1] on a clustered-id corpus, got $cand")
+      // a removal id outside every file's range prunes the locate to zero
+      val none = Clustering.takedownCandidateCells(spark, path,
+        Seq(1000L).toDF("id").select($"id".as("__rm_id")))
+      assert(none.contains(Seq.empty[Long]), s"got $none")
+      // the value contract holds through the pruned locate path
+      val affected = Clustering.deleteFromCellLayout(spark, path,
+        Seq(30L, 31L).toDF("id"))
+      assert(affected == Seq(1L))
+      val ids = spark.read.parquet(path).select("id").as[Long].collect().toSet
+      assert(!ids(30L) && !ids(31L) && ids.size == 98)
+      // a no-match removal set affects nothing
+      assert(Clustering.deleteFromCellLayout(spark, path,
+        Seq(1000L).toDF("id")).isEmpty)
+    } finally Fs.deleteRecursively(dir)
+  }
+
   test("quantization codebook saves and loads bit-identically") {
     // the bounds are the ONLY decode key for a quantized layout (the
     // floats are not stored) — the persisted artifact must round-trip
@@ -686,6 +717,18 @@ class OpsSpec extends SparkTestBase {
     // schema-invisible dispatch: same column names and types
     assert(Dedup.connectedComponents(pairs).schema ==
       Dedup.connectedComponents(pairs, 20, localMaxEdges = 0).schema)
+  }
+
+  test("connected components: non-integral ids dispatch to the distributed loop") {
+    // the local path round-trips ids through Long, so string ids must
+    // fall through to the distributed loop (not silently corrupt) even
+    // though the edge count is far below the local budget
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toSet
+    assert(cc == Set(("a", "a"), ("a", "b"), ("a", "c"),
+      ("x", "x"), ("x", "y")))
   }
 
   test("deterministic k-means: assignment is partition-invariant and cells partition the data") {
